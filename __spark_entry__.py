@@ -3,36 +3,63 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: high-value alert pipeline over the CDC envelope path
+    at sf0.001 (events → envelopes → parse → filter ⋈ accounts → alerts)."""
+    from cdc_stream_processor_spark import queries as Q
+
+    return Q.q_high_value(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cdc_stream_processor_spark import queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(Q.CDC_QUERIES)
+    try:
+        from cdc_stream_processor_spark import queries_relational as QR
+
+        out.update(QR.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from cdc_stream_processor_spark import queries_extensions as QE
+
+        out.update(QE.QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cdc_stream_processor_spark import queries as Q
+
+    out: dict[str, str] = {}
+    out.update(Q.CDC_ORACLES)
+    try:
+        from cdc_stream_processor_spark import queries_relational as QR
+
+        out.update(QR.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from cdc_stream_processor_spark import queries_extensions as QE
+
+        out.update(QE.ORACLES)
+    except ImportError:
+        pass
+    return out

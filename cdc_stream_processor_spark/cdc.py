@@ -1,0 +1,118 @@
+"""CDC envelope normalization.
+
+Implements the shared preprocessing stage of every reference pipeline
+(SURVEY.md §2.3 P1-P5, §2.4 M1-M3): drop null envelopes, drop deletes
+(op='d'; snapshots op='r' processed like inserts — reference
+ABBankTopology.java:86-102 and test :243-250), extract the `after` row image,
+and normalize types (double IDs → long, money → 4dp, Debezium micro/milli
+timestamps → TimestampType).
+
+Pure column expressions — the same functions work on batch DataFrames and
+streaming DataFrames (readStream + from_json/from_avro), so every pipeline
+has a batch twin for DuckDB-oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.functions import (
+    micros_to_ts,
+    millis_to_ts,
+    money4,
+    safe_long,
+)
+
+
+def drop_deletes(df: DataFrame) -> DataFrame:
+    """P1 + P2/P4 — keep non-null envelopes with op != 'd'
+    (ABBankTopology.java:87-92)."""
+    return df.filter(F.col("op").isNotNull() & (F.col("op") != "d"))
+
+
+def parse_transactions(df: DataFrame) -> DataFrame:
+    """M1 + P3 — envelope → typed transaction rows (17 fields).
+
+    Mirrors TransactionEvent.fromAvro (TransactionEvent.java:39-64): double
+    IDs truncated to long (null→0), money to 4dp HALF_UP, MicroTimestamp →
+    timestamp. Rows with null `after` or account_id==0 are dropped
+    (ABBankTopology.java:98-99; 0 is the mapper's null sentinel).
+    """
+    a = "after."
+    out = drop_deletes(df).filter(F.col("after").isNotNull())
+    out = out.select(
+        safe_long(F.col(a + "TRANSACTION_ID")).alias("transaction_id"),
+        safe_long(F.col(a + "ACCOUNT_ID")).alias("account_id"),
+        F.col(a + "TRANSACTION_REF").alias("transaction_ref"),
+        F.col(a + "TRANSACTION_TYPE").alias("transaction_type"),
+        money4(F.col(a + "AMOUNT")).alias("amount"),
+        F.coalesce(F.col(a + "CURRENCY"), F.lit("NGN")).alias("currency"),
+        money4(F.col(a + "BALANCE_BEFORE")).alias("balance_before"),
+        money4(F.col(a + "BALANCE_AFTER")).alias("balance_after"),
+        F.col(a + "DESCRIPTION").alias("description"),
+        F.col(a + "COUNTERPARTY_NAME").alias("counterparty_name"),
+        F.col(a + "COUNTERPARTY_ACCT").alias("counterparty_acct"),
+        F.col(a + "CHANNEL").alias("channel"),
+        F.col(a + "TRANSACTION_STATUS").alias("transaction_status"),
+        micros_to_ts(F.col(a + "INITIATED_AT")).alias("initiated_at"),
+        micros_to_ts(F.col(a + "COMPLETED_AT")).alias("completed_at"),
+        micros_to_ts(F.col(a + "CREATED_AT")).alias("created_at"),
+        micros_to_ts(F.col(a + "UPDATED_AT")).alias("updated_at"),
+        F.col("op").alias("op"),
+    )
+    return out.filter(F.col("account_id") != 0)
+
+
+def parse_accounts(df: DataFrame) -> DataFrame:
+    """M2 — envelope → typed account rows (AccountEvent.java:27-46)."""
+    a = "after."
+    return (
+        drop_deletes(df)
+        .filter(F.col("after").isNotNull())
+        .select(
+            safe_long(F.col(a + "ACCOUNT_ID")).alias("account_id"),
+            safe_long(F.col(a + "CUSTOMER_ID")).alias("customer_id"),
+            F.col(a + "ACCOUNT_NUMBER").alias("account_number"),
+            F.col(a + "ACCOUNT_TYPE").alias("account_type"),
+            F.coalesce(F.col(a + "CURRENCY"), F.lit("NGN")).alias("currency"),
+            money4(F.col(a + "BALANCE")).alias("balance"),
+            money4(F.col(a + "AVAILABLE_BALANCE")).alias("available_balance"),
+            F.col(a + "ACCOUNT_STATUS").alias("account_status"),
+            millis_to_ts(F.col(a + "OPENED_DATE")).alias("opened_date"),
+            F.coalesce(F.col("source.scn").cast("long"), F.col("ts_ms")).alias("_seq"),
+        )
+    )
+
+
+def parse_customers(df: DataFrame) -> DataFrame:
+    """M3 — envelope → typed customer rows (CustomerEvent.java:27-44)."""
+    a = "after."
+    return (
+        drop_deletes(df)
+        .filter(F.col("after").isNotNull())
+        .select(
+            safe_long(F.col(a + "CUSTOMER_ID")).alias("customer_id"),
+            F.col(a + "FIRST_NAME").alias("first_name"),
+            F.col(a + "LAST_NAME").alias("last_name"),
+            F.col(a + "EMAIL").alias("email"),
+            F.col(a + "PHONE").alias("phone"),
+            millis_to_ts(F.col(a + "DATE_OF_BIRTH")).alias("date_of_birth"),
+            F.col(a + "CUSTOMER_STATUS").alias("customer_status"),
+            F.coalesce(F.col("source.scn").cast("long"), F.col("ts_ms")).alias("_seq"),
+        )
+    )
+
+
+def latest_by_key(df: DataFrame, key: str, seq: str = "_seq") -> DataFrame:
+    """J2 — changelog → latest-value-per-key table (KTable materialization,
+    ABBankTopology.java:119-123,140-144).
+
+    Uses max_by over all columns: a single shuffle with partial aggregation
+    (map-side combine), which at 100 TB beats the window-function
+    row_number() formulation (full sort per partition, no partial agg).
+    """
+    cols = [c for c in df.columns if c != seq]
+    packed = F.struct(*[F.col(c) for c in cols])
+    out = df.groupBy(key).agg(F.max_by(packed, F.col(seq)).alias("_row"))
+    return out.select([F.col(f"_row.{c}").alias(c) for c in cols])

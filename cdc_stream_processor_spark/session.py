@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Defaults are tuned so the same code is correct on local[32] (test rig) and
+sane on a 1000-executor cluster reading 100 TB:
+
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting means we
+  don't hand-tune ``spark.sql.shuffle.partitions`` per scale factor.
+- ``autoBroadcastJoinThreshold`` left at default (10 MB) so dimension tables
+  (customer/nation/region analogs) broadcast automatically; operators also
+  broadcast explicitly where the dim side is known-small.
+- Arrow enabled for the few Pandas-UDF paths (similarity, stateful ops).
+- Session timezone pinned to UTC: window boundaries are epoch-aligned UTC in
+  the reference (SURVEY.md §1.4) and the DuckDB oracle reads naive timestamps.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "cdc-stream-processor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession with scale-aware defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata parquet carries INT64 TIMESTAMP(NANOS) — read as
+        # long and convert in sources.batch (DuckDB truncates ns→µs likewise)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

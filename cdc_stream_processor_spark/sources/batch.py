@@ -1,0 +1,49 @@
+"""Batch parquet sources for the driver testdata tables.
+
+Batch twin of the reference's Kafka sources (SURVEY.md §2.1 S1-S4). Reads are
+plain `spark.read.parquet` so Catalyst gets predicate pushdown + column
+pruning into the scan for free; at cluster scale the same loaders work on
+date-partitioned directories unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Parquet columns stored as INT64 TIMESTAMP(NANOS): Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong); we truncate to µs timestamps, which
+# is exactly what DuckDB does when reading the same files.
+NANO_TS_COLUMNS = {
+    "events": ("ts",),
+    "lineitem": ("l_shipdate",),
+    "orders": ("o_orderdate",),
+}
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # integer division: ns are ~1.7e18, beyond double's 2^53 exactness
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
