@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all shuffle-disciplined for 100 TB:
+
+- exact_dedup:      normalize → hash-groupBy on the normalized text. One
+                    shuffle on the group key; partial agg does the heavy
+                    lifting map-side.
+- minhash_lsh_pairs: shingle → 32 minhashes → 8 LSH bands → band-bucket
+                    self-join (only colliding docs meet) → exact Jaccard
+                    verify. Never materializes the O(n²) pair space; shuffle
+                    is on (band, bucket) keys. Classic MinHash/LSH per
+                    Broder '97 / MMDS ch.3.
+- simhash:          32-bit SimHash fingerprints (Charikar '02); near-dup
+                    pairs via band-blocked candidates + Hamming verify —
+                    pigeonhole: d bits split into b bands finds every pair
+                    with hamming < b.
+- ngram_jaccard_pairs: inverted-index candidate join on shared shingle hash
+                    (rarest-first cap optional) → exact Jaccard.
+
+All hashing is JVM-side higher-order array expressions (no Python UDFs); the
+deterministic polynomial variant is oracle-checkable against DuckDB, and
+fast=True switches to xxhash64 for production throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.functions import texthash as TH
+
+N_MINHASH = 32
+N_BANDS = 8  # 4 rows/band
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 8  # 4 bits/band → finds all pairs with hamming < 8
+
+
+def normalized_text(text: F.Column) -> F.Column:
+    """lower + trim + whitespace collapse — the canonical form for exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per normalized text. Single shuffle."""
+    norm = normalized_text(F.col(text_col))
+    return (
+        docs.select(F.col(id_col), norm.alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def _minhash_params(i: int) -> tuple[int, int]:
+    # fixed affine permutations (a odd, deterministic) — mirrored in oracle SQL
+    return 37 + 2 * i, 101 + i * i
+
+
+def minhashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              fast: bool = False) -> DataFrame:
+    """doc_id, shingle-hash array, array of N_MINHASH minhash values."""
+    hs = TH.shingle_hashes(F.col(text_col), k=3, fast=fast)
+
+    def _perm(a: int, b: int):
+        # pmod first: identity for the polynomial hash (already < P), and it
+        # folds full-range xxhash64 values into [0, P) so a*x can't overflow
+        return lambda x: (F.lit(a) * F.pmod(x, F.lit(TH.P_MOD)) + F.lit(b)) % TH.P_MOD
+
+    mh = F.array(
+        *[
+            F.array_min(F.transform(F.col("hs"), _perm(a, b)))
+            for a, b in (_minhash_params(i) for i in range(N_MINHASH))
+        ]
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .withColumn("mh", mh)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    fast: bool = False,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band, verified by exact Jaccard ≥
+    threshold on the shingle sets. Returns (doc_a, doc_b, jaccard)."""
+    rows = N_MINHASH // N_BANDS
+    mh = minhashes(docs, text_col, id_col, fast=fast)
+    band_val = [
+        F.aggregate(
+            F.slice("mh", i * rows + 1, rows),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % TH.P_MOD,
+        ).alias(f"b{i}")
+        for i in range(N_BANDS)
+    ]
+    banded = mh.select("doc_id", "hs", *band_val)
+    bands = banded.select(
+        "doc_id",
+        "hs",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(N_BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"),
+        "band_idx", "band_hash",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"),
+        "band_idx", "band_hash",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "hs_a", "hs_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - shared
+    jac = F.round(shared / union, 6)
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            fast: bool = False) -> DataFrame:
+    """32-bit SimHash over token hashes (frequency-weighted). Returns
+    (doc_id, simhash:long)."""
+    hs = TH.token_hashes(F.col(text_col), fast=fast)
+    base = docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs")).filter(
+        F.size("hs") > 0
+    )
+    def _vote_fn(b: int):
+        return lambda acc, x: acc + F.when(
+            F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_terms = []
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(F.col("hs"), F.lit(0).cast("long"), _vote_fn(b))
+        bit_terms.append(
+            F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return base.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 4,
+    fast: bool = False,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Band-blocking: 32 bits → 8 bands of 4; any pair with hamming < 8 shares
+    at least one exact band (pigeonhole), so candidates are found with an
+    equi-join on (band_idx, band_bits) — no O(n²) cross join.
+    """
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee violated"
+    fps = simhash(docs, text_col, id_col, fast=fast)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_bits"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band_idx", "band_bits",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band_idx", "band_bits",
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        left.join(right, ["band_idx", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    fast: bool = False,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted index: explode shingle hashes,
+    self-join on the hash (only docs sharing a shingle meet), count shared
+    per pair, verify threshold. Shuffle keys: shingle hash, then pair."""
+    hs = TH.shingle_hashes(F.col(text_col), k=3, fast=fast)
+    base = docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs")).filter(
+        F.size("hs") > 0
+    )
+    sizes = base.select("doc_id", F.size("hs").alias("n"))
+    inv = base.select("doc_id", F.explode("hs").alias("h"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("doc_a", "doc_b", "jaccard")

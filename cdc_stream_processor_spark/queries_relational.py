@@ -1,0 +1,317 @@
+"""Relational-surface queries for the driver contract (SURVEY.md §2.11).
+
+TPC-H-style aggregation/join/top-k plus ranking windows, set ops, rollup,
+distinct — each with an exact DuckDB oracle. Money sums run in DECIMAL(18,4)
+on both sides (order-independent), averages are exact-sum/count in double,
+and every LIMIT/rank carries a unique tie-break so results are total-ordered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_stream_processor_spark.operators.relational import (
+    davg,
+    dsum,
+    global_top_k,
+    top_k_per_group,
+)
+from cdc_stream_processor_spark.sources import batch as B
+
+
+# --- Q1-style pricing summary (scan + partial/final agg, no shuffle skew) ----
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = B.load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.round(disc_price, 4)).alias("sum_disc_price"),
+            dsum(F.round(charge, 4)).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
+       AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
+       AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity)
+    AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+    / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount)
+    AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style shipping priority (3-way join + agg + global top-k) ------------
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = B.load_table(spark, sf_dir, "customer")
+    orders = B.load_table(spark, sf_dir, "orders")
+    li = B.load_table(spark, sf_dir, "lineitem")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        li.filter(F.col("l_shipdate") > F.lit("1998-06-15"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1998-06-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum(revenue).alias("revenue")
+    )
+    return global_top_k(
+        agg, [F.col("revenue").desc(), F.col("l_orderkey").asc()], 10
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5-style local supplier volume (5-way join chain, broadcast dims) -------
+
+
+def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = B.load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name").isin("ASIA", "AFRICA"))
+    )
+    return joined.groupBy("n_name").agg(dsum(revenue).alias("revenue"))
+
+
+SQL_SUPPLIER_VOLUME = """
+SELECT n_name,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'AFRICA')
+GROUP BY n_name
+"""
+
+
+# --- Top-k per group (ranking window + rank pushdown) ------------------------
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = B.load_table(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return out.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+# --- Analytic window functions: lag/lead/rank/frames over events -------------
+
+
+def q_event_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = B.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.row_number().over(w).alias("event_seq"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(run)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+SQL_EVENT_ANALYTICS = """
+SELECT event_id, user_id, event_type, value,
+  lag(value)  OVER w AS prev_value,
+  lead(value) OVER w AS next_value,
+  ROW_NUMBER() OVER w AS event_seq,
+  CAST(SUM(CAST(value AS DECIMAL(18,4)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --- Set operations -----------------------------------------------------------
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = B.load_table(spark, sf_dir, "events")
+    purchasers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    erroring = events.filter(
+        (F.col("event_type") == "error") & (F.col("ts") >= F.lit("2024-01-25"))
+    ).select("user_id")
+    # engaged users (purchase ∩ click) minus anyone erroring since Jan 25
+    return (
+        purchasers.intersect(clickers)
+        .exceptAll(erroring.distinct())
+        .select(F.col("user_id").alias("engaged_user_id"))
+    )
+
+
+SQL_SET_OPS = """
+SELECT user_id AS engaged_user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'click'
+)
+EXCEPT ALL
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND ts >= TIMESTAMP '2024-01-25'
+"""
+
+
+# --- Rollup / grouping sets ----------------------------------------------------
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = B.load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_extendedprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- Distinct / multi-dimensional cube -----------------------------------------
+
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = B.load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct (rows-only check: sketch internals are
+    engine-specific; pytest asserts relative error vs exact instead)."""
+    events = B.load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "supplier_volume": q_supplier_volume,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "event_analytics": q_event_analytics,
+    "set_ops": q_set_ops,
+    "rollup_revenue": q_rollup_revenue,
+    "distinct_users": q_distinct_users,
+    "approx_distinct_users": q_approx_distinct_users,
+}
+
+ORACLES = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "supplier_volume": SQL_SUPPLIER_VOLUME,
+    "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+    "event_analytics": SQL_EVENT_ANALYTICS,
+    "set_ops": SQL_SET_OPS,
+    "rollup_revenue": SQL_ROLLUP_REVENUE,
+    "distinct_users": SQL_DISTINCT_USERS,
+    # approx_distinct_users intentionally has no oracle (rows-only)
+}
