@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdc_stream_processor_spark.functions import texthash as TH
+from cdc_stream_processor_spark.plans.layout import ensure_parallelism
 
 N_MINHASH = 32
 N_BANDS = 8  # 4 rows/band
@@ -59,6 +60,7 @@ def _minhash_params(i: int) -> tuple[int, int]:
 def minhashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               fast: bool = False) -> DataFrame:
     """doc_id, shingle-hash array, array of N_MINHASH minhash values."""
+    docs = ensure_parallelism(docs)  # small-file scans must not serialize hashing
     hs = TH.shingle_hashes(F.col(text_col), k=3, fast=fast)
 
     def _perm(a: int, b: int):
@@ -89,7 +91,11 @@ def minhash_lsh_pairs(
     """Candidate pairs sharing ≥1 LSH band, verified by exact Jaccard ≥
     threshold on the shingle sets. Returns (doc_a, doc_b, jaccard)."""
     rows = N_MINHASH // N_BANDS
-    mh = minhashes(docs, text_col, id_col, fast=fast)
+    # Persist the signature table: it feeds both sides of the band self-join
+    # plus the verification join — without it the (expensive) hashing subplan
+    # is recomputed once per branch. At cluster scale this is the standard
+    # "materialize the signature table" step of a MinHash pipeline.
+    mh = minhashes(docs, text_col, id_col, fast=fast).persist()
     band_val = [
         F.aggregate(
             F.slice("mh", i * rows + 1, rows),
@@ -98,33 +104,36 @@ def minhash_lsh_pairs(
         ).alias(f"b{i}")
         for i in range(N_BANDS)
     ]
-    banded = mh.select("doc_id", "hs", *band_val)
-    bands = banded.select(
+    # skinny band rows: the shingle arrays do NOT ride through the explode
+    bands = mh.select("doc_id", *band_val).select(
         "doc_id",
-        "hs",
         F.posexplode(F.array(*[F.col(f"b{i}") for i in range(N_BANDS)])).alias(
             "band_idx", "band_hash"
         ),
     )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"),
-        "band_idx", "band_hash",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"),
-        "band_idx", "band_hash",
-    )
     cand = (
-        left.join(right, ["band_idx", "band_hash"])
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "hs_a", "hs_b")
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = mh.select("doc_id", "hs")
+    verified = cand.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+        "doc_b",
     )
     shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     union = (F.size("hs_a") + F.size("hs_b")).cast("double") - shared
     jac = F.round(shared / union, 6)
     return (
-        cand.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -135,9 +144,9 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """32-bit SimHash over token hashes (frequency-weighted). Returns
     (doc_id, simhash:long)."""
     hs = TH.token_hashes(F.col(text_col), fast=fast)
-    base = docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs")).filter(
-        F.size("hs") > 0
-    )
+    base = ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"), hs.alias("hs")
+    ).filter(F.size("hs") > 0)
     def _vote_fn(b: int):
         return lambda acc, x: acc + F.when(
             F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1
@@ -169,7 +178,8 @@ def simhash_pairs(
     equi-join on (band_idx, band_bits) — no O(n²) cross join.
     """
     assert max_hamming < SIMHASH_BANDS, "pigeonhole guarantee violated"
-    fps = simhash(docs, text_col, id_col, fast=fast)
+    # persist: the 32-fold fingerprint subplan feeds both join sides
+    fps = simhash(docs, text_col, id_col, fast=fast).persist()
     width = SIMHASH_BITS // SIMHASH_BANDS
     bands = fps.select(
         "doc_id",
@@ -214,8 +224,12 @@ def ngram_jaccard_pairs(
     self-join on the hash (only docs sharing a shingle meet), count shared
     per pair, verify threshold. Shuffle keys: shingle hash, then pair."""
     hs = TH.shingle_hashes(F.col(text_col), k=3, fast=fast)
-    base = docs.select(F.col(id_col).alias("doc_id"), hs.alias("hs")).filter(
-        F.size("hs") > 0
+    # persist: base feeds the inverted index AND the two size joins
+    base = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .persist()
     )
     sizes = base.select("doc_id", F.size("hs").alias("n"))
     inv = base.select("doc_id", F.explode("hs").alias("h"))

@@ -12,6 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cdc_stream_processor_spark.functions import texthash as TH
+from cdc_stream_processor_spark.plans.layout import ensure_parallelism
 
 # Small stopword profiles for the n-gram/stopword language heuristic.
 # Deterministic tie-break: first language in this order wins ties.
@@ -110,6 +111,7 @@ def text_profile(docs: DataFrame, text_col: str = "text",
     """One-pass document profile: counts, quality, language, fingerprint."""
     t = F.col(text_col)
     f = quality_features(t)
+    docs = ensure_parallelism(docs)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         f["n_chars"].alias("n_chars"),

@@ -1,0 +1,276 @@
+"""Structured Streaming wiring for the five notification pipelines.
+
+The reference runs one Kafka Streams topology with five sub-pipelines
+(ABBankTopology.java:149-153); here each pipeline is a StreamingQuery over a
+shared parsed-transaction stream. The transformation bodies are the SAME
+column-expression functions used by the batch twins (operators.pipelines) —
+streaming adds only sources, watermarks, output modes, and sinks.
+
+Faithful semantics (SURVEY.md §2.10):
+- zero grace: ``withWatermark(col, "0 seconds")`` (late data dropped at close)
+- update-mode emission for windowed aggs (KTable update stream analog);
+  append mode available for emit-once-at-close
+- tumbling windows epoch-aligned UTC, labels in Africa/Lagos
+- at-least-once delivery via checkpointing
+
+Sources: Kafka (value = JSON envelope; Avro via from_avro where the
+spark-avro package is on the classpath) or file streams of envelope data.
+The Kafka integration jar may be absent on a bare local install — the reader
+raises a clear error in that case; tests use file/memory sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark import cdc, schemas
+from cdc_stream_processor_spark.functions import (
+    format_amount,
+    format_timestamp_lagos,
+    is_debit,
+    lagos_date,
+)
+from cdc_stream_processor_spark.operators import pipelines as P
+from cdc_stream_processor_spark.streaming.state import balance_reconciliation_stream
+
+# Kafka topics (reference ABBankStreamsConfig.java:19-28)
+TOPIC_TRANSACTIONS = "XEPDB1.BANKDB.TRANSACTIONS"
+TOPIC_ACCOUNTS = "XEPDB1.BANKDB.ACCOUNTS"
+TOPIC_CUSTOMERS = "XEPDB1.BANKDB.CUSTOMERS"
+SINK_TOPICS = {
+    "fraud": "abbank.notifications.fraud-alerts",
+    "high_value": "abbank.notifications.high-value-alerts",
+    "balance": "abbank.notifications.balance-updates",
+    "dormancy": "abbank.notifications.dormancy-alerts",
+    "daily_spend": "abbank.notifications.daily-spend",
+}
+
+
+def read_kafka_envelopes(
+    spark: SparkSession,
+    topic: str = TOPIC_TRANSACTIONS,
+    bootstrap: str = "localhost:9092",
+    starting_offsets: str = "earliest",  # reference auto.offset.reset=earliest
+) -> DataFrame:
+    """Kafka CDC source (S1-S4): JSON-serialized Debezium envelopes in the
+    record value. Requires the spark-sql-kafka package on the classpath."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(
+            F.col("value").cast("string"), schemas.TRANSACTION_ENVELOPE
+        ).alias("env"),
+        F.col("timestamp").alias("_kafka_ts"),
+    )
+    # PERMISSIVE parse: corrupt values -> null envelope, dropped (F2 semantics)
+    return parsed.filter(F.col("env").isNotNull()).select("env.*", "_kafka_ts")
+
+
+def read_file_envelopes(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """File-based envelope stream (test/dev twin of the Kafka source)."""
+    reader = spark.readStream.format(fmt).schema(schemas.TRANSACTION_ENVELOPE)
+    if fmt == "json":
+        reader = reader.option("mode", "PERMISSIVE")
+    return reader.load(path)
+
+
+def parsed_transaction_stream(envelopes: DataFrame) -> DataFrame:
+    """Shared preprocessing (§3.2): the same cdc.parse_transactions used in
+    batch, plus the 0-second watermark on event time."""
+    return cdc.parse_transactions(envelopes).withWatermark(
+        "initiated_at", "0 seconds"
+    )
+
+
+# --- notification builders (M5-M8) — shared JSON output shape ---------------
+
+
+def _notification(
+    ntype: str, severity, channel: str, subject: F.Column, body: F.Column,
+    account_id: F.Column, event_time: F.Column, metadata: F.Column,
+) -> F.Column:
+    """NotificationEvent.toJson analog (NotificationEvent.java:18-95):
+    uuid id, wall-clock generatedAt, nulls omitted by to_json.
+    `severity` may be a literal string or a Column expression."""
+    sev = F.lit(severity) if isinstance(severity, str) else severity
+    return F.to_json(
+        F.struct(
+            F.expr("uuid()").alias("notificationId"),
+            F.lit(ntype).alias("notificationType"),
+            sev.alias("severity"),
+            F.lit(channel).alias("channel"),
+            account_id.alias("accountId"),
+            subject.alias("subject"),
+            body.alias("body"),
+            F.date_format(event_time, "yyyy-MM-dd'T'HH:mm:ssXXX").alias("eventTime"),
+            F.date_format(
+                F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssXXX"
+            ).alias("generatedAt"),
+            metadata.alias("metadata"),
+        )
+    )
+
+
+def fraud_velocity_notifications(txns: DataFrame, window: str = P.VELOCITY_WINDOW,
+                                 max_txns: int = P.VELOCITY_MAX_TXNS) -> DataFrame:
+    """Pipeline 1 output (M5, ABBankTopology.java:181-205): CRITICAL/BOTH."""
+    hits = P.transaction_velocity(txns, window=window, max_txns=max_txns)
+    body = F.format_string(
+        "Fraud alert: %s transactions within window starting %s",
+        F.col("txn_count").cast("string"),
+        format_timestamp_lagos(F.col("window_start")),
+    )
+    meta = F.map_from_arrays(
+        F.array(F.lit("windowStartMs"), F.lit("windowEndMs"), F.lit("transactionCount")),
+        F.array(
+            F.unix_millis(F.col("window_start")).cast("string"),
+            F.unix_millis(F.col("window_end")).cast("string"),
+            F.col("txn_count").cast("string"),
+        ),
+    )
+    return hits.select(
+        F.col("account_id").cast("string").alias("key"),
+        _notification(
+            "FRAUD_ALERT", "CRITICAL", "BOTH",
+            F.lit("Suspicious transaction velocity"), body,
+            F.col("account_id"), F.col("window_start"), meta,
+        ).alias("value"),
+    )
+
+
+def high_value_notifications(txns: DataFrame, accounts: DataFrame,
+                             threshold: float = P.HIGH_VALUE_THRESHOLD) -> DataFrame:
+    """Pipeline 2 output (M6, ABBankTopology.java:247-294)."""
+    alerts = P.high_value_alerts(txns, accounts, threshold=threshold)
+    body = F.format_string(
+        "A %s transaction of %s was recorded on account %s at %s.",
+        F.col("transaction_type"),
+        format_amount(F.col("amount"), F.lit("NGN")),
+        F.col("account_number"),
+        format_timestamp_lagos(F.col("event_time")),
+    )
+    meta = F.map_from_arrays(
+        F.array(F.lit("transactionRef"), F.lit("transactionType")),
+        F.array(F.col("transaction_ref"), F.col("transaction_type")),
+    )
+    # severity already computed by the batch operator (M6 rule)
+    return alerts.select(
+        F.col("account_id").cast("string").alias("key"),
+        _notification(
+            "HIGH_VALUE_ALERT", F.col("severity"), "BOTH",
+            F.lit("High value transaction alert"), body,
+            F.col("account_id"), F.col("event_time"), meta,
+        ).alias("value"),
+    )
+
+
+def dormancy_notifications(txns: DataFrame, gap: str = P.DORMANCY_GAP) -> DataFrame:
+    """Pipeline 4 output (M7): LOW/EMAIL."""
+    hits = P.dormancy_candidates(txns, gap=gap)
+    body = F.format_string(
+        "Account active again after dormancy; session started %s",
+        format_timestamp_lagos(F.col("session_start")),
+    )
+    meta = F.map_from_arrays(
+        F.array(F.lit("sessionStart")),
+        F.array(F.unix_millis(F.col("session_start")).cast("string")),
+    )
+    return hits.select(
+        F.col("account_id").cast("string").alias("key"),
+        _notification(
+            "DORMANCY_ALERT", "LOW", "EMAIL",
+            F.lit("Dormant account activity"), body,
+            F.col("account_id"), F.col("session_start"), meta,
+        ).alias("value"),
+    )
+
+
+def daily_spend_notifications(txns: DataFrame,
+                              threshold: float = P.DAILY_SPEND_THRESHOLD) -> DataFrame:
+    """Pipeline 5 output (M8): MEDIUM/SMS with Lagos date label."""
+    hits = P.daily_spend(txns, threshold=threshold)
+    body = F.format_string(
+        "Total debits of %s on %s exceeded your daily threshold.",
+        format_amount(F.col("total_debit"), F.lit("NGN")),
+        lagos_date(F.col("window_start")).cast("string"),
+    )
+    meta = F.map_from_arrays(
+        F.array(F.lit("date"), F.lit("totalDebit")),
+        F.array(
+            lagos_date(F.col("window_start")).cast("string"),
+            F.col("total_debit").cast("string"),
+        ),
+    )
+    return hits.select(
+        F.col("account_id").cast("string").alias("key"),
+        _notification(
+            "DAILY_SPEND_SUMMARY", "MEDIUM", "SMS",
+            F.lit("Daily spend summary"), body,
+            F.col("account_id"), F.col("window_start"), meta,
+        ).alias("value"),
+    )
+
+
+def balance_notifications(txns: DataFrame) -> DataFrame:
+    """Pipeline 3 output: per-txn reconciliation JSON (stateful)."""
+    recon = balance_reconciliation_stream(txns)
+    body = F.format_string(
+        "Balance reconciliation: discrepancy %s",
+        F.col("discrepancy").cast("string"),
+    )
+    meta = F.map_from_arrays(
+        F.array(F.lit("discrepancy"), F.lit("balanceAfter")),
+        F.array(
+            F.col("discrepancy").cast("string"),
+            F.col("balance_after").cast("string"),
+        ),
+    )
+    return recon.select(
+        F.col("account_id").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.expr("uuid()").alias("notificationId"),
+                F.lit("BALANCE_UPDATE").alias("notificationType"),
+                F.col("severity").alias("severity"),
+                F.lit("EMAIL").alias("channel"),
+                F.col("account_id").alias("accountId"),
+                body.alias("body"),
+                meta.alias("metadata"),
+            )
+        ).alias("value"),
+    )
+
+
+# --- query lifecycle ---------------------------------------------------------
+
+
+def start_pipeline(
+    df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    sink_format: str = "memory",
+    sink_options: dict[str, str] | None = None,
+    trigger_available_now: bool = False,
+):
+    """Start one named StreamingQuery (reference runs 5 concurrently).
+    sink_format: 'memory' (tests), 'kafka', 'parquet', 'console'."""
+    writer = (
+        df.writeStream.queryName(name)
+        .outputMode(output_mode)
+        .format(sink_format)
+        .option("checkpointLocation", f"{checkpoint_dir}/{name}")
+    )
+    for k, v in (sink_options or {}).items():
+        writer = writer.option(k, v)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

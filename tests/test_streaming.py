@@ -1,0 +1,189 @@
+"""Structured Streaming tests: file envelope source → pipelines → memory sink.
+
+Mirrors the reference's TopologyTestDriver style (synchronous in-process,
+no broker — ABBankTopologyTest.java:175-198): write envelope fixtures as
+parquet, stream them with availableNow triggers, read the memory sink.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from cdc_stream_processor_spark import cdc, schemas
+from cdc_stream_processor_spark.streaming import pipelines as SP
+from cdc_stream_processor_spark.streaming.state import balance_reconciliation_stream
+from tests import fixtures as fx
+
+US = 1_000_000
+
+
+@pytest.fixture()
+def tmpdirs():
+    d = tempfile.mkdtemp(prefix="sgs-stream-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_envelopes(spark, path, envs):
+    fx.make_txn_df(spark, envs).write.mode("append").parquet(path)
+
+
+def _run_to_memory(spark, df, name, ckpt, output_mode="update"):
+    q = SP.start_pipeline(
+        df, name, ckpt, output_mode=output_mode, trigger_available_now=True
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+def test_file_stream_high_value_end_to_end(spark, tmpdirs):
+    src, ckpt = f"{tmpdirs}/src", f"{tmpdirs}/ckpt"
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(fx.txn_image(txn_id=1.0, amount=600_000.0)),
+            fx.envelope(fx.txn_image(txn_id=2.0, amount=100.0)),
+            fx.envelope(fx.txn_image(txn_id=3.0, amount=750_000.0), op="d"),
+        ],
+    )
+    envs = SP.read_file_envelopes(spark, src)
+    assert envs.isStreaming
+    txns = SP.parsed_transaction_stream(envs)
+    accounts = cdc.parse_accounts(
+        fx.make_account_df(spark, [fx.account_image(101.0, "ACC-101")])
+    )
+    out = _run_to_memory(
+        spark,
+        SP.high_value_notifications(txns, accounts),
+        "hv_sink",
+        ckpt,
+        output_mode="append",
+    ).collect()
+    # only txn 1 passes: 2 below threshold, 3 is a delete
+    assert len(out) == 1
+    assert out[0].key == "101"
+    assert '"severity":"HIGH"' in out[0].value
+    assert '"notificationType":"HIGH_VALUE_ALERT"' in out[0].value
+    assert "ACC-101" in out[0].value
+
+
+def test_stream_velocity_update_mode(spark, tmpdirs):
+    src, ckpt = f"{tmpdirs}/src", f"{tmpdirs}/ckpt"
+    base = 1_700_000_000
+    aligned = base - (base % 60)
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(
+                fx.txn_image(txn_id=float(i), initiated_at_us=(aligned + i) * US)
+            )
+            for i in range(5)
+        ],
+    )
+    txns = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+    out = _run_to_memory(
+        spark,
+        SP.fraud_velocity_notifications(txns, window="60 seconds", max_txns=5),
+        "velocity_sink",
+        ckpt,
+    ).collect()
+    assert len(out) == 1
+    assert '"severity":"CRITICAL"' in out[0].value
+    assert '"transactionCount":"5"' in out[0].value
+
+
+def test_stream_balance_state_across_batches(spark, tmpdirs):
+    """State persists across micro-batches: batch 2 reconciles against the
+    balance stored by batch 1 (bootstrap + update, reference :72-74, :89)."""
+    src, ckpt, out_dir = f"{tmpdirs}/src", f"{tmpdirs}/ckpt", f"{tmpdirs}/out"
+
+    def run_batch():
+        # parquet sink: supports checkpoint recovery across restarts
+        t = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+        q = SP.start_pipeline(
+            balance_reconciliation_stream(t),
+            "balance_sink",
+            ckpt,
+            output_mode="append",
+            sink_format="parquet",
+            sink_options={"path": out_dir},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(
+                fx.txn_image(
+                    txn_id=1.0, balance_before=100.0, balance_after=90.0,
+                    initiated_at_us=1_700_000_000 * US,
+                )
+            )
+        ],
+    )
+    out1 = run_batch()
+    assert [(r.transaction_id, r.severity) for r in out1] == [(1, "LOW")]
+
+    # batch 2: claims before=95 but stored balance is 90 -> HIGH
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(
+                fx.txn_image(
+                    txn_id=2.0, balance_before=95.0, balance_after=80.0,
+                    initiated_at_us=1_700_000_060 * US,
+                )
+            )
+        ],
+    )
+    out2 = run_batch()
+    by_txn = {r.transaction_id: r for r in out2}
+    assert by_txn[2].severity == "HIGH"
+    assert by_txn[2].discrepancy == 5.0
+
+
+def test_stream_daily_spend_and_dormancy_smoke(spark, tmpdirs):
+    src, ckpt = f"{tmpdirs}/src", f"{tmpdirs}/ckpt"
+    day = 1_699_920_000  # UTC day boundary
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(
+                fx.txn_image(
+                    txn_id=float(i), amount=600_000.0,
+                    initiated_at_us=(day + i * 3600) * US,
+                )
+            )
+            for i in range(2)
+        ],
+    )
+    txns = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+    out = _run_to_memory(
+        spark,
+        SP.daily_spend_notifications(txns),
+        "daily_sink",
+        ckpt,
+    ).collect()
+    assert len(out) == 1
+    assert '"notificationType":"DAILY_SPEND_SUMMARY"' in out[0].value
+    assert '"severity":"MEDIUM"' in out[0].value
+
+
+def test_kafka_source_unavailable_is_clear(spark):
+    """Without the kafka integration jar the reader should fail with the
+    standard DATA_SOURCE_NOT_FOUND guidance, not something cryptic."""
+    try:
+        df = SP.read_kafka_envelopes(spark)
+        df.printSchema()  # pragma: no cover - only if jar present
+    except Exception as e:  # noqa: BLE001
+        assert "kafka" in str(e).lower()
