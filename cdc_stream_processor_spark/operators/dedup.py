@@ -24,6 +24,9 @@ fast=True switches to xxhash64 for production throughput.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,6 +37,57 @@ N_MINHASH = 32
 N_BANDS = 8  # 4 rows/band
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 8  # 4 bits/band → finds all pairs with hamming < 8
+
+_SIG_SCHEMA = "doc_id long, hs array<long>, mh array<long>"
+_SHINGLE_SCHEMA = "doc_id long, hs array<long>"
+_SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def _vectorized_signatures(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    with_minhash: bool = True,
+) -> DataFrame:
+    """(doc_id, hs[, mh]) via one Arrow-batched mapInPandas pass — numpy
+    twins of the Catalyst folds (functions.fasthash), bit-identical values.
+    Docs with no shingles are dropped (as the fold path's size>0 filter)."""
+    import numpy as np
+
+    from cdc_stream_processor_spark.functions import fasthash as FH
+
+    params = [_minhash_params(i) for i in range(N_MINHASH)] if with_minhash else []
+    schema = _SIG_SCHEMA if with_minhash else _SHINGLE_SCHEMA
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            all_shingles: list[str] = []
+            lens: list[int] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                sh = FH.shingles_py(FH.tokens_py(text), k)
+                if not sh:
+                    continue
+                ids.append(doc_id)
+                all_shingles.extend(sh)
+                lens.append(len(sh))
+            # ONE vectorized hash pass over every shingle in the batch
+            hashes = FH.polyhash_batch(all_shingles)
+            lens_arr = np.asarray(lens, dtype=np.int64)
+            bounds = np.concatenate(([0], np.cumsum(lens_arr)[:-1]))
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "hs": np.split(hashes, np.cumsum(lens_arr)[:-1]) if ids else [],
+            }
+            if with_minhash:
+                out["mh"] = (
+                    list(FH.minhash_batch(hashes, bounds, params)) if ids else []
+                )
+            yield pd.DataFrame(out)
+
+    cols = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))
+    return ensure_parallelism(cols).mapInPandas(compute, schema=schema)
 
 
 def normalized_text(text: F.Column) -> F.Column:
@@ -58,8 +112,14 @@ def _minhash_params(i: int) -> tuple[int, int]:
 
 
 def minhashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-              fast: bool = False) -> DataFrame:
-    """doc_id, shingle-hash array, array of N_MINHASH minhash values."""
+              fast: bool = False, vectorized: bool = True) -> DataFrame:
+    """doc_id, shingle-hash array, array of N_MINHASH minhash values.
+
+    vectorized=True (default) computes the identical values through the
+    numpy kernels (one Arrow pass); False keeps the pure-Catalyst fold form.
+    """
+    if vectorized and not fast:
+        return _vectorized_signatures(docs, text_col, id_col, k=3, with_minhash=True)
     docs = ensure_parallelism(docs)  # small-file scans must not serialize hashing
     hs = TH.shingle_hashes(F.col(text_col), k=3, fast=fast)
 
@@ -140,9 +200,44 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            fast: bool = False) -> DataFrame:
+            fast: bool = False, vectorized: bool = True) -> DataFrame:
     """32-bit SimHash over token hashes (frequency-weighted). Returns
     (doc_id, simhash:long)."""
+    if vectorized and not fast:
+        import numpy as np
+
+        from cdc_stream_processor_spark.functions import fasthash as FH
+
+        def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids: list[int] = []
+                all_toks: list[str] = []
+                lens: list[int] = []
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    toks = FH.tokens_py(text)
+                    if not toks:
+                        continue
+                    ids.append(doc_id)
+                    all_toks.extend(toks)
+                    lens.append(len(toks))
+                if ids:
+                    lens_arr = np.asarray(lens, dtype=np.int64)
+                    bounds = np.concatenate(([0], np.cumsum(lens_arr)[:-1]))
+                    fp = FH.simhash_batch(
+                        FH.polyhash_batch(all_toks), bounds, SIMHASH_BITS
+                    )
+                else:
+                    fp = []
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "simhash": pd.Series(fp, dtype="int64"),
+                    }
+                )
+
+        cols = docs.select(id_col, text_col)
+        return ensure_parallelism(cols).mapInPandas(compute, schema=_SIMHASH_SCHEMA)
+
     hs = TH.token_hashes(F.col(text_col), fast=fast)
     base = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"), hs.alias("hs")
@@ -219,18 +314,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     fast: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted index: explode shingle hashes,
     self-join on the hash (only docs sharing a shingle meet), count shared
     per pair, verify threshold. Shuffle keys: shingle hash, then pair."""
-    hs = TH.shingle_hashes(F.col(text_col), k=3, fast=fast)
-    # persist: base feeds the inverted index AND the two size joins
-    base = (
-        ensure_parallelism(docs)
-        .select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
-        .filter(F.size("hs") > 0)
-        .persist()
-    )
+    if vectorized and not fast:
+        base = _vectorized_signatures(
+            docs, text_col, id_col, k=3, with_minhash=False
+        ).persist()
+    else:
+        hs = TH.shingle_hashes(F.col(text_col), k=3, fast=fast)
+        # persist: base feeds the inverted index AND the two size joins
+        base = (
+            ensure_parallelism(docs)
+            .select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+            .filter(F.size("hs") > 0)
+            .persist()
+        )
     sizes = base.select("doc_id", F.size("hs").alias("n"))
     inv = base.select("doc_id", F.explode("hs").alias("h"))
     pairs = (

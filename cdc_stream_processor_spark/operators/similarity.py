@@ -45,6 +45,28 @@ def as_double(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
+def _cosine_pandas_udf():
+    """Vectorized cosine over (qv, cv) array<double> columns. Accumulates
+    dimension-by-dimension in float64 (fasthash.seq_dot_norms), so values are
+    bit-identical to the F.aggregate / DuckDB list_reduce fold — just ~100×
+    faster than interpreting one lambda per element."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from cdc_stream_processor_spark.functions.fasthash import seq_dot_norms
+
+    @pandas_udf(T.DoubleType())
+    def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=np.float64)
+        a = np.vstack([np.asarray(v, dtype=np.float64) for v in qv])
+        b = np.vstack([np.asarray(v, dtype=np.float64) for v in cv])
+        dot, na, nb = seq_dot_norms(a, b)
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,6 +82,7 @@ def brute_force_topk(
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
+    cos = _cosine_pandas_udf()
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -67,7 +90,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
         )
     )
     out = top_k_per_group(
@@ -161,27 +184,36 @@ def lsh_topk(
     n_tables LSH tables; exact cosine re-rank on the candidate set.
     All-equi-join on (table, bucket) → shuffle-scalable; recall grows as
     1-(1-p^m)^L with table count."""
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    cv = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    # Candidate generation on skinny (id, table, bucket) rows — the vectors do
+    # NOT ride through the L-way explode join — then dedup BEFORE scoring so a
+    # pair colliding in many of the L tables is scored exactly once.
     q = _with_buckets(
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_v")
-        ),
-        dim, n_planes, n_tables,
-    ).select("query_id", F.col("_v").alias("qv"), "table_idx", "bucket")
+        qv.select("query_id", F.col("qv").alias("_v")), dim, n_planes, n_tables
+    ).select("query_id", "table_idx", "bucket")
     c = _with_buckets(
-        ensure_parallelism(corpus).select(
-            F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("_v")
-        ),
-        dim, n_planes, n_tables,
-    ).select("neighbor_id", F.col("_v").alias("cv"), "table_idx", "bucket")
-    scored = (
+        cv.select("neighbor_id", F.col("cv").alias("_v")), dim, n_planes, n_tables
+    ).select("neighbor_id", "table_idx", "bucket")
+    cand = (
         q.join(c, ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _cosine_pandas_udf()
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     out = top_k_per_group(
         scored,
