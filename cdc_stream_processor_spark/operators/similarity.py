@@ -103,6 +103,57 @@ def brute_force_topk(
     return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
 
 
+def cosine_pairs(
+    vecs: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine similarity ≥ threshold, emitted once per pair as
+    (vec_a < vec_b, cosine_sim). This is the embedding-cosine near-duplicate
+    detector's exact surface: O(n²) compares, so it is the ORACLE path — at
+    100 TB the same verify step runs on LSH-generated candidates instead of
+    the full cross product (see lsh_topk's bucket join), trading exactness
+    for an equi-join shuffle. The cross join streams the broadcast side, so
+    memory is O(broadcast side), not O(n²)."""
+    a = vecs.select(
+        F.col(id_col).alias("vec_a"), as_double(F.col(vec_col)).alias("qv")
+    )
+    b = ensure_parallelism(vecs).select(
+        F.col(id_col).alias("vec_b"), as_double(F.col(vec_col)).alias("cv")
+    )
+    cos = _cosine_pandas_udf()
+    return (
+        F.broadcast(a)
+        .crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def embedding_near_dup(
+    vecs: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate dedup by embedding cosine: keep a vector iff it has no
+    near-duplicate (cosine ≥ threshold) with a smaller id — the standard
+    keep-first representative rule (one pass, no iterative connected
+    components). Returns the kept rows (id only, schema-stable)."""
+    drops = (
+        cosine_pairs(vecs, threshold, id_col, vec_col)
+        .select(F.col("vec_b").alias(id_col))
+        .distinct()
+    )
+    return vecs.select(id_col).join(drops, id_col, "left_anti")
+
+
 # --- sign-random-projection LSH (multi-table, Indyk-Motwani style) -----------
 
 N_PLANES = 4  # bits per table (few: test-corpus neighbors sit at cosine ~0.3)
@@ -209,6 +260,112 @@ def lsh_topk(
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    out = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+# --- IVF (inverted-file) ANN --------------------------------------------------
+
+IVF_NLIST = 16  # coarse centroids
+IVF_NPROBE = 4  # centroids probed per query
+IVF_TRAIN_LIMIT = 4096  # driver-side training sample bound (rows)
+
+
+def _spherical_kmeans(sample, nlist: int, iters: int = 10):
+    """Deterministic spherical k-means on an L2-normalized sample matrix:
+    init = first nlist rows (sample arrives sorted by id), assign by max
+    dot, centroid = renormalized mean. No RNG — reproducible across runs."""
+    import numpy as np
+
+    cents = sample[:nlist].copy()
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for j in range(nlist):
+            members = sample[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[j] = m / n
+    return cents
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-flat ANN: coarse-quantize the corpus into nlist spherical-k-means
+    cells, probe the nprobe nearest cells per query, exact cosine re-rank
+    inside the probed cells.
+
+    Scale shape (the point of IVF over brute force): training touches only a
+    bounded driver-side sample (IVF_TRAIN_LIMIT rows — first rows by id, a
+    deterministic stand-in for reservoir sampling); cell assignment is one
+    Arrow-batched matmul map over the corpus (no shuffle); the probe is an
+    equi-join on cell id, so only ~nprobe/nlist of the corpus is scored per
+    query. Approximate — recall vs brute force is asserted in tests."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    sample_rows = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+        .orderBy(id_col)
+        .limit(IVF_TRAIN_LIMIT)
+        .collect()
+    )
+    sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cents = _spherical_kmeans(sample, min(nlist, len(sample)))
+
+    @pandas_udf(T.IntegerType())
+    def cell_of(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cents.T).argmax(axis=1).astype("int32"))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.vstack(vs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cents.T), axis=1, kind="stable")
+        return pd.Series(list(order[:, :nprobe].astype("int32")))
+
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.withColumn("cell", cell_of(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "query_id", "qv", F.explode(probe_cells(F.col("qv"))).alias("cell")
+    )
+    cos = _cosine_pandas_udf()
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",

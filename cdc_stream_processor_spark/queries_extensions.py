@@ -219,6 +219,57 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(queries, emb, dim=dim, k=TOPK)
 
 
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (rows-only check; recall vs brute force is asserted in
+    tests/test_extensions.py)."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return S.ivf_topk(queries, emb, k=TOPK)
+
+
+# --- embedding-cosine near-dup ------------------------------------------------
+
+NEAR_DUP_COSINE = 0.4  # synthetic corpus has no true dups; 0.4 → "near" pairs
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_pairs(
+        B.load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COSINE
+    )
+
+
+def _near_dup_pairs_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])"
+    )
+    na = _FOLD_SUM.format(arr="list_transform(a.e, x -> x * x)")
+    nb = _FOLD_SUM.format(arr="list_transform(b.e, x -> x * x)")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+)
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+) WHERE cosine_sim >= {NEAR_DUP_COSINE}
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup(
+        B.load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COSINE
+    )
+
+
+def _near_dup_keep_sql() -> str:
+    return f"""
+WITH pairs AS ({_near_dup_pairs_sql()})
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_b FROM pairs)
+"""
+
+
 # --- text analysis -----------------------------------------------------------------
 
 
@@ -286,6 +337,9 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "embedding_near_dup": q_embedding_near_dup,
     "text_profile": q_text_profile,
 }
 
@@ -296,6 +350,8 @@ ORACLES = {
     "simhash_pairs": _simhash_pairs_sql(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "cosine_topk": _cosine_topk_sql(),
-    # lsh_ann_topk intentionally rows-only (approximate operator)
+    # lsh_ann_topk / ivf_ann_topk intentionally rows-only (approximate ops)
+    "embedding_near_dup_pairs": _near_dup_pairs_sql(),
+    "embedding_near_dup": _near_dup_keep_sql(),
     "text_profile": _text_profile_sql(),
 }

@@ -114,6 +114,34 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = S.brute_force_topk(queries, emb, k=5).collect()
+    approx = S.ivf_topk(queries, emb, k=5).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4/16 cells probed on weakly-clustered synthetic data
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # every query must still return a full top-k
+    per_query = {r.query_id for r in approx}
+    assert per_query == {r.query_id for r in exact}
+
+
+def test_embedding_near_dup_drops_planted_dup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = S.cosine_pairs(emb, threshold=0.95).collect()
+    assert [(p.vec_a, p.vec_b) for p in pairs] == [(1, 2)]
+    kept = sorted(r.vec_id for r in S.embedding_near_dup(emb, 0.95).collect())
+    assert kept == [1, 3]
+
+
 def test_lang_id_heuristic(spark):
     docs = _docs(
         spark,
