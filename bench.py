@@ -23,6 +23,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Warm-up: absorb one-time JVM/codegen/Arrow/parquet-footer init so
+    # per-query timings measure the plans, not session startup (~6 s once).
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -112,27 +114,56 @@ def cosine_pairs(
     """Exact all-pairs cosine similarity ≥ threshold, emitted once per pair as
     (vec_a < vec_b, cosine_sim). This is the embedding-cosine near-duplicate
     detector's exact surface: O(n²) compares, so it is the ORACLE path — at
-    100 TB the same verify step runs on LSH-generated candidates instead of
-    the full cross product (see lsh_topk's bucket join), trading exactness
-    for an equi-join shuffle. The cross join streams the broadcast side, so
-    memory is O(broadcast side), not O(n²)."""
-    a = vecs.select(
-        F.col(id_col).alias("vec_a"), as_double(F.col(vec_col)).alias("qv")
+    100 TB the same threshold-verify runs on LSH-generated candidates instead
+    of the full cross product (see lsh_topk's bucket join), trading exactness
+    for an equi-join shuffle.
+
+    Execution shape: the corpus matrix is captured in the UDF closure (one
+    copy per executor, like a broadcast dim table) and only skinny id rows
+    flow through Arrow; each partition computes a (block × corpus) product
+    accumulated dimension-by-dimension in float64 — the same left-to-right
+    order as the F.aggregate / DuckDB list_reduce fold, so values are
+    bit-identical to the oracle. Valid while one corpus copy fits an executor
+    (~10M vectors at d=64); beyond that the LSH-candidate path takes over."""
+    import numpy as np
+
+    rows = sorted(
+        vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).collect()
     )
-    b = ensure_parallelism(vecs).select(
-        F.col(id_col).alias("vec_b"), as_double(F.col(vec_col)).alias("cv")
-    )
-    cos = _cosine_pandas_udf()
-    return (
-        F.broadcast(a)
-        .crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r["v"] for r in rows], dtype=np.float64)
+    n, d = M.shape if len(rows) else (0, 0)
+    # seq-order Gram accumulation: G/na built one dimension at a time
+    na = np.zeros(n)
+    for k in range(d):
+        na += M[:, k] * M[:, k]
+    sqrt_n = np.sqrt(na)
+
+    def score_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = np.searchsorted(ids, pdf["vec_a"].to_numpy())
+            A = M[idx]
+            dot = np.zeros((len(idx), n))
+            for k in range(d):
+                dot += A[:, k : k + 1] * M[None, :, k]
+            # same expression shape as the fold: dot / (sqrt(na) * sqrt(nb));
+            # half-up rounding (Spark/DuckDB ROUND), not numpy's half-even
+            raw = dot / (sqrt_n[idx][:, None] * sqrt_n[None, :])
+            sim = np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6 * np.sign(raw)
+            ai, bi = np.nonzero(
+                (sim >= threshold) & (pdf["vec_a"].to_numpy()[:, None] < ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[ai],
+                    "vec_b": ids[bi],
+                    "cosine_sim": sim[ai, bi],
+                }
+            )
+
+    skinny = ensure_parallelism(vecs.select(F.col(id_col).alias("vec_a")))
+    return skinny.mapInPandas(
+        score_block, schema="vec_a long, vec_b long, cosine_sim double"
     )
 
 
