@@ -23,14 +23,25 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # Warm-up: absorb one-time JVM/codegen/Arrow/parquet-footer init so
-    # per-query timings measure the plans, not session startup (~6 s once).
+    # Warm-up: absorb one-time JVM/codegen/Arrow/parquet-footer/Python-runner
+    # init so per-query timings measure the plans, not session startup.
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    _wu = pandas_udf(lambda v: v * 1.0, "double")
+
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
     spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    warm = spark.range(100).select(
+        F.col("id"), _wu(F.col("id").cast("double")).alias("x")
+    )
+    warm.mapInPandas(lambda it: it, schema="id long, x double").write.format(
+        "noop"
+    ).mode("overwrite").save()
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
