@@ -56,6 +56,23 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents corpus (the
+    driver testdata ships no binary columns): payload = UTF-8 bytes of the
+    text, kind = video for doc_id % 4 == 0 else image. Pure column
+    arithmetic, so a DuckDB oracle can reproduce every downstream feature."""
+    is_video = F.col("doc_id") % 4 == 0
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(is_video, F.lit("video")).otherwise(F.lit("image")).alias("kind"),
+        F.when(is_video, F.lit("video/mp4"))
+        .otherwise(F.lit("image/png"))
+        .alias("mime"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.create_map(F.lit("source"), F.col("source")).alias("meta"),
+    )
+
+
 def _stub_decode_image(payload: bytes) -> tuple[int, int, float, list[float]]:
     """Deterministic fake decode: dims/luma/feature derived from a sha256 of
     the payload. Replace with a real codec (PIL/cv2) in production."""

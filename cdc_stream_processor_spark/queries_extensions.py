@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from cdc_stream_processor_spark.functions import texthash as TH
 from cdc_stream_processor_spark.operators import dedup as D
+from cdc_stream_processor_spark.operators import multimodal as M
 from cdc_stream_processor_spark.operators import similarity as S
 from cdc_stream_processor_spark.operators import text as X
 from cdc_stream_processor_spark.sources import batch as B
@@ -270,6 +271,76 @@ WHERE vec_id NOT IN (SELECT vec_b FROM pairs)
 """
 
 
+# --- multimodal --------------------------------------------------------------
+
+FRAME_EVERY_N = 16
+FRAME_MAX = 4
+
+_HEXB = (
+    "((strpos('0123456789abcdef', substr(h, {p1}, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(h, {p2}, 1)) - 1)"
+)
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-decode features over the binary media column (mapInPandas
+    plumbing); sha256-derived values reproduced exactly by the oracle."""
+    media = M.media_from_documents(B.load_table(spark, sf_dir, "documents"))
+    return M.image_features(media).select(
+        "media_id", "n_bytes", "sha256", "width", "height", "mean_luma"
+    )
+
+
+def _image_features_sql() -> str:
+    b0 = _HEXB.format(p1=1, p2=2)
+    b1 = _HEXB.format(p1=3, p2=4)
+    b2 = _HEXB.format(p1=5, p2=6)
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS h
+  FROM documents WHERE doc_id % 4 != 0
+)
+SELECT media_id, n_bytes, h AS sha256,
+       64 + {b0} % 192 AS width,
+       64 + {b1} % 192 AS height,
+       {b2} / 255.0 AS mean_luma
+FROM img
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling fan-out (one row per sampled frame); frame
+    payloads decoded back to text (ASCII corpus) for the oracle compare."""
+    media = M.media_from_documents(B.load_table(spark, sf_dir, "documents"))
+    frames = M.sample_frames(media, every_n=FRAME_EVERY_N, max_frames=FRAME_MAX)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.decode(F.col("frame_payload"), "UTF-8").alias("frame_text"),
+    )
+
+
+def _frame_sample_sql() -> str:
+    return f"""
+WITH vids AS (
+  SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+  WHERE doc_id % 4 = 0
+)
+, idx AS (
+  SELECT media_id, text,
+         unnest(generate_series(0,
+           least(greatest(n // {FRAME_EVERY_N}, 1), {FRAME_MAX}) - 1))
+           AS frame_idx
+  FROM vids
+)
+SELECT media_id, frame_idx,
+       substr(text, frame_idx * {FRAME_EVERY_N} + 1, {FRAME_EVERY_N})
+         AS frame_text
+FROM idx
+"""
+
+
 # --- text analysis -----------------------------------------------------------------
 
 
@@ -340,6 +411,8 @@ QUERIES = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "text_profile": q_text_profile,
 }
 
@@ -353,5 +426,7 @@ ORACLES = {
     # lsh_ann_topk / ivf_ann_topk intentionally rows-only (approximate ops)
     "embedding_near_dup_pairs": _near_dup_pairs_sql(),
     "embedding_near_dup": _near_dup_keep_sql(),
+    "multimodal_image_features": _image_features_sql(),
+    "multimodal_frame_sample": _frame_sample_sql(),
     "text_profile": _text_profile_sql(),
 }

@@ -181,3 +181,64 @@ def test_token_counts(spark):
     assert row.ws == 4
     # Hello , world ! 123 foo - bar = 8
     assert row.bpe == 8
+
+
+# --- multimodal plumbing -----------------------------------------------------
+
+
+def _media(spark):
+    import hashlib  # noqa: F401
+
+    rows = [
+        (1, "image", "image/png", b"fake-png-bytes-1", {"src": "t"}),
+        (2, "video", "video/mp4", b"0123456789abcdefghij", {"src": "t"}),
+        (3, "image", "image/png", b"", None),
+    ]
+    from cdc_stream_processor_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_stub_deterministic(spark):
+    import hashlib
+
+    from cdc_stream_processor_spark.operators import multimodal as M
+
+    out = {r.media_id: r for r in M.image_features(_media(spark)).collect()}
+    assert set(out) == {1, 3}  # images only
+    digest = hashlib.sha256(b"fake-png-bytes-1").digest()
+    r = out[1]
+    assert r.n_bytes == 16
+    assert r.sha256 == hashlib.sha256(b"fake-png-bytes-1").hexdigest()
+    assert r.width == 64 + digest[0] % 192
+    assert r.height == 64 + digest[1] % 192
+    assert abs(r.mean_luma - digest[2] / 255.0) < 1e-12
+    assert len(r.feature) == 16
+
+
+def test_image_features_real_decode_raises(spark):
+    import pytest
+
+    from cdc_stream_processor_spark.operators import multimodal as M
+
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        M.image_features(_media(spark), decode_stub=False).collect()
+
+
+def test_sample_frames_fanout(spark):
+    from cdc_stream_processor_spark.operators import multimodal as M
+
+    frames = M.sample_frames(_media(spark), every_n=5, max_frames=3).collect()
+    # one video of 20 bytes -> 20//5=4 fake frames capped at 3
+    assert [(f.media_id, f.frame_idx) for f in frames] == [(2, 0), (2, 1), (2, 2)]
+    assert bytes(frames[1].frame_payload) == b"56789"
+
+
+def test_media_from_documents_roundtrip(spark):
+    from cdc_stream_processor_spark.operators import multimodal as M
+
+    docs = _docs(spark, [(4, "vid doc"), (5, "img doc")])
+    docs = docs.withColumn("source", F.lit("s"))
+    media = {r.media_id: r for r in M.media_from_documents(docs).collect()}
+    assert media[4].kind == "video" and media[5].kind == "image"
+    assert bytes(media[5].payload) == b"img doc"
