@@ -53,3 +53,59 @@ def global_top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     """Global top-k: orderBy + limit. Spark executes TakeOrderedAndProject —
     per-partition heap of k then driver merge, no full sort/shuffle."""
     return df.orderBy(*order_by).limit(k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_seq: str,
+    payload: list[str],
+) -> DataFrame:
+    """As-of (most-recent-at-or-before) left join: for each left row, attach
+    the payload of the right row with the greatest ``right_time`` ≤
+    ``left_time`` for the same key; ties on right_time broken by the greatest
+    ``right_seq``. Left rows with no earlier right row keep null payloads.
+
+    Execution shape — the scale-critical choice: a naive range join explodes
+    to O(left × right-per-key) before picking the max. This implementation
+    uses the union+window trick instead: tag both sides, union them, and run
+    ONE window (partition by key, order by time) carrying the last non-null
+    right payload forward with last(ignorenulls). Cost: one shuffle on the
+    key + one sort — the same price as a plain equi-join, independent of
+    right rows per key. Right rows sort before left rows at equal time, so
+    the "at-or-before" bound is inclusive.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),  # right first at equal time (inclusive bound)
+        F.col(right_seq).alias("_seq"),
+        F.struct(*[F.col(c) for c in payload]).alias("_payload"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.schema[right_seq].dataType).alias("_seq"),
+        F.lit(None)
+        .cast(tagged_r.schema["_payload"].dataType)
+        .alias("_payload"),
+        *lcols,
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_seq").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        tagged_r.unionByName(tagged_l)
+        .withColumn("_asof", F.last("_payload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return carried.select(*lcols, *[F.col(f"_asof.{c}").alias(c) for c in payload])

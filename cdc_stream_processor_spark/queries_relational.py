@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_stream_processor_spark.operators.relational import (
+    asof_join,
     davg,
     dsum,
     global_top_k,
@@ -292,6 +293,111 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Cube (multi-dimensional aggregation) ---------------------------------------
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = B.load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("orderpriority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+SQL_CUBE_ORDERS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# --- Semi / anti joins ----------------------------------------------------------
+
+
+def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers split by purchase activity: left_semi picks buyers,
+    left_anti the rest; the event side is aggregated to distinct keys before
+    the join, so both run as small broadcast joins."""
+    cust = B.load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    buyers = (
+        B.load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_custkey"))
+        .distinct()
+    )
+    semi = cust.join(F.broadcast(buyers), "c_custkey", "left_semi").withColumn(
+        "segment", F.lit("purchaser")
+    )
+    anti = cust.join(F.broadcast(buyers), "c_custkey", "left_anti").withColumn(
+        "segment", F.lit("non_purchaser")
+    )
+    return semi.unionByName(anti)
+
+
+SQL_SEMI_ANTI_CUSTOMERS = """
+SELECT c_custkey, c_name, 'purchaser' AS segment FROM customer
+WHERE EXISTS (SELECT 1 FROM events e
+              WHERE e.event_type = 'purchase' AND e.user_id = c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, 'non_purchaser' AS segment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.event_type = 'purchase' AND e.user_id = c_custkey)
+"""
+
+
+# --- As-of join (most recent right row at-or-before left time) -------------------
+
+
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event joined to the user's most recent order at event time
+    (tie-break: highest o_orderkey). Single-shuffle union+window as-of."""
+    events = B.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    orders = B.load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    out = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_seq="o_orderkey",
+        payload=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    return out.select(
+        "event_id", "user_id", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM events e
+  LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
@@ -302,6 +408,9 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "distinct_users": q_distinct_users,
     "approx_distinct_users": q_approx_distinct_users,
+    "cube_orders": q_cube_orders,
+    "semi_anti_customers": q_semi_anti_customers,
+    "events_asof_orders": q_events_asof_orders,
 }
 
 ORACLES = {
@@ -313,5 +422,8 @@ ORACLES = {
     "set_ops": SQL_SET_OPS,
     "rollup_revenue": SQL_ROLLUP_REVENUE,
     "distinct_users": SQL_DISTINCT_USERS,
+    "cube_orders": SQL_CUBE_ORDERS,
+    "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
+    "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     # approx_distinct_users intentionally has no oracle (rows-only)
 }

@@ -242,3 +242,38 @@ def test_media_from_documents_roundtrip(spark):
     media = {r.media_id: r for r in M.media_from_documents(docs).collect()}
     assert media[4].kind == "video" and media[5].kind == "image"
     assert bytes(media[5].payload) == b"img doc"
+
+
+def test_asof_join_semantics(spark):
+    from cdc_stream_processor_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, 100),  # after both rights for key 10
+            (2, 10, 45),   # exactly at right time 45 -> inclusive
+            (3, 10, 5),    # before any right row -> null payload
+            (4, 99, 50),   # key with no right rows at all
+        ],
+        "event_id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 40, 1, 111.0),
+            (10, 45, 2, 222.0),  # tie on t=45 with seq 3 below
+            (10, 45, 3, 333.0),  # wins tie (greater seq)
+        ],
+        "k long, rt long, seq long, val double",
+    )
+    out = {
+        r.event_id: (r.seq, r.val)
+        for r in asof_join(
+            left, right,
+            left_on="k", right_on="k",
+            left_time="t", right_time="rt",
+            right_seq="seq", payload=["seq", "val"],
+        ).collect()
+    }
+    assert out[1] == (3, 333.0)      # most recent overall
+    assert out[2] == (3, 333.0)      # inclusive bound + seq tie-break
+    assert out[3] == (None, None)    # nothing at-or-before
+    assert out[4] == (None, None)    # key never seen on right
