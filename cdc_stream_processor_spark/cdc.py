@@ -116,3 +116,39 @@ def latest_by_key(df: DataFrame, key: str, seq: str = "_seq") -> DataFrame:
     packed = F.struct(*[F.col(c) for c in cols])
     out = df.groupBy(key).agg(F.max_by(packed, F.col(seq)).alias("_row"))
     return out.select([F.col(f"_row.{c}").alias(c) for c in cols])
+
+
+def envelopes_from_avro(
+    raw: DataFrame,
+    avro_schema_json: str,
+    value_col: str = "value",
+    confluent_framed: bool = False,
+) -> DataFrame:
+    """F1 — Avro bytes → envelope struct via from_avro (SURVEY.md §2.2).
+
+    The reference consumes Confluent-framed Avro through Schema Registry
+    (AvroSerdes.java:35-58); ``confluent_framed=True`` strips the 5-byte
+    magic+schema-id header before decoding (the registry lookup itself is
+    out of scope — pass the writer schema JSON explicitly). Requires the
+    spark-avro package on the session classpath; raises a clear error
+    otherwise (it is not bundled in this container, so this path is gated —
+    the JSON envelope path in streaming.pipelines is the tested default).
+    """
+    try:
+        from pyspark.sql.avro.functions import from_avro
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "envelopes_from_avro requires the spark-avro package "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        ) from e
+    payload = F.col(value_col)
+    if confluent_framed:
+        # 5-byte Confluent wire header: 0x00 magic + 4-byte schema id
+        payload = F.expr(
+            f"substring({value_col}, 6, length({value_col}) - 5)"
+        )
+    return raw.select(
+        from_avro(payload, avro_schema_json, {"mode": "PERMISSIVE"}).alias(
+            "envelope"
+        )
+    ).select("envelope.*")

@@ -277,3 +277,39 @@ def test_asof_join_semantics(spark):
     assert out[2] == (3, 333.0)      # inclusive bound + seq tie-break
     assert out[3] == (None, None)    # nothing at-or-before
     assert out[4] == (None, None)    # key never seen on right
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    from cdc_stream_processor_spark.plans import layout
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k")
+    right = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v")
+    layout.write_bucketed(left, "t_bleft", ["k"], 4, path=str(tmp_path / "l"))
+    layout.write_bucketed(right, "t_bright", ["k"], 4, path=str(tmp_path / "r"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bleft").join(spark.table("t_bright"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing co-located both sides
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_date_partitioned_write_prunes(spark, tmp_path):
+    from cdc_stream_processor_spark.plans import layout
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")],
+        "id long, dt string",
+    )
+    path = str(tmp_path / "part")
+    layout.write_date_partitioned(df, path, ["dt"])
+    scan = spark.read.parquet(path).filter(F.col("dt") == "2024-01-02")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(dt" in plan
+    assert scan.count() == 2
