@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis).
+
+The vectorized numpy kernels in functions.fasthash claim bit-identical
+results to the sequential fold definitions (which the Catalyst and DuckDB
+forms both implement). These properties check that claim against direct
+pure-Python folds over arbitrary inputs, including astral-plane unicode.
+The as-of join is checked against a brute-force reference on random data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdc_stream_processor_spark.functions import fasthash as FH
+from cdc_stream_processor_spark.functions.texthash import P_FACTOR, P_MOD
+
+
+def _polyhash_ref(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * P_FACTOR + ord(ch)) % P_MOD
+    return acc
+
+
+@given(st.lists(st.text(max_size=40), max_size=30))
+def test_polyhash_batch_matches_fold(strings):
+    assert FH.polyhash_batch(strings).tolist() == [
+        _polyhash_ref(s) for s in strings
+    ]
+
+
+@given(
+    st.lists(st.lists(st.integers(0, P_MOD - 1), min_size=1, max_size=20),
+             min_size=1, max_size=10),
+    st.lists(st.tuples(st.integers(1, 2**17), st.integers(0, P_MOD - 1)),
+             min_size=1, max_size=8),
+)
+def test_minhash_batch_matches_per_doc(docs, params):
+    concat = np.array([h for d in docs for h in d], dtype=np.int64)
+    bounds = np.cumsum([0] + [len(d) for d in docs[:-1]], dtype=np.int64)
+    got = FH.minhash_batch(concat, bounds, params)
+    for i, d in enumerate(docs):
+        for j, (a, b) in enumerate(params):
+            assert got[i, j] == min((a * h + b) % P_MOD for h in d)
+
+
+@given(
+    st.lists(st.lists(st.integers(0, 2**40), min_size=1, max_size=20),
+             min_size=1, max_size=10),
+    st.integers(1, 32),
+)
+def test_simhash_batch_matches_per_doc(docs, n_bits):
+    concat = np.array([h for d in docs for h in d], dtype=np.int64)
+    bounds = np.cumsum([0] + [len(d) for d in docs[:-1]], dtype=np.int64)
+    got = FH.simhash_batch(concat, bounds, n_bits)
+    for i, d in enumerate(docs):
+        fp = 0
+        for b in range(n_bits):
+            votes = sum(1 if (h >> b) & 1 else -1 for h in d)
+            if votes > 0:
+                fp |= 1 << b
+        assert got[i] == fp
+
+
+@given(st.lists(st.integers(0, 2**40), max_size=30),
+       st.integers(1, 2**20), st.integers(2, 2**31 - 1))
+def test_horner_fold_matches_sequential(values, factor, mod):
+    acc = 0
+    for v in values:
+        acc = (acc * factor + v) % mod
+    assert FH.horner_fold(np.array(values, dtype=np.int64), factor, mod) == acc
+
+
+@given(st.data())
+@settings(max_examples=5, deadline=None)
+def test_asof_join_matches_brute_force(spark, data):
+    from cdc_stream_processor_spark.operators.relational import asof_join
+
+    keys = st.integers(0, 3)
+    times = st.integers(0, 20)
+    lrows = data.draw(
+        st.lists(st.tuples(keys, times), min_size=1, max_size=15)
+    )
+    rrows = data.draw(
+        st.lists(st.tuples(keys, times), min_size=0, max_size=15)
+    )
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)], "lid long, k long, t long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, i, float(i)) for i, (k, t) in enumerate(rrows)],
+        "k long, rt long, seq long, val double",
+    )
+    got = {
+        r.lid: r.seq
+        for r in asof_join(
+            left, right, left_on="k", right_on="k", left_time="t",
+            right_time="rt", right_seq="seq", payload=["seq", "val"],
+        ).collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        cand = [
+            (rt, seq) for seq, (rk, rt) in enumerate(rrows)
+            if rk == k and rt <= t
+        ]
+        expected = max(cand)[1] if cand else None
+        assert got[i] == expected, (i, k, t, cand)
