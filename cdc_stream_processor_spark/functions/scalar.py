@@ -62,7 +62,11 @@ def format_amount(amount: Column, currency: Column) -> Column:
     prefix = F.when(F.upper(cur) == "NGN", F.lit("₦")).otherwise(
         F.concat(cur, F.lit(" "))
     )
-    return F.concat(prefix, F.format_number(F.coalesce(amount, F.lit(0.0)), 2))
+    # pre-round HALF_UP: Java's %,.2f (CdcParser) is HALF_UP, but Spark's
+    # format_number is HALF_EVEN — rounding first makes grouping rounding-free
+    return F.concat(
+        prefix, F.format_number(F.round(F.coalesce(amount, F.lit(0.0)), 2), 2)
+    )
 
 
 def format_timestamp_lagos(ts: Column) -> Column:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cdc_stream_processor_spark import cdc
 from cdc_stream_processor_spark.operators import pipelines as P
@@ -227,8 +228,76 @@ FROM recon
 )
 
 
+# --- Notification rendering (M6 + F3 + C1/C2/C14) ----------------------------
+
+
+def q_notifications_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full high-value notification text: severity routing, ₦-grouped
+    amounts (C1), Africa/Lagos timestamp labels (C2), format_string body
+    (C14) — the render layer of buildHighValueNotification
+    (ABBankTopology.java:247-294), minus the uuid()/now() fields which are
+    nondeterministic by design (covered by unit tests instead)."""
+    from cdc_stream_processor_spark.functions import scalar as SC
+
+    alerts = P.high_value_alerts(
+        _txns(spark, sf_dir), _accounts(spark, sf_dir), threshold=HV_THRESHOLD
+    )
+    amount_label = SC.format_amount(F.col("amount"), F.lit("NGN"))
+    time_label = SC.format_timestamp_lagos(F.col("event_time"))
+    return alerts.select(
+        "transaction_id",
+        "account_id",
+        "severity",
+        F.lit("BOTH").alias("channel"),
+        amount_label.alias("amount_label"),
+        time_label.alias("event_time_label"),
+        F.format_string(
+            "High-value %s alert: %s", F.col("transaction_type"), amount_label
+        ).alias("subject"),
+        F.format_string(
+            "A %s of %s was recorded on account %s at %s.",
+            F.col("transaction_type"),
+            amount_label,
+            F.col("account_number"),
+            time_label,
+        ).alias("body"),
+    )
+
+
+# DuckDB lacks float thousands-grouping and (offline) ICU timezones; the
+# oracle rebuilds both: integer-part grouping + 2dp cents, and Lagos as a
+# fixed UTC+1 shift (no DST) labeled WAT.
+_AMOUNT_LABEL_SQL = (
+    "'₦' || format('{:,}', floor(round(t.amount, 2))::BIGINT) || '.' || "
+    "lpad(((round(t.amount, 2) * 100)::BIGINT % 100)::VARCHAR, 2, '0')"
+)
+_TIME_LABEL_SQL = (
+    "strftime(t.initiated_at + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') || ' WAT'"
+)
+
+SQL_NOTIFICATIONS_RENDER = (
+    TXNS_CTE
+    + f"""
+SELECT t.transaction_id, t.account_id,
+       CASE WHEN t.transaction_type IN {_DEBITS_SQL} THEN 'HIGH'
+            ELSE 'MEDIUM' END AS severity,
+       'BOTH' AS channel,
+       {_AMOUNT_LABEL_SQL} AS amount_label,
+       {_TIME_LABEL_SQL} AS event_time_label,
+       'High-value ' || t.transaction_type || ' alert: ' || {_AMOUNT_LABEL_SQL}
+         AS subject,
+       'A ' || t.transaction_type || ' of ' || {_AMOUNT_LABEL_SQL} ||
+       ' was recorded on account ' || COALESCE(c.c_name, 'N/A') ||
+       ' at ' || {_TIME_LABEL_SQL} || '.' AS body
+FROM txns t LEFT JOIN customer c ON t.account_id = c.c_custkey
+WHERE t.amount IS NOT NULL AND t.amount >= {HV_THRESHOLD}
+"""
+)
+
+
 CDC_QUERIES: dict[str, QueryFn] = {
     "cdc_parse": q_cdc_parse,
+    "notifications_render": q_notifications_render,
     "high_value_alerts": q_high_value,
     "txn_velocity": q_velocity,
     "daily_spend": q_daily_spend,
@@ -238,6 +307,7 @@ CDC_QUERIES: dict[str, QueryFn] = {
 
 CDC_ORACLES: dict[str, str] = {
     "cdc_parse": SQL_CDC_PARSE,
+    "notifications_render": SQL_NOTIFICATIONS_RENDER,
     "high_value_alerts": SQL_HIGH_VALUE,
     "txn_velocity": SQL_VELOCITY,
     "daily_spend": SQL_DAILY_SPEND,
