@@ -42,12 +42,17 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema="id long, x double").write.format(
         "noop"
     ).mode("overwrite").save()
+    # best-of-N (default 2): report the plan's cost, not ambient host noise.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        dt = round(best, 3)
         timings[name] = dt
         total += dt
     print(

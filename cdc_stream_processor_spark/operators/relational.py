@@ -109,3 +109,32 @@ def asof_join(
         .filter(F.col("_side") == 1)
     )
     return carried.select(*lcols, *[F.col(f"_asof.{c}").alias(c) for c in payload])
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: scatter each (possibly hot) left key's rows
+    across n_salts sub-keys and replicate the right side n_salts ways, so
+    one hot key's work spreads over n_salts reducers instead of straggling
+    on one. Use when the right side is too big to broadcast but small
+    enough to replicate n_salts× through the shuffle; AQE's skew-join
+    splitting (on by default in session.get_spark) covers the
+    both-sides-huge case at runtime. Inner/left joins only — right rows are
+    replicated, so right/full-outer semantics would double-count.
+
+    The salt is a deterministic hash of the whole left row (no RNG): rerun
+    stability matters more than perfect balance, and identical rows landing
+    on the same salt is harmless."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    salt = F.pmod(F.hash(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("_salt", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l.join(r, on + ["_salt"], how).drop("_salt")

@@ -295,6 +295,27 @@ WHERE t.amount IS NOT NULL AND t.amount >= {HV_THRESHOLD}
 )
 
 
+# --- Changelog materialization (J2: latest-value-per-key) ---------------------
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable materialization over the events changelog: latest row per
+    user via max_by partial aggregation (one shuffle, map-side combine;
+    see cdc.latest_by_key). Tie-break on (ts, event_id) struct order."""
+    ev = B.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev = ev.withColumn("_seq", F.struct(F.col("ts"), F.col("event_id")))
+    return cdc.latest_by_key(ev, "user_id")
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 CDC_QUERIES: dict[str, QueryFn] = {
     "cdc_parse": q_cdc_parse,
     "notifications_render": q_notifications_render,
@@ -303,6 +324,7 @@ CDC_QUERIES: dict[str, QueryFn] = {
     "daily_spend": q_daily_spend,
     "dormancy": q_dormancy,
     "balance_recon": q_balance_recon,
+    "latest_event_per_user": q_latest_event_per_user,
 }
 
 CDC_ORACLES: dict[str, str] = {
@@ -313,4 +335,5 @@ CDC_ORACLES: dict[str, str] = {
     "daily_spend": SQL_DAILY_SPEND,
     "dormancy": SQL_DORMANCY,
     "balance_recon": SQL_BALANCE_RECON,
+    "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
 }

@@ -313,3 +313,25 @@ def test_date_partitioned_write_prunes(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(dt" in plan
     assert scan.count() == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    from cdc_stream_processor_spark.operators.relational import salted_join
+
+    # hot key 7: 500 of 600 rows
+    left = spark.range(0, 600).selectExpr(
+        "CASE WHEN id < 500 THEN 7 ELSE id END AS k", "id AS lv"
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (550, "cold"), (999, "unmatched")], "k long, rv string"
+    )
+    plain = spark.createDataFrame(
+        sorted(left.join(right, "k", "left").collect()),
+        "k long, lv long, rv string",
+    )
+    salted = salted_join(left, right, ["k"], n_salts=4, how="left")
+    assert sorted(salted.collect()) == sorted(plain.collect())
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")
