@@ -125,3 +125,53 @@ def text_profile(docs: DataFrame, text_col: str = "text",
         lang_id(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
     )
+
+
+# Tiny deterministic sentiment lexicon (lexicon-based scoring per the
+# classic unsupervised approach, PAPERS.md EDBT'16). Token-level counts,
+# not embeddings: stays a pure map, no shuffle.
+POSITIVE_WORDS = (
+    "good", "great", "excellent", "happy", "love", "best", "fine",
+    "wonderful", "nice", "success",
+)
+NEGATIVE_WORDS = (
+    "bad", "terrible", "awful", "sad", "hate", "worst", "poor",
+    "horrible", "failure", "wrong",
+)
+
+
+def sentiment_counts(text: Column) -> tuple[Column, Column]:
+    """(positive hits, negative hits) over all tokens (with repeats — a
+    document saying 'good good good' is more positive than one 'good')."""
+    toks = TH.tokens(text)
+    pos = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in POSITIVE_WORDS]))
+    )
+    neg = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(w) for w in NEGATIVE_WORDS]))
+    )
+    return pos, neg
+
+
+def sentiment_score(text: Column) -> Column:
+    """Lexicon polarity in [-1, 1]: (pos - neg) / (pos + neg); 0.0 when no
+    lexicon word appears."""
+    pos, neg = sentiment_counts(text)
+    tot = pos + neg
+    return F.when(tot == 0, F.lit(0.0)).otherwise(
+        F.round((pos - neg).cast("double") / tot.cast("double"), 6)
+    )
+
+
+def document_sentiment(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, pos_hits, neg_hits, sentiment) per document."""
+    t = F.col(text_col)
+    pos, neg = sentiment_counts(t)
+    return ensure_parallelism(docs).select(
+        F.col(id_col).alias("doc_id"),
+        pos.alias("pos_hits"),
+        neg.alias("neg_hits"),
+        sentiment_score(t).alias("sentiment"),
+    )

@@ -316,6 +316,85 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
 """
 
 
+# --- Two-hop enrichment (J3 completion) + daily render (M8/C13) ----------------
+
+
+def q_high_value_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """txn ⋈ accounts ⋈ customers — the enrichment the reference declares
+    but never wires (J3, ABBankTopology.java:150,215-219): the account row
+    carries customer_id, the customer row supplies the full name (C10)."""
+    from cdc_stream_processor_spark.functions.scalar import full_name
+
+    alerts = P.high_value_alerts(
+        _txns(spark, sf_dir), _accounts(spark, sf_dir), threshold=HV_THRESHOLD
+    )
+    customers = cdc.parse_customers(
+        cdc_sim.customers_envelopes_from_customers(
+            B.load_table(spark, sf_dir, "customer")
+        )
+    ).select(
+        "customer_id", full_name(F.col("first_name"), F.col("last_name")).alias(
+            "customer_name"
+        )
+    )
+    return alerts.join(F.broadcast(customers), "customer_id", "left").select(
+        "transaction_id",
+        "account_id",
+        "amount",
+        "severity",
+        "account_number",
+        F.coalesce(F.col("customer_name"), F.lit("N/A")).alias("customer_name"),
+    )
+
+
+SQL_HIGH_VALUE_ENRICHED = (
+    TXNS_CTE
+    + f"""
+SELECT t.transaction_id, t.account_id, t.amount,
+       CASE WHEN t.transaction_type IN {_DEBITS_SQL} THEN 'HIGH'
+            ELSE 'MEDIUM' END AS severity,
+       COALESCE(c.c_name, 'N/A') AS account_number,
+       COALESCE(split_part(c.c_name, '#', 1) || ' ' ||
+                split_part(c.c_name, '#', 2), 'N/A') AS customer_name
+FROM txns t LEFT JOIN customer c ON t.account_id = c.c_custkey
+WHERE t.amount IS NOT NULL AND t.amount >= {HV_THRESHOLD}
+"""
+)
+
+
+def q_daily_spend_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 + C13: daily-spend alert with the Africa/Lagos DATE label (window
+    boundaries stay UTC-aligned; only the label shifts — SURVEY.md §1.4)."""
+    from cdc_stream_processor_spark.functions.scalar import lagos_date
+
+    spend = P.daily_spend(_txns(spark, sf_dir), threshold=DAILY_THRESHOLD)
+    return spend.select(
+        "account_id",
+        lagos_date(F.col("window_start")).alias("spend_date_lagos"),
+        "total_debit",
+        F.lit("MEDIUM").alias("severity"),
+        F.lit("SMS").alias("channel"),
+    )
+
+
+SQL_DAILY_SPEND_RENDER = (
+    TXNS_CTE
+    + f"""
+SELECT account_id,
+       CAST(time_bucket(INTERVAL '1 day', initiated_at) + INTERVAL 1 HOUR
+            AS DATE) AS spend_date_lagos,
+       CAST(SUM(CAST(COALESCE(amount, 0) AS DECIMAL(18,4))) AS DOUBLE)
+         AS total_debit,
+       'MEDIUM' AS severity,
+       'SMS' AS channel
+FROM txns
+WHERE transaction_type IN {_DEBITS_SQL} AND transaction_status = 'COMPLETED'
+GROUP BY 1, 2
+HAVING SUM(CAST(COALESCE(amount, 0) AS DECIMAL(18,4))) >= {DAILY_THRESHOLD}
+"""
+)
+
+
 CDC_QUERIES: dict[str, QueryFn] = {
     "cdc_parse": q_cdc_parse,
     "notifications_render": q_notifications_render,
@@ -325,6 +404,8 @@ CDC_QUERIES: dict[str, QueryFn] = {
     "dormancy": q_dormancy,
     "balance_recon": q_balance_recon,
     "latest_event_per_user": q_latest_event_per_user,
+    "high_value_enriched": q_high_value_enriched,
+    "daily_spend_render": q_daily_spend_render,
 }
 
 CDC_ORACLES: dict[str, str] = {
@@ -336,4 +417,6 @@ CDC_ORACLES: dict[str, str] = {
     "dormancy": SQL_DORMANCY,
     "balance_recon": SQL_BALANCE_RECON,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "high_value_enriched": SQL_HIGH_VALUE_ENRICHED,
+    "daily_spend_render": SQL_DAILY_SPEND_RENDER,
 }

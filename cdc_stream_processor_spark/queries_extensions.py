@@ -400,6 +400,25 @@ FROM documents
 """
 
 
+def q_doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.document_sentiment(B.load_table(spark, sf_dir, "documents"))
+
+
+def _doc_sentiment_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    pos = list(X.POSITIVE_WORDS)
+    neg = list(X.NEGATIVE_WORDS)
+    p = f"len(list_filter({toks}, t -> list_contains({pos}, t)))"
+    n = f"len(list_filter({toks}, t -> list_contains({neg}, t)))"
+    return f"""
+SELECT doc_id, {p} AS pos_hits, {n} AS neg_hits,
+  CASE WHEN {p} + {n} = 0 THEN 0.0
+       ELSE ROUND(({p} - {n})::DOUBLE / ({p} + {n})::DOUBLE, 6)
+  END AS sentiment
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_pairs,
@@ -414,6 +433,7 @@ QUERIES = {
     "multimodal_image_features": q_multimodal_image_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "text_profile": q_text_profile,
+    "doc_sentiment": q_doc_sentiment,
 }
 
 ORACLES = {
@@ -429,4 +449,5 @@ ORACLES = {
     "multimodal_image_features": _image_features_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
     "text_profile": _text_profile_sql(),
+    "doc_sentiment": _doc_sentiment_sql(),
 }

@@ -174,3 +174,49 @@ def accounts_envelopes_from_customers(customer: DataFrame) -> DataFrame:
         source.alias("source"),
         F.lit(None).cast(schemas.TRANSACTION_BLOCK).alias("transaction"),
     )
+
+
+def customers_envelopes_from_customers(customer: DataFrame) -> DataFrame:
+    """customer → DataFrame[CUSTOMER_ENVELOPE]: names split from c_name
+    ('Customer#000000042' → first 'Customer', last '000000042') so the
+    two-hop enrichment (J3 completion) has deterministic person fields."""
+    first = F.split(F.col("c_name"), "#").getItem(0)
+    last = F.split(F.col("c_name"), "#").getItem(1)
+    image = F.struct(
+        F.col("c_custkey").cast("double").alias("CUSTOMER_ID"),
+        first.alias("FIRST_NAME"),
+        last.alias("LAST_NAME"),
+        F.concat(F.lower(first), F.lit("."), last, F.lit("@abbank.example"))
+        .alias("EMAIL"),
+        F.lit(None).cast("string").alias("PHONE"),
+        F.lit(None).cast("long").alias("DATE_OF_BIRTH"),
+        F.lit(None).cast("string").alias("NATIONAL_ID"),
+        F.lit(None).cast("string").alias("ADDRESS_LINE1"),
+        F.lit(None).cast("string").alias("ADDRESS_LINE2"),
+        F.lit(None).cast("string").alias("CITY"),
+        F.lit("NG").alias("COUNTRY"),
+        F.lit("ACTIVE").alias("CUSTOMER_STATUS"),
+        F.lit(None).cast("long").alias("CREATED_AT"),
+        F.lit(None).cast("long").alias("UPDATED_AT"),
+    )
+    source = F.struct(
+        F.lit("2.4").alias("version"),
+        F.lit("oracle").alias("connector"),
+        F.lit("xepdb1").alias("name"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.lit("true").alias("snapshot"),
+        F.lit("XEPDB1").alias("db"),
+        F.lit("BANKDB").alias("schema"),
+        F.lit("CUSTOMERS").alias("table"),
+        F.col("c_custkey").cast("string").alias("txId"),
+        F.col("c_custkey").cast("string").alias("scn"),
+        F.lit(None).cast("string").alias("lcr_position"),
+    )
+    return customer.select(
+        F.lit(None).cast(schemas.CUSTOMER_VALUE).alias("before"),
+        image.alias("after"),
+        F.lit("r").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        source.alias("source"),
+        F.lit(None).cast(schemas.TRANSACTION_BLOCK).alias("transaction"),
+    )

@@ -335,3 +335,20 @@ def test_salted_join_matches_plain_join(spark):
 
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="full")
+
+
+def test_sentiment_polarity(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "this is a good great wonderful day"),
+            (2, "a terrible awful horrible failure"),
+            (3, "good but also bad"),
+            (4, "neutral words only here"),
+        ],
+    )
+    out = {r.doc_id: r for r in X.document_sentiment(docs).collect()}
+    assert out[1].sentiment == 1.0 and out[1].pos_hits == 3
+    assert out[2].sentiment == -1.0
+    assert out[3].sentiment == 0.0 and out[3].pos_hits == 1 and out[3].neg_hits == 1
+    assert out[4].sentiment == 0.0 and out[4].pos_hits == 0
