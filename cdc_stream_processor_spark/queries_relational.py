@@ -398,8 +398,21 @@ FROM (
 """
 
 
+# --- SQL frontend (spark.sql over registered views) ---------------------------
+
+
+def q_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same pricing summary through the SQL frontend: the ONE
+    dialect-neutral string (SQL_PRICING_SUMMARY) runs verbatim on both
+    spark.sql and the DuckDB oracle — demonstrating the engine's full SQL
+    surface compiles to the identical Catalyst plan as the DataFrame form."""
+    B.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_PRICING_SUMMARY)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "pricing_summary_sql": q_pricing_summary_sql,
     "shipping_priority": q_shipping_priority,
     "supplier_volume": q_supplier_volume,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -415,6 +428,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "pricing_summary_sql": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "supplier_volume": SQL_SUPPLIER_VOLUME,
     "top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
