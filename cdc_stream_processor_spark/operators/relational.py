@@ -111,6 +111,44 @@ def asof_join(
     return carried.select(*lcols, *[F.col(f"_asof.{c}").alias(c) for c in payload])
 
 
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_time: str,
+    right_time: str,
+    band_seconds: int,
+    extra_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Band (range) join: pair rows where |left_time − right_time| ≤ band.
+    Column names must be disjoint apart from ``extra_on`` keys.
+
+    Scale shape — the reason this exists: with no equi key, Catalyst plans a
+    pure range predicate as BroadcastNestedLoopJoin, O(|L|·|R|). Bucketing
+    both sides into band-width epochs turns it into an EQUI join on the
+    bucket id (+ any extra keys): the right side lands in its own bucket,
+    the left side explodes into its bucket ±1 (a fixed 3× fan-out, not
+    data-dependent), and the exact |Δt| ≤ band residual filter runs after
+    the hash match. One shuffle, no cross product — the same trick DuckDB's
+    IEJoin and Flink's interval join use under the hood.
+    """
+    on = list(extra_on or [])
+    lb = F.floor(F.unix_timestamp(F.col(left_time)) / band_seconds)
+    rb = F.floor(F.unix_timestamp(F.col(right_time)) / band_seconds)
+    l = left.withColumn(
+        "_bucket", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    r = right.withColumn("_bucket", rb)
+    close = (
+        F.abs(
+            F.unix_timestamp(F.col(left_time))
+            - F.unix_timestamp(F.col(right_time))
+        )
+        <= band_seconds
+    )
+    return l.join(r, on + ["_bucket"], how).filter(close).drop("_bucket")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

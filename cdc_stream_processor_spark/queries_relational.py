@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from cdc_stream_processor_spark.operators.relational import (
     asof_join,
+    banded_range_join,
     davg,
     dsum,
     global_top_k,
@@ -398,6 +399,55 @@ FROM (
 """
 
 
+# --- Banded range join (|Δt| ≤ band, bucketed to an equi join) -----------------
+
+
+RANGE_BAND_SECONDS = 3600  # ±1 hour
+
+
+def q_event_pairs_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of events by the same user within ±1 hour of each other
+    (burst / near-duplicate activity detection). A naive |Δt| ≤ band
+    predicate plans as a nested-loop join, O(|L|·|R|) per user;
+    ``banded_range_join`` buckets both sides into band-width epochs so
+    Catalyst runs a single hash-shuffle EQUI join on (user, bucket) with
+    the exact |Δt| residual filter applied post-match — the plan that
+    survives a 100× scale-up. Direction deduped with event_id < event_id_b."""
+    events = B.load_table(spark, sf_dir, "events")
+    left = events.select("event_id", "user_id", "ts")
+    right = events.select(
+        F.col("event_id").alias("event_id_b"),
+        "user_id",
+        F.col("ts").alias("ts_b"),
+    )
+    out = banded_range_join(
+        left,
+        right,
+        left_time="ts",
+        right_time="ts_b",
+        band_seconds=RANGE_BAND_SECONDS,
+        extra_on=["user_id"],
+    ).filter(F.col("event_id") < F.col("event_id_b"))
+    return out.select(
+        "user_id",
+        "event_id",
+        "event_id_b",
+        (F.unix_timestamp("ts_b") - F.unix_timestamp("ts")).alias("delta_s"),
+    )
+
+
+SQL_EVENT_PAIRS_RANGE_JOIN = f"""
+-- FLOOR(epoch(...)) mirrors Spark's unix_timestamp whole-second truncation
+SELECT a.user_id, a.event_id, b.event_id AS event_id_b,
+       CAST(FLOOR(epoch(b.ts)) - FLOOR(epoch(a.ts)) AS BIGINT) AS delta_s
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND ABS(FLOOR(epoch(a.ts)) - FLOOR(epoch(b.ts))) <= {RANGE_BAND_SECONDS}
+"""
+
+
 # --- SQL frontend (spark.sql over registered views) ---------------------------
 
 
@@ -424,6 +474,7 @@ QUERIES = {
     "cube_orders": q_cube_orders,
     "semi_anti_customers": q_semi_anti_customers,
     "events_asof_orders": q_events_asof_orders,
+    "event_pairs_range_join": q_event_pairs_range_join,
 }
 
 ORACLES = {
@@ -439,5 +490,6 @@ ORACLES = {
     "cube_orders": SQL_CUBE_ORDERS,
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
+    "event_pairs_range_join": SQL_EVENT_PAIRS_RANGE_JOIN,
     # approx_distinct_users intentionally has no oracle (rows-only)
 }

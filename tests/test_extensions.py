@@ -279,6 +279,42 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, None)    # key never seen on right
 
 
+def test_banded_range_join_matches_naive_and_avoids_nested_loop(spark):
+    from cdc_stream_processor_spark.operators.relational import banded_range_join
+
+    left = spark.createDataFrame(
+        [(i, i % 3, i * 37 % 1000) for i in range(200)],
+        "lid long, k long, lsec long",
+    ).selectExpr("lid", "k", "timestamp_seconds(lsec) AS lt")
+    right = spark.createDataFrame(
+        [(i, i % 3, i * 53 % 1000) for i in range(150)],
+        "rid long, k long, rsec long",
+    ).selectExpr("rid", "k", "timestamp_seconds(rsec) AS rt")
+
+    band = 60
+    got = sorted(
+        (r.lid, r.rid)
+        for r in banded_range_join(
+            left, right, "lt", "rt", band, extra_on=["k"]
+        ).collect()
+    )
+    naive = sorted(
+        (r.lid, r.rid)
+        for r in left.join(right, "k")
+        .filter(F.abs(F.unix_timestamp("lt") - F.unix_timestamp("rt")) <= band)
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+    plan = (
+        banded_range_join(left, right, "lt", "rt", band, extra_on=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan  # bucketing made it an equi join
+
+
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
     from cdc_stream_processor_spark.plans import layout
 
