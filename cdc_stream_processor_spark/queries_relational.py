@@ -448,6 +448,144 @@ JOIN events b
 """
 
 
+# --- Pivot (wide-form cross-tab) ----------------------------------------------
+
+PIVOT_PRIORITIES = [
+    ("1-URGENT", "p_urgent"),
+    ("2-HIGH", "p_high"),
+    ("3-MEDIUM", "p_medium"),
+    ("4-NOT SPECIFIED", "p_not_specified"),
+    ("5-LOW", "p_low"),
+]
+
+
+def q_pivot_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue cross-tab: one row per order status, one column per priority.
+    The pivot value list is passed explicitly — otherwise Spark runs an
+    extra distinct-scan job just to discover the columns, which at 100 TB
+    is a full pass over the fact table for metadata."""
+    orders = B.load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", [v for v, _ in PIVOT_PRIORITIES])
+        .agg(dsum("o_totalprice"))
+    )
+    return wide.select(
+        F.col("o_orderstatus").alias("orderstatus"),
+        *[wide[v].alias(alias) for v, alias in PIVOT_PRIORITIES],
+    )
+
+
+SQL_PIVOT_ORDER_REVENUE = """
+SELECT o_orderstatus AS orderstatus,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS p_urgent,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE) AS p_high,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE) AS p_medium,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE)
+    AS p_not_specified,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+       FILTER (WHERE o_orderpriority = '5-LOW') AS DOUBLE) AS p_low
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --- Explode / lateral view (generator functions) ------------------------------
+
+
+def q_doc_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic word count via explode(split(...)): top 20 words across the
+    corpus with per-word document frequency. The generator runs inside
+    whole-stage codegen (no Python); the groupBy gets map-side partial
+    aggregation, so the shuffle carries one row per distinct word per task,
+    not one per token — the property that makes this viable at 100 TB."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    agg = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return global_top_k(
+        agg, [F.col("n_occurrences").desc(), F.col("word").asc()], 20
+    )
+
+
+SQL_DOC_WORD_COUNT = """
+SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+) WHERE word <> ''
+GROUP BY word
+ORDER BY n_occurrences DESC, word ASC
+LIMIT 20
+"""
+
+
+# --- Exact percentiles (sort-based aggregate) -----------------------------------
+
+
+def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) of order value per
+    priority. Exact percentile is a sort-based aggregate — fine per-group;
+    for a global percentile over 100 TB prefer approx_percentile (t-digest,
+    mergeable, one pass) and accept the documented error bound."""
+    orders = B.load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9)))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            pct.getItem(0).alias("p50_price"),
+            pct.getItem(1).alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("orderpriority"),
+            F.round("p50_price", 4).alias("p50_price"),
+            F.round("p90_price", 4).alias("p90_price"),
+            "min_price",
+            "max_price",
+        )
+    )
+
+
+SQL_ORDER_PRICE_QUANTILES = """
+SELECT o_orderpriority AS orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- GROUPING SETS (explicit, beyond cube/rollup) -------------------------------
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — marginals by returnflag, by linestatus, and
+    the grand total, without the full cube cross-product. One dialect-neutral
+    SQL string runs verbatim on spark.sql and the DuckDB oracle."""
+    B.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_GROUPING_SETS_REVENUE)
+
+
 # --- SQL frontend (spark.sql over registered views) ---------------------------
 
 
@@ -475,6 +613,10 @@ QUERIES = {
     "semi_anti_customers": q_semi_anti_customers,
     "events_asof_orders": q_events_asof_orders,
     "event_pairs_range_join": q_event_pairs_range_join,
+    "pivot_order_revenue": q_pivot_order_revenue,
+    "doc_word_count": q_doc_word_count,
+    "order_price_quantiles": q_order_price_quantiles,
+    "grouping_sets_revenue": q_grouping_sets_revenue,
 }
 
 ORACLES = {
@@ -491,5 +633,9 @@ ORACLES = {
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "event_pairs_range_join": SQL_EVENT_PAIRS_RANGE_JOIN,
+    "pivot_order_revenue": SQL_PIVOT_ORDER_REVENUE,
+    "doc_word_count": SQL_DOC_WORD_COUNT,
+    "order_price_quantiles": SQL_ORDER_PRICE_QUANTILES,
+    "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     # approx_distinct_users intentionally has no oracle (rows-only)
 }
