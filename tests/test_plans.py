@@ -1,0 +1,70 @@
+"""Physical-plan audits: the properties that make queries survive a 100×
+scale-up, asserted on the actual Catalyst output so a regression that
+silently de-optimizes a plan (lost pushdown, broadcast falling back to
+shuffle, codegen break) fails CI — not just a slow bench run later.
+"""
+
+from __future__ import annotations
+
+from cdc_stream_processor_spark import queries_relational as QR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_prune_codegen(spark, sf_dir):
+    df = QR.q_pricing_summary(spark, sf_dir)
+    plan = _plan(df)
+    # filter reaches the parquet scan, not a post-scan Filter node only
+    # (plan toString truncates long scan lines, so match the stable prefix)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan" in plan
+    # column pruning: the wide comment column never leaves the scan
+    assert "l_comment" not in plan
+    # the agg pipeline runs inside whole-stage codegen; AQE only shows
+    # codegen stage markers (*(n)) in the final plan, so execute first
+    df.collect()
+    assert "*(1)" in _plan(df)
+
+
+def test_pricing_summary_partial_then_final_agg(spark, sf_dir):
+    plan = _plan(QR.q_pricing_summary(spark, sf_dir))
+    # map-side combine: a partial HashAggregate feeds the Exchange, so the
+    # shuffle carries one row per (flag,status) per task, not per lineitem
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_shipping_priority_broadcasts_customer_dim(spark, sf_dir):
+    plan = _plan(QR.q_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # top-k is TakeOrderedAndProject (streaming heap), not global Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_supplier_volume_broadcasts_small_dims(spark, sf_dir):
+    plan = _plan(QR.q_supplier_volume(spark, sf_dir))
+    # nation and region are broadcast; no BroadcastNestedLoopJoin anywhere
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "NestedLoop" not in plan
+
+
+def test_semi_anti_plan_uses_semi_join(spark, sf_dir):
+    plan = _plan(QR.q_semi_anti_customers(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_word_count_partial_agg_before_shuffle(spark, sf_dir):
+    plan = _plan(QR.q_doc_word_count(spark, sf_dir))
+    # explode stays JVM-side (generator, no Python eval in the hot path)
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_join_is_single_shuffle_window(spark, sf_dir):
+    plan = _plan(QR.q_events_asof_orders(spark, sf_dir))
+    # union+window as-of: no join node at all, one Window over the union —
+    # the O(shuffle+sort) shape, never a range-condition nested loop
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
