@@ -118,6 +118,32 @@ def latest_by_key(df: DataFrame, key: str, seq: str = "_seq") -> DataFrame:
     return out.select([F.col(f"_row.{c}").alias(c) for c in cols])
 
 
+def scd2(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Changelog → SCD Type 2 versioned history: every change row becomes a
+    version with ``valid_from`` = its own time and ``valid_to`` = the next
+    change's time for the same key (null = still current).
+
+    The natural completion of :func:`latest_by_key` (which keeps only the
+    newest row): downstream time-travel queries join on
+    ``valid_from <= t < valid_to``. One shuffle + one sort per key
+    partition (a single Window with lead()); no self-join, so the plan is
+    O(shuffle+sort) and survives keys with millions of versions.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(time_col, tiebreak)
+    return df.select(
+        "*",
+        F.col(time_col).alias("valid_from"),
+        F.lead(time_col).over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def envelopes_from_avro(
     raw: DataFrame,
     avro_schema_json: str,

@@ -316,6 +316,27 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
 """
 
 
+def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 over the events changelog: every event becomes a version
+    row with [valid_from, valid_to) validity and an is_current flag — the
+    full-history complement of latest_event_per_user (J2). Single window
+    with lead(), no self-join."""
+    ev = B.load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    return cdc.scd2(ev, key="user_id", time_col="ts", tiebreak="event_id")
+
+
+SQL_SCD2_USER_HISTORY = """
+SELECT event_id, user_id, event_type, value, ts,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 # --- Two-hop enrichment (J3 completion) + daily render (M8/C13) ----------------
 
 
@@ -404,6 +425,7 @@ CDC_QUERIES: dict[str, QueryFn] = {
     "dormancy": q_dormancy,
     "balance_recon": q_balance_recon,
     "latest_event_per_user": q_latest_event_per_user,
+    "scd2_user_history": q_scd2_user_history,
     "high_value_enriched": q_high_value_enriched,
     "daily_spend_render": q_daily_spend_render,
 }
@@ -417,6 +439,7 @@ CDC_ORACLES: dict[str, str] = {
     "dormancy": SQL_DORMANCY,
     "balance_recon": SQL_BALANCE_RECON,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "scd2_user_history": SQL_SCD2_USER_HISTORY,
     "high_value_enriched": SQL_HIGH_VALUE_ENRICHED,
     "daily_spend_render": SQL_DAILY_SPEND_RENDER,
 }

@@ -306,6 +306,22 @@ def test_latest_by_key(spark):
     assert out == {1: "b", 2: "c"}
 
 
+def test_scd2_versions_chain_and_current_flag(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "x")],
+        "k int, t int, v string",
+    )
+    rows = {
+        (r.k, r.v): (r.valid_from, r.valid_to, r.is_current)
+        for r in cdc.scd2(df, key="k", time_col="t", tiebreak="v").collect()
+    }
+    # versions chain: each valid_to equals the next version's valid_from
+    assert rows[(1, "a")] == (10, 20, False)
+    assert rows[(1, "b")] == (20, 30, False)
+    assert rows[(1, "c")] == (30, None, True)
+    assert rows[(2, "x")] == (5, None, True)
+
+
 def test_scalar_format_amount(spark):
     df = spark.createDataFrame(
         [(1_234_567.891, "NGN"), (50.0, "USD"), (None, None)], "amt double, cur string"
