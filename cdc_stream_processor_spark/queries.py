@@ -337,6 +337,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+PIT_TIMESTAMP = "2024-01-15 00:00:00"
+
+
+def q_point_in_time_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: each user's version that was
+    active at a fixed instant (valid_from <= t < valid_to). The validity
+    filter lands on top of the same single-window scd2 plan — no extra
+    shuffle or join."""
+    hist = q_scd2_user_history(spark, sf_dir)
+    t = F.lit(PIT_TIMESTAMP).cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    ).select("user_id", "event_id", "event_type", "value", "valid_from")
+
+
+SQL_POINT_IN_TIME_USER_STATE = f"""
+SELECT user_id, event_id, event_type, value, valid_from FROM (
+  SELECT user_id, event_id, event_type, value,
+         ts AS valid_from, LEAD(ts) OVER w AS valid_to
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE valid_from <= TIMESTAMP '{PIT_TIMESTAMP}'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '{PIT_TIMESTAMP}')
+"""
+
+
 # --- Two-hop enrichment (J3 completion) + daily render (M8/C13) ----------------
 
 
@@ -426,6 +454,7 @@ CDC_QUERIES: dict[str, QueryFn] = {
     "balance_recon": q_balance_recon,
     "latest_event_per_user": q_latest_event_per_user,
     "scd2_user_history": q_scd2_user_history,
+    "point_in_time_user_state": q_point_in_time_user_state,
     "high_value_enriched": q_high_value_enriched,
     "daily_spend_render": q_daily_spend_render,
 }
@@ -440,6 +469,7 @@ CDC_ORACLES: dict[str, str] = {
     "balance_recon": SQL_BALANCE_RECON,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "scd2_user_history": SQL_SCD2_USER_HISTORY,
+    "point_in_time_user_state": SQL_POINT_IN_TIME_USER_STATE,
     "high_value_enriched": SQL_HIGH_VALUE_ENRICHED,
     "daily_spend_render": SQL_DAILY_SPEND_RENDER,
 }

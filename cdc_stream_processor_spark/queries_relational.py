@@ -555,6 +555,22 @@ def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (rows-only check: the sketch is
+    engine-specific, so no DuckDB oracle; pytest bounds its error against
+    the exact percentiles instead). approx_percentile is the 100 TB path:
+    a mergeable one-pass summary with bounded error, so the partial
+    aggregation pattern — and the shuffle volume — matches a plain sum."""
+    orders = B.load_table(spark, sf_dir, "orders")
+    pct = F.approx_percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10_000)
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        pct.getItem(0).alias("p50_approx"),
+        pct.getItem(1).alias("p90_approx"),
+    )
+
+
 SQL_ORDER_PRICE_QUANTILES = """
 SELECT o_orderpriority AS orderpriority,
        ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
@@ -616,6 +632,7 @@ QUERIES = {
     "pivot_order_revenue": q_pivot_order_revenue,
     "doc_word_count": q_doc_word_count,
     "order_price_quantiles": q_order_price_quantiles,
+    "order_price_quantiles_approx": q_order_price_quantiles_approx,
     "grouping_sets_revenue": q_grouping_sets_revenue,
 }
 

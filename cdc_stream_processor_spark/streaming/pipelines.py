@@ -90,6 +90,28 @@ def parsed_transaction_stream(envelopes: DataFrame) -> DataFrame:
     )
 
 
+def effectively_once_transactions(
+    txns: DataFrame, delay: str = "10 minutes"
+) -> DataFrame:
+    """At-least-once → effectively-once: the reference's delivery guarantee
+    is at-least-once (ABBankStreamsConfig.java:82-86), so redelivered CDC
+    records reach every pipeline twice. Streaming dedup on the transaction
+    primary key upgrades that to effectively-once for downstream consumers.
+
+    Uses dropDuplicatesWithinWatermark so dedup state is BOUNDED: a key is
+    remembered only `delay` past the watermark, then evicted — the property
+    that keeps state finite on an unbounded 100 TB/day stream (a plain
+    dropDuplicates would grow state forever). Redeliveries are assumed to
+    land within `delay`.
+
+    Takes a parsed stream WITHOUT a watermark (e.g. cdc.parse_transactions
+    output) — this operator owns the watermark, since Spark disallows
+    redefining one mid-plan."""
+    return txns.withWatermark("initiated_at", delay).dropDuplicatesWithinWatermark(
+        ["transaction_id"]
+    )
+
+
 # --- notification builders (M5-M8) — shared JSON output shape ---------------
 
 

@@ -62,6 +62,22 @@ def test_word_count_partial_agg_before_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    exact = {
+        r.orderpriority: (r.p50_price, r.p90_price)
+        for r in QR.q_order_price_quantiles(spark, sf_dir).collect()
+    }
+    approx = {
+        r.o_orderpriority: (r.p50_approx, r.p90_approx)
+        for r in QR.q_order_price_quantiles_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k, (p50, p90) in exact.items():
+        a50, a90 = approx[k]
+        assert abs(a50 - p50) / p50 < 0.05
+        assert abs(a90 - p90) / p90 < 0.05
+
+
 def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     plan = _plan(QR.q_events_asof_orders(spark, sf_dir))
     # union+window as-of: no join node at all, one Window over the union —

@@ -179,6 +179,40 @@ def test_stream_daily_spend_and_dormancy_smoke(spark, tmpdirs):
     assert '"severity":"MEDIUM"' in out[0].value
 
 
+def test_stream_dedup_within_watermark_drops_redeliveries(spark, tmpdirs):
+    """At-least-once redelivery (same transaction_id piped twice, plus a
+    second batch re-sending an old id) collapses to one row per key while
+    dedup state stays bounded by the watermark delay."""
+    src, ckpt = f"{tmpdirs}/src", f"{tmpdirs}/ckpt"
+    base_us = 1_700_000_000 * US
+    env1 = fx.envelope(fx.txn_image(txn_id=1.0, initiated_at_us=base_us))
+    env2 = fx.envelope(fx.txn_image(txn_id=2.0, initiated_at_us=base_us + US))
+    _write_envelopes(spark, src, [env1, env1, env2])  # duplicate in-batch
+    txns = cdc.parse_transactions(SP.read_file_envelopes(spark, src))
+    deduped = SP.effectively_once_transactions(txns, delay="10 minutes")
+    out = _run_to_memory(
+        spark, deduped, "dedup_sink", ckpt, output_mode="append"
+    ).collect()
+    assert sorted(r.transaction_id for r in out) == [1, 2]
+
+    # redelivery in a later run: restart against the SAME checkpoint (it
+    # carries both source offsets and dedup state — memory sinks can't
+    # recover, so this leg writes parquet). Run 1 emits {1,2}; run 2 reads
+    # only the new file and recognizes txn 1 as a duplicate.
+    out_dir = f"{tmpdirs}/deduped_parquet"
+    for envs_batch in ([], [env1]):
+        if envs_batch:
+            _write_envelopes(spark, src, envs_batch)
+        q = SP.start_pipeline(
+            deduped, "dedup_files", ckpt, output_mode="append",
+            sink_format="parquet", sink_options={"path": out_dir},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+    final = spark.read.parquet(out_dir).collect()
+    assert sorted(r.transaction_id for r in final) == [1, 2]
+
+
 def test_kafka_source_unavailable_is_clear(spark):
     """Without the kafka integration jar the reader should fail with the
     standard DATA_SOURCE_NOT_FOUND guidance, not something cryptic."""
