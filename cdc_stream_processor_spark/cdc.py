@@ -144,6 +144,53 @@ def scd2(
     ).withColumn("is_current", F.col("valid_to").isNull())
 
 
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq: str = "_seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE-style changelog apply: fold a batch of CDC changes into a
+    snapshot — the batch twin of continuously materializing a table from a
+    change stream (upsert for op c/u/r, delete for op 'd'; only the
+    newest change per key counts).
+
+    Shape at scale: one shuffle to reduce ``changes`` to latest-per-key
+    (max_by partial aggregation — the change batch collapses map-side), one
+    shuffled full-outer equi join against the snapshot. No window over the
+    snapshot, no broadcast of the big side; AQE may still broadcast a small
+    change batch, which is exactly right for trickle updates.
+
+    ``changes`` must carry ``key``, ``op_col``, ``seq``, and the snapshot's
+    payload columns (null payload allowed for deletes).
+    """
+    cols = snapshot.columns
+    latest = latest_by_key(
+        changes.select(op_col, seq, *cols).withColumnRenamed(seq, "_seq"),
+        key,
+    )
+    ch = latest.select(
+        F.col(key).alias("_ck"),
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(f"_c_{c}") for c in cols if c != key],
+    )
+    joined = snapshot.join(ch, F.col(key) == F.col("_ck"), "full_outer")
+    merged = joined.filter(
+        (F.col("_op").isNull() | (F.col("_op") != "d"))
+    ).select(
+        F.coalesce(F.col(key), F.col("_ck")).alias(key),
+        *[
+            F.when(F.col("_op").isNotNull(), F.col(f"_c_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+            if c != key
+        ],
+    )
+    return merged
+
+
 def envelopes_from_avro(
     raw: DataFrame,
     avro_schema_json: str,

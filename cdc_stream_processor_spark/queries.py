@@ -365,6 +365,62 @@ WHERE valid_from <= TIMESTAMP '{PIT_TIMESTAMP}'
 """
 
 
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / changelog-apply: fold a deterministic batch of CDC changes
+    (updates for custkey%10==0, deletes for %10==1, inserts keyed
+    custkey+1000000 for %10==2) into the customer snapshot via
+    cdc.apply_changes — one latest-per-key reduction plus one full-outer
+    join, the scale shape of a continuous table materialization."""
+    cust = B.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    mod = F.col("c_custkey") % 10
+    upd = cust.filter(mod == 0).select(
+        F.lit("u").alias("op"),
+        F.lit(1).alias("_seq"),
+        "c_custkey",
+        F.upper("c_name").alias("c_name"),
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+    )
+    dele = cust.filter(mod == 1).select(
+        F.lit("d").alias("op"),
+        F.lit(1).alias("_seq"),
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    ins = cust.filter(mod == 2).select(
+        F.lit("c").alias("op"),
+        F.lit(1).alias("_seq"),
+        (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        "c_acctbal",
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return cdc.apply_changes(cust, changes, key="c_custkey")
+
+
+SQL_CDC_APPLY_CHANGES = """
+WITH changes AS (
+  SELECT 'u' AS op, c_custkey, upper(c_name) AS c_name,
+         ROUND(c_acctbal + 100.0, 2) AS c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 'd', c_custkey, NULL, NULL FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT 'c', c_custkey + 1000000, concat('NEW ', c_name), c_acctbal
+  FROM customer WHERE c_custkey % 10 = 2
+)
+SELECT COALESCE(s.c_custkey, ch.c_custkey) AS c_custkey,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE s.c_name END AS c_name,
+       CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE s.c_acctbal END
+         AS c_acctbal
+FROM (SELECT c_custkey, c_name, c_acctbal FROM customer) s
+FULL OUTER JOIN changes ch ON s.c_custkey = ch.c_custkey
+WHERE ch.op IS NULL OR ch.op <> 'd'
+"""
+
+
 # --- Two-hop enrichment (J3 completion) + daily render (M8/C13) ----------------
 
 
@@ -455,6 +511,7 @@ CDC_QUERIES: dict[str, QueryFn] = {
     "latest_event_per_user": q_latest_event_per_user,
     "scd2_user_history": q_scd2_user_history,
     "point_in_time_user_state": q_point_in_time_user_state,
+    "cdc_apply_changes": q_cdc_apply_changes,
     "high_value_enriched": q_high_value_enriched,
     "daily_spend_render": q_daily_spend_render,
 }
@@ -470,6 +527,7 @@ CDC_ORACLES: dict[str, str] = {
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "scd2_user_history": SQL_SCD2_USER_HISTORY,
     "point_in_time_user_state": SQL_POINT_IN_TIME_USER_STATE,
+    "cdc_apply_changes": SQL_CDC_APPLY_CHANGES,
     "high_value_enriched": SQL_HIGH_VALUE_ENRICHED,
     "daily_spend_render": SQL_DAILY_SPEND_RENDER,
 }

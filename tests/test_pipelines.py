@@ -322,6 +322,26 @@ def test_scd2_versions_chain_and_current_flag(spark):
     assert rows[(2, "x")] == (5, None, True)
 
 
+def test_apply_changes_upsert_delete_latest_wins(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            ("u", 1, 1, "a2"),   # superseded by seq 2 below
+            ("u", 2, 1, "a3"),   # latest change for key 1 wins
+            ("d", 1, 2, None),   # delete key 2
+            ("c", 1, 9, "new"),  # insert unseen key
+            ("d", 1, 42, None),  # delete of a key not in the snapshot: no-op
+        ],
+        "op string, _seq int, k int, v string",
+    )
+    out = {
+        r.k: r.v for r in cdc.apply_changes(snap, changes, key="k").collect()
+    }
+    assert out == {1: "a3", 3: "c", 9: "new"}
+
+
 def test_scalar_format_amount(spark):
     df = spark.createDataFrame(
         [(1_234_567.891, "NGN"), (50.0, "USD"), (None, None)], "amt double, cur string"
