@@ -213,6 +213,38 @@ def test_stream_dedup_within_watermark_drops_redeliveries(spark, tmpdirs):
     assert sorted(r.transaction_id for r in final) == [1, 2]
 
 
+def test_corrupt_json_envelope_skipped_not_fatal(spark, tmpdirs):
+    """F2 resilience (JsonSerde.java:29-53 deserialize-error → null-skip;
+    ABBankStreamsConfig.java:93-96 log-and-continue): a corrupt JSON line
+    yields an all-null row in PERMISSIVE mode, which the null-envelope /
+    null-after filters drop; valid records still flow."""
+    import json
+
+    src, ckpt = f"{tmpdirs}/jsrc", f"{tmpdirs}/jckpt"
+    good = {
+        "after": {"TRANSACTION_ID": 1.0, "ACCOUNT_ID": 101.0,
+                  "AMOUNT": 50.0, "TRANSACTION_TYPE": "DEBIT",
+                  "TRANSACTION_STATUS": "COMPLETED",
+                  "INITIATED_AT": 1_700_000_000 * US},
+        "op": "c", "ts_ms": 1,
+    }
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/data.json", "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write("{this is not json at all\n")
+    txns = cdc.parse_transactions(SP.read_file_envelopes(spark, src, fmt="json"))
+    out = _run_to_memory(
+        spark,
+        txns.withWatermark("initiated_at", "0 seconds"),
+        "json_sink",
+        ckpt,
+        output_mode="append",
+    ).collect()
+    assert [r.transaction_id for r in out] == [1]
+
+
 def test_kafka_source_unavailable_is_clear(spark):
     """Without the kafka integration jar the reader should fail with the
     standard DATA_SOURCE_NOT_FOUND guidance, not something cryptic."""
