@@ -213,6 +213,58 @@ def test_stream_dedup_within_watermark_drops_redeliveries(spark, tmpdirs):
     assert sorted(r.transaction_id for r in final) == [1, 2]
 
 
+def test_full_topology_five_concurrent_queries(spark, tmpdirs):
+    """The reference runs ONE topology with five sub-pipelines off a shared
+    transaction stream (ABBankTopology.java:149-153). Same here: five
+    StreamingQueries started concurrently over one source; each sees every
+    record. The fixture transaction trips high-value, velocity (5 debits in
+    a minute), daily-spend, and balance pipelines in a single pass."""
+    src, ckpt = f"{tmpdirs}/src", f"{tmpdirs}/ckpt"
+    base = 1_700_000_000
+    aligned = base - (base % 86_400)
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(
+                fx.txn_image(
+                    txn_id=float(i),
+                    amount=600_000.0,
+                    initiated_at_us=(aligned + i) * US,
+                    balance_before=5_000_000.0 - 600_000.0 * i,
+                    balance_after=5_000_000.0 - 600_000.0 * (i + 1),
+                )
+            )
+            for i in range(5)
+        ],
+    )
+    txns = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+    accounts = cdc.parse_accounts(
+        fx.make_account_df(spark, [fx.account_image(101.0, "ACC-101")])
+    )
+    raw = cdc.parse_transactions(SP.read_file_envelopes(spark, src))
+    flows = {
+        "t_fraud": (SP.fraud_velocity_notifications(txns), "update"),
+        "t_hv": (SP.high_value_notifications(txns, accounts), "append"),
+        "t_balance": (balance_reconciliation_stream(txns), "append"),
+        "t_daily": (SP.daily_spend_notifications(txns), "update"),
+        "t_dedup": (SP.effectively_once_transactions(raw), "append"),
+    }
+    queries = [
+        SP.start_pipeline(df, name, ckpt, output_mode=mode,
+                          trigger_available_now=True)
+        for name, (df, mode) in flows.items()
+    ]
+    for q in queries:
+        q.awaitTermination(180)
+    counts = {n: spark.sql(f"select * from {n}").count() for n in flows}
+    assert counts["t_hv"] == 5        # every txn is a 600k debit
+    assert counts["t_fraud"] >= 1     # 5 debits inside one 60s window
+    assert counts["t_daily"] >= 1     # 3M total >= 1M threshold
+    assert counts["t_balance"] == 5   # one reconciliation per txn
+    assert counts["t_dedup"] == 5     # all ids distinct
+
+
 def test_corrupt_json_envelope_skipped_not_fatal(spark, tmpdirs):
     """F2 resilience (JsonSerde.java:29-53 deserialize-error → null-skip;
     ABBankStreamsConfig.java:93-96 log-and-continue): a corrupt JSON line
