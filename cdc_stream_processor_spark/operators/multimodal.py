@@ -47,6 +47,17 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -59,15 +70,23 @@ FRAME_SCHEMA = T.StructType(
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media table derived from the documents corpus (the
     driver testdata ships no binary columns): payload = UTF-8 bytes of the
-    text, kind = video for doc_id % 4 == 0 else image. Pure column
-    arithmetic, so a DuckDB oracle can reproduce every downstream feature."""
-    is_video = F.col("doc_id") % 4 == 0
+    text; kind = video for doc_id % 4 == 0, audio for % 4 == 1, else image.
+    Pure column arithmetic, so a DuckDB oracle can reproduce every
+    downstream feature."""
+    kind = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("video"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("audio"))
+        .otherwise(F.lit("image"))
+    )
+    mime = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("video/mp4"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("image/png"))
+    )
     return docs.select(
         F.col("doc_id").alias("media_id"),
-        F.when(is_video, F.lit("video")).otherwise(F.lit("image")).alias("kind"),
-        F.when(is_video, F.lit("video/mp4"))
-        .otherwise(F.lit("image/png"))
-        .alias("mime"),
+        kind.alias("kind"),
+        mime.alias("mime"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.create_map(F.lit("source"), F.col("source")).alias("meta"),
     )
@@ -117,6 +136,49 @@ def image_features(
 
     imgs = media.filter(F.col("kind") == "image").select("media_id", "payload")
     return imgs.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def _stub_decode_audio(payload: bytes) -> tuple[int, float, float]:
+    """Deterministic fake decode: rate/duration/loudness from a sha256 of
+    the payload. Replace with a real codec (soundfile/librosa) in prod."""
+    digest = hashlib.sha256(payload).digest()
+    sample_rate = 8000 + digest[0] * 100
+    duration_s = round(1.0 + digest[1] / 16.0, 6)
+    rms = round(digest[2] / 255.0, 6)
+    return sample_rate, duration_s, rms
+
+
+def audio_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
+    """Decode + feature-extract audio clips via mapInPandas (Arrow
+    batches) — same plumbing contract as image_features."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real audio decode requires soundfile/librosa "
+                        "(not in container); use decode_stub=True"
+                    )
+                sr, dur, rms = _stub_decode_audio(payload)
+                rows.append(
+                    {
+                        "media_id": r.media_id,
+                        "n_bytes": len(payload),
+                        "sha256": hashlib.sha256(payload).hexdigest(),
+                        "sample_rate": sr,
+                        "duration_s": dur,
+                        "rms": rms,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    clips = media.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return clips.mapInPandas(extract, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(

@@ -299,13 +299,38 @@ def _image_features_sql() -> str:
 WITH img AS (
   SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
          sha256(text) AS h
-  FROM documents WHERE doc_id % 4 != 0
+  FROM documents WHERE doc_id % 4 NOT IN (0, 1)
 )
 SELECT media_id, n_bytes, h AS sha256,
        64 + {b0} % 192 AS width,
        64 + {b1} % 192 AS height,
        {b2} / 255.0 AS mean_luma
 FROM img
+"""
+
+
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-decode audio features (rate/duration/loudness) over the binary
+    media column; sha256-derived values reproduced exactly by the oracle."""
+    media = M.media_from_documents(B.load_table(spark, sf_dir, "documents"))
+    return M.audio_features(media)
+
+
+def _audio_features_sql() -> str:
+    b0 = _HEXB.format(p1=1, p2=2)
+    b1 = _HEXB.format(p1=3, p2=4)
+    b2 = _HEXB.format(p1=5, p2=6)
+    return f"""
+WITH clip AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS h
+  FROM documents WHERE doc_id % 4 = 1
+)
+SELECT media_id, n_bytes, h AS sha256,
+       8000 + {b0} * 100 AS sample_rate,
+       ROUND(1.0 + {b1} / 16.0, 6) AS duration_s,
+       ROUND({b2} / 255.0, 6) AS rms
+FROM clip
 """
 
 
@@ -431,6 +456,7 @@ QUERIES = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "text_profile": q_text_profile,
     "doc_sentiment": q_doc_sentiment,
@@ -447,6 +473,7 @@ ORACLES = {
     "embedding_near_dup_pairs": _near_dup_pairs_sql(),
     "embedding_near_dup": _near_dup_keep_sql(),
     "multimodal_image_features": _image_features_sql(),
+    "multimodal_audio_features": _audio_features_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
     "text_profile": _text_profile_sql(),
     "doc_sentiment": _doc_sentiment_sql(),

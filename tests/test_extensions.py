@@ -193,6 +193,7 @@ def _media(spark):
         (1, "image", "image/png", b"fake-png-bytes-1", {"src": "t"}),
         (2, "video", "video/mp4", b"0123456789abcdefghij", {"src": "t"}),
         (3, "image", "image/png", b"", None),
+        (4, "audio", "audio/wav", b"fake-wav-bytes-4", None),
     ]
     from cdc_stream_processor_spark.operators.multimodal import MEDIA_SCHEMA
 
@@ -237,11 +238,28 @@ def test_sample_frames_fanout(spark):
 def test_media_from_documents_roundtrip(spark):
     from cdc_stream_processor_spark.operators import multimodal as M
 
-    docs = _docs(spark, [(4, "vid doc"), (5, "img doc")])
+    docs = _docs(spark, [(4, "vid doc"), (5, "aud doc"), (6, "img doc")])
     docs = docs.withColumn("source", F.lit("s"))
     media = {r.media_id: r for r in M.media_from_documents(docs).collect()}
-    assert media[4].kind == "video" and media[5].kind == "image"
-    assert bytes(media[5].payload) == b"img doc"
+    assert media[4].kind == "video"
+    assert media[5].kind == "audio"
+    assert media[6].kind == "image"
+    assert bytes(media[6].payload) == b"img doc"
+
+
+def test_audio_features_stub_deterministic(spark):
+    import hashlib
+
+    from cdc_stream_processor_spark.operators import multimodal as M
+
+    out = {r.media_id: r for r in M.audio_features(_media(spark)).collect()}
+    assert set(out) == {4}  # audio only
+    digest = hashlib.sha256(b"fake-wav-bytes-4").digest()
+    r = out[4]
+    assert r.n_bytes == 16
+    assert r.sample_rate == 8000 + digest[0] * 100
+    assert abs(r.duration_s - (1.0 + digest[1] / 16.0)) < 1e-6
+    assert abs(r.rms - digest[2] / 255.0) < 1e-6
 
 
 def test_asof_join_semantics(spark):
