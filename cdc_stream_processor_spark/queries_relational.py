@@ -399,6 +399,47 @@ FROM (
 """
 
 
+# --- ntile decile analysis (rank bucketing) -------------------------------------
+
+
+def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile buckets of order value (ntile over a total order), rolled up
+    to per-decile revenue — the distribution-profile query every training
+    corpus triage starts with. Total ordering (price desc, key asc) makes
+    ntile deterministic and oracle-matchable.
+
+    Scale note: an unpartitioned window funnels all rows through ONE task —
+    exact global ntile does not scale past what a single executor can sort.
+    At 100 TB compute the 9 decile cut points with approx_percentile (one
+    distributed pass) and assign buckets with a plain scan-side CASE; this
+    exact form exists for the oracle contract and per-group use."""
+    orders = B.load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    tiled = orders.select(
+        "o_totalprice", F.ntile(10).over(w).alias("decile")
+    )
+    return tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+SQL_ORDER_VALUE_DECILES = """
+SELECT decile, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS decile
+  FROM orders
+)
+GROUP BY decile
+"""
+
+
 # --- Banded range join (|Δt| ≤ band, bucketed to an equi join) -----------------
 
 
@@ -629,6 +670,7 @@ QUERIES = {
     "semi_anti_customers": q_semi_anti_customers,
     "events_asof_orders": q_events_asof_orders,
     "event_pairs_range_join": q_event_pairs_range_join,
+    "order_value_deciles": q_order_value_deciles,
     "pivot_order_revenue": q_pivot_order_revenue,
     "doc_word_count": q_doc_word_count,
     "order_price_quantiles": q_order_price_quantiles,
@@ -650,6 +692,7 @@ ORACLES = {
     "semi_anti_customers": SQL_SEMI_ANTI_CUSTOMERS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "event_pairs_range_join": SQL_EVENT_PAIRS_RANGE_JOIN,
+    "order_value_deciles": SQL_ORDER_VALUE_DECILES,
     "pivot_order_revenue": SQL_PIVOT_ORDER_REVENUE,
     "doc_word_count": SQL_DOC_WORD_COUNT,
     "order_price_quantiles": SQL_ORDER_PRICE_QUANTILES,
