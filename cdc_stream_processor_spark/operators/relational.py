@@ -128,10 +128,18 @@ def banded_range_join(
     both sides into band-width epochs turns it into an EQUI join on the
     bucket id (+ any extra keys): the right side lands in its own bucket,
     the left side explodes into its bucket ±1 (a fixed 3× fan-out, not
-    data-dependent), and the exact |Δt| ≤ band residual filter runs after
-    the hash match. One shuffle, no cross product — the same trick DuckDB's
-    IEJoin and Flink's interval join use under the hood.
+    data-dependent), and the exact |Δt| ≤ band residual runs as part of the
+    join condition during the hash probe. One shuffle, no cross product —
+    the same trick DuckDB's IEJoin and Flink's interval join use under the
+    hood.
+
+    Inner joins only: the bucket fan-out triplicates left rows, so outer
+    semantics would emit unmatched left rows 3× (and the residual-as-filter
+    variant silently degrades left→inner). Callers needing left semantics
+    should anti-join the inner result back against ``left``.
     """
+    if how != "inner":
+        raise ValueError("banded_range_join supports inner joins only")
     on = list(extra_on or [])
     lb = F.floor(F.unix_timestamp(F.col(left_time)) / band_seconds)
     rb = F.floor(F.unix_timestamp(F.col(right_time)) / band_seconds)
@@ -146,7 +154,15 @@ def banded_range_join(
         )
         <= band_seconds
     )
-    return l.join(r, on + ["_bucket"], how).filter(close).drop("_bucket")
+    cond = close
+    for k in on + ["_bucket"]:
+        cond = (l[k] == r[k]) & cond
+    joined = l.join(r, cond, "inner")
+    # drop the right-side copies of the equi keys + both bucket columns
+    out = joined
+    for k in on:
+        out = out.drop(r[k])
+    return out.drop(l["_bucket"]).drop(r["_bucket"])
 
 
 def salted_join(

@@ -15,7 +15,16 @@ from pyspark.sql import DataFrame
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition iff the current plan has fewer partitions than the
-    session's default parallelism (cheap check via the physical RDD)."""
+    session's default parallelism.
+
+    Streaming DataFrames have no driver-side partition count (``df.rdd``
+    would throw) — their parallelism comes from the source + shuffle confs,
+    so they pass through unchanged. For batch the ``df.rdd.getNumPartitions``
+    probe costs one extra plan conversion; callers sit at pipeline heads, not
+    in per-batch loops, so that is a one-time planning cost.
+    """
+    if df.isStreaming:
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -28,8 +28,15 @@ from cdc_stream_processor_spark.sources import batch as B
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = B.load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # All three factors go to decimal BEFORE multiplying: a double product
+    # rounds differently in Spark (HALF_UP on shortest decimal repr) vs DuckDB
+    # (binary double) at half boundaries. DECIMAL(12,4)·(9,4)·(9,4) stays
+    # within 38 digits, so both engines compute the exact same product.
+    ep = F.col("l_extendedprice").cast("decimal(12,4)")
+    one_minus = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    one_plus = F.lit(1).cast("decimal(8,4)") + F.col("l_tax").cast("decimal(8,4)")
+    disc_price = ep * one_minus
+    charge = disc_price * one_plus
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -50,9 +57,12 @@ SQL_PRICING_SUMMARY = """
 SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
-       AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
+  CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4))
+       * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))), 4)
+       AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(12,4))
+       * (CAST(1 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4)))
+       * (CAST(1 AS DECIMAL(8,4)) + CAST(l_tax AS DECIMAL(8,4))), 4)
        AS DECIMAL(18,4))) AS DOUBLE) AS sum_charge,
   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity)
     AS avg_qty,

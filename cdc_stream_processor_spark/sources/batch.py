@@ -37,6 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # events/lineitem/orders carry INT64 TIMESTAMP(NANOS) columns; without this
+    # conf a plain session (e.g. one not built by session.py) fails the read
+    # with PARQUET_TYPE_ILLEGAL. The conf is a runtime SQL conf, so setting it
+    # here makes loaders independent of who constructed the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANO_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

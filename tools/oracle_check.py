@@ -2,8 +2,8 @@
 
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql() twin
 on DuckDB at the given sf dir, then compares row count, column names, and an
-order-insensitive value multiset (doubles rounded to 6 significant-ish dp to
-mirror hash tolerance; we aim for exact).
+order-insensitive value multiset (doubles compared EXACTLY via repr, matching
+the external gate's exact value hash).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -32,7 +32,9 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # exact compare (shortest round-trip repr) — the external gate hashes
+        # exact values, so any local tolerance here would mask a gate failure
+        return repr(v)
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
     return str(v)
