@@ -191,6 +191,15 @@ def apply_changes(
     return merged
 
 
+def strip_confluent_framing(value_col: str = "value") -> F.Column:
+    """Drop the 5-byte Confluent wire-format header (0x00 magic + 4-byte
+    big-endian schema id) from a binary Kafka value, leaving the raw Avro
+    body (reference AvroSerdes.java:35-58 reads via Schema Registry, which
+    performs the same strip). substring is 1-based: the body starts at
+    byte 6 and runs length-5 bytes."""
+    return F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
+
+
 def envelopes_from_avro(
     raw: DataFrame,
     avro_schema_json: str,
@@ -216,10 +225,7 @@ def envelopes_from_avro(
         ) from e
     payload = F.col(value_col)
     if confluent_framed:
-        # 5-byte Confluent wire header: 0x00 magic + 4-byte schema id
-        payload = F.expr(
-            f"substring({value_col}, 6, length({value_col}) - 5)"
-        )
+        payload = strip_confluent_framing(value_col)
     return raw.select(
         from_avro(payload, avro_schema_json, {"mode": "PERMISSIVE"}).alias(
             "envelope"

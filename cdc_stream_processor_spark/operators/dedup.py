@@ -315,10 +315,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     fast: bool = False,
     vectorized: bool = True,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted index: explode shingle hashes,
     self-join on the hash (only docs sharing a shingle meet), count shared
-    per pair, verify threshold. Shuffle keys: shingle hash, then pair."""
+    per pair, verify threshold. Shuffle keys: shingle hash, then pair.
+
+    max_shingle_df (skew guard for the 100 TB path): drop shingle hashes
+    whose document frequency exceeds the cutoff from the inverted index
+    BEFORE the self-join — one ubiquitous shingle ("in the of") otherwise
+    lands df² pair rows on a single reducer. Candidates then come from the
+    filtered index and Jaccard is re-verified EXACTLY on the full shingle
+    sets (array_intersect join, as the MinHash verify step), so scores are
+    unaffected; only pairs whose entire overlap is hot shingles can be
+    missed — such pairs are overwhelmingly below any useful threshold.
+    None (default) keeps the fully exact count-based path."""
     if vectorized and not fast:
         base = _vectorized_signatures(
             docs, text_col, id_col, k=3, with_minhash=False
@@ -334,6 +345,38 @@ def ngram_jaccard_pairs(
         )
     sizes = base.select("doc_id", F.size("hs").alias("n"))
     inv = base.select("doc_id", F.explode("hs").alias("h"))
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("h")
+        )
+        inv_cold = inv.join(F.broadcast(hot), "h", "left_anti")
+        cand = (
+            inv_cold.alias("a")
+            .join(inv_cold.alias("b"), "h")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        sets = base.select("doc_id", "hs")
+        verified = cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")),
+            "doc_a",
+        ).join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")),
+            "doc_b",
+        )
+        shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+        union = (F.size("hs_a") + F.size("hs_b")).cast("double") - shared
+        return (
+            verified.withColumn("jaccard", F.round(shared / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "h")

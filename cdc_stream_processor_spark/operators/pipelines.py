@@ -154,6 +154,7 @@ def dormancy_candidates(
         .select(
             F.col("account_id"),
             F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
             F.col("txn_count"),
         )
     )

@@ -110,60 +110,104 @@ def cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_size: int = 4096,
 ) -> DataFrame:
     """Exact all-pairs cosine similarity ≥ threshold, emitted once per pair as
-    (vec_a < vec_b, cosine_sim). This is the embedding-cosine near-duplicate
-    detector's exact surface: O(n²) compares, so it is the ORACLE path — at
-    100 TB the same threshold-verify runs on LSH-generated candidates instead
-    of the full cross product (see lsh_topk's bucket join), trading exactness
-    for an equi-join shuffle.
+    (vec_a < vec_b, cosine_sim).
 
-    Execution shape: the corpus matrix is captured in the UDF closure (one
-    copy per executor, like a broadcast dim table) and only skinny id rows
-    flow through Arrow; each partition computes a (block × corpus) product
-    accumulated dimension-by-dimension in float64 — the same left-to-right
-    order as the F.aggregate / DuckDB list_reduce fold, so values are
-    bit-identical to the oracle. Valid while one corpus copy fits an executor
-    (~10M vectors at d=64); beyond that the LSH-candidate path takes over."""
+    Execution shape — block-matrix self-join, fully distributed (no driver
+    collect, nothing rides in a task closure):
+
+    1. hash vectors into B ≈ ⌈n/block_size⌉ blocks (``vec_id % B``) and pack
+       each block into one row of (id[], vec[]) arrays — one shuffle;
+    2. enumerate the B(B+1)/2 unordered block combos with a self cross-join
+       of the B-row block table (block i pairs with j ≥ i);
+    3. per combo, an Arrow-batched kernel computes the (block × block) Gram
+       product accumulated dimension-by-dimension in float64 — the same
+       left-to-right order as the F.aggregate / DuckDB list_reduce fold, so
+       values are bit-identical to the oracle.
+
+    O(n²/B) shuffle bytes and O(n²d) flops spread over B(B+1)/2 independent
+    tasks: executors hold two blocks (2·block_size·d doubles) at a time, so
+    the operator survives any corpus size — compute cost, not memory, is the
+    scale limit, which is inherent to EXACT all-pairs. For real corpora use
+    the LSH/MinHash candidate families and keep this as the verify/oracle
+    surface."""
     import numpy as np
 
-    rows = sorted(
-        vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v")).collect()
+    n = vecs.count()
+    n_blocks = max(1, -(-n // block_size))
+    v = vecs.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    M = np.array([r["v"] for r in rows], dtype=np.float64)
-    n, d = M.shape if len(rows) else (0, 0)
-    # seq-order Gram accumulation: G/na built one dimension at a time
-    na = np.zeros(n)
-    for k in range(d):
-        na += M[:, k] * M[:, k]
-    sqrt_n = np.sqrt(na)
+    blocks = (
+        v.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("v").alias("vs"),
+        )
+        .persist()
+    )
+    combos = (
+        blocks.select(
+            F.col("blk").alias("blk_a"),
+            F.col("ids").alias("ids_a"),
+            F.col("vs").alias("vs_a"),
+        )
+        .join(
+            blocks.select(
+                F.col("blk").alias("blk_b"),
+                F.col("ids").alias("ids_b"),
+                F.col("vs").alias("vs_b"),
+            ),
+            F.col("blk_a") <= F.col("blk_b"),
+            "inner",
+        )
+    )
 
-    def score_block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score_combo(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            idx = np.searchsorted(ids, pdf["vec_a"].to_numpy())
-            A = M[idx]
-            dot = np.zeros((len(idx), n))
-            for k in range(d):
-                dot += A[:, k : k + 1] * M[None, :, k]
-            # same expression shape as the fold: dot / (sqrt(na) * sqrt(nb));
-            # half-up rounding (Spark/DuckDB ROUND), not numpy's half-even
-            raw = dot / (sqrt_n[idx][:, None] * sqrt_n[None, :])
-            sim = np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6 * np.sign(raw)
-            ai, bi = np.nonzero(
-                (sim >= threshold) & (pdf["vec_a"].to_numpy()[:, None] < ids[None, :])
-            )
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[ai],
-                    "vec_b": ids[bi],
-                    "cosine_sim": sim[ai, bi],
-                }
-            )
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                A = np.vstack([np.asarray(x) for x in row["vs_a"]])
+                Bm = np.vstack([np.asarray(x) for x in row["vs_b"]])
+                d = A.shape[1]
+                dot = np.zeros((len(ids_a), len(ids_b)))
+                na = np.zeros(len(ids_a))
+                nb = np.zeros(len(ids_b))
+                for k in range(d):  # sequential over dims: fold-order parity
+                    dot += A[:, k : k + 1] * Bm[None, :, k]
+                    na += A[:, k] * A[:, k]
+                    nb += Bm[:, k] * Bm[:, k]
+                raw = dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                # same-block combos see each unordered pair twice ((p,q) and
+                # (q,p)): keep a<b. Cross-block combos see it once (each id
+                # lives in exactly one block): keep all, emit (min, max).
+                if row["blk_a"] == row["blk_b"]:
+                    pair_ok = ids_a[:, None] < ids_b[None, :]
+                else:
+                    pair_ok = np.ones((len(ids_a), len(ids_b)), dtype=bool)
+                # loose pre-filter only — exact threshold applied after
+                # F.round so rounding semantics live in one engine pair
+                ai, bi = np.nonzero((raw >= threshold - 1e-6) & pair_ok)
+                ia, ib = ids_a[ai], ids_b[bi]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                        "raw_sim": raw[ai, bi],
+                    }
+                )
 
-    skinny = ensure_parallelism(vecs.select(F.col(id_col).alias("vec_a")))
-    return skinny.mapInPandas(
-        score_block, schema="vec_a long, vec_b long, cosine_sim double"
+    scored = combos.mapInPandas(
+        score_combo, schema="vec_a long, vec_b long, raw_sim double"
+    )
+    return (
+        scored.withColumn("cosine_sim", F.round(F.col("raw_sim"), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
     )
 
 
@@ -216,11 +260,12 @@ def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int = N_PLANES) -> C
 
 
 def _bucket_udf(dim: int, n_planes: int, n_tables: int):
-    """Vectorized bucket computation: one numpy matmul against the (tables ×
-    planes × dim) hyperplane tensor per Arrow batch. Only the SIGN of each
-    projection matters, so numpy's pairwise summation (different accumulation
-    order than the JVM fold) cannot change the bucket except on exact-zero
-    projections — measure zero. ~100× faster than per-plane Catalyst folds."""
+    """Vectorized bucket computation against the (tables × planes × dim)
+    hyperplane tensor per Arrow batch. Projections are accumulated
+    DIMENSION-BY-DIMENSION in float64 — the same left-to-right order as a
+    list_reduce fold — so bucket ids are bit-identical to the DuckDB oracle's
+    fold form (pairwise/BLAS summation could flip the sign of a near-zero
+    projection). ~100× faster than per-plane Catalyst folds."""
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -235,7 +280,9 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int):
     @pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.vstack(vecs.to_numpy())  # (n, dim)
-        proj = np.einsum("nd,tpd->ntp", mat, w)  # (n, L, m)
+        proj = np.zeros((len(mat), n_tables, n_planes))
+        for d in range(dim):  # sequential over dims: fold-order parity
+            proj += mat[:, d, None, None] * w[None, :, :, d]
         bits = (proj > 0).astype(np.int64)
         out = bits @ powers  # (n, L)
         return pd.Series(list(out))
@@ -252,6 +299,22 @@ def _with_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int) -> Data
     )
 
 
+def probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks for multi-probe LSH: all bucket perturbations within
+    Hamming distance `probe_hamming` of the query's bucket (Lv et al. '07,
+    "Multi-Probe LSH"). probe_hamming=0 → [0] (exact bucket only)."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -261,11 +324,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates collide with the query in ≥1 of
-    n_tables LSH tables; exact cosine re-rank on the candidate set.
-    All-equi-join on (table, bucket) → shuffle-scalable; recall grows as
-    1-(1-p^m)^L with table count."""
+    """Approximate top-k: candidates collide with one of the query's probed
+    buckets in ≥1 of n_tables LSH tables; exact cosine re-rank on the
+    candidate set. All-equi-join on (table, bucket) → shuffle-scalable;
+    recall grows as 1-(1-p_probe)^L with table count, and multi-probe
+    (query-side bucket perturbation, corpus side untouched) trades a small
+    fan-out of skinny probe rows for the recall more tables would cost."""
     qv = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
@@ -278,6 +344,16 @@ def lsh_topk(
     q = _with_buckets(
         qv.select("query_id", F.col("qv").alias("_v")), dim, n_planes, n_tables
     ).select("query_id", "table_idx", "bucket")
+    masks = probe_masks(n_planes, probe_hamming)
+    if len(masks) > 1:
+        # probe buckets = query bucket XOR each mask (skinny row fan-out)
+        q = q.select(
+            "query_id",
+            "table_idx",
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bucket"),
+        )
     c = _with_buckets(
         cv.select("neighbor_id", F.col("cv").alias("_v")), dim, n_planes, n_tables
     ).select("neighbor_id", "table_idx", "bucket")
@@ -310,24 +386,64 @@ def lsh_topk(
 # --- IVF (inverted-file) ANN --------------------------------------------------
 
 IVF_NLIST = 16  # coarse centroids
-IVF_NPROBE = 4  # centroids probed per query
+# Probed cells per query. 8/16 is high because the synthetic test corpus is
+# near-uniform on the sphere — true neighbors sit at low cosine, spread
+# across cells, so recall ∝ fraction probed (measured: 0.56 @ nprobe=4,
+# 0.80-0.86 @ nprobe=8; pinned in tests). On clustered real embeddings the
+# standard nprobe ≈ nlist/16 regains the 10-100× scan saving.
+IVF_NPROBE = 8
 IVF_TRAIN_LIMIT = 4096  # driver-side training sample bound (rows)
+
+
+def _seq_sq_norms(mat):
+    """Per-row Σx² accumulated dimension-by-dimension (fold order)."""
+    import numpy as np
+
+    acc = np.zeros(len(mat))
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return acc
+
+
+def _seq_dots_to(mat, cents):
+    """(n, nlist) dot products accumulated dimension-by-dimension — the same
+    left-to-right order as a list_reduce fold, so values (and therefore
+    argmax cell choices) are bit-identical to the DuckDB oracle."""
+    import numpy as np
+
+    out = np.zeros((len(mat), len(cents)))
+    for d in range(mat.shape[1]):
+        out += mat[:, d, None] * cents[None, :, d]
+    return out
+
+
+def _seq_normalize(mat):
+    """Row-normalize with the 1e-12 floor; norms use the sequential fold."""
+    import numpy as np
+
+    return mat / np.maximum(np.sqrt(_seq_sq_norms(mat)), 1e-12)[:, None]
 
 
 def _spherical_kmeans(sample, nlist: int, iters: int = 10):
     """Deterministic spherical k-means on an L2-normalized sample matrix:
     init = first nlist rows (sample arrives sorted by id), assign by max
-    dot, centroid = renormalized mean. No RNG — reproducible across runs."""
+    dot (first max wins ties), centroid = renormalized mean. No RNG, and
+    every float accumulation is sequential (fold-order) — reproducible
+    across runs AND bit-identical to the unrolled DuckDB oracle."""
     import numpy as np
 
     cents = sample[:nlist].copy()
     for _ in range(iters):
-        assign = (sample @ cents.T).argmax(axis=1)
+        assign = _seq_dots_to(sample, cents).argmax(axis=1)
         for j in range(nlist):
             members = sample[assign == j]
             if len(members):
-                m = members.mean(axis=0)
-                n = np.linalg.norm(m)
+                # mean accumulated member-by-member in sample (id) order
+                s = np.zeros(sample.shape[1])
+                for row in members:
+                    s += row
+                m = s / len(members)
+                n = np.sqrt(_seq_sq_norms(m[None, :])[0])
                 if n > 0:
                     cents[j] = m / n
     return cents
@@ -361,25 +477,22 @@ def ivf_topk(
         .limit(IVF_TRAIN_LIMIT)
         .collect()
     )
-    sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
-    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    sample = _seq_normalize(np.array([r["v"] for r in sample_rows], dtype=np.float64))
     cents = _spherical_kmeans(sample, min(nlist, len(sample)))
 
     @pandas_udf(T.IntegerType())
     def cell_of(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        return pd.Series((mat @ cents.T).argmax(axis=1).astype("int32"))
+        mat = _seq_normalize(np.vstack(vs.to_numpy()).astype(np.float64))
+        return pd.Series(_seq_dots_to(mat, cents).argmax(axis=1).astype("int32"))
 
     @pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_cells(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        mat = np.vstack(vs.to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(mat @ cents.T), axis=1, kind="stable")
+        mat = _seq_normalize(np.vstack(vs.to_numpy()).astype(np.float64))
+        order = np.argsort(-_seq_dots_to(mat, cents), axis=1, kind="stable")
         return pd.Series(list(order[:, :nprobe].astype("int32")))
 
     c = ensure_parallelism(corpus).select(

@@ -185,7 +185,9 @@ SQL_DORMANCY = (
                         ROWS UNBOUNDED PRECEDING) AS sid
   FROM m
 )
-SELECT account_id, MIN(initiated_at) AS session_start, COUNT(*) AS txn_count
+SELECT account_id, MIN(initiated_at) AS session_start,
+       MAX(initiated_at) + INTERVAL '{DORMANCY_GAP}' AS session_end,
+       COUNT(*) AS txn_count
 FROM s GROUP BY account_id, sid HAVING COUNT(*) = 1
 """
 )

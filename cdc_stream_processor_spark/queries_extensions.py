@@ -211,21 +211,178 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM (
 """
 
 
+EMB_DIM = 64  # testdata embeddings dimension (oracle SQL is data-static)
+LSH_PROBE_HAMMING = 1
+
+
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (rows-only check; recall vs brute force is asserted
-    in tests/test_extensions.py)."""
+    """SRP-LSH ANN. Fully deterministic (LCG hyperplanes, fold-order
+    projections), so the DuckDB oracle reproduces the exact candidate set
+    and ranking — recall vs brute force is additionally pinned in
+    tests/test_extensions.py."""
     emb = B.load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-    return S.lsh_topk(queries, emb, dim=dim, k=TOPK)
+    return S.lsh_topk(
+        queries, emb, dim=dim, k=TOPK, probe_hamming=LSH_PROBE_HAMMING
+    )
 
 
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN (rows-only check; recall vs brute force is asserted in
-    tests/test_extensions.py)."""
+    """IVF-flat ANN. The spherical k-means is deterministic (init = first
+    nlist rows by id, 10 fixed iterations, sequential-fold float math), so
+    the DuckDB oracle replays training, assignment, and probing exactly —
+    recall vs brute force is additionally pinned in tests."""
     emb = B.load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     return S.ivf_topk(queries, emb, k=TOPK)
+
+
+# The hyperplane-weight LCG (similarity._plane_weight) replayed in SQL:
+# pure int64 arithmetic, then an exact power-of-two division, so the DOUBLE
+# weights are bit-identical to the Python floats.
+_PLANE_W_SQL = (
+    "((1103515245 * ((t.t * 64 + p.p) * 8192 + d) + 12345) % 2147483648)"
+    " / 2147483648.0 - 0.5"
+)
+
+
+def _lsh_ann_sql(dim: int = EMB_DIM) -> str:
+    masks = S.probe_masks(S.N_PLANES, LSH_PROBE_HAMMING)
+    proj = _FOLD_SUM.format(
+        arr="list_transform(list_zip(v.e, pl.w), z -> z[1] * z[2])"
+    )
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(q.e, c.e), z -> z[1] * z[2])"
+    )
+    nq = _FOLD_SUM.format(arr="list_transform(q.e, x -> x * x)")
+    nc = _FOLD_SUM.format(arr="list_transform(c.e, x -> x * x)")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), pl AS (
+  SELECT t.t AS tbl, p.p AS plane,
+         list_transform(generate_series(0, {dim - 1}), d -> {_PLANE_W_SQL}) AS w
+  FROM generate_series(0, {S.N_TABLES - 1}) t(t),
+       generate_series(0, {S.N_PLANES - 1}) p(p)
+), proj AS (
+  SELECT v.vec_id, pl.tbl, pl.plane, {proj} AS pr FROM v, pl
+), bk AS (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN pr > 0 THEN (1::BIGINT << plane) ELSE 0 END)::BIGINT
+           AS bucket
+  FROM proj GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+  FROM bk qb, unnest({masks}::BIGINT[]) m(msk)
+  JOIN bk cb ON qb.tbl = cb.tbl AND xor(qb.bucket, m.msk) = cb.bucket
+  WHERE qb.vec_id % {QUERY_STRIDE} = 0 AND qb.vec_id != cb.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND({dot} / (sqrt({nq}) * sqrt({nc})), 6) AS cosine_sim
+  FROM cand
+  JOIN v q ON cand.query_id = q.vec_id
+  JOIN v c ON cand.neighbor_id = c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
+def _ivf_ann_sql(dim: int = EMB_DIM, iters: int = 10) -> str:
+    """Unrolled spherical-k-means mirror of similarity.ivf_topk: one CTE pair
+    (assign, update) per iteration, every float reduction a list_reduce fold
+    in the same order as the numpy sequential loops."""
+    zerovec = f"list_transform(generate_series(1, {dim}), x -> 0.0::DOUBLE)"
+
+    def sq(expr: str) -> str:
+        return _FOLD_SUM.format(arr=f"list_transform({expr}, x -> x * x)")
+
+    def dotf(a: str, b: str) -> str:
+        return _FOLD_SUM.format(
+            arr=f"list_transform(list_zip({a}, {b}), z -> z[1] * z[2])"
+        )
+
+    vecsum = (
+        f"list_reduce(list_prepend({zerovec}, list(u ORDER BY vec_id)), "
+        "(acc, x) -> list_transform(list_zip(acc, x), z -> z[1] + z[2]))"
+    )
+    # every CTE is MATERIALIZED: cents{i-1} is referenced twice per
+    # iteration, and DuckDB's default CTE inlining would re-evaluate the
+    # whole training chain exponentially (2^iters) without it.
+    parts = [
+        f"""
+WITH v AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), vn AS MATERIALIZED (
+  SELECT vec_id, e,
+         list_transform(e, x -> x / greatest(sqrt({sq('e')}), 1e-12)) AS u
+  FROM v
+), samp AS MATERIALIZED (
+  SELECT vec_id, u FROM vn ORDER BY vec_id LIMIT {S.IVF_TRAIN_LIMIT}
+), cents0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, u AS c
+  FROM (SELECT vec_id, u FROM samp ORDER BY vec_id LIMIT {S.IVF_NLIST})
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i} AS MATERIALIZED (
+  SELECT vec_id, u, cid FROM (
+    SELECT s.vec_id, s.u, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                         ORDER BY {dotf('s.u', 'c.c')} DESC, c.cid ASC) AS rn
+    FROM samp s CROSS JOIN cents{i - 1} c
+  ) WHERE rn = 1
+), m{i} AS MATERIALIZED (
+  SELECT cid, list_transform(s, x -> x / cnt) AS mean FROM (
+    SELECT cid, COUNT(*) AS cnt, {vecsum} AS s FROM a{i} GROUP BY cid
+  )
+), cents{i} AS MATERIALIZED (
+  SELECT cid, CASE WHEN mean IS NULL OR mn <= 0 THEN c
+                   ELSE list_transform(mean, x -> x / mn) END AS c
+  FROM (
+    SELECT p.cid, p.c, m.mean,
+           CASE WHEN m.mean IS NULL THEN NULL
+                ELSE sqrt({sq('m.mean')}) END AS mn
+    FROM cents{i - 1} p LEFT JOIN m{i} m ON p.cid = m.cid
+  )
+)"""
+        )
+    parts.append(
+        f""", cells AS (
+  SELECT vec_id, e, cid AS cell FROM (
+    SELECT vn.vec_id, vn.e, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+                         ORDER BY {dotf('vn.u', 'c.c')} DESC, c.cid ASC) AS rn
+    FROM vn CROSS JOIN cents{iters} c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, e AS qe, cid AS cell FROM (
+    SELECT vn.vec_id, vn.e, c.cid,
+      ROW_NUMBER() OVER (PARTITION BY vn.vec_id
+                         ORDER BY {dotf('vn.u', 'c.c')} DESC, c.cid ASC) AS rn
+    FROM vn CROSS JOIN cents{iters} c
+    WHERE vn.vec_id % {QUERY_STRIDE} = 0
+  ) WHERE rn <= {S.IVF_NPROBE}
+), scored AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id,
+         ROUND({dotf('p.qe', 'x.e')} /
+               (sqrt({sq('p.qe')}) * sqrt({sq('x.e')})), 6) AS cosine_sim
+  FROM probes p JOIN cells x ON p.cell = x.cell
+  WHERE p.query_id != x.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+    )
+    return "".join(parts)
 
 
 # --- embedding-cosine near-dup ------------------------------------------------
@@ -469,7 +626,8 @@ ORACLES = {
     "simhash_pairs": _simhash_pairs_sql(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "cosine_topk": _cosine_topk_sql(),
-    # lsh_ann_topk / ivf_ann_topk intentionally rows-only (approximate ops)
+    "lsh_ann_topk": _lsh_ann_sql(),
+    "ivf_ann_topk": _ivf_ann_sql(),
     "embedding_near_dup_pairs": _near_dup_pairs_sql(),
     "embedding_near_dup": _near_dup_keep_sql(),
     "multimodal_image_features": _image_features_sql(),

@@ -30,7 +30,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = B.load_table(spark, sf_dir, "lineitem")
     # All three factors go to decimal BEFORE multiplying: a double product
     # rounds differently in Spark (HALF_UP on shortest decimal repr) vs DuckDB
-    # (binary double) at half boundaries. DECIMAL(12,4)·(9,4)·(9,4) stays
+    # (binary double) at half boundaries. DECIMAL(12,4)·(8,4)·(8,4) stays
     # within 38 digits, so both engines compute the exact same product.
     ep = F.col("l_extendedprice").cast("decimal(12,4)")
     one_minus = F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
@@ -326,10 +326,12 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = bottom_k.groupBy("event_type").agg(
         F.max("hv").alias("hk"), F.count(F.lit(1)).alias("nh")
     )
+    # raw (K-1)·P / h_k quotient, NOT rounded: one IEEE double division is
+    # bit-identical in Spark and DuckDB, whereas Spark's round-on-double
+    # (HALF_UP on shortest repr) and DuckDB's ROUND (binary) can diverge at
+    # a half boundary.
     est = F.when(F.col("nh") < KMV_K, F.col("nh").cast("double")).otherwise(
-        F.round(
-            (F.lit(float(KMV_K - 1)) * F.lit(float(KMV_P))) / F.col("hk"), 4
-        )
+        (F.lit(float(KMV_K - 1)) * F.lit(float(KMV_P))) / F.col("hk")
     )
     return agg.select("event_type", est.alias("approx_users"))
 
@@ -349,7 +351,7 @@ WITH h AS (
 )
 SELECT event_type,
        CASE WHEN nh < {KMV_K} THEN nh::DOUBLE
-            ELSE ROUND(({float(KMV_K - 1)} * {float(KMV_P)}) / hk, 4)
+            ELSE ({float(KMV_K - 1)} * {float(KMV_P)}) / hk
        END AS approx_users
 FROM s
 """
@@ -678,10 +680,20 @@ def q_order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     equals DuckDB's quantile_disc for every group at the gate's scale factors
     (verified at sf0.001/sf0.01; ~30 k rows/group at sf0.1 still fits). At
     100 TB the same plan degrades gracefully to the documented error bound —
-    pytest separately bounds error vs exact at low accuracy."""
+    pytest separately bounds error vs exact at low accuracy.
+
+    The exactness precondition is eps·N < 0.5 per group, i.e. accuracy >
+    2·max-group-cardinality — enforced below by scaling the accuracy with an
+    upfront (partial-agg, cheap) group-size probe rather than silently
+    breaking the oracle guarantee at a larger scale factor."""
     orders = B.load_table(spark, sf_dir, "orders")
+    max_n = (
+        orders.groupBy("o_orderpriority").count().agg(F.max("count")).first()[0]
+        or 0
+    )
+    accuracy = max(100_000, 4 * int(max_n))
     pct = F.approx_percentile(
-        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(100_000)
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(accuracy)
     )
     return orders.groupBy("o_orderpriority").agg(
         pct.getItem(0).alias("p50_approx"),

@@ -39,9 +39,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     # events/lineitem/orders carry INT64 TIMESTAMP(NANOS) columns; without this
     # conf a plain session (e.g. one not built by session.py) fails the read
-    # with PARQUET_TYPE_ILLEGAL. The conf is a runtime SQL conf, so setting it
-    # here makes loaders independent of who constructed the session.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # with PARQUET_TYPE_ILLEGAL. session.get_spark also sets it at build time;
+    # the guarded runtime set covers externally-constructed sessions, and a
+    # future Spark that drops the legacy conf degrades with a clear message
+    # instead of an opaque setter error.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    try:
+        if spark.conf.get(conf_key, None) != "true":
+            spark.conf.set(conf_key, "true")
+    except Exception as e:  # pragma: no cover - future-Spark guard
+        raise RuntimeError(
+            f"cannot enable {conf_key} (needed to read the INT64 "
+            "TIMESTAMP(NANOS) testdata parquet on this session); set it at "
+            "session build time or re-generate the data with µs timestamps"
+        ) from e
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANO_TS_COLUMNS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):

@@ -143,19 +143,29 @@ def _notification(
 
 def fraud_velocity_notifications(txns: DataFrame, window: str = P.VELOCITY_WINDOW,
                                  max_txns: int = P.VELOCITY_MAX_TXNS) -> DataFrame:
-    """Pipeline 1 output (M5, ABBankTopology.java:181-205): CRITICAL/BOTH."""
+    """Pipeline 1 output (M5, ABBankTopology.java:181-205): CRITICAL/BOTH.
+    Metadata keys match the reference builder exactly: windowStartMs,
+    windowEndMs, transactionCount, windowSizeSec (:199-203)."""
     hits = P.transaction_velocity(txns, window=window, max_txns=max_txns)
     body = F.format_string(
         "Fraud alert: %s transactions within window starting %s",
         F.col("txn_count").cast("string"),
         format_timestamp_lagos(F.col("window_start")),
     )
+    window_size_sec = (
+        (F.unix_millis(F.col("window_end")) - F.unix_millis(F.col("window_start")))
+        / F.lit(1000)
+    ).cast("long")
     meta = F.map_from_arrays(
-        F.array(F.lit("windowStartMs"), F.lit("windowEndMs"), F.lit("transactionCount")),
+        F.array(
+            F.lit("windowStartMs"), F.lit("windowEndMs"),
+            F.lit("transactionCount"), F.lit("windowSizeSec"),
+        ),
         F.array(
             F.unix_millis(F.col("window_start")).cast("string"),
             F.unix_millis(F.col("window_end")).cast("string"),
             F.col("txn_count").cast("string"),
+            window_size_sec.cast("string"),
         ),
     )
     return hits.select(
@@ -194,16 +204,36 @@ def high_value_notifications(txns: DataFrame, accounts: DataFrame,
     )
 
 
+def _gap_days(gap: str) -> int:
+    """'30 days' / '1 day' → 30 / 1 — the reference's dormancyDays config
+    unit (ABBankTopology.java:362). Non-day gaps round down to whole days."""
+    import re
+
+    m = re.fullmatch(r"\s*(\d+)\s*(day|days)\s*", gap)
+    if m:
+        return int(m.group(1))
+    m = re.fullmatch(r"\s*(\d+)\s*(hour|hours)\s*", gap)
+    if m:
+        return int(m.group(1)) // 24
+    raise ValueError(f"cannot derive dormancyDays from gap {gap!r}")
+
+
 def dormancy_notifications(txns: DataFrame, gap: str = P.DORMANCY_GAP) -> DataFrame:
-    """Pipeline 4 output (M7): LOW/EMAIL."""
+    """Pipeline 4 output (M7): LOW/EMAIL. Metadata keys match the reference
+    builder exactly: dormancyDays, sessionStart, sessionEnd
+    (ABBankTopology.java:362-365)."""
     hits = P.dormancy_candidates(txns, gap=gap)
     body = F.format_string(
         "Account active again after dormancy; session started %s",
         format_timestamp_lagos(F.col("session_start")),
     )
     meta = F.map_from_arrays(
-        F.array(F.lit("sessionStart")),
-        F.array(F.unix_millis(F.col("session_start")).cast("string")),
+        F.array(F.lit("dormancyDays"), F.lit("sessionStart"), F.lit("sessionEnd")),
+        F.array(
+            F.lit(str(_gap_days(gap))),
+            F.unix_millis(F.col("session_start")).cast("string"),
+            F.unix_millis(F.col("session_end")).cast("string"),
+        ),
     )
     return hits.select(
         F.col("account_id").cast("string").alias("key"),
@@ -217,7 +247,9 @@ def dormancy_notifications(txns: DataFrame, gap: str = P.DORMANCY_GAP) -> DataFr
 
 def daily_spend_notifications(txns: DataFrame,
                               threshold: float = P.DAILY_SPEND_THRESHOLD) -> DataFrame:
-    """Pipeline 5 output (M8): MEDIUM/SMS with Lagos date label."""
+    """Pipeline 5 output (M8): MEDIUM/SMS with Lagos date label. Metadata
+    keys match the reference builder exactly: date, totalDebit, thresholdNgn
+    (ABBankTopology.java:414-417)."""
     hits = P.daily_spend(txns, threshold=threshold)
     body = F.format_string(
         "Total debits of %s on %s exceeded your daily threshold.",
@@ -225,10 +257,11 @@ def daily_spend_notifications(txns: DataFrame,
         lagos_date(F.col("window_start")).cast("string"),
     )
     meta = F.map_from_arrays(
-        F.array(F.lit("date"), F.lit("totalDebit")),
+        F.array(F.lit("date"), F.lit("totalDebit"), F.lit("thresholdNgn")),
         F.array(
             lagos_date(F.col("window_start")).cast("string"),
             F.col("total_debit").cast("string"),
+            F.lit(threshold).cast("string"),
         ),
     )
     return hits.select(

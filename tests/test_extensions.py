@@ -110,8 +110,16 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 16 tables x 4 planes on weakly-clustered synthetic data
-    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # 16 tables x 4 planes + Hamming-1 multi-probe (the registered default):
+    # measured 0.98 at sf0.001 AND sf0.01 — deterministic, so a pinned 0.9
+    # floor catches any bucketing regression
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+    # multi-probe must strictly improve on the exact-bucket path
+    plain = S.lsh_topk(queries, emb, dim=dim, k=5, probe_hamming=0).collect()
+    plain_recall = len(exact_set & {(r.query_id, r.neighbor_id) for r in plain}) / len(
+        exact_set
+    )
+    assert recall >= plain_recall
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
@@ -122,11 +130,58 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     exact_set = {(r.query_id, r.neighbor_id) for r in exact}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 4/16 cells probed on weakly-clustered synthetic data
-    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # nprobe=8 of nlist=16: measured 0.86 (sf0.001) / 0.80 (sf0.01). The
+    # synthetic corpus is near-uniform on the sphere, so IVF recall tracks
+    # the probed fraction — 0.9 is unreachable without probing ~everything;
+    # the floor pins the measured deterministic behavior instead.
+    assert recall >= 0.8, f"IVF recall too low: {recall}"
     # every query must still return a full top-k
     per_query = {r.query_id for r in approx}
     assert per_query == {r.query_id for r in exact}
+
+
+def test_ngram_jaccard_hot_shingle_guard_matches_exact(spark, sf_dir):
+    """The document-frequency cutoff (reducer-skew guard) must not change
+    results on the test corpus: candidates shrink but the exact
+    array_intersect verify recovers every qualifying pair."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    guarded = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_shingle_df=6
+        ).collect()
+    }
+    assert guarded == exact and len(exact) > 0
+    # non-vacuous: the cutoff actually removed shingles from the index
+    from cdc_stream_processor_spark.functions import texthash as TH
+
+    inv = (
+        docs.select(TH.shingle_hashes(F.col("text"), k=3).alias("hs"))
+        .select(F.explode("hs").alias("h"))
+        .groupBy("h")
+        .count()
+    )
+    assert inv.filter(F.col("count") > 6).count() > 0
+
+
+def test_cosine_pairs_block_count_invariant(spark):
+    """The blocked all-pairs kernel must emit the identical pair set for any
+    block count (single-block, n-block, and more-blocks-than-rows)."""
+    rows = [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    expected = None
+    for bs in (1, 4, 1000):
+        got = sorted(
+            (r.vec_a, r.vec_b, r.cosine_sim)
+            for r in S.cosine_pairs(emb, threshold=0.3, block_size=bs).collect()
+        )
+        if expected is None:
+            expected = got
+        assert got == expected and len(got) > 0
 
 
 def test_embedding_near_dup_drops_planted_dup(spark):

@@ -297,6 +297,202 @@ def test_corrupt_json_envelope_skipped_not_fatal(spark, tmpdirs):
     assert [r.transaction_id for r in out] == [1]
 
 
+def test_notification_metadata_keys_match_reference(spark):
+    """Metadata key sets mirror the reference builders exactly:
+    fraud ABBankTopology.java:199-203 (incl. windowSizeSec), dormancy
+    :362-365 (dormancyDays/sessionStart/sessionEnd), daily :414-417
+    (date/totalDebit/thresholdNgn), high-value :283-285."""
+    import json
+
+    base = 1_700_000_000 - (1_700_000_000 % 86_400)
+    txns = cdc.parse_transactions(
+        fx.make_txn_df(
+            spark,
+            [
+                fx.envelope(
+                    fx.txn_image(
+                        txn_id=float(i), amount=600_000.0,
+                        initiated_at_us=(base + i) * US,
+                    )
+                )
+                for i in range(5)
+            ],
+        )
+    )
+    fraud = SP.fraud_velocity_notifications(txns).collect()
+    meta = json.loads(fraud[0].value)["metadata"]
+    assert set(meta) == {
+        "windowStartMs", "windowEndMs", "transactionCount", "windowSizeSec"
+    }
+    assert meta["windowSizeSec"] == "60"
+    assert meta["transactionCount"] == "5"
+
+    dorm = SP.dormancy_notifications(txns.limit(1)).collect()
+    dmeta = json.loads(dorm[0].value)["metadata"]
+    assert set(dmeta) == {"dormancyDays", "sessionStart", "sessionEnd"}
+    assert dmeta["dormancyDays"] == "30"
+    assert (
+        int(dmeta["sessionEnd"]) - int(dmeta["sessionStart"])
+        == 30 * 86_400 * 1000
+    )
+
+    daily = SP.daily_spend_notifications(txns).collect()
+    ymeta = json.loads(daily[0].value)["metadata"]
+    assert set(ymeta) == {"date", "totalDebit", "thresholdNgn"}
+    assert ymeta["thresholdNgn"] == "1000000.0"
+
+    accounts = cdc.parse_accounts(
+        fx.make_account_df(spark, [fx.account_image(101.0, "ACC-101")])
+    )
+    hv = SP.high_value_notifications(txns, accounts).collect()
+    hmeta = json.loads(hv[0].value)["metadata"]
+    assert set(hmeta) == {"transactionRef", "transactionType"}
+
+
+def test_balance_state_on_rocksdb_provider(spark, tmpdirs):
+    """The balance store runs on the RocksDB state-store provider — the
+    disk-backed store matching the reference's persistent changelog-backed
+    stores (ABBankTopology.java:67-71). State must survive across batches
+    (restart from checkpoint) exactly as on the default provider."""
+    import json
+
+    from cdc_stream_processor_spark.session import ROCKSDB_PROVIDER
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    src, ckpt, out_dir = f"{tmpdirs}/src", f"{tmpdirs}/ckpt", f"{tmpdirs}/out"
+    try:
+        def run_batch():
+            t = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+            q = SP.start_pipeline(
+                balance_reconciliation_stream(t),
+                "balance_rocks",
+                ckpt,
+                output_mode="append",
+                sink_format="parquet",
+                sink_options={"path": out_dir},
+                trigger_available_now=True,
+            )
+            q.awaitTermination(120)
+            return q
+
+        _write_envelopes(
+            spark,
+            src,
+            [
+                fx.envelope(
+                    fx.txn_image(
+                        txn_id=1.0, balance_before=100.0, balance_after=90.0,
+                        initiated_at_us=1_700_000_000 * US,
+                    )
+                )
+            ],
+        )
+        q1 = run_batch()
+        # the provider actually engaged: RocksDB custom metrics in progress
+        assert "rocksdb" in json.dumps(q1.recentProgress, default=str).lower()
+        _write_envelopes(
+            spark,
+            src,
+            [
+                fx.envelope(
+                    fx.txn_image(
+                        txn_id=2.0, balance_before=95.0, balance_after=80.0,
+                        initiated_at_us=1_700_000_060 * US,
+                    )
+                )
+            ],
+        )
+        run_batch()
+        by_txn = {r.transaction_id: r for r in spark.read.parquet(out_dir).collect()}
+        assert by_txn[1].severity == "LOW"
+        assert by_txn[2].severity == "HIGH" and by_txn[2].discrepancy == 5.0
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_confluent_framing_strip_offsets(spark):
+    """F1 framing arithmetic (AvroSerdes.java:35-58): 0x00 magic + 4-byte
+    schema id stripped, body preserved byte-for-byte — no spark-avro jar
+    needed to verify the substring offsets."""
+    framed = b"\x00\x00\x00\x00\x07" + b"avro-body-bytes"
+    header_only = b"\x00\x00\x00\x02\x19"
+    df = spark.createDataFrame(
+        [(1, bytearray(framed)), (2, bytearray(header_only))],
+        "id long, value binary",
+    )
+    out = {
+        r.id: bytes(r.body) if r.body is not None else None
+        for r in df.select(
+            "id", cdc.strip_confluent_framing("value").alias("body")
+        ).collect()
+    }
+    assert out[1] == b"avro-body-bytes"
+    assert out[2] == b""  # header-only frame -> empty Avro body
+
+
+def test_supervisor_restarts_failed_query_and_serves_health(spark, tmpdirs):
+    """Failure injection: the sink throws on its first batch; the supervisor
+    restarts the query from its checkpoint (ABBankStreamsApp.java:55-68
+    REPLACE_THREAD analog) and the record is delivered on the retry;
+    /healthz reports UP (HealthServer.java:40-52 analog)."""
+    import urllib.request
+
+    from cdc_stream_processor_spark.streaming.lifecycle import (
+        PipelineSupervisor,
+        serve_health,
+    )
+
+    src, ckpt, out_dir = f"{tmpdirs}/src", f"{tmpdirs}/ckpt", f"{tmpdirs}/out"
+    _write_envelopes(
+        spark,
+        src,
+        [fx.envelope(fx.txn_image(txn_id=1.0, initiated_at_us=1_700_000_000 * US))],
+    )
+    poison = {"armed": True}
+
+    def build():
+        t = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+
+        def sink(df, epoch_id):
+            if poison["armed"]:
+                poison["armed"] = False
+                raise RuntimeError("injected sink failure")
+            df.write.mode("append").parquet(out_dir)
+
+        return (
+            t.writeStream.queryName("supervised_txns")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{ckpt}/supervised")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sup = PipelineSupervisor(max_restarts=2)
+    sup.register("txns", build)
+    sup.start_all()
+    sup.await_all(timeout_s=120)
+    st = sup.status()["txns"]
+    assert st["restarts"] == 1
+    assert "injected sink failure" in st["last_error"]
+    assert st["active"] is False and st["exception"] is None
+    assert [r.transaction_id for r in spark.read.parquet(out_dir).collect()] == [1]
+
+    code, _body = sup.healthz()
+    assert code == 200
+    server, port, _thread = serve_health(sup)
+    try:
+        resp = urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+        assert resp.status == 200
+        assert b'"status": "UP"' in resp.read()
+    finally:
+        server.shutdown()
+
+
 def test_kafka_source_unavailable_is_clear(spark):
     """Without the kafka integration jar the reader should fail with the
     standard DATA_SOURCE_NOT_FOUND guidance, not something cryptic."""
