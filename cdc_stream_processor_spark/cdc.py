@@ -213,8 +213,9 @@ def envelopes_from_avro(
     magic+schema-id header before decoding (the registry lookup itself is
     out of scope — pass the writer schema JSON explicitly). Requires the
     spark-avro package on the session classpath; raises a clear error
-    otherwise (it is not bundled in this container, so this path is gated —
-    the JSON envelope path in streaming.pipelines is the tested default).
+    otherwise. Without the jar, use the tested pure-Python twin
+    ``sources.avro_codec.envelopes_from_avro_py`` (Arrow-batched decoder of
+    the same wire format, identical downstream semantics).
     """
     try:
         from pyspark.sql.avro.functions import from_avro

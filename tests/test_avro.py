@@ -1,0 +1,163 @@
+"""Tests for the pure-Python Avro binary codec (jar-free F1 ingress).
+
+The schema below mirrors the *shape* of the reference writer schema
+(src/main/avro/transactions_value.avsc): a Debezium envelope record with
+nullable-union row images, a named-type re-reference ("Value" defined at
+`before`, referenced at `after`), annotated-long timestamps, and an
+annotated-string enum — every schema form the codec must handle.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cdc_stream_processor_spark import cdc, schemas
+from cdc_stream_processor_spark.sources import avro_codec as AC
+
+VALUE_FIELDS = [
+    ("TRANSACTION_ID", "double"),
+    ("ACCOUNT_ID", "double"),
+    ("TRANSACTION_REF", "string"),
+    ("TRANSACTION_TYPE", "string"),
+    ("AMOUNT", "double"),
+    ("CURRENCY", ["null", "string"]),
+    ("BALANCE_BEFORE", ["null", "double"]),
+    ("BALANCE_AFTER", ["null", "double"]),
+    ("TRANSACTION_STATUS", ["null", "string"]),
+    (
+        "INITIATED_AT",
+        [
+            "null",
+            {"type": "long", "connect.name": "io.debezium.time.MicroTimestamp"},
+        ],
+    ),
+]
+
+ENVELOPE_SCHEMA = {
+    "type": "record",
+    "name": "Envelope",
+    "namespace": "XEPDB1.BANKDB.TRANSACTIONS",
+    "fields": [
+        {
+            "name": "before",
+            "type": [
+                "null",
+                {
+                    "type": "record",
+                    "name": "Value",
+                    "fields": [{"name": n, "type": t} for n, t in VALUE_FIELDS],
+                },
+            ],
+            "default": None,
+        },
+        {"name": "after", "type": ["null", "Value"], "default": None},
+        {"name": "op", "type": "string"},
+        {"name": "ts_ms", "type": ["null", "long"], "default": None},
+        {
+            "name": "snapshot",
+            "type": [
+                {"type": "string", "connect.name": "io.debezium.data.Enum"},
+                "null",
+            ],
+            "default": "false",
+        },
+    ],
+}
+
+
+def _image(txn_id=1.0, amount=50.0, status="COMPLETED"):
+    return {
+        "TRANSACTION_ID": txn_id,
+        "ACCOUNT_ID": 101.0,
+        "TRANSACTION_REF": f"REF-{int(txn_id)}",
+        "TRANSACTION_TYPE": "DEBIT",
+        "AMOUNT": amount,
+        "CURRENCY": "NGN",
+        "BALANCE_BEFORE": None,
+        "BALANCE_AFTER": 90.25,
+        "TRANSACTION_STATUS": status,
+        "INITIATED_AT": 1_700_000_000 * 1_000_000,
+    }
+
+
+def _envelope(img, op="c"):
+    return {
+        "before": None,
+        "after": img,
+        "op": op,
+        "ts_ms": 7,
+        "snapshot": "false",
+    }
+
+
+def test_roundtrip_exact():
+    env = _envelope(_image())
+    blob = AC.encode_record(ENVELOPE_SCHEMA, env)
+    assert AC.decode_record(ENVELOPE_SCHEMA, blob) == env
+
+
+def test_roundtrip_null_branches_and_delete():
+    env = {
+        "before": _image(),
+        "after": None,
+        "op": "d",
+        "ts_ms": None,
+        "snapshot": None,
+    }
+    blob = AC.encode_record(ENVELOPE_SCHEMA, env)
+    assert AC.decode_record(ENVELOPE_SCHEMA, blob) == env
+
+
+def test_confluent_header_layout():
+    env = _envelope(_image())
+    framed = AC.encode_record(ENVELOPE_SCHEMA, env, confluent_schema_id=42)
+    assert framed[0] == 0  # magic byte
+    assert int.from_bytes(framed[1:5], "big") == 42
+    assert AC.decode_record(ENVELOPE_SCHEMA, framed[5:]) == env
+
+
+def test_zigzag_negative_and_large_longs():
+    schema = {
+        "type": "record",
+        "name": "L",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    for v in (0, -1, 1, -64, 63, 64, -65, 2**40, -(2**40), 2**62):
+        blob = AC.encode_record(schema, {"v": v})
+        assert AC.decode_record(schema, blob) == {"v": v}
+
+
+def test_unknown_type_reference_raises():
+    with pytest.raises(ValueError, match="unknown Avro type reference"):
+        AC.decode_record(
+            {"type": "record", "name": "R", "fields": [{"name": "x", "type": "Nope"}]},
+            b"\x00",
+        )
+
+
+def test_envelopes_from_avro_py_end_to_end(spark):
+    """Framed Avro values → envelopes → the standard parse_transactions
+    path; a corrupt frame degrades to a dropped null envelope (F2), and a
+    delete envelope is dropped by the P2 filter."""
+    schema_json = json.dumps(ENVELOPE_SCHEMA)
+    good = AC.encode_record(
+        ENVELOPE_SCHEMA, _envelope(_image(1.0, 600_000.0)), confluent_schema_id=7
+    )
+    delete = AC.encode_record(
+        ENVELOPE_SCHEMA,
+        {"before": _image(2.0), "after": None, "op": "d", "ts_ms": 1,
+         "snapshot": "false"},
+        confluent_schema_id=7,
+    )
+    corrupt = b"\x00\x00\x00\x00\x07\x01\x02 not avro"
+    raw = spark.createDataFrame(
+        [(bytearray(good),), (bytearray(delete),), (bytearray(corrupt),)],
+        "value binary",
+    )
+    envs = AC.envelopes_from_avro_py(
+        raw, schema_json, schemas.TRANSACTION_ENVELOPE
+    )
+    rows = cdc.parse_transactions(envs).collect()
+    assert [(r.transaction_id, r.amount) for r in rows] == [(1, 600_000.0)]
