@@ -84,3 +84,35 @@ def test_asof_join_is_single_shuffle_window(spark, sf_dir):
     # the O(shuffle+sort) shape, never a range-condition nested loop
     assert "NestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_lsh_ann_plan_is_equi_join_with_rank_pushdown(spark, sf_dir):
+    """SRP-LSH candidate generation must stay an equi-join on
+    (table, bucket) — a cartesian/nested-loop product here means the
+    bucketing silently degraded to brute force — and the final top-k must
+    keep the WindowGroupLimit rank pushdown."""
+    from cdc_stream_processor_spark import queries_extensions as QE
+
+    plan = _plan(QE.q_lsh_ann_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_cosine_pairs_blocked_plan_has_no_driver_collect_shape(spark, sf_dir):
+    """The exact all-pairs surface must be the distributed block self-join:
+    the only Python stage is the Arrow-batched block kernel (one
+    FlatMapsInPandas/MapInPandas node), with block packing as a partial+final
+    objectagg — NOT a plan whose input was collected on the driver (which
+    would show as a LocalTableScan feeding the kernel)."""
+    from cdc_stream_processor_spark.operators import similarity as S
+    from cdc_stream_processor_spark.sources import batch as B
+
+    df = S.cosine_pairs(
+        B.load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+    plan = _plan(df)
+    assert "InPandas" in plan  # the Arrow block kernel
+    assert "LocalTableScan" not in plan  # nothing materialized on the driver
+    assert "parquet" in plan  # data flows scan -> shuffle -> kernel
+    # (the B×B block-combo join is intentionally a nested loop over B
+    # metadata rows — the data rows never enter a cross product)
