@@ -168,6 +168,23 @@ def test_ngram_jaccard_hot_shingle_guard_matches_exact(spark, sf_dir):
     assert inv.filter(F.col("count") > 6).count() > 0
 
 
+def test_lsh_near_dup_matches_exact_pairs(spark, sf_dir):
+    """At the default 2-plane × 32-table parameterization the analytic miss
+    probability is < 1e-7 per pair at t ≥ 0.4, so the LSH-candidate path
+    must reproduce the exact blocked all-pairs result on this corpus."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    exact = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in S.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in S.lsh_near_dup_pairs(emb, threshold=0.4, dim=dim).collect()
+    }
+    assert lsh == exact and len(exact) > 0
+
+
 def test_cosine_pairs_block_count_invariant(spark):
     """The blocked all-pairs kernel must emit the identical pair set for any
     block count (single-block, n-block, and more-blocks-than-rows)."""
