@@ -42,6 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(QE.QUERIES)
     except ImportError:
         pass
+    try:
+        from cdc_stream_processor_spark import queries_corpus as QC
+
+        out.update(QC.QUERIES)
+    except ImportError:
+        pass
     return out
 
 
@@ -60,6 +66,12 @@ def oracle_sql() -> dict[str, str]:
         from cdc_stream_processor_spark import queries_extensions as QE
 
         out.update(QE.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from cdc_stream_processor_spark import queries_corpus as QC
+
+        out.update(QC.ORACLES)
     except ImportError:
         pass
     return out

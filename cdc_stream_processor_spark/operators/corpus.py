@@ -1,0 +1,248 @@
+"""Training-corpus construction operators: split, decontamination,
+sequence packing, and embedding quantization.
+
+These are the corpus-assembly steps a large-scale LLM training pipeline runs
+after dedup/quality filtering (operators.dedup / operators.text), all
+shuffle-disciplined for 100 TB:
+
+- corpus_split:        deterministic hash-threshold train/val/test split.
+                       Pure map — no shuffle, no per-stratum sort — so it
+                       scales embarrassingly; at corpus scale the law of
+                       large numbers makes realized proportions exact to
+                       ~1e-5 per stratum. (An exact-proportion ntile variant
+                       would need a per-stratum global sort — the map-side
+                       hash is the 100 TB shape.)
+- decontaminate:       flags corpus documents whose word k-gram shingles
+                       overlap an evaluation/benchmark set — the standard
+                       test-set-contamination guard before pretraining.
+                       The benchmark index is tiny next to the corpus, so
+                       it is BROADCAST: the corpus-side inverted index
+                       never shuffles for the join; only matched pairs
+                       shuffle into the per-pair count.
+- pack_sequences:      concat-and-chunk sequence packing — documents are
+                       laid out in a deterministic order per input shard,
+                       token offsets accumulate, and each fixed-capacity
+                       pack is a contiguous token range (documents may
+                       straddle a boundary, as GPT-style pretraining packs
+                       do). Windows partition by the shard key (`source`
+                       here), never a global total order.
+- quantize_embeddings: symmetric int8 scalar quantization of an
+                       array<float> embedding column (truncation mode) with
+                       per-vector scale and reconstruction-error metrics.
+                       Pure per-row column expressions — map-only.
+
+All arithmetic is JVM-side column expressions chosen for bit-exact parity
+with a DuckDB oracle (see queries_corpus): integer LCG hashes, integer
+window sums, IEEE double division, and truncation instead of rounding
+(Spark CAST(double AS long) truncates toward zero; DuckDB CAST rounds, so
+the oracle spells trunc() explicitly — a half-boundary-free pairing).
+
+Reference scope note: the reference (cdc-stream-processor) has no corpus
+tooling; these extend the engine for the training-data use cases in
+SURVEY.md §2.11's extension charter, alongside operators.dedup and
+operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.functions import texthash as TH
+from cdc_stream_processor_spark.operators.similarity import as_double
+from cdc_stream_processor_spark.plans.layout import ensure_parallelism
+
+# LCG for the split key: u = ((id*A + B) mod P) / P ∈ [0, 1). The same
+# constants round-trip exactly through DuckDB BIGINT arithmetic (cf. the
+# SRP-LSH plane-weight LCG in operators.similarity).
+SPLIT_A = 1_103_515_245
+SPLIT_B = 12_345
+SPLIT_P = 2_147_483_647
+
+PACK_CAPACITY = 64  # tokens per pack in the registered query (test corpus ~30/doc)
+
+QUANT_LEVELS = 127  # symmetric int8: q ∈ [-127, 127]
+
+
+def split_key(id_col: Column) -> Column:
+    """Deterministic uniform-ish key in [0, 1): integer LCG then one double
+    division (both engines perform the identical IEEE operation)."""
+    h = (id_col.cast("long") * SPLIT_A + SPLIT_B) % SPLIT_P
+    return h.cast("double") / F.lit(float(SPLIT_P))
+
+
+def corpus_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    test_frac: float = 0.1,
+    val_frac: float = 0.2,
+) -> DataFrame:
+    """Assign each document a deterministic train/val/test label from its id
+    hash. Map-only: the assignment is reproducible across runs, engines and
+    partitionings, needs no shuffle, and any stratum's realized fractions
+    converge to the targets at scale. Returns the input columns plus
+    (split_key, split)."""
+    u = split_key(F.col(id_col))
+    label = (
+        F.when(u < F.lit(test_frac), F.lit("test"))
+        .when(u < F.lit(test_frac + val_frac), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("split_key", u).withColumn("split", label)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 5,
+    fast: bool = False,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Word k-gram overlap between corpus documents and a benchmark set.
+
+    Returns (doc_id, bench_id, shared_shingles) for every corpus/benchmark
+    pair sharing ≥ min_overlap distinct shingles — the docs to drop (or
+    audit) before training so evaluation data does not leak into the corpus.
+
+    Scale shape: the benchmark inverted index (bench_id, shingle_hash) is
+    small — thousands of eval documents vs billions of corpus documents —
+    so it is broadcast; the corpus side streams through the hash join
+    map-side and only matched (doc, bench) rows shuffle for the count.
+    max_shingle_df optionally drops shingles whose document frequency
+    WITHIN THE BENCHMARK exceeds the cutoff (computable on the small side,
+    no corpus-wide count): a boilerplate shingle shared by most benchmark
+    docs would otherwise match nearly every corpus doc and explode the
+    join output by |benchmark| per corpus doc.
+    """
+    hs = TH.shingle_hashes(F.col(text_col), k=k, fast=fast)
+
+    def index(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), hs.alias("hs"))
+            .filter(F.size("hs") > 0)
+            .select(out_id, F.explode("hs").alias("h"))
+        )
+
+    corp = index(ensure_parallelism(corpus), "doc_id")
+    bench = index(benchmark, "bench_id")
+    if max_shingle_df is not None:
+        hot = (
+            bench.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("h")
+        )
+        bench = bench.join(F.broadcast(hot), "h", "left_anti")
+    return (
+        corp.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .filter(F.col("shared_shingles") >= min_overlap)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: within each shard, documents are
+    concatenated in id order and the token stream is cut into fixed
+    `capacity` packs. Each document gets the pack containing its first
+    token, its offset within that pack, and whether it straddles into the
+    next pack — exactly the layout a pretraining loader materializes.
+
+    Scale shape: the running token sum is a window PARTITIONED BY the shard
+    key — one shuffle on the shard key, parallel across shards, never a
+    global total order. (`source` stands in for the input-shard key; a
+    production pipeline packs per input file/split, which bounds partition
+    size by construction.)
+    """
+    n_tokens = F.size(TH.tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(shard_col).alias("source"),
+        n_tokens.alias("n_tokens"),
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return (
+        t.withColumn("start", start)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"start div {capacity}").alias("pack_id"),
+            (F.col("start") % capacity).alias("pack_pos"),
+            ((F.col("start") % capacity) + F.col("n_tokens") > capacity).alias(
+                "straddles"
+            ),
+        )
+    )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization (truncation mode) of an
+    array<float> embedding column.
+
+    Per vector: scale = max|x| / 127, q_d = trunc(x_d / scale) ∈ [-127, 127].
+    Truncation (not rounding) is deliberate: CAST(double AS long) truncates
+    toward zero in Spark while DuckDB's CAST rounds half-even — trunc is the
+    one integerization both engines state identically, and it has no
+    half-boundary ambiguity. Emits a polynomial digest of the quantized
+    vector (order-sensitive fold, so any flipped element changes it) plus
+    reconstruction-error metrics; raw IEEE doubles, never rounded.
+
+    Map-only — no shuffle, no Python workers; at 100 TB this runs at scan
+    speed and cuts vector storage 4× (float32 → int8 + one scale).
+    """
+    base = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    max_abs = F.aggregate(
+        F.transform(F.col("v"), F.abs),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    with_scale = base.withColumn("scale", max_abs / F.lit(float(QUANT_LEVELS)))
+    qv = F.when(
+        F.col("scale") == F.lit(0.0),
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: (x / F.col("scale")).cast("long"))
+    )
+    with_q = with_scale.withColumn("qv", qv)
+    digest = F.aggregate(
+        F.col("qv"),
+        F.lit(0).cast("long"),
+        lambda acc, q: (acc * TH.P_FACTOR + (q + QUANT_LEVELS)) % TH.P_MOD,
+    )
+    max_abs_err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("qv"),
+            lambda x, q: F.abs(x - q.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return with_q.select(
+        "vec_id",
+        F.size("v").alias("n_dims"),
+        "scale",
+        digest.alias("q_digest"),
+        max_abs_err.alias("max_abs_err"),
+    )

@@ -1,0 +1,154 @@
+"""Driver-contract queries for the corpus-construction operators
+(operators.corpus): deterministic split, test-set decontamination,
+sequence packing, embedding quantization.
+
+Each oracle SQL re-states the operator's exact arithmetic in DuckDB from
+the same constants, so the comparison is bit-exact: integer LCG hashes,
+integer window sums over the same deterministic order, IEEE double
+division, trunc-toward-zero integerization (Spark CAST(double AS long)
+truncates; DuckDB CAST rounds half-even, so the SQL spells trunc()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.functions import texthash as TH
+from cdc_stream_processor_spark.operators import corpus as C
+from cdc_stream_processor_spark.queries_extensions import DOCS_CTE
+from cdc_stream_processor_spark.sources import batch as B
+
+BENCH_MOD = 29  # doc_id % 29 == 0 plays the benchmark/eval set
+DECON_MIN_OVERLAP = 5
+
+
+# --- deterministic corpus split ----------------------------------------------
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return C.corpus_split(docs).select(
+        "doc_id", "lang", "source", "split_key", "split"
+    )
+
+
+SQL_CORPUS_SPLIT = f"""
+SELECT doc_id, lang, source, u AS split_key,
+       CASE WHEN u < 0.1 THEN 'test'
+            WHEN u < 0.3 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang, source,
+         ((doc_id * {C.SPLIT_A} + {C.SPLIT_B}) % {C.SPLIT_P})::DOUBLE
+           / {C.SPLIT_P}::DOUBLE AS u
+  FROM documents
+)
+"""
+
+
+# --- test-set decontamination ------------------------------------------------
+
+
+def q_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    return C.decontaminate(corpus, bench, min_overlap=DECON_MIN_OVERLAP)
+
+
+SQL_DECONTAMINATION = (
+    DOCS_CTE
+    + f"""
+, inv AS (
+  SELECT doc_id, unnest(hs) AS h FROM shh
+), bench AS (
+  SELECT doc_id AS bench_id, h FROM inv WHERE doc_id % {BENCH_MOD} = 0
+), corp AS (
+  SELECT doc_id, h FROM inv WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT c.doc_id, b.bench_id, COUNT(*) AS shared_shingles
+FROM corp c JOIN bench b ON c.h = b.h
+GROUP BY 1, 2
+HAVING COUNT(*) >= {DECON_MIN_OVERLAP}
+"""
+)
+
+
+# --- concat-and-chunk sequence packing ---------------------------------------
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.pack_sequences(B.load_table(spark, sf_dir, "documents"))
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len({TH.TOKENS_SQL.format(text="text")}) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start
+  FROM t
+)
+SELECT doc_id, source, n_tokens,
+       start // {C.PACK_CAPACITY} AS pack_id,
+       start % {C.PACK_CAPACITY} AS pack_pos,
+       (start % {C.PACK_CAPACITY}) + n_tokens > {C.PACK_CAPACITY} AS straddles
+FROM c
+"""
+
+
+# --- embedding int8 quantization ---------------------------------------------
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.quantize_embeddings(B.load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_QUANTIZE_EMBEDDINGS = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), m AS (
+  SELECT vec_id, v,
+         list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> abs(x))),
+                     (acc, x) -> greatest(acc, x)) / {float(C.QUANT_LEVELS)} AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(v, x -> 0::BIGINT)
+              ELSE list_transform(v, x -> trunc(x / scale)::BIGINT)
+         END AS qv
+  FROM m
+)
+SELECT vec_id, len(v) AS n_dims, scale,
+       list_reduce(list_prepend(0::BIGINT, qv),
+                   (acc, x) -> (acc * {TH.P_FACTOR} + (x + {C.QUANT_LEVELS}))
+                     % {TH.P_MOD}) AS q_digest,
+       list_reduce(
+         list_prepend(0.0::DOUBLE,
+           list_transform(generate_series(1, len(v)),
+                          i -> abs(v[i] - qv[i]::DOUBLE * scale))),
+         (acc, x) -> greatest(acc, x)) AS max_abs_err
+FROM q
+"""
+
+
+QUERIES = {
+    "corpus_split": q_corpus_split,
+    "decontamination_overlap": q_decontamination_overlap,
+    "pack_sequences": q_pack_sequences,
+    "quantize_embeddings": q_quantize_embeddings,
+}
+
+ORACLES = {
+    "corpus_split": SQL_CORPUS_SPLIT,
+    "decontamination_overlap": SQL_DECONTAMINATION,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+}

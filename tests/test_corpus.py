@@ -1,0 +1,180 @@
+"""Corpus-construction operators (operators.corpus): split, decontamination,
+sequence packing, embedding quantization — semantic properties plus the plan
+shapes that make them 100 TB-safe. Oracle parity itself is the driver gate
+(queries_corpus ORACLES)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.operators import corpus as C
+from cdc_stream_processor_spark.queries_corpus import (
+    q_corpus_split,
+    q_decontamination_overlap,
+    q_pack_sequences,
+    q_quantize_embeddings,
+)
+from cdc_stream_processor_spark.sources import batch as B
+
+
+# --- corpus_split -------------------------------------------------------------
+
+
+def test_corpus_split_labels_partition_and_track_fractions(spark, sf_dir):
+    out = q_corpus_split(spark, sf_dir)
+    rows = out.collect()
+    n = len(rows)
+    by_label = {s: sum(1 for r in rows if r.split == s) for s in ("test", "val", "train")}
+    assert sum(by_label.values()) == n  # labels exhaustive + disjoint
+    # hash-threshold split: realized fractions near targets (LLN at scale;
+    # at sf0.001 allow a wide but meaningful tolerance)
+    assert 0.03 <= by_label["test"] / n <= 0.2
+    assert 0.10 <= by_label["val"] / n <= 0.33
+    assert by_label["train"] / n >= 0.55
+    # deterministic: same assignment on recompute
+    again = {r.doc_id: r.split for r in q_corpus_split(spark, sf_dir).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_corpus_split_is_map_only(spark, sf_dir):
+    plan = q_corpus_split(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map: no shuffle at any scale
+
+
+# --- decontaminate ------------------------------------------------------------
+
+
+def test_decontaminate_flags_verbatim_copy(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally unrelated words nothing shared here at all friend"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    out = C.decontaminate(corpus, bench, min_overlap=5).collect()
+    assert [(r.doc_id, r.bench_id) for r in out] == [(1, 100)]
+    # 10 tokens → 8 distinct 3-gram shingles, all shared
+    assert out[0].shared_shingles == 8
+
+
+def test_decontaminate_benchmark_hot_shingle_guard(spark):
+    # a shingle present in BOTH benchmark docs is dropped at df cutoff 1,
+    # so only the unique-overlap pair survives
+    corpus = spark.createDataFrame(
+        [(1, "common one two three four five unique alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "common one two three four five unique alpha beta gamma"),
+            (101, "common one two three different tail words here now ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    full = C.decontaminate(corpus, bench, min_overlap=1).collect()
+    assert {(r.doc_id, r.bench_id) for r in full} == {(1, 100), (1, 101)}
+    guarded = C.decontaminate(corpus, bench, min_overlap=1, max_shingle_df=1)
+    got = {(r.doc_id, r.bench_id): r.shared_shingles for r in guarded.collect()}
+    assert set(got) == {(1, 100)}  # the (1,101) overlap was all-hot shingles
+    assert got[(1, 100)] < 8  # hot shingles excluded from the count
+
+
+def test_decontamination_plan_broadcasts_benchmark_index(spark, sf_dir):
+    plan = (
+        q_decontamination_overlap(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus side never shuffles for the join
+
+
+# --- pack_sequences -----------------------------------------------------------
+
+
+def test_pack_sequences_layout_invariants(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    out = C.pack_sequences(docs, capacity=64).collect()
+    assert len(out) == docs.count()
+    per_source: dict[str, list] = {}
+    for r in out:
+        assert 0 <= r.pack_pos < 64
+        assert r.straddles == (r.pack_pos + r.n_tokens > 64)
+        per_source.setdefault(r.source, []).append(r)
+    for rows in per_source.values():
+        rows.sort(key=lambda r: r.doc_id)
+        # offsets reconstruct the concatenated token stream exactly
+        offset = 0
+        for r in rows:
+            assert r.pack_id * 64 + r.pack_pos == offset
+            offset += r.n_tokens
+        # pack ids are monotone within the shard
+        packs = [r.pack_id for r in rows]
+        assert packs == sorted(packs)
+
+
+def test_pack_sequences_single_shuffle_on_shard_key(spark, sf_dir):
+    plan = (
+        q_pack_sequences(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one hash exchange for the per-shard window, nothing else; never a
+    # global-order range exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+# --- quantize_embeddings ------------------------------------------------------
+
+
+def test_quantize_embeddings_bounds_and_determinism(spark, sf_dir):
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    out = q_quantize_embeddings(spark, sf_dir).collect()
+    assert len(out) == emb.count()
+    for r in out:
+        assert r.n_dims == 64
+        assert r.scale > 0
+        # truncation error is strictly below one quantum
+        assert 0 <= r.max_abs_err < r.scale
+    # digest is stable across recomputation
+    again = {r.vec_id: r.q_digest for r in q_quantize_embeddings(spark, sf_dir).collect()}
+    assert all(again[r.vec_id] == r.q_digest for r in out)
+
+
+def test_quantize_roundtrip_on_known_vector(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = {r.vec_id: r for r in C.quantize_embeddings(emb).collect()}
+    r1 = rows[1]
+    # scale = 1/127; q = trunc(x*127) = [127, -63, 31, 0] (toward zero)
+    assert abs(r1.scale - 1.0 / 127) < 1e-12
+    digest = 0
+    for q in (127, -63, 31, 0):
+        digest = (digest * 31 + (q + 127)) % 1_000_000_007
+    assert r1.q_digest == digest
+    # all-zero vector: scale 0, every q 0, zero error
+    r2 = rows[2]
+    assert r2.scale == 0.0 and r2.max_abs_err == 0.0
+    zero_digest = 0
+    for _ in range(4):
+        zero_digest = (zero_digest * 31 + 127) % 1_000_000_007
+    assert r2.q_digest == zero_digest
+
+
+def test_quantize_plan_is_map_only(spark, sf_dir):
+    plan = (
+        q_quantize_embeddings(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
