@@ -402,3 +402,80 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("doc_a", "doc_b", "jaccard")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair table by min-label
+    propagation: returns (id, rep) for every node that appears in `pairs`,
+    where rep is the minimum node id in its component.
+
+    Scale shape: each round is one equi-join (edges ⋈ labels on src) plus a
+    partial-aggregated min — O(E) shuffle per round, and the round count is
+    bounded by the component diameter. LSH dup-clusters are near-cliques, so
+    this converges in 1–3 rounds in practice (hard cap `max_iter`); reps only
+    ever decrease, so the convergence probe is a single changed-row count.
+    `localCheckpoint` truncates lineage each round so the plan stays flat —
+    on a real cluster with dynamic allocation, switch to a reliable
+    `checkpoint()` directory. Same propagation scheme as GraphFrames'
+    large-graph CC (Kiveris et al. '14 alternating-star family).
+    """
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .persist()
+    )
+    # seed: rep(v) = min(v, min direct neighbor) — one round of propagation
+    # folded into the init, for free (src is the grouping key).
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("rep"))
+        .withColumnRenamed("src", "id")
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), "rep")
+        )
+        new_labels = (
+            labels.union(prop)
+            .groupBy("id")
+            .agg(F.min("rep").alias("rep"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("rep", "new_rep")
+            .join(labels, "id")
+            .filter(F.col("new_rep") != F.col("rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    fast: bool = False,
+) -> DataFrame:
+    """Corpus-level fuzzy dedup, end to end: MinHash-LSH pairs → connected
+    components → drop every non-representative cluster member (keep the
+    min-id doc per near-dup cluster; unpaired docs all survive).
+
+    The drop-list is tiny relative to the corpus (only clustered dup members),
+    so the final left_anti join broadcasts at any realistic dup rate."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, threshold, fast)
+    cc = connected_components(pairs)
+    drop = cc.filter(F.col("id") != F.col("rep")).select(F.col("id").alias(id_col))
+    return docs.join(drop, id_col, "left_anti")

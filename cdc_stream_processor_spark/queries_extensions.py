@@ -69,14 +69,18 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_ctes(recursive: bool = False) -> str:
+    """CTE chain ending in pairs(doc_a, doc_b, jaccard) — the verified
+    MinHash-LSH near-dup pairs. `recursive=True` emits WITH RECURSIVE so a
+    downstream CTE (connected components) may self-reference."""
     rows = D.N_MINHASH // D.N_BANDS
     mins = ", ".join(
         f"list_min(list_transform(hs, x -> ({a} * x + {b}) % {TH.P_MOD}))"
         for a, b in (D._minhash_params(i) for i in range(D.N_MINHASH))
     )
+    head = DOCS_CTE.replace("WITH ", "WITH RECURSIVE ", 1) if recursive else DOCS_CTE
     return (
-        DOCS_CTE
+        head
         + f"""
 , mh AS (
   SELECT doc_id, hs, [{mins}] AS m FROM shh
@@ -96,8 +100,67 @@ def _minhash_sql() -> str:
           (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))::DOUBLE,
           6) AS jaccard
   FROM cand c JOIN shh x ON c.doc_a = x.doc_id JOIN shh y ON c.doc_b = y.doc_id
-)
-SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+), pairs AS (
+  SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {JACCARD_THRESHOLD}
+)"""
+    )
+
+
+def _minhash_sql() -> str:
+    return _minhash_pairs_ctes() + "\nSELECT doc_a, doc_b, jaccard FROM pairs\n"
+
+
+# --- fuzzy-dedup clustering (connected components over the pair graph) --------
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.minhash_lsh_pairs(
+        B.load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+    cc = D.connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), F.col("rep").alias("cluster_rep"))
+
+
+# Transitive-closure CC oracle: reach(id, r) enumerates every node r reachable
+# from id over the symmetrized pair graph; rep = MIN(r). Exponential-closure
+# cost is fine at oracle scale; the Spark side uses log-round propagation.
+_CC_CTES = """
+, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r
+), comp AS (
+  SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+)"""
+
+
+def _dedup_clusters_sql() -> str:
+    return (
+        _minhash_pairs_ctes(recursive=True)
+        + _CC_CTES
+        + "\nSELECT id AS doc_id, rep AS cluster_rep FROM comp\n"
+    )
+
+
+def q_minhash_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = D.minhash_dedup(
+        B.load_table(spark, sf_dir, "documents"), threshold=JACCARD_THRESHOLD
+    )
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+def _minhash_dedup_kept_sql() -> str:
+    return (
+        _minhash_pairs_ctes(recursive=True)
+        + _CC_CTES
+        + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id <> rep)
 """
     )
 
@@ -604,6 +667,8 @@ FROM documents
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "minhash_dedup_kept": q_minhash_dedup_kept,
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -622,6 +687,8 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_lsh_pairs": _minhash_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
+    "minhash_dedup_kept": _minhash_dedup_kept_sql(),
     "simhash_fingerprints": _simhash_fp_sql(),
     "simhash_pairs": _simhash_pairs_sql(),
     "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,

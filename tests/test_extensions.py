@@ -478,3 +478,31 @@ def test_sentiment_polarity(spark):
     assert out[2].sentiment == -1.0
     assert out[3].sentiment == 0.0 and out[3].pos_hits == 1 and out[3].neg_hits == 1
     assert out[4].sentiment == 0.0 and out[4].pos_hits == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4-5 (diameter forces >1 propagation round), island {10,11},
+    # and a triangle {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["rep"] for r in D.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_minhash_dedup_keeps_one_per_cluster(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5)
+    cc = D.connected_components(pairs)
+    kept = D.minhash_dedup(docs, threshold=0.5)
+    n_docs = docs.count()
+    n_clustered = cc.count()
+    n_clusters = cc.select("rep").distinct().count()
+    # kept = unpaired docs + exactly one representative per cluster
+    assert kept.count() == n_docs - n_clustered + n_clusters
+    # every cluster representative survives; no non-representative does
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    for row in cc.collect():
+        assert (row["id"] in kept_ids) == (row["id"] == row["rep"])
