@@ -175,3 +175,74 @@ def document_sentiment(
         neg.alias("neg_hits"),
         sentiment_score(t).alias("sentiment"),
     )
+
+
+# Gopher-style repetition filters (Rae et al. '21 §A1.1): documents dominated
+# by repeated lines or one repeated n-gram are boilerplate/spam, not prose.
+REP_MIN_TOKENS = 50
+REP_MAX_TOKENS = 100_000
+REP_MEAN_LEN_LO = 3.0
+REP_MEAN_LEN_HI = 10.0
+REP_MAX_DUP_LINE_FRAC = 0.30
+REP_MAX_TOP_BIGRAM_FRAC = 0.18
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """1 - distinct_lines/lines — pure array expressions, no shuffle.
+    Raw IEEE division (bit-exact across engines), deliberately unrounded."""
+    lines = F.split(text, "\n")
+    return F.lit(1.0) - (
+        F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines).cast("double")
+    )
+
+
+def repetition_profile(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc repetition features + Gopher-bounds keep flag.
+
+    top_bigram_frac is computed distributively: explode bigrams →
+    count per (doc, bigram) → max/sum per doc. Two shuffles, both keyed by
+    doc id so partial aggregation combines map-side; never a per-doc O(d²)
+    array scan, so a 100k-token document costs O(d) not O(d²).
+    Docs with <2 tokens define top_bigram_frac = 0."""
+    docs = ensure_parallelism(docs)
+    t = F.col(text_col)
+    toks = TH.tokens(t)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        quality_features(t)["mean_token_len"].alias("mean_token_len"),
+        dup_line_fraction(t).alias("dup_line_frac"),
+        toks.alias("_toks"),
+    )
+    n = F.size("_toks")
+    bigrams = F.zip_with(
+        F.slice("_toks", 1, n - 1),
+        F.slice("_toks", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = (
+        base.filter(n >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
+                "top_bigram_frac"
+            )
+        )
+    )
+    out = base.drop("_toks").join(bg, "doc_id", "left").withColumn(
+        "top_bigram_frac", F.coalesce(F.col("top_bigram_frac"), F.lit(0.0))
+    )
+    keep = (
+        (F.col("n_tokens") >= REP_MIN_TOKENS)
+        & (F.col("n_tokens") <= REP_MAX_TOKENS)
+        & (F.col("mean_token_len") >= REP_MEAN_LEN_LO)
+        & (F.col("mean_token_len") <= REP_MEAN_LEN_HI)
+        & (F.col("dup_line_frac") <= REP_MAX_DUP_LINE_FRAC)
+        & (F.col("top_bigram_frac") <= REP_MAX_TOP_BIGRAM_FRAC)
+    )
+    return out.withColumn("keep", keep)

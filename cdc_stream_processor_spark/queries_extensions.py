@@ -645,6 +645,46 @@ FROM documents
 """
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.repetition_profile(B.load_table(spark, sf_dir, "documents"))
+
+
+def _doc_repetition_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    alpha = "length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))"
+    mean_tok = f"ROUND({alpha}::DOUBLE / greatest(len({toks}), 1), 6)"
+    lines = "string_split(text, chr(10))"
+    dlf = f"1.0 - (len(list_distinct({lines}))::DOUBLE / len({lines})::DOUBLE)"
+    return f"""
+WITH tdocs AS (
+  SELECT doc_id, {toks} AS toks, {mean_tok} AS mean_token_len,
+         {dlf} AS dup_line_frac
+  FROM documents
+), ix AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM tdocs
+), bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bigram FROM ix
+), bgc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+), bga AS (
+  SELECT doc_id, MAX(c)::DOUBLE / SUM(c)::DOUBLE AS tbf
+  FROM bgc GROUP BY doc_id
+), feat AS (
+  SELECT t.doc_id, len(t.toks) AS n_tokens, t.mean_token_len,
+         t.dup_line_frac, COALESCE(bga.tbf, 0.0) AS top_bigram_frac
+  FROM tdocs t LEFT JOIN bga ON t.doc_id = bga.doc_id
+)
+SELECT doc_id, n_tokens, mean_token_len, dup_line_frac, top_bigram_frac,
+  (n_tokens >= {X.REP_MIN_TOKENS} AND n_tokens <= {X.REP_MAX_TOKENS}
+   AND mean_token_len >= {X.REP_MEAN_LEN_LO}
+   AND mean_token_len <= {X.REP_MEAN_LEN_HI}
+   AND dup_line_frac <= {X.REP_MAX_DUP_LINE_FRAC}
+   AND top_bigram_frac <= {X.REP_MAX_TOP_BIGRAM_FRAC}) AS keep
+FROM feat
+"""
+
+
 def q_doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.document_sentiment(B.load_table(spark, sf_dir, "documents"))
 
@@ -681,6 +721,7 @@ QUERIES = {
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "text_profile": q_text_profile,
+    "doc_repetition": q_doc_repetition,
     "doc_sentiment": q_doc_sentiment,
 }
 
@@ -701,5 +742,6 @@ ORACLES = {
     "multimodal_audio_features": _audio_features_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
     "text_profile": _text_profile_sql(),
+    "doc_repetition": _doc_repetition_sql(),
     "doc_sentiment": _doc_sentiment_sql(),
 }

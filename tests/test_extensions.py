@@ -506,3 +506,21 @@ def test_minhash_dedup_keeps_one_per_cluster(spark, sf_dir):
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     for row in cc.collect():
         assert (row["id"] in kept_ids) == (row["id"] == row["rep"])
+
+
+def test_repetition_profile_flags_boilerplate(spark):
+    normal = " ".join(
+        f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(20)
+    )  # 80 distinct tokens, mean alpha length ~4.75
+    spammy = "buy now " * 60  # one bigram dominates
+    dupl = "\n".join(["same line"] * 10)
+    df = spark.createDataFrame(
+        [(1, normal), (2, spammy), (3, dupl)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in X.repetition_profile(df).collect()}
+    assert got[1]["keep"] and got[1]["top_bigram_frac"] < 0.18
+    assert not got[2]["keep"] and got[2]["top_bigram_frac"] > 0.4
+    assert not got[3]["keep"] and got[3]["dup_line_frac"] == 0.9
+    # <2 tokens defines top_bigram_frac = 0
+    one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
+    assert X.repetition_profile(one).collect()[0]["top_bigram_frac"] == 0.0
