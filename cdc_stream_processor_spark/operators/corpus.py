@@ -246,3 +246,64 @@ def quantize_embeddings(
         digest.alias("q_digest"),
         max_abs_err.alias("max_abs_err"),
     )
+
+
+# Distinct LCG from the split key so sampling decisions don't correlate with
+# train/val/test assignment. The multiplier must be large relative to the
+# modulus: sequential ids then step ~0.74 mod 1 per id and mix well (a tiny
+# multiplier leaves sequential ids clustered in a narrow key band).
+# 1588635695 is a spectral-test-good MCG multiplier for m = 2^31 - 1
+# (Fishman & Moore '86).
+SAMPLE_A = 1_588_635_695
+SAMPLE_B = 98_765
+
+
+def sample_key(id_col: Column) -> Column:
+    h = (id_col.cast("long") * SAMPLE_A + SAMPLE_B) % SPLIT_P
+    return h.cast("double") / F.lit(float(SPLIT_P))
+
+
+def temperature_sample(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain reweighting (the p_s ∝ n_s^alpha mixture rule
+    used for multilingual/multi-domain LLM corpora): small strata are
+    up-weighted, dominant strata down-sampled, total expected yield =
+    target_frac * N.
+
+    Scale shape: the per-stratum stats are one partial-aggregated count
+    (strata are few — domains/languages), the rates are computed driver-side
+    with a deterministic sorted left-fold, and the per-row decision is a
+    broadcast hash join + one LCG comparison — no extra shuffle on the corpus.
+    alpha=0.5 keeps the weights IEEE-exact (sqrt is correctly rounded in both
+    engines); other alphas go through pow, whose last-ulp rounding is libm-
+    dependent, so only 0.5 is registered with a bit-exact oracle."""
+    import math
+    from functools import reduce
+
+    spark = docs.sparkSession
+    stats = sorted(
+        (r[stratum_col], r["n"])
+        for r in docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_total = float(sum(n for _, n in stats))
+    weights = [
+        math.sqrt(float(n)) if alpha == 0.5 else math.pow(float(n), alpha)
+        for _, n in stats
+    ]
+    sw = reduce(lambda a, b: a + b, weights, 0.0)
+    rates = [
+        (s, min(1.0, target_frac * (w / sw) * n_total / float(n)))
+        for (s, n), w in zip(stats, weights)
+    ]
+    rates_df = spark.createDataFrame(rates, f"{stratum_col} string, sample_rate double")
+    u = sample_key(F.col(id_col))
+    return (
+        docs.join(F.broadcast(rates_df), stratum_col)
+        .withColumn("sample_key", u)
+        .withColumn("keep", F.col("sample_key") < F.col("sample_rate"))
+    )

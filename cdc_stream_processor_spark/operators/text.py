@@ -246,3 +246,40 @@ def repetition_profile(docs: DataFrame, text_col: str = "text",
         & (F.col("top_bigram_frac") <= REP_MAX_TOP_BIGRAM_FRAC)
     )
     return out.withColumn("keep", keep)
+
+
+# PII detection/redaction. Patterns restricted to constructs with identical
+# semantics under Java regex (Spark) and RE2 (DuckDB): character classes,
+# bounded quantifiers, ASCII \b. Counting is non-overlapping left-to-right
+# in both engines.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}[- ]?\d{6,12}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4s, then phone numbers with typed placeholders.
+    Order matters: emails first so user@host digits never match as phones."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_IPV4_RE, "[IP]")
+    return F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Per-doc PII counts + md5 of the redacted text (compact, verifiable
+    without shipping the text). Pure map — regex inside codegen, no shuffle,
+    no UDF; the shape every at-scale PII pass wants."""
+    docs = ensure_parallelism(docs)
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    n_ipv4 = F.regexp_count(t, F.lit(PII_IPV4_RE))
+    n_phones = F.regexp_count(t, F.lit(PII_PHONE_RE))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_emails.alias("n_emails"),
+        n_ipv4.alias("n_ipv4"),
+        n_phones.alias("n_phones"),
+        ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
+        F.md5(redact_pii(t)).alias("redacted_md5"),
+    )

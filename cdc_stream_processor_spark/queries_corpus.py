@@ -139,11 +139,52 @@ FROM q
 """
 
 
+# --- temperature-based domain sampling ---------------------------------------
+
+
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return C.temperature_sample(docs).select(
+        "doc_id", "lang", "sample_rate", "sample_key", "keep"
+    )
+
+
+# Mirrors the driver-side rate computation: sorted-by-stratum left-fold sum
+# of sqrt weights (list_reduce from 0.0 = Python reduce from 0.0), then the
+# identical IEEE expression tree for the rate; sqrt is correctly rounded in
+# both engines so the whole chain is bit-exact.
+SQL_TEMPERATURE_SAMPLE = f"""
+WITH s AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT COUNT(*) AS nn FROM documents
+), w AS (
+  SELECT lang, n, sqrt(n::DOUBLE) AS w FROM s
+), sw AS (
+  SELECT list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY lang)),
+                     (a, b) -> a + b) AS sw
+  FROM w
+), rates AS (
+  SELECT w.lang,
+         least(1.0, 0.5 * (w.w / sw.sw) * tot.nn::DOUBLE / w.n::DOUBLE)
+           AS sample_rate
+  FROM w, sw, tot
+)
+SELECT d.doc_id, d.lang, r.sample_rate,
+       ((d.doc_id * {C.SAMPLE_A} + {C.SAMPLE_B}) % {C.SPLIT_P})::DOUBLE
+         / {C.SPLIT_P}::DOUBLE AS sample_key,
+       ((d.doc_id * {C.SAMPLE_A} + {C.SAMPLE_B}) % {C.SPLIT_P})::DOUBLE
+         / {C.SPLIT_P}::DOUBLE < r.sample_rate AS keep
+FROM documents d JOIN rates r ON d.lang = r.lang
+"""
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
     "decontamination_overlap": q_decontamination_overlap,
     "pack_sequences": q_pack_sequences,
     "quantize_embeddings": q_quantize_embeddings,
+    "temperature_sample": q_temperature_sample,
 }
 
 ORACLES = {
@@ -151,4 +192,5 @@ ORACLES = {
     "decontamination_overlap": SQL_DECONTAMINATION,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "temperature_sample": SQL_TEMPERATURE_SAMPLE,
 }

@@ -685,6 +685,28 @@ FROM feat
 """
 
 
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.pii_scan(B.load_table(spark, sf_dir, "documents"))
+
+
+def _pii_scan_sql() -> str:
+    em, ip, ph = X.PII_EMAIL_RE, X.PII_IPV4_RE, X.PII_PHONE_RE
+    cnt = lambda pat: f"len(regexp_extract_all(text, '{pat}'))"  # noqa: E731
+    redacted = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{em}', '[EMAIL]', 'g'), '{ip}', '[IP]', 'g'), '{ph}', '[PHONE]', 'g')"
+    )
+    return f"""
+SELECT doc_id,
+  {cnt(em)} AS n_emails,
+  {cnt(ip)} AS n_ipv4,
+  {cnt(ph)} AS n_phones,
+  ({cnt(em)} + {cnt(ip)} + {cnt(ph)}) > 0 AS has_pii,
+  md5({redacted}) AS redacted_md5
+FROM documents
+"""
+
+
 def q_doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.document_sentiment(B.load_table(spark, sf_dir, "documents"))
 
@@ -722,6 +744,7 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "text_profile": q_text_profile,
     "doc_repetition": q_doc_repetition,
+    "pii_scan": q_pii_scan,
     "doc_sentiment": q_doc_sentiment,
 }
 
@@ -743,5 +766,6 @@ ORACLES = {
     "multimodal_frame_sample": _frame_sample_sql(),
     "text_profile": _text_profile_sql(),
     "doc_repetition": _doc_repetition_sql(),
+    "pii_scan": _pii_scan_sql(),
     "doc_sentiment": _doc_sentiment_sql(),
 }

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from cdc_stream_processor_spark.operators import corpus as C
+from cdc_stream_processor_spark.operators import text as X
 from cdc_stream_processor_spark.queries_corpus import (
     q_corpus_split,
     q_decontamination_overlap,
@@ -178,3 +179,50 @@ def test_quantize_plan_is_map_only(spark, sf_dir):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pii_scan_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk or 10.0.0.1 now"),
+            (2, "call +234-8031234567 before noon"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in X.pii_scan(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_ipv4"], got[1]["n_phones"]) == (1, 1, 0)
+    assert got[2]["n_phones"] == 1 and got[2]["has_pii"]
+    assert not got[3]["has_pii"]
+    # redaction removed every match (placeholders present, originals gone)
+    red = df.select("doc_id", X.redact_pii(F.col("text")).alias("r")).collect()
+    red = {r["doc_id"]: r["r"] for r in red}
+    assert "[EMAIL]" in red[1] and "[IP]" in red[1] and "example" not in red[1]
+    assert "[PHONE]" in red[2] and "8031234567" not in red[2]
+
+
+def test_temperature_sample_upweights_small_strata(spark, sf_dir):
+    from cdc_stream_processor_spark.sources import batch as B
+
+    docs = B.load_table(spark, sf_dir, "documents")
+    out = C.temperature_sample(docs).persist()
+    rates = {
+        r["lang"]: r["sample_rate"]
+        for r in out.select("lang", "sample_rate").distinct().collect()
+    }
+    counts = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # monotone: rarer stratum never gets a lower rate than a more common one
+    ordered = sorted(counts, key=counts.get)
+    for a, b in zip(ordered, ordered[1:]):
+        if counts[a] < counts[b]:
+            assert rates[a] >= rates[b]
+    assert all(0.0 < r <= 1.0 for r in rates.values())
+    # keep flag is exactly the LCG-vs-rate comparison, and yield is near target
+    bad = out.filter(
+        F.col("keep") != (F.col("sample_key") < F.col("sample_rate"))
+    ).count()
+    assert bad == 0
+    n, kept = out.count(), out.filter("keep").count()
+    assert 0.3 < kept / n < 0.7
+    out.unpersist()
