@@ -117,16 +117,28 @@ def decontaminate(
     docs would otherwise match nearly every corpus doc and explode the
     join output by |benchmark| per corpus doc.
     """
-    hs = TH.shingle_hashes(F.col(text_col), k=k, fast=fast)
-
     def index(df: DataFrame, out_id: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(out_id), hs.alias("hs"))
-            .filter(F.size("hs") > 0)
-            .select(out_id, F.explode("hs").alias("h"))
-        )
+        if fast:
+            # xxhash64 runs JVM-side in codegen — already the fast path
+            hs = TH.shingle_hashes(F.col(text_col), k=k, fast=True)
+            sig = (
+                ensure_parallelism(df)
+                .select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+                .filter(F.size("hs") > 0)
+            )
+        else:
+            # deterministic polynomial hash: the interpreted Catalyst fold is
+            # ~10x slower than its numpy twin, so hash in one Arrow pass
+            # (bit-identical values — same kernel the MinHash path uses)
+            from cdc_stream_processor_spark.operators.dedup import (
+                _vectorized_signatures,
+            )
 
-    corp = index(ensure_parallelism(corpus), "doc_id")
+            sig = _vectorized_signatures(df, text_col, id_col, k=k,
+                                         with_minhash=False)
+        return sig.select(F.col("doc_id").alias(out_id), F.explode("hs").alias("h"))
+
+    corp = index(corpus, "doc_id")
     bench = index(benchmark, "bench_id")
     if max_shingle_df is not None:
         hot = (
