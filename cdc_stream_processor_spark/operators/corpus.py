@@ -260,6 +260,64 @@ def quantize_embeddings(
     )
 
 
+BOILERPLATE_DF_PERMILLE = 790  # token is boilerplate when df/ndocs > 0.790
+
+
+def remove_boilerplate_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_permille: int = BOILERPLATE_DF_PERMILLE,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal: drop every token whose document
+    frequency exceeds max_df_permille/1000 of the corpus, and reconstruct the
+    text from the surviving tokens in order — the token-level analogue of
+    C4's boilerplate-line removal (Raffel et al. '20 §2.2), for corpora
+    without line structure.
+
+    The threshold comparison is pure integer arithmetic
+    (df * 1000 > permille * ndocs) so the boilerplate set is bit-exactly
+    reproducible in any engine — no float DF ratio to misround at the
+    boundary. Reconstruction preserves the normalized token stream
+    (lowercased, whitespace-collapsed — `texthash.tokens`' normalization).
+
+    Scale shape: the DF pass is one explode + partial-aggregated groupBy on
+    token (vocabulary-sized output, millions of rows at 100 TB — trivial);
+    the stoplist (tokens ABOVE the ubiquity threshold — inherently few)
+    folds to a single array row that is BROADCAST, so the rewrite pass is
+    map-only over the corpus: no per-document shuffle, no explode-and-
+    regroup reconstruction. Returns (doc_id, n_tokens_before,
+    n_tokens_removed, clean_text).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("toks")
+    )
+    dfreq = (
+        toks.select(F.explode(F.array_distinct("toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).alias("ndocs"))
+    stoplist = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") * 1000 > F.lit(max_df_permille) * F.col("ndocs"))
+        .agg(F.sort_array(F.collect_set("tok")).alias("stoplist"))
+    )
+    kept = F.filter(
+        F.col("toks"), lambda t: ~F.array_contains(F.col("stoplist"), t)
+    )
+    return (
+        toks.crossJoin(F.broadcast(stoplist))
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens_before"),
+            (F.size("toks") - F.size("kept")).alias("n_tokens_removed"),
+            F.array_join("kept", " ").alias("clean_text"),
+        )
+    )
+
+
 # Distinct LCG from the split key so sampling decisions don't correlate with
 # train/val/test assignment. The multiplier must be large relative to the
 # modulus: sequential ids then step ~0.74 mod 1 per id and mix well (a tiny

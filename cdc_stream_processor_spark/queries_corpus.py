@@ -139,6 +139,42 @@ FROM q
 """
 
 
+# --- corpus-frequency boilerplate token removal -------------------------------
+
+
+def q_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.remove_boilerplate_tokens(B.load_table(spark, sf_dir, "documents"))
+
+
+# Same integer DF threshold (df*1000 > permille*ndocs), same normalized
+# tokenizer; reconstruction is an order-preserving list_filter in both
+# engines, so clean_text matches byte-for-byte.
+SQL_BOILERPLATE_REMOVAL = f"""
+WITH toks AS (
+  SELECT doc_id, {TH.TOKENS_SQL.format(text="text")} AS toks FROM documents
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM toks)
+  GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS ndocs FROM documents
+), stop AS (
+  SELECT list(tok ORDER BY tok) AS stoplist
+  FROM dfreq, n
+  WHERE df * 1000 > {C.BOILERPLATE_DF_PERMILLE} * ndocs
+)
+SELECT t.doc_id,
+       len(t.toks) AS n_tokens_before,
+       len(t.toks)
+         - len(list_filter(t.toks, x -> NOT list_contains(s.stoplist, x)))
+         AS n_tokens_removed,
+       array_to_string(
+         list_filter(t.toks, x -> NOT list_contains(s.stoplist, x)), ' ')
+         AS clean_text
+FROM toks t, stop s
+"""
+
+
 # --- temperature-based domain sampling ---------------------------------------
 
 
@@ -184,6 +220,7 @@ QUERIES = {
     "decontamination_overlap": q_decontamination_overlap,
     "pack_sequences": q_pack_sequences,
     "quantize_embeddings": q_quantize_embeddings,
+    "boilerplate_removal": q_boilerplate_removal,
     "temperature_sample": q_temperature_sample,
 }
 
@@ -192,5 +229,6 @@ ORACLES = {
     "decontamination_overlap": SQL_DECONTAMINATION,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
+    "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
 }

@@ -226,3 +226,48 @@ def test_temperature_sample_upweights_small_strata(spark, sf_dir):
     n, kept = out.count(), out.filter("keep").count()
     assert 0.3 < kept / n < 0.7
     out.unpersist()
+
+
+# --- remove_boilerplate_tokens ------------------------------------------------
+
+
+def test_boilerplate_removal_drops_only_ubiquitous_tokens(spark):
+    # 10 docs: 'common' appears in 9/10 (df=900 permille > 790), every other
+    # token is rare. Only 'common' may be removed, order preserved.
+    docs = spark.createDataFrame(
+        [(i, f"common w{i}a w{i}b common w{i}c") for i in range(9)]
+        + [(9, "x9a x9b x9c x9d x9e")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.remove_boilerplate_tokens(docs).collect()}
+    for i in range(9):
+        assert out[i].n_tokens_before == 5
+        assert out[i].n_tokens_removed == 2
+        assert out[i].clean_text == f"w{i}a w{i}b w{i}c"  # order preserved
+    assert out[9].n_tokens_removed == 0
+    assert out[9].clean_text == "x9a x9b x9c x9d x9e"
+
+
+def test_boilerplate_threshold_is_strict_integer_comparison(spark):
+    # df exactly at the threshold (790/1000 of ndocs) must NOT be removed:
+    # comparison is strict df*1000 > permille*ndocs. 79 of 100 docs → kept;
+    # 80 of 100 → removed.
+    docs = spark.createDataFrame(
+        [(i, ("at79 " if i < 79 else "") + ("at80 " if i < 80 else "") + f"u{i}")
+         for i in range(100)],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.remove_boilerplate_tokens(docs).collect()}
+    assert out[0].clean_text == "at79 u0"  # at80 dropped, at79 kept
+    assert out[0].n_tokens_removed == 1
+
+
+def test_boilerplate_rewrite_pass_is_broadcast_map(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    plan = (
+        C.remove_boilerplate_tokens(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus-side rewrite joins the one-row stoplist by broadcast; the
+    # only shuffle in the whole plan is the vocabulary-sized DF aggregation
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
