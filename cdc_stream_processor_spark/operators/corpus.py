@@ -260,6 +260,63 @@ def quantize_embeddings(
     )
 
 
+# Global-shuffle LCG: a third spectral-test-good MCG multiplier for
+# m = 2^31 - 1 (Fishman & Moore '86), distinct from the split and sample
+# keys so shuffle order correlates with neither.
+SHUFFLE_A = 742_938_285
+SHUFFLE_B = 55_555
+SHUFFLE_BUCKET_SHIFT = 21  # 2^31 key space div 2^21 → 1024 rank buckets
+
+
+def global_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order randomization: every
+    row gets a pseudo-random permutation position, reproducible across runs,
+    engines, and partitionings.
+
+    The LCG h = (id*A + B) mod (2^31-1) is a bijection on [0, 2^31-1), so
+    distinct ids < P get distinct keys and the permutation is total.
+
+    Scale shape — the distributed-rank pattern, NOT a global window (a
+    row_number over an empty partition spec collapses to ONE reducer):
+    rows land in ~1024 key-range buckets (top bits of h); per-bucket counts
+    fold into cumulative offsets (≤1024 rows — driver-scale, BROADCAST);
+    each row's position = its bucket's offset + its rank WITHIN the bucket
+    (window partitioned by bucket — parallel across buckets). Two shuffles
+    bounded by the bucket count and corpus size, same shape as a terasort
+    range partitioning. Returns (doc_id, shuffle_key, shuffle_pos).
+    """
+    h = (F.col(id_col).cast("long") * SHUFFLE_A + SHUFFLE_B) % SPLIT_P
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"), h.alias("shuffle_key")
+    ).withColumn(
+        "bucket", F.shiftright(F.col("shuffle_key"), SHUFFLE_BUCKET_SHIFT)
+    )
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("n")
+        ).alias("offset"),
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "shuffle_pos",
+            F.col("offset") + F.row_number().over(in_bucket) - F.lit(1),
+        )
+        .select("doc_id", "shuffle_key", "shuffle_pos")
+    )
+
+
 BOILERPLATE_DF_PERMILLE = 790  # token is boilerplate when df/ndocs > 0.790
 
 

@@ -139,6 +139,26 @@ FROM q
 """
 
 
+# --- deterministic global shuffle ---------------------------------------------
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.global_shuffle(B.load_table(spark, sf_dir, "documents"))
+
+
+# The engine computes positions via bucketed distributed rank; the oracle
+# states the same total order directly (the LCG is a bijection, so the
+# (key, id) order is unique and the two formulations agree row-for-row).
+SQL_GLOBAL_SHUFFLE = f"""
+SELECT doc_id, h AS shuffle_key,
+       ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
+FROM (
+  SELECT doc_id, (doc_id * {C.SHUFFLE_A} + {C.SHUFFLE_B}) % {C.SPLIT_P} AS h
+  FROM documents
+)
+"""
+
+
 # --- corpus-frequency boilerplate token removal -------------------------------
 
 
@@ -221,6 +241,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "quantize_embeddings": q_quantize_embeddings,
     "boilerplate_removal": q_boilerplate_removal,
+    "global_shuffle": q_global_shuffle,
     "temperature_sample": q_temperature_sample,
 }
 
@@ -230,5 +251,6 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+    "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
 }

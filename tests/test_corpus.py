@@ -271,3 +271,31 @@ def test_boilerplate_rewrite_pass_is_broadcast_map(spark, sf_dir):
     # the corpus-side rewrite joins the one-row stoplist by broadcast; the
     # only shuffle in the whole plan is the vocabulary-sized DF aggregation
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- global_shuffle -----------------------------------------------------------
+
+
+def test_global_shuffle_is_a_total_permutation(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    out = C.global_shuffle(docs).collect()
+    n = docs.count()
+    assert sorted(r.shuffle_pos for r in out) == list(range(n))  # bijection
+    # position order == (key, id) order
+    by_pos = sorted(out, key=lambda r: r.shuffle_pos)
+    keys = [(r.shuffle_key, r.doc_id) for r in by_pos]
+    assert keys == sorted(keys)
+    # deterministic on recompute
+    again = {r.doc_id: r.shuffle_pos for r in C.global_shuffle(docs).collect()}
+    assert all(again[r.doc_id] == r.shuffle_pos for r in out)
+
+
+def test_global_shuffle_rank_window_is_bucket_partitioned(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    plan = (
+        C.global_shuffle(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the corpus-side rank window must partition by bucket (parallel), never
+    # collapse the whole corpus to one reducer; the only SinglePartition
+    # exchange allowed is the <=1024-row bucket-offset subplan
+    assert "hashpartitioning(bucket" in plan
