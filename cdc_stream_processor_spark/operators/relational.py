@@ -192,3 +192,55 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l.join(r, on + ["_salt"], how).drop("_salt")
+
+
+SESSION_GAP_MINUTES = 480  # new session when idle > 8h (testdata gap p50 ~7.3h)
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_minutes: int = SESSION_GAP_MINUTES,
+) -> DataFrame:
+    """Gap-based batch sessionization: per user, a new session starts at the
+    first event and whenever the idle gap exceeds `gap_minutes`; emits one
+    summary row per session. The batch twin of the streaming session window
+    (operators.pipelines dormancy, A3) — same islands-and-gaps semantics,
+    expressed as lag + cumulative flag-sum.
+
+    All time arithmetic is integer microseconds (unix_micros), so an
+    independent engine reproduces boundaries exactly — no float epoch or
+    interval rounding.
+
+    Scale shape: one shuffle, on the user key, for the lag/cumsum window;
+    the session roll-up groups by (user, session_id), a SUPERSET of the
+    window's partitioning key, so Catalyst reuses the existing distribution
+    and the aggregation adds no second exchange. The value sum runs in
+    DECIMAL — exact and fold-order-independent, safe under nondeterministic
+    partial-agg order.
+    """
+    gap_us = gap_minutes * 60_000_000
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(value_col).cast("decimal(18,4)").alias("v"),
+    )
+    prev = F.lag("us").over(w)
+    # two select steps: a window function may not nest inside another window
+    flagged = base.withColumn(
+        "is_new",
+        (prev.isNull() | ((F.col("us") - prev) > F.lit(gap_us))).cast("long"),
+    ).withColumn("session_id", F.sum("is_new").over(run))
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.sum("v").cast("double").alias("total_value"),
+    )

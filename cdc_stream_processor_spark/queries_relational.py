@@ -20,6 +20,7 @@ from cdc_stream_processor_spark.operators.relational import (
     global_top_k,
     top_k_per_group,
 )
+from cdc_stream_processor_spark.operators import relational as R
 from cdc_stream_processor_spark.sources import batch as B
 
 
@@ -753,8 +754,41 @@ def q_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PRICING_SUMMARY)
 
 
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.sessionize(B.load_table(spark, sf_dir, "events"))
+
+
+# Same integer-µs gap rule and DECIMAL value sum; the islands-and-gaps
+# cumulative flag-sum is stated identically in both engines.
+SQL_USER_SESSIONS = f"""
+WITH base AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value::DECIMAL(18,4) AS v
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, us, v,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > {R.SESSION_GAP_MINUTES * 60_000_000}
+              THEN 1 ELSE 0 END AS is_new
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+), sessions AS (
+  SELECT user_id, us, v,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(us) AS start_us, MAX(us) AS end_us,
+       MAX(us) - MIN(us) AS duration_us,
+       SUM(v)::DOUBLE AS total_value
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "user_sessions": q_user_sessions,
     "pricing_summary_sql": q_pricing_summary_sql,
     "shipping_priority": q_shipping_priority,
     "supplier_volume": q_supplier_volume,
@@ -778,6 +812,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "user_sessions": SQL_USER_SESSIONS,
     "pricing_summary_sql": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "supplier_volume": SQL_SUPPLIER_VOLUME,

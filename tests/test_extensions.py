@@ -524,3 +524,36 @@ def test_repetition_profile_flags_boilerplate(spark):
     # <2 tokens defines top_bigram_frac = 0
     one = spark.createDataFrame([(9, "solo")], "doc_id long, text string")
     assert X.repetition_profile(one).collect()[0]["top_bigram_frac"] == 0.0
+
+
+def test_sessionize_splits_on_gap_and_single_shuffle(spark):
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: 3 events 1 min apart, then a 9h gap, then 2 more
+        (1, 1, t0, 1.0),
+        (2, 1, t0 + timedelta(minutes=1), 2.0),
+        (3, 1, t0 + timedelta(minutes=2), 3.0),
+        (4, 1, t0 + timedelta(hours=9, minutes=2), 4.0),
+        (5, 1, t0 + timedelta(hours=9, minutes=3), 5.0),
+        # user 2: single event
+        (6, 2, t0, 10.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = sessionize(events, gap_minutes=480)
+    # exactly one data exchange (pre-AQE plan: the adaptive final plan
+    # restates the exchange inside its query stage): the roll-up reuses the
+    # window's hashpartitioning(user_id) because its keys are a superset
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {(r.user_id, r.session_id): r for r in out.collect()}
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
+    assert got[(1, 1)].n_events == 3 and got[(1, 1)].total_value == 6.0
+    assert got[(1, 2)].n_events == 2 and got[(1, 2)].total_value == 9.0
+    assert got[(1, 1)].duration_us == 120_000_000
+    assert got[(2, 1)].duration_us == 0
