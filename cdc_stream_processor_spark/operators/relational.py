@@ -244,3 +244,76 @@ def sessionize(
         (F.max("us") - F.min("us")).alias("duration_us"),
         F.sum("v").cast("double").alias("total_value"),
     )
+
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: per user, how far through the step sequence
+    they progressed, each step strictly after the previous one in event
+    time. Emits (user_id, funnel_stage, t1_us..tN_us) where t_k is the
+    time of the completing event for step k (integer µs; null past stage).
+
+    Semantics = the greedy earliest chain: t1 = first step-1 event,
+    t_k = first step-k event strictly after t_{k-1}. Greedy-earliest is
+    optimal (taking an earlier completion never blocks a later step), so
+    the one-pass fold equals the sequential min-after definition the
+    oracle states.
+
+    Scale shape: ONE shuffle on the user key; the per-user event list is
+    sorted and folded entirely JVM-side (array_sort + aggregate — no
+    Python workers, no window cascade, no per-step self-join; a 4-step
+    funnel as repeated joins would be 4 shuffles and 4 scans). Per-user
+    event counts bound partition memory — the same invariant any per-user
+    analytic already needs.
+    """
+    n = len(steps)
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("event_type"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "event_type"))
+        ).alias("evts")
+    )
+    t_fields = [f"t{i + 1}" for i in range(n)]
+    init = F.struct(
+        F.lit(0).cast("long").alias("stage"),
+        *[F.lit(None).cast("long").alias(t) for t in t_fields],
+    )
+
+    def advance(acc: Column, e: Column) -> Column:
+        out = acc
+        for i, step_name in enumerate(steps):
+            cond = (acc["stage"] == i) & (e["event_type"] == F.lit(step_name))
+            if i > 0:
+                cond = cond & (e["us"] > acc[t_fields[i - 1]])
+            matched = F.struct(
+                (acc["stage"] + 1).alias("stage"),
+                *[
+                    (e["us"] if j == i else acc[t_fields[j]]).alias(t_fields[j])
+                    for j in range(n)
+                ],
+            )
+            out = F.when(cond, matched).otherwise(out)
+        return out
+
+    folded = per_user.select(
+        "user_id", F.aggregate(F.col("evts"), init, advance).alias("f")
+    )
+    return folded.select(
+        "user_id",
+        F.col("f.stage").alias("funnel_stage"),
+        *[F.col(f"f.{t}").alias(f"{t}_us") for t in t_fields],
+    )

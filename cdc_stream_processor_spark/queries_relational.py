@@ -786,9 +786,52 @@ GROUP BY user_id, session_id
 """
 
 
+# First-48h slice: the full window is degenerate (every user completes all
+# steps); the slice exercises every stage 0..4 (64/56/21/6/3 at sf0.01).
+FUNNEL_CUTOFF = "2024-01-03"
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = B.load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(FUNNEL_CUTOFF).cast("timestamp")
+    )
+    return R.funnel(events)
+
+
+# Independent formulation of the same semantics: sequential min-after CTEs
+# (t_k = first step-k event strictly after t_{k-1}) — equal to the engine's
+# greedy one-pass fold, so agreement is a genuine cross-check of both.
+SQL_EVENT_FUNNEL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+  WHERE ts < TIMESTAMP '{FUNNEL_CUTOFF}'
+), s1 AS (
+  SELECT user_id, MIN(us) AS t1 FROM e
+  WHERE event_type = '{R.FUNNEL_STEPS[0]}' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = '{R.FUNNEL_STEPS[1]}' AND us > t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = '{R.FUNNEL_STEPS[2]}' AND us > t2 GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(us) AS t4 FROM e JOIN s3 USING (user_id)
+  WHERE event_type = '{R.FUNNEL_STEPS[3]}' AND us > t3 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       ((t1 IS NOT NULL)::BIGINT + (t2 IS NOT NULL)::BIGINT
+         + (t3 IS NOT NULL)::BIGINT + (t4 IS NOT NULL)::BIGINT) AS funnel_stage,
+       t1 AS t1_us, t2 AS t2_us, t3 AS t3_us, t4 AS t4_us
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
+    "event_funnel": q_event_funnel,
     "pricing_summary_sql": q_pricing_summary_sql,
     "shipping_priority": q_shipping_priority,
     "supplier_volume": q_supplier_volume,
@@ -813,6 +856,7 @@ QUERIES = {
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "user_sessions": SQL_USER_SESSIONS,
+    "event_funnel": SQL_EVENT_FUNNEL,
     "pricing_summary_sql": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "supplier_volume": SQL_SUPPLIER_VOLUME,

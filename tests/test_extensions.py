@@ -557,3 +557,41 @@ def test_sessionize_splits_on_gap_and_single_shuffle(spark):
     assert got[(1, 2)].n_events == 2 and got[(1, 2)].total_value == 9.0
     assert got[(1, 1)].duration_us == 120_000_000
     assert got[(2, 1)].duration_us == 0
+
+
+def test_funnel_requires_strict_order(spark):
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import funnel
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(eid, uid, mins, etype):
+        return (eid, uid, t0 + timedelta(minutes=mins), etype)
+
+    rows = [
+        # user 1: full ordered funnel
+        ev(1, 1, 0, "signup"), ev(2, 1, 1, "view"),
+        ev(3, 1, 2, "click"), ev(4, 1, 3, "purchase"),
+        # user 2: purchase BEFORE click — stops at stage 2 (view),
+        # the early purchase must not satisfy step 4
+        ev(5, 2, 0, "signup"), ev(6, 2, 1, "view"),
+        ev(7, 2, 2, "purchase"), ev(8, 2, 3, "click"),
+        # user 3: no signup at all — stage 0 even with later steps present
+        ev(9, 3, 0, "view"), ev(10, 3, 1, "click"), ev(11, 3, 2, "purchase"),
+        # user 4: signup only
+        ev(12, 4, 0, "signup"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.user_id: r for r in funnel(events).collect()}
+    assert out[1].funnel_stage == 4 and out[1].t4_us is not None
+    assert out[2].funnel_stage == 3  # signup, view, click — not the early purchase
+    assert out[2].t4_us is None
+    assert out[3].funnel_stage == 0 and out[3].t1_us is None
+    assert out[4].funnel_stage == 1
+    # one shuffle: groupBy user, fold JVM-side — no window cascade, no joins
+    plan = funnel(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
