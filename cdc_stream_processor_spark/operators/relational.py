@@ -317,3 +317,38 @@ def funnel(
         F.col("f.stage").alias("funnel_stage"),
         *[F.col(f"f.{t}").alias(f"{t}_us") for t in t_fields],
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by their first active day;
+    each (cohort_day, day_offset) cell counts the cohort's users active
+    offset days later. Returns (cohort_day, day_offset, n_users) with
+    offset 0 = cohort size.
+
+    Scale shape: ONE corpus-scale shuffle — per-user day sets aggregate with
+    map-side partial collect_set (ObjectHashAggregate), the cohort day is
+    array_min of the set (no second shuffle, no window, no self-join), and
+    the final rollup groups the exploded (cohort, offset) rows — a
+    cohorts × horizon-sized aggregate, map-side combinable.
+    """
+    per_user = (
+        events.select(
+            F.col(user_col).alias("user_id"), F.to_date(ts_col).alias("day")
+        )
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    return (
+        per_user.select(
+            F.array_min("days").alias("cohort_day"),
+            F.explode("days").alias("day"),
+        )
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

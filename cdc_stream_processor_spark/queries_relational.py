@@ -828,10 +828,29 @@ LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.cohort_retention(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_COHORT_RETENTION = """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT c.cohort_day,
+       date_diff('day', c.cohort_day, d.day) AS day_offset,
+       COUNT(*) AS n_users
+FROM days d JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
     "event_funnel": q_event_funnel,
+    "cohort_retention": q_cohort_retention,
     "pricing_summary_sql": q_pricing_summary_sql,
     "shipping_priority": q_shipping_priority,
     "supplier_volume": q_supplier_volume,
@@ -857,6 +876,7 @@ ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "user_sessions": SQL_USER_SESSIONS,
     "event_funnel": SQL_EVENT_FUNNEL,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "pricing_summary_sql": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "supplier_volume": SQL_SUPPLIER_VOLUME,

@@ -595,3 +595,35 @@ def test_funnel_requires_strict_order(spark):
     plan = funnel(events)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_cohort_retention_counts_and_plan(spark):
+    from datetime import datetime
+
+    from cdc_stream_processor_spark.operators.relational import cohort_retention
+
+    def ev(eid, uid, day, hour=0):
+        return (eid, uid, datetime(2024, 1, day, hour))
+
+    rows = [
+        # users 1,2 first active day 1; user 1 returns day 2; both day 3
+        ev(1, 1, 1), ev(2, 2, 1), ev(3, 1, 2), ev(4, 1, 3), ev(5, 2, 3),
+        # user 3 joins day 2 only; duplicate same-day events collapse
+        ev(6, 3, 2), ev(7, 3, 2, hour=5),
+    ]
+    events = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in cohort_retention(events).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 2,
+        ("2024-01-02", 0): 1,
+    }
+    # one corpus-scale shuffle (user key); the rollup exchange is
+    # cohorts x horizon sized
+    plan = cohort_retention(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "Join" not in plan
