@@ -352,3 +352,55 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def resample_timeseries(
+    events: DataFrame,
+    bucket_us: int = DAY_US,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-interval time-series resample with gap fill (the hypertable
+    rollup): per key, events aggregate into `bucket_us`-wide buckets, and
+    every empty bucket between the key's first and last active bucket is
+    materialized with zero counts — the dense timeline a downstream
+    charting/forecasting consumer expects.
+
+    Bucket index is integer µs division (positive epochs: trunc == floor in
+    both engines). The dense spine comes from sequence()+explode over each
+    key's [first, last] bucket span — generated at AGGREGATE scale (keys ×
+    buckets), never by re-scanning the corpus.
+
+    Scale shape: one corpus-scale shuffle into the (key, bucket) partial
+    aggregation; the span roll-up, spine explode, and gap-fill left join
+    all run on aggregate-sized data. The value sum is DECIMAL — exact under
+    any partial-agg fold order. Returns (user_id, bucket_idx, n_events,
+    total_value).
+    """
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("bucket_idx"),
+        F.col(value_col).cast("decimal(18,4)").alias("v"),
+    )
+    agg = base.groupBy("user_id", "bucket_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("total_value"),
+    )
+    spine = (
+        agg.groupBy("user_id")
+        .agg(F.min("bucket_idx").alias("lo"), F.max("bucket_idx").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket_idx"),
+        )
+    )
+    return spine.join(agg, ["user_id", "bucket_idx"], "left").select(
+        "user_id",
+        "bucket_idx",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )

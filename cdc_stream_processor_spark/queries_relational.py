@@ -846,11 +846,37 @@ GROUP BY 1, 2
 """
 
 
+def q_daily_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.resample_timeseries(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_DAILY_TIMESERIES = f"""
+WITH b AS (
+  SELECT user_id, epoch_us(ts) // {R.DAY_US} AS bucket_idx,
+         value::DECIMAL(18,4) AS v
+  FROM events
+), agg AS (
+  SELECT user_id, bucket_idx, COUNT(*) AS n_events,
+         SUM(v)::DOUBLE AS total_value
+  FROM b GROUP BY user_id, bucket_idx
+), spine AS (
+  SELECT user_id, unnest(generate_series(lo, hi)) AS bucket_idx
+  FROM (SELECT user_id, MIN(bucket_idx) AS lo, MAX(bucket_idx) AS hi
+        FROM agg GROUP BY user_id)
+)
+SELECT s.user_id, s.bucket_idx,
+       COALESCE(a.n_events, 0) AS n_events,
+       COALESCE(a.total_value, 0.0) AS total_value
+FROM spine s LEFT JOIN agg a USING (user_id, bucket_idx)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
+    "daily_timeseries": q_daily_timeseries,
     "pricing_summary_sql": q_pricing_summary_sql,
     "shipping_priority": q_shipping_priority,
     "supplier_volume": q_supplier_volume,
@@ -877,6 +903,7 @@ ORACLES = {
     "user_sessions": SQL_USER_SESSIONS,
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
+    "daily_timeseries": SQL_DAILY_TIMESERIES,
     "pricing_summary_sql": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "supplier_volume": SQL_SUPPLIER_VOLUME,

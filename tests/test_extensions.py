@@ -627,3 +627,35 @@ def test_cohort_retention_counts_and_plan(spark):
     plan = cohort_retention(events)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1
     assert "Join" not in plan
+
+
+def test_resample_fills_gaps_with_zeros(spark):
+    from datetime import datetime
+
+    from cdc_stream_processor_spark.operators.relational import (
+        DAY_US,
+        resample_timeseries,
+    )
+
+    rows = [
+        # user 1: active day 1 (twice) and day 4 — days 2,3 must appear as 0
+        (1, 1, datetime(2024, 1, 1, 10), 1.5),
+        (2, 1, datetime(2024, 1, 1, 11), 2.5),
+        (3, 1, datetime(2024, 1, 4, 9), 4.0),
+        # user 2: one day only — no fill
+        (4, 2, datetime(2024, 1, 2, 0), 7.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        (r.user_id, r.bucket_idx): (r.n_events, r.total_value)
+        for r in resample_timeseries(events).collect()
+    }
+    d1 = datetime(2024, 1, 1).timestamp() * 1_000_000 // DAY_US
+    assert out[(1, d1)] == (2, 4.0)
+    assert out[(1, d1 + 1)] == (0, 0.0)
+    assert out[(1, d1 + 2)] == (0, 0.0)
+    assert out[(1, d1 + 3)] == (1, 4.0)
+    assert out[(2, d1 + 1)] == (1, 7.0)
+    assert len(out) == 5
