@@ -1,5 +1,7 @@
 """Training-corpus construction operators: split, decontamination,
-sequence packing, and embedding quantization.
+sequence packing, embedding quantization — plus temperature-based domain
+sampling, corpus-frequency boilerplate removal, deterministic global
+shuffle, and sliding-window chunking (documented at their definitions).
 
 These are the corpus-assembly steps a large-scale LLM training pipeline runs
 after dedup/quality filtering (operators.dedup / operators.text), all
@@ -433,4 +435,62 @@ def temperature_sample(
         docs.join(F.broadcast(rates_df), stratum_col)
         .withColumn("sample_key", u)
         .withColumn("keep", F.col("sample_key") < F.col("sample_rate"))
+    )
+
+
+CHUNK_TOKENS = 32  # chunk width (test corpus ~30-80 tokens/doc)
+CHUNK_STRIDE = 24  # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 8
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window document chunking: each document becomes
+    ceil(max(n-chunk,0)/stride)+1 overlapping token windows of width
+    `chunk_tokens` at `stride` offsets — the retrieval/pretraining chunker
+    (every token is covered; consecutive chunks share chunk-stride tokens;
+    the final window is allowed to run short rather than duplicating tail
+    tokens).
+
+    Chunk count and boundaries are pure integer arithmetic on the token
+    count, so an independent engine reproduces the exact segmentation.
+
+    Scale shape: map-only — tokenize, sequence() the start offsets, explode,
+    slice. No shuffle at any corpus size; output order is inherited, and the
+    (doc_id, chunk_idx) key is deterministic. Returns
+    (doc_id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("__toks")
+    )
+    n = F.size("__toks")
+    # last start index: ceil(max(n - chunk, 0) / stride), integer arithmetic
+    last_idx = F.expr(
+        f"(greatest(size(__toks) - {chunk_tokens}, 0) + {stride - 1})"
+        f" div {stride}"
+    ).cast("int")
+    return (
+        base.filter(n > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx"),
+            F.col("__toks").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                "__toks", F.col("chunk_idx") * stride + 1, chunk_tokens
+            ).alias("__chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("__chunk").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
     )

@@ -195,6 +195,37 @@ FROM toks t, stop s
 """
 
 
+# --- sliding-window document chunking -----------------------------------------
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.chunk_documents(B.load_table(spark, sf_dir, "documents"))
+
+
+# Same integer chunk-count formula and 1-based slice bounds; DuckDB
+# list slicing truncates past the end exactly like Spark's slice().
+SQL_CHUNK_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, {TH.TOKENS_SQL.format(text="text")} AS toks FROM documents
+), spans AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(
+           0, (greatest(len(toks) - {C.CHUNK_TOKENS}, 0) + {C.CHUNK_STRIDE - 1})
+                // {C.CHUNK_STRIDE})) AS chunk_idx
+  FROM toks WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_idx,
+       len(toks[chunk_idx * {C.CHUNK_STRIDE} + 1
+                 : chunk_idx * {C.CHUNK_STRIDE} + {C.CHUNK_TOKENS}])
+         AS n_chunk_tokens,
+       array_to_string(
+         toks[chunk_idx * {C.CHUNK_STRIDE} + 1
+              : chunk_idx * {C.CHUNK_STRIDE} + {C.CHUNK_TOKENS}], ' ')
+         AS chunk_text
+FROM spans
+"""
+
+
 # --- temperature-based domain sampling ---------------------------------------
 
 
@@ -242,6 +273,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "boilerplate_removal": q_boilerplate_removal,
     "global_shuffle": q_global_shuffle,
+    "chunk_documents": q_chunk_documents,
     "temperature_sample": q_temperature_sample,
 }
 
@@ -252,5 +284,6 @@ ORACLES = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "global_shuffle": SQL_GLOBAL_SHUFFLE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
 }

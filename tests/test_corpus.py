@@ -299,3 +299,25 @@ def test_global_shuffle_rank_window_is_bucket_partitioned(spark, sf_dir):
     # collapse the whole corpus to one reducer; the only SinglePartition
     # exchange allowed is the <=1024-row bucket-offset subplan
     assert "hashpartitioning(bucket" in plan
+
+
+# --- chunk_documents ----------------------------------------------------------
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    # 40 tokens, chunk=32, stride=24: starts 0 and 24; second chunk is the
+    # 16-token tail; consecutive chunks share tokens 24..31
+    toks = [f"t{i}" for i in range(40)]
+    docs = spark.createDataFrame([(1, " ".join(toks)), (2, "a b")],
+                                 ["doc_id", "text"])
+    out = {(r.doc_id, r.chunk_idx): r for r in C.chunk_documents(docs).collect()}
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    assert out[(1, 0)].n_chunk_tokens == 32
+    assert out[(1, 0)].chunk_text.split(" ") == toks[:32]
+    assert out[(1, 1)].n_chunk_tokens == 16
+    assert out[(1, 1)].chunk_text.split(" ") == toks[24:40]
+    # every token covered; short doc → one short chunk
+    assert out[(2, 0)].chunk_text == "a b"
+    # map-only: no shuffle at any scale
+    plan = C.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
