@@ -404,3 +404,59 @@ def resample_timeseries(
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
     )
+
+
+ZSCORE_FRAME = 6  # rolling frame: current row + 6 preceding = 7 rows
+ZSCORE_THRESHOLD = 2.0
+
+
+def rolling_zscore(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    frame_rows: int = ZSCORE_FRAME,
+    threshold: float = ZSCORE_THRESHOLD,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: per key, each value is scored
+    against the mean/stddev of its trailing `frame_rows`+1-row window and
+    flagged when |z| exceeds the threshold — the streaming-style outlier
+    monitor, in batch form.
+
+    Bit-exact across engines by construction: the frame sums run in DECIMAL
+    (order-independent), every double step (mean, E[x²]−mean², sqrt, the
+    quotient) is a single correctly-rounded IEEE operation stated in the
+    same association order in the SQL oracle, and variance is clamped at
+    zero (representation error can drive it ~−1e-16, which Spark's sqrt
+    maps to NaN but DuckDB rejects outright).
+
+    Scale shape: one shuffle on the key; both rolling sums share one Window
+    operator over the same (key, time) sort. Returns (event_id, user_id,
+    value, rolling_mean, zscore, is_anomaly).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-frame_rows, Window.currentRow)
+    )
+    base = events.select(
+        F.col(id_col).alias("event_id"),
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(value_col).alias("value"),
+        F.col(value_col).cast("decimal(18,4)").alias("v"),
+    )
+    n = F.count(F.lit(1)).over(w)
+    mean = F.sum("v").over(w).cast("double") / n
+    meansq = F.sum(F.col("v") * F.col("v")).over(w).cast("double") / n
+    var = F.greatest(meansq - mean * mean, F.lit(0.0))
+    z = (F.col("value") - mean) / (F.sqrt(var) + F.lit(1e-9))
+    return base.select(
+        "event_id",
+        "user_id",
+        "value",
+        mean.alias("rolling_mean"),
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(threshold)).alias("is_anomaly"),
+    )

@@ -871,12 +871,41 @@ FROM spine s LEFT JOIN agg a USING (user_id, bucket_idx)
 """
 
 
+def q_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rolling_zscore(B.load_table(spark, sf_dir, "events"))
+
+
+# Identical association order per double step; DECIMAL frame sums; variance
+# clamped at zero before sqrt (DuckDB rejects sqrt of a negative outright).
+SQL_ROLLING_ANOMALIES = f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, value,
+         value::DECIMAL(18,4) AS v
+  FROM events
+), stats AS (
+  SELECT event_id, user_id, value,
+         (SUM(v) OVER w)::DOUBLE / (COUNT(*) OVER w) AS mean,
+         (SUM(v * v) OVER w)::DOUBLE / (COUNT(*) OVER w) AS meansq
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN {R.ZSCORE_FRAME} PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, value, mean AS rolling_mean,
+       (value - mean) / (sqrt(greatest(meansq - mean * mean, 0.0)) + 1e-9)
+         AS zscore,
+       abs((value - mean) / (sqrt(greatest(meansq - mean * mean, 0.0)) + 1e-9))
+         > {R.ZSCORE_THRESHOLD} AS is_anomaly
+FROM stats
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "daily_timeseries": q_daily_timeseries,
+    "rolling_anomalies": q_rolling_anomalies,
     "pricing_summary_sql": q_pricing_summary_sql,
     "shipping_priority": q_shipping_priority,
     "supplier_volume": q_supplier_volume,
@@ -904,6 +933,7 @@ ORACLES = {
     "event_funnel": SQL_EVENT_FUNNEL,
     "cohort_retention": SQL_COHORT_RETENTION,
     "daily_timeseries": SQL_DAILY_TIMESERIES,
+    "rolling_anomalies": SQL_ROLLING_ANOMALIES,
     "pricing_summary_sql": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "supplier_volume": SQL_SUPPLIER_VOLUME,

@@ -659,3 +659,29 @@ def test_resample_fills_gaps_with_zeros(spark):
     assert out[(1, d1 + 3)] == (1, 4.0)
     assert out[(2, d1 + 1)] == (1, 7.0)
     assert len(out) == 5
+
+
+def test_rolling_zscore_flags_planted_spike(spark):
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import rolling_zscore
+
+    t0 = datetime(2024, 1, 1)
+    # steady alternating baseline, one 100x spike at event 10
+    rows = [
+        (i, 1, t0 + timedelta(minutes=i), 100.0 if i == 10 else 1.0 + (i % 2))
+        for i in range(20)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {r.event_id: r for r in rolling_zscore(events).collect()}
+    assert out[10].is_anomaly and out[10].zscore > 2.0
+    flagged = {eid for eid, r in out.items() if r.is_anomaly}
+    assert 10 in flagged
+    # the steady rows before the spike are never flagged
+    assert not any(e in flagged for e in range(10))
+    # both rolling sums share one Window operator / one shuffle
+    plan = rolling_zscore(events)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
