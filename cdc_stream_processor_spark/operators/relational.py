@@ -460,3 +460,44 @@ def rolling_zscore(
         z.alias("zscore"),
         (F.abs(z) > F.lit(threshold)).alias("is_anomaly"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order transition matrix over per-user event sequences: counts
+    of consecutive (prev_type → type) steps, plus each row's share of its
+    source state's outgoing edges — the empirical Markov transition
+    estimate behind next-action prediction and funnel-drop diagnosis.
+
+    Scale shape: one corpus shuffle for the per-user lag window; the count
+    roll-up is states² rows, map-side combinable; the probability join is a
+    states-sized broadcast. The probability is one IEEE double division of
+    two exact integer counts — bit-exact in any engine.
+    """
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col)).alias("us"),
+        F.col(id_col).alias("event_id"),
+        F.col(type_col).alias("event_type"),
+    )
+    steps = (
+        base.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_steps"))
+    )
+    outgoing = steps.groupBy("prev_type").agg(
+        F.sum("n_steps").alias("n_out")
+    )
+    return steps.join(F.broadcast(outgoing), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_steps",
+        (F.col("n_steps").cast("double") / F.col("n_out")).alias("p_transition"),
+    )

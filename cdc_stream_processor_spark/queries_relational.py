@@ -899,9 +899,33 @@ FROM stats
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.event_transitions(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_steps
+  FROM (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n_steps,
+       n_steps::DOUBLE / SUM(n_steps) OVER (PARTITION BY prev_type)
+         AS p_transition
+FROM steps
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
+    "event_transitions": q_event_transitions,
     "event_funnel": q_event_funnel,
     "cohort_retention": q_cohort_retention,
     "daily_timeseries": q_daily_timeseries,
@@ -934,6 +958,7 @@ ORACLES = {
     "cohort_retention": SQL_COHORT_RETENTION,
     "daily_timeseries": SQL_DAILY_TIMESERIES,
     "rolling_anomalies": SQL_ROLLING_ANOMALIES,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
     "pricing_summary_sql": SQL_PRICING_SUMMARY,
     "shipping_priority": SQL_SHIPPING_PRIORITY,
     "supplier_volume": SQL_SUPPLIER_VOLUME,

@@ -685,3 +685,29 @@ def test_rolling_zscore_flags_planted_spike(spark):
     plan = rolling_zscore(events)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_event_transitions_probabilities(spark):
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import event_transitions
+
+    t0 = datetime(2024, 1, 1)
+    # user 1: a->b->a->c ; user 2: a->b — transitions: a->b x2, b->a, a->c
+    seq = [(1, "a"), (1, "b"), (1, "a"), (1, "c"), (2, "a"), (2, "b")]
+    rows = [
+        (i, uid, t0 + timedelta(minutes=i), etype)
+        for i, (uid, etype) in enumerate(seq)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        (r.prev_type, r.next_type): (r.n_steps, r.p_transition)
+        for r in event_transitions(events).collect()
+    }
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)
+    assert out[("b", "a")] == (1, 1.0)
+    # no cross-user transition (user1's c never precedes user2's a)
+    assert ("c", "a") not in out
