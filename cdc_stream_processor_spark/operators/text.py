@@ -283,3 +283,66 @@ def pii_scan(docs: DataFrame, text_col: str = "text",
         ((n_emails + n_ipv4 + n_phones) > 0).alias("has_pii"),
         F.md5(redact_pii(t)).alias("redacted_md5"),
     )
+
+
+# --- TF-IDF keyword extraction ------------------------------------------------
+
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = TFIDF_TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF: (doc_id, term, tf, df, score, rank).
+
+    idf here is the raw inverse document frequency N/df rather than the
+    textbook log(N/df): the ranking is the point, and tf·(N/df) is built
+    from single exactly-rounded IEEE ops (int→double conversion, one
+    division, one multiplication), so scores are bit-identical between
+    Spark and the DuckDB oracle — log() carries a last-ulp libm risk.
+    Swap in F.log for presentation scores if the absolute value matters.
+
+    Plan shape (holds at 100 TB):
+      1. tokenize + explode → groupBy (doc, term): ONE shuffle with map-side
+         partial counts (explode output combines before the exchange);
+      2. document frequency = groupBy term over the (doc, term) counts —
+         second shuffle over the (already term-count-sized) aggregate, not
+         the raw token stream;
+      3. score join on term — plain shuffle join (the vocabulary of a
+         100 TB corpus outgrows a broadcast; AQE downgrades to broadcast
+         when it doesn't);
+      4. per-doc top-k via ranking window → WindowGroupLimit, so only k
+         rows per document survive the final exchange.
+    Corpus size N is a scalar aggregate (one number to the driver — same
+    role as a broadcast literal, not a data collect).
+    """
+    n_docs = docs.count()
+    tf = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"),
+                F.explode(TH.tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double")
+         * (F.lit(float(n_docs)) / F.col("df").cast("double"))).alias("score"),
+    )
+    from cdc_stream_processor_spark.operators.relational import top_k_per_group
+
+    out = top_k_per_group(
+        scored,
+        ["doc_id"],
+        [F.col("score").desc(), F.col("term").asc()],
+        k,
+        rank_col="rank",
+    )
+    return out.select("doc_id", "term", "tf", "df", "score", "rank")

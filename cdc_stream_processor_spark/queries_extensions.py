@@ -726,6 +726,41 @@ FROM documents
 """
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.tfidf_top_terms(B.load_table(spark, sf_dir, "documents"))
+
+
+# Same tokenizer, same integer counts, and the score is the identical IEEE
+# expression tree tf·(N/df) — int→double conversion, one division, one
+# multiplication, all exactly rounded, so hashes are bit-equal with no
+# rounding step. Ranking tie-break (score DESC, term ASC) is a total order
+# because terms are distinct within a document.
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, {TH.TOKENS_SQL.format(text="text")} AS toks FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM toks)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         t.tf::DOUBLE * (n.n_docs::DOUBLE / d.df::DOUBLE) AS score
+  FROM tf t JOIN dfreq d USING (term), n
+)
+SELECT doc_id, term, tf, df, score, rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= {X.TFIDF_TOP_K}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_pairs,
@@ -746,6 +781,7 @@ QUERIES = {
     "doc_repetition": q_doc_repetition,
     "pii_scan": q_pii_scan,
     "doc_sentiment": q_doc_sentiment,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 ORACLES = {
@@ -768,4 +804,5 @@ ORACLES = {
     "doc_repetition": _doc_repetition_sql(),
     "pii_scan": _pii_scan_sql(),
     "doc_sentiment": _doc_sentiment_sql(),
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
 }

@@ -711,3 +711,29 @@ def test_event_transitions_probabilities(spark):
     assert out[("b", "a")] == (1, 1.0)
     # no cross-user transition (user1's c never precedes user2's a)
     assert ("c", "a") not in out
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common rare1 common common"),
+            (2, "common other words"),
+            (3, "common rare1 unique3"),
+        ],
+    )
+    out = X.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: tf(common)=3, df=3 -> 3*(3/3)=3.0; tf(rare1)=1, df=2 -> 1.5
+    d1 = {r.term: r for r in by_doc[1]}
+    assert d1["common"].score == 3.0 and d1["common"].rank == 1
+    assert d1["rare1"].score == 1.5 and d1["rare1"].rank == 2
+    # doc 3: unique3 df=1 -> score 3.0 beats rare1 1.5 and common 1.0
+    assert [r.term for r in sorted(by_doc[3], key=lambda r: r.rank)] == [
+        "unique3",
+        "rare1",
+    ]
+    # k respected
+    assert all(len(v) <= 2 for v in by_doc.values())
