@@ -55,9 +55,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ) from e
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANO_TS_COLUMNS.get(name, ()):
-        if isinstance(df.schema[col].dataType, T.LongType):
+        dt = df.schema[col].dataType
+        if isinstance(dt, T.LongType):
             # integer division: ns are ~1.7e18, beyond double's 2^53 exactness
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # µs-precision parquet with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ; the session runs in UTC, so the cast to the
+            # session-zoned TIMESTAMP is value-preserving and restores the
+            # type the downstream unix_micros/window arithmetic expects
+            # (DuckDB reads the same files as its NTZ-like TIMESTAMP —
+            # identical wall-clock values either way).
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
