@@ -191,6 +191,65 @@ def apply_changes(
     return merged
 
 
+def retraction_aggregate(
+    changelog: DataFrame,
+    key: str,
+    dim: str,
+    value: str,
+    order_by: list[str],
+) -> DataFrame:
+    """Incremental (retraction-stream) aggregate maintenance: COUNT/SUM per
+    *dimension of the current state*, computed from a keyed changelog
+    without materializing the snapshot. Each new version of a key emits an
+    insert delta (+1, +value) for its dimension and a retraction
+    (-1, -previous value) for the previous version's dimension — the
+    upsert→retract rewrite Flink applies to aggregates over changelogs;
+    the reference's KTable re-aggregation has the same semantics
+    (ABBankTopology.java KTable groupBy/aggregate subtractor path).
+
+    Folding the deltas telescopes: every non-final version contributes
+    +v then -v and cancels exactly (values are DECIMAL(18,4), so the
+    cancellation is bit-exact), leaving the aggregate of the latest row
+    per key grouped by `dim` — the form the oracle states directly.
+
+    Plan shape at 100 TB: ONE shuffle on the key (window lag), a map-side
+    explode into ±delta pairs, then a partial-agg groupBy on the (tiny)
+    dimension — the changelog streams through once, with no join against
+    a materialized snapshot and no second wide shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order_by])
+    val = F.col(value).cast("decimal(18,4)")
+    # window exprs can't sit inside a generator: project the lags first
+    versions = changelog.select(
+        F.col(dim).alias("_d"),
+        val.alias("_v"),
+        F.lag(F.col(dim)).over(w).alias("_pd"),
+        F.lag(val).over(w).alias("_pv"),
+    )
+    deltas = F.array(
+        F.struct(
+            F.col("_d").alias("d"), F.lit(1).alias("c"), F.col("_v").alias("v")
+        ),
+        F.struct(
+            F.col("_pd").alias("d"),
+            F.lit(-1).alias("c"),
+            (-F.col("_pv")).alias("v"),
+        ),
+    )
+    return (
+        versions.select(F.explode(deltas).alias("_delta"))
+        .select("_delta.*")
+        .filter(F.col("d").isNotNull())
+        .groupBy(F.col("d").alias(dim))
+        .agg(
+            F.sum("c").alias("n_current"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
 def strip_confluent_framing(value_col: str = "value") -> F.Column:
     """Drop the 5-byte Confluent wire-format header (0x00 magic + 4-byte
     big-endian schema id) from a binary Kafka value, leaving the raw Avro

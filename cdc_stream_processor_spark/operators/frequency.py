@@ -1,0 +1,113 @@
+"""Distributed frequency estimation + deterministic sampling operators.
+
+A 100 TB corpus pipeline needs "what are the frequent items" without a
+full-cardinality shuffle, and "give me a reproducible per-stratum sample"
+without an order-dependent RNG. Both are absent from the reference engine
+(its DAG is fixed; see SURVEY.md §2.11 gap list) and both are classic
+scale-first patterns:
+
+- ``heavy_hitter_tokens``: two-pass exact heavy hitters. Pass 1 runs a
+  Misra-Gries summary per partition (Arrow-batched ``mapInPandas``,
+  merge-with-trim per the mergeable-summaries construction of Agarwal et
+  al., PODS '12), yielding ≤ k candidate tokens per partition and NO
+  shuffle of the full token-frequency table. Pass 2 exact-recounts ONLY
+  the candidate union (broadcast semi-join) and keeps tokens with
+  count·k > n. Any token with true count > n/k is guaranteed to be a
+  candidate, so the output is exactly the set a full groupBy would
+  produce — at a fraction of the shuffle.
+- ``stratified_sample``: deterministic fixed-size per-stratum sample —
+  rank rows by an LCG hash of the row id within each stratum and keep the
+  k smallest. One shuffle on the stratum key; Spark plans a
+  WindowGroupLimit so partitions retain only k rows pre-sort. Unlike
+  ``df.sampleBy`` the result is reproducible row-for-row across runs,
+  cluster sizes, and engines (the oracle re-states it as ROW_NUMBER()).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from cdc_stream_processor_spark.functions import texthash as TH
+from cdc_stream_processor_spark.operators.relational import top_k_per_group
+
+HH_K = 30  # report tokens with count > n/HH_K; MG summaries use HH_K counters
+
+_CAND_SCHEMA = StructType([StructField("tok", StringType())])
+
+# stratified sample: LCG over doc_id (distinct constants from corpus.py's
+# split/shuffle LCGs so the sample is independent of both)
+STRAT_A = 1_664_525
+STRAT_B = 1_013_904_223
+STRAT_P = 2_147_483_647
+STRAT_K = 25  # rows kept per stratum
+
+
+def _mg_candidates(k: int):
+    """Per-partition Misra-Gries summary as a mapInPandas kernel.
+
+    Exact value_counts per Arrow batch, merged into a running summary;
+    when the summary exceeds k entries, subtract the (k+1)-th largest
+    count from all and drop non-positives (the mergeable-summaries trim).
+    Total undercount ≤ n_partition/k, so any token with partition count
+    > n_partition/k survives locally — and a token with GLOBAL count
+    > n/k must exceed the local bound in at least one partition.
+    """
+
+    def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = counts.add(pdf["tok"].value_counts(), fill_value=0)
+            if len(counts) > k:
+                counts = counts.sort_values(ascending=False)
+                counts = counts.iloc[:k] - counts.iloc[k]
+                counts = counts[counts > 0]
+        yield pd.DataFrame({"tok": counts.index.astype(str)})
+
+    return mg
+
+
+def heavy_hitter_tokens(docs: DataFrame, k: int = HH_K) -> DataFrame:
+    """Exact tokens with count·k > n over the corpus token stream.
+
+    Plan shape: map-only tokenize/explode → per-partition MG (no shuffle)
+    → candidates broadcast back over the stream → groupBy on ≤ k·P
+    candidate tokens only → threshold against the total count (1-row
+    broadcast cross join). The full token-frequency table — the thing
+    that explodes at 100 TB — is never materialized or shuffled.
+    """
+    toks = docs.select(F.explode(TH.tokens(F.col("text"))).alias("tok"))
+    candidates = (
+        toks.mapInPandas(_mg_candidates(k), schema=_CAND_SCHEMA).distinct()
+    )
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(k) > F.col("n"))
+        .select("tok", "cnt")
+    )
+
+
+def stratified_sample(
+    docs: DataFrame, stratum: str = "lang", k: int = STRAT_K
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: smallest-k LCG keys per stratum."""
+    keyed = docs.select(
+        "doc_id",
+        F.col(stratum).alias("stratum"),
+        ((F.col("doc_id") * STRAT_A + STRAT_B) % STRAT_P).alias("sample_key"),
+    )
+    return top_k_per_group(
+        keyed,
+        partition_by=["stratum"],
+        order_by=[F.col("sample_key").asc(), F.col("doc_id").asc()],
+        k=k,
+        rank_col="sample_rank",
+    ).select("doc_id", "stratum", "sample_key", "sample_rank")

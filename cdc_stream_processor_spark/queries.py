@@ -318,6 +318,34 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
 """
 
 
+def q_retraction_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance over the events changelog: per
+    event_type COUNT/SUM of the *current* user states, computed purely
+    from ±deltas (upsert→retract rewrite) without materializing the
+    latest-per-key snapshot — see cdc.retraction_aggregate."""
+    ev = B.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return cdc.retraction_aggregate(
+        ev, key="user_id", dim="event_type", value="value",
+        order_by=["ts", "event_id"],
+    )
+
+
+# The delta fold telescopes to the snapshot aggregate, so the oracle
+# states the snapshot form directly (latest row per user, grouped).
+SQL_RETRACTION_AGGREGATE = """
+WITH latest AS (
+  SELECT event_type, value FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT event_type, COUNT(*) AS n_current,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM latest GROUP BY event_type
+"""
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 2 over the events changelog: every event becomes a version
     row with [valid_from, valid_to) validity and an is_current flag — the
@@ -511,6 +539,7 @@ CDC_QUERIES: dict[str, QueryFn] = {
     "dormancy": q_dormancy,
     "balance_recon": q_balance_recon,
     "latest_event_per_user": q_latest_event_per_user,
+    "retraction_aggregate": q_retraction_aggregate,
     "scd2_user_history": q_scd2_user_history,
     "point_in_time_user_state": q_point_in_time_user_state,
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -527,6 +556,7 @@ CDC_ORACLES: dict[str, str] = {
     "dormancy": SQL_DORMANCY,
     "balance_recon": SQL_BALANCE_RECON,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
+    "retraction_aggregate": SQL_RETRACTION_AGGREGATE,
     "scd2_user_history": SQL_SCD2_USER_HISTORY,
     "point_in_time_user_state": SQL_POINT_IN_TIME_USER_STATE,
     "cdc_apply_changes": SQL_CDC_APPLY_CHANGES,

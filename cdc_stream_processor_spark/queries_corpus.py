@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from cdc_stream_processor_spark.functions import texthash as TH
 from cdc_stream_processor_spark.operators import corpus as C
+from cdc_stream_processor_spark.operators import frequency as FR
 from cdc_stream_processor_spark.queries_extensions import DOCS_CTE
 from cdc_stream_processor_spark.sources import batch as B
 
@@ -266,6 +267,49 @@ FROM documents d JOIN rates r ON d.lang = r.lang
 """
 
 
+# --- distributed heavy hitters (Misra-Gries candidates + exact recount) -------
+
+
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FR.heavy_hitter_tokens(B.load_table(spark, sf_dir, "documents"))
+
+
+# The MG pass only proposes candidates (any superset of the true heavy
+# hitters yields the same final rows after the exact recount), so the
+# oracle states the definition directly: tokens with count·K > n.
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (
+  SELECT unnest({TH.TOKENS_SQL.format(text="text")}) AS tok FROM documents
+), t AS (
+  SELECT COUNT(*) AS n FROM toks
+), c AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+)
+SELECT c.tok, c.cnt FROM c, t WHERE c.cnt * {FR.HH_K} > t.n
+"""
+
+
+# --- deterministic stratified sample ------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return FR.stratified_sample(B.load_table(spark, sf_dir, "documents"))
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, stratum, sample_key, sample_rank FROM (
+  SELECT doc_id, lang AS stratum,
+         (doc_id * {FR.STRAT_A} + {FR.STRAT_B}) % {FR.STRAT_P} AS sample_key,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {FR.STRAT_A} + {FR.STRAT_B}) % {FR.STRAT_P},
+                    doc_id) AS sample_rank
+  FROM documents
+)
+WHERE sample_rank <= {FR.STRAT_K}
+"""
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
     "decontamination_overlap": q_decontamination_overlap,
@@ -275,6 +319,8 @@ QUERIES = {
     "global_shuffle": q_global_shuffle,
     "chunk_documents": q_chunk_documents,
     "temperature_sample": q_temperature_sample,
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLES = {
@@ -286,4 +332,6 @@ ORACLES = {
     "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
+    "heavy_hitter_tokens": SQL_HEAVY_HITTERS,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
 }
