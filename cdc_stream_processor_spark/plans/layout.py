@@ -10,7 +10,7 @@ the same operator code is correct at sf0.001 and at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -39,6 +39,68 @@ def write_date_partitioned(
     predicates prune entire directories at scan time (Catalyst partition
     pruning shows in .explain as PartitionFilters)."""
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+MORTON_BITS = 16  # per-dimension key width; 2 dims → 32-bit interleaved key
+
+
+def morton_key(a: Column, b: Column, bits: int = MORTON_BITS) -> Column:
+    """Interleave the low `bits` bits of two non-negative integer columns
+    into one long (Morton / Z-order curve key): bit i of `a` lands at
+    position 2i, bit i of `b` at 2i+1.
+
+    Pure JVM bitwise expression tree (no UDF, stays in whole-stage
+    codegen). Sorting or range-partitioning by this key clusters rows that
+    are close in BOTH dimensions, so per-file min/max statistics become
+    selective for predicates on either column — the layout trick behind
+    Delta/Iceberg Z-ORDER, expressed with stock Spark operators.
+    """
+    from pyspark.sql import functions as F
+
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = key.bitwiseOR(
+            F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+        )
+    return key
+
+
+def morton_key_sql(a: str, b: str, bits: int = MORTON_BITS) -> str:
+    """DuckDB SQL twin of :func:`morton_key` — same expression tree from
+    the same constants, so the key is oracle-checkable bit-for-bit."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    key: Column,
+    n_files: int,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered along a space-filling-curve key:
+    repartitionByRange on the key (one range-exchange; Spark samples the
+    key distribution so files get balanced row counts) + sortWithinPartitions
+    so row groups inside each file are also key-ordered. Downstream scans
+    with predicates on EITHER interleaved dimension prune most files on
+    footer min/max alone — asserted in tests over the actual written files.
+    """
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
 
 
 def write_bucketed(

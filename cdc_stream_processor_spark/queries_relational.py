@@ -21,6 +21,7 @@ from cdc_stream_processor_spark.operators.relational import (
     top_k_per_group,
 )
 from cdc_stream_processor_spark.operators import relational as R
+from cdc_stream_processor_spark.plans import layout as L
 from cdc_stream_processor_spark.sources import batch as B
 
 
@@ -922,6 +923,35 @@ FROM steps
 """
 
 
+# --- Z-order (Morton) clustering keys -----------------------------------------
+
+
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (user_id, day) — the clustering key write_zordered
+    range-partitions on so per-file min/max stats prune scans filtered on
+    EITHER dimension. Pure bitwise column expressions; the layout write +
+    actual file-skipping effect are asserted in tests."""
+    ev = B.load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id",
+        "user_id",
+        F.expr(f"unix_micros(ts) div {R.DAY_US}").alias("day_idx"),
+    )
+    return keyed.select(
+        "event_id",
+        "user_id",
+        "day_idx",
+        L.morton_key(F.col("user_id"), F.col("day_idx")).alias("zkey"),
+    )
+
+
+SQL_ZORDER_KEYS = f"""
+SELECT event_id, user_id, epoch_us(ts) // {R.DAY_US} AS day_idx,
+       {L.morton_key_sql("user_id", f"(epoch_us(ts) // {R.DAY_US})")} AS zkey
+FROM events
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
@@ -949,6 +979,7 @@ QUERIES = {
     "order_price_quantiles": q_order_price_quantiles,
     "order_price_quantiles_approx": q_order_price_quantiles_approx,
     "grouping_sets_revenue": q_grouping_sets_revenue,
+    "zorder_keys": q_zorder_keys,
 }
 
 ORACLES = {
@@ -978,4 +1009,5 @@ ORACLES = {
     "order_price_quantiles_approx": SQL_ORDER_PRICE_QUANTILES_APPROX,
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
+    "zorder_keys": SQL_ZORDER_KEYS,
 }
