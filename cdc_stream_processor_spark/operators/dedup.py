@@ -141,6 +141,27 @@ def minhashes(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def _band_rows(mh: DataFrame) -> DataFrame:
+    """Signature table → skinny (doc_id, band_idx, band_hash) rows. The
+    shingle arrays do NOT ride through the explode — only 3 small columns
+    shuffle in the downstream band equi-join."""
+    rows = N_MINHASH // N_BANDS
+    band_val = [
+        F.aggregate(
+            F.slice("mh", i * rows + 1, rows),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % TH.P_MOD,
+        ).alias(f"b{i}")
+        for i in range(N_BANDS)
+    ]
+    return mh.select("doc_id", *band_val).select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(N_BANDS)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -150,27 +171,12 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band, verified by exact Jaccard ≥
     threshold on the shingle sets. Returns (doc_a, doc_b, jaccard)."""
-    rows = N_MINHASH // N_BANDS
     # Persist the signature table: it feeds both sides of the band self-join
     # plus the verification join — without it the (expensive) hashing subplan
     # is recomputed once per branch. At cluster scale this is the standard
     # "materialize the signature table" step of a MinHash pipeline.
     mh = minhashes(docs, text_col, id_col, fast=fast).persist()
-    band_val = [
-        F.aggregate(
-            F.slice("mh", i * rows + 1, rows),
-            F.lit(0).cast("long"),
-            lambda acc, x: (acc * 31 + x) % TH.P_MOD,
-        ).alias(f"b{i}")
-        for i in range(N_BANDS)
-    ]
-    # skinny band rows: the shingle arrays do NOT ride through the explode
-    bands = mh.select("doc_id", *band_val).select(
-        "doc_id",
-        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(N_BANDS)])).alias(
-            "band_idx", "band_hash"
-        ),
-    )
+    bands = _band_rows(mh)
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         .join(
@@ -196,6 +202,73 @@ def minhash_lsh_pairs(
         verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    fast: bool = False,
+) -> DataFrame:
+    """Admit/reject a NEW batch against an EXISTING corpus — the daily-ingest
+    shape of fuzzy dedup. A new doc is rejected when it is a verified
+    near-dup (exact Jaccard ≥ threshold) of any corpus doc or of an
+    earlier (smaller-id) doc within the same batch.
+
+    Scale shape: the band equi-join runs new×corpus and new×new ONLY —
+    never corpus×corpus — so admitting a day's batch costs
+    O(|batch| · bands) join rows against the (pre-materialized, in
+    production) corpus signature table instead of re-deduplicating 100 TB
+    of history. Returns (doc_id, n_dups, keep) for every new doc with a
+    non-empty shingle set.
+    """
+    mh_new = minhashes(new_docs, text_col, id_col, fast=fast).persist()
+    mh_old = minhashes(corpus, text_col, id_col, fast=fast).persist()
+    bn = _band_rows(mh_new)
+    bo = _band_rows(mh_old)
+    cross = bn.select(F.col("doc_id").alias("new_id"), "band_idx", "band_hash").join(
+        bo.select(F.col("doc_id").alias("other_id"), "band_idx", "band_hash"),
+        ["band_idx", "band_hash"],
+    )
+    within = (
+        bn.select(F.col("doc_id").alias("new_id"), "band_idx", "band_hash")
+        .join(
+            bn.select(F.col("doc_id").alias("other_id"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("other_id") < F.col("new_id"))
+    )
+    cand = (
+        cross.select("new_id", "other_id")
+        .union(within.select("new_id", "other_id"))
+        .dropDuplicates(["new_id", "other_id"])
+    )
+    sets = mh_old.select("doc_id", "hs").union(mh_new.select("doc_id", "hs"))
+    verified = cand.join(
+        mh_new.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hs_a")),
+        "new_id",
+    ).join(
+        sets.select(F.col("doc_id").alias("other_id"), F.col("hs").alias("hs_b")),
+        "other_id",
+    )
+    shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - shared
+    dups = (
+        verified.filter(F.round(shared / union, 6) >= threshold)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return (
+        mh_new.select("doc_id")
+        .join(dups, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_dups"), F.lit(0)).alias("n_dups"),
+            F.col("new_id").isNull().alias("keep"),
+        )
     )
 
 

@@ -239,6 +239,7 @@ def lsh_near_dup_pairs(
         dim,
         n_planes,
         n_tables,
+        weight_fn=_plane_weight_mixed,
     ).select("vid", "table_idx", "bucket")
     cand = (
         b.select(F.col("vid").alias("vec_a"), "table_idx", "bucket")
@@ -268,16 +269,25 @@ def embedding_near_dup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate dedup by embedding cosine: keep a vector iff it has no
     near-duplicate (cosine ≥ threshold) with a smaller id — the standard
     keep-first representative rule (one pass, no iterative connected
-    components). Returns the kept rows (id only, schema-stable)."""
-    drops = (
-        cosine_pairs(vecs, threshold, id_col, vec_col)
-        .select(F.col("vec_b").alias(id_col))
-        .distinct()
-    )
+    components). Returns the kept rows (id only, schema-stable).
+
+    ``method="lsh"`` (requires ``dim``) generates the pair list via the
+    sub-quadratic SRP-LSH candidate join instead of the exact blocked
+    all-pairs product — the 100 TB path (analytic miss < 1e-7 at the
+    default parameterization; equality with exact asserted in tests)."""
+    if method == "lsh":
+        if dim is None:
+            raise ValueError("method='lsh' requires dim")
+        pairs = lsh_near_dup_pairs(vecs, threshold, dim, id_col, vec_col)
+    else:
+        pairs = cosine_pairs(vecs, threshold, id_col, vec_col)
+    drops = pairs.select(F.col("vec_b").alias(id_col)).distinct()
     return vecs.select(id_col).join(drops, id_col, "left_anti")
 
 
@@ -289,9 +299,32 @@ N_TABLES = 16  # OR-amplification: candidate if ANY table bucket collides
 
 def _plane_weight(table: int, plane: int, dim: int) -> float:
     """Deterministic pseudo-random weight in [-0.5, 0.5): LCG on
-    (table, plane, dim). No RNG object — reproducible across runs."""
+    (table, plane, dim). No RNG object — reproducible across runs.
+
+    NOTE: a single-step LCG keeps weights affine in the dimension index, so
+    hyperplanes across tables are correlated — fine for the oracle-mirrored
+    ANN top-k (where the SQL replays the identical arithmetic and recall is
+    pinned empirically), NOT good enough when an analytic independence-based
+    miss bound must hold; use :func:`_plane_weight_mixed` there."""
     x = (1103515245 * ((table * 64 + plane) * 8192 + dim) + 12345) % 2147483648
     return x / 2147483648.0 - 0.5
+
+
+_M64 = (1 << 64) - 1
+
+
+def _plane_weight_mixed(table: int, plane: int, dim: int) -> float:
+    """Well-mixed deterministic weight in [-0.5, 0.5): splitmix64 finalizer
+    over the packed (table, plane, dim) index. Unlike the affine LCG, bit
+    avalanche makes hyperplanes effectively independent across tables, so
+    the (1-p)^L analytic miss bound of the OR-amplified LSH actually holds
+    — required by lsh_near_dup_pairs' no-miss-at-threshold contract."""
+    z = ((table << 40) ^ (plane << 32) ^ dim) & _M64
+    z = (z + 0x9E3779B97F4A7C15) & _M64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+    z = z ^ (z >> 31)
+    return z / 2.0**64 - 0.5
 
 
 def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int = N_PLANES) -> Column:
@@ -311,7 +344,7 @@ def lsh_bucket(vec: Column, dim: int, table: int, n_planes: int = N_PLANES) -> C
     return bucket
 
 
-def _bucket_udf(dim: int, n_planes: int, n_tables: int):
+def _bucket_udf(dim: int, n_planes: int, n_tables: int, weight_fn=_plane_weight):
     """Vectorized bucket computation against the (tables × planes × dim)
     hyperplane tensor per Arrow batch. Projections are accumulated
     DIMENSION-BY-DIMENSION in float64 — the same left-to-right order as a
@@ -323,7 +356,7 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int):
 
     w = np.array(
         [
-            [[_plane_weight(t, p, d) for d in range(dim)] for p in range(n_planes)]
+            [[weight_fn(t, p, d) for d in range(dim)] for p in range(n_planes)]
             for t in range(n_tables)
         ]
     )  # (L, m, dim)
@@ -342,10 +375,16 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int):
     return buckets
 
 
-def _with_buckets(df: DataFrame, dim: int, n_planes: int, n_tables: int) -> DataFrame:
+def _with_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    weight_fn=_plane_weight,
+) -> DataFrame:
     """Explode each vector into (table_idx, bucket) rows — the equi-join key.
     Explode factor L is the classic LSH space/recall tradeoff."""
-    buckets = _bucket_udf(dim, n_planes, n_tables)(F.col("_v"))
+    buckets = _bucket_udf(dim, n_planes, n_tables, weight_fn)(F.col("_v"))
     return df.select(
         "*", F.posexplode(buckets).alias("table_idx", "bucket")
     )

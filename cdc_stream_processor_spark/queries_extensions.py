@@ -454,9 +454,14 @@ NEAR_DUP_COSINE = 0.4  # synthetic corpus has no true dups; 0.4 → "near" pairs
 
 
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.cosine_pairs(
-        B.load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COSINE
-    )
+    """Registered surface runs the sub-quadratic LSH-candidate path (the
+    100 TB shape); the oracle states exact all-pairs SQL — agreement also
+    re-proves the analytic no-miss bound on this corpus every gate run.
+    The exact blocked operator stays available as S.cosine_pairs (equality
+    asserted in tests)."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return S.lsh_near_dup_pairs(emb, threshold=NEAR_DUP_COSINE, dim=dim)
 
 
 def _near_dup_pairs_sql() -> str:
@@ -478,8 +483,10 @@ SELECT * FROM (
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
     return S.embedding_near_dup(
-        B.load_table(spark, sf_dir, "embeddings"), threshold=NEAR_DUP_COSINE
+        emb, threshold=NEAR_DUP_COSINE, method="lsh", dim=dim
     )
 
 
@@ -761,8 +768,51 @@ WHERE rank <= {X.TFIDF_TOP_K}
 """
 
 
+# --- incremental dedup (new batch vs existing corpus) -------------------------
+
+INCR_NEW_MOD = 5  # doc_id % 5 == 0 plays the day's new batch; rest = corpus
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    return D.incremental_dedup(new, corpus, threshold=JACCARD_THRESHOLD)
+
+
+def _incremental_dedup_sql() -> str:
+    """Bands over ALL docs (minhash depends only on the text), candidate
+    join restricted to new×corpus plus new×(earlier-in-batch) — the SQL
+    statement of incremental_dedup's admit/reject rule."""
+    return (
+        _minhash_pairs_ctes().split(", cand AS")[0]
+        + f""", cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS other_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+  WHERE a.doc_id % {INCR_NEW_MOD} = 0
+    AND (b.doc_id % {INCR_NEW_MOD} <> 0 OR b.doc_id < a.doc_id)
+), scored AS (
+  SELECT c.new_id, c.other_id,
+    ROUND(len(list_intersect(x.hs, y.hs))::DOUBLE /
+          (len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)))::DOUBLE,
+          6) AS jaccard
+  FROM cand c JOIN shh x ON c.new_id = x.doc_id
+              JOIN shh y ON c.other_id = y.doc_id
+), dups AS (
+  SELECT new_id, COUNT(*) AS n_dups FROM scored
+  WHERE jaccard >= {JACCARD_THRESHOLD} GROUP BY new_id
+)
+SELECT s.doc_id, COALESCE(d.n_dups, 0) AS n_dups, d.new_id IS NULL AS keep
+FROM (SELECT doc_id FROM shh WHERE doc_id % {INCR_NEW_MOD} = 0) s
+LEFT JOIN dups d ON s.doc_id = d.new_id
+"""
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "incremental_dedup": q_incremental_dedup,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -786,6 +836,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "incremental_dedup": _incremental_dedup_sql(),
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),

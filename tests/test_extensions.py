@@ -737,3 +737,27 @@ def test_tfidf_top_terms_ranks_rare_terms(spark):
     ]
     # k respected
     assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_incremental_dedup_agrees_with_full_pair_list(spark, sf_dir):
+    """Admit/reject vs corpus must match what the full-corpus pair list
+    implies: a new doc is rejected iff it pairs (at the same threshold)
+    with any corpus doc or an earlier doc of its own batch."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    mod = 5
+    new = docs.filter(F.col("doc_id") % mod == 0)
+    corpus = docs.filter(F.col("doc_id") % mod != 0)
+    got = {
+        r.doc_id: (r.keep, r.n_dups)
+        for r in D.incremental_dedup(new, corpus, threshold=0.5).collect()
+    }
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    expect_dups: dict[int, set[int]] = {}
+    for r in pairs:
+        for a, b in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if a % mod == 0 and (b % mod != 0 or b < a):
+                expect_dups.setdefault(a, set()).add(b)
+    assert len(got) > 0
+    for doc_id, (keep, n_dups) in got.items():
+        want = expect_dups.get(doc_id, set())
+        assert keep == (not want) and n_dups == len(want), doc_id
