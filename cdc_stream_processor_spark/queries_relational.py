@@ -923,6 +923,41 @@ FROM steps
 """
 
 
+# --- semi-structured JSON processing ------------------------------------------
+
+
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON extraction over the events.props payload column:
+    from_json with an explicit schema (corrupt input → null, never fatal —
+    asserted in tests), extracted key bucketed and rolled up with
+    decimal-exact value sums. The JSON parse is a JVM-side expression
+    inside whole-stage codegen — no UDF, columnar all the way."""
+    ev = B.load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select(
+            "event_type",
+            F.floor(k / 10).cast("long").alias("k_decile"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            R.dsum("value").alias("total_value"),
+        )
+    )
+
+
+SQL_JSON_PROPS_ROLLUP = """
+SELECT event_type,
+       json_extract(props, '$.k')::BIGINT // 10 AS k_decile,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --- Z-order (Morton) clustering keys -----------------------------------------
 
 
@@ -980,6 +1015,7 @@ QUERIES = {
     "order_price_quantiles_approx": q_order_price_quantiles_approx,
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "zorder_keys": q_zorder_keys,
+    "json_props_rollup": q_json_props_rollup,
 }
 
 ORACLES = {
@@ -1010,4 +1046,5 @@ ORACLES = {
     "approx_distinct_users": SQL_APPROX_DISTINCT_USERS,
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "zorder_keys": SQL_ZORDER_KEYS,
+    "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
 }

@@ -1,0 +1,34 @@
+"""Semi-structured JSON processing over the events.props payload column."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.queries_relational import q_json_props_rollup
+
+
+def test_json_props_rollup_covers_all_events(spark, sf_dir):
+    from cdc_stream_processor_spark.sources import batch as B
+
+    out = q_json_props_rollup(spark, sf_dir).collect()
+    total = sum(r.n_events for r in out)
+    assert total == B.load_table(spark, sf_dir, "events").count()
+    assert all(0 <= r.k_decile <= 9 for r in out)
+
+
+def test_from_json_corrupt_input_yields_null_not_error(spark):
+    """PERMISSIVE parse: malformed JSON and wrong-typed payloads become
+    null, never an exception — a 100 TB scan can't die on one bad row."""
+    rows = [
+        (1, '{"k": 7}'),
+        (2, "not json at all"),
+        (3, '{"k": "NaN-ish"}'),
+        (4, None),
+        (5, '{"other": 1}'),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string").select(
+        "id", F.from_json("props", "k INT").getField("k").alias("k")
+    )
+    got = {r.id: r.k for r in df.collect()}
+    assert got[1] == 7
+    assert got[2] is None and got[3] is None and got[4] is None and got[5] is None
