@@ -191,6 +191,45 @@ def apply_changes(
     return merged
 
 
+def table_diff(
+    before: DataFrame,
+    after: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot diff: classify every key as added / removed / changed /
+    unchanged between two table versions — the validation twin of
+    :func:`apply_changes` (replaying a changelog onto `before` must yield
+    a diff of exactly the applied changes; asserted in tests).
+
+    One shuffled full-outer equi-join on the key; the change test packs
+    the compared columns into a struct so null-safe equality is a single
+    JVM comparison per row, and unchanged rows can be filtered out before
+    any downstream collect. At 100 TB both sides shuffle once — there is
+    no per-column join or driver-side compare.
+    """
+    cols = compare_cols or [c for c in before.columns if c != key]
+    lpack = F.struct(*[F.col(f"_l_{c}").alias(c) for c in cols])
+    rpack = F.struct(*[F.col(f"_r_{c}").alias(c) for c in cols])
+    l = before.select(
+        F.col(key).alias("_lk"), *[F.col(c).alias(f"_l_{c}") for c in cols]
+    )
+    r = after.select(
+        F.col(key).alias("_rk"), *[F.col(c).alias(f"_r_{c}") for c in cols]
+    )
+    joined = l.join(r, F.col("_lk") == F.col("_rk"), "full_outer")
+    status = (
+        F.when(F.col("_lk").isNull(), F.lit("added"))
+        .when(F.col("_rk").isNull(), F.lit("removed"))
+        .when(lpack.eqNullSafe(rpack), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col("_lk"), F.col("_rk")).alias(key),
+        status.alias("diff_status"),
+    )
+
+
 def retraction_aggregate(
     changelog: DataFrame,
     key: str,

@@ -346,6 +346,47 @@ FROM latest GROUP BY event_type
 """
 
 
+DIFF_CUTOFF = "2024-01-15"
+
+
+def q_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between the user-state table as of DIFF_CUTOFF and the
+    final state: added / removed / changed / unchanged per user via one
+    full-outer join (cdc.table_diff)."""
+    ev = B.load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ev = ev.withColumn("_seq", F.struct(F.col("ts"), F.col("event_id")))
+    before = cdc.latest_by_key(
+        ev.filter(F.col("ts") < F.lit(DIFF_CUTOFF).cast("timestamp")), "user_id"
+    )
+    after = cdc.latest_by_key(ev, "user_id")
+    return cdc.table_diff(
+        before, after, "user_id", compare_cols=["event_type", "value"]
+    )
+
+
+SQL_USER_STATE_DIFF = f"""
+WITH s1 AS (
+  SELECT user_id, event_type, value FROM events
+  WHERE ts < TIMESTAMP '{DIFF_CUTOFF}'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+), s2 AS (
+  SELECT user_id, event_type, value FROM events
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+       CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.event_type IS NOT DISTINCT FROM s2.event_type
+             AND s1.value IS NOT DISTINCT FROM s2.value THEN 'unchanged'
+            ELSE 'changed' END AS diff_status
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+"""
+
+
 def q_scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type 2 over the events changelog: every event becomes a version
     row with [valid_from, valid_to) validity and an is_current flag — the
@@ -540,6 +581,7 @@ CDC_QUERIES: dict[str, QueryFn] = {
     "balance_recon": q_balance_recon,
     "latest_event_per_user": q_latest_event_per_user,
     "retraction_aggregate": q_retraction_aggregate,
+    "user_state_diff": q_user_state_diff,
     "scd2_user_history": q_scd2_user_history,
     "point_in_time_user_state": q_point_in_time_user_state,
     "cdc_apply_changes": q_cdc_apply_changes,
@@ -557,6 +599,7 @@ CDC_ORACLES: dict[str, str] = {
     "balance_recon": SQL_BALANCE_RECON,
     "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
     "retraction_aggregate": SQL_RETRACTION_AGGREGATE,
+    "user_state_diff": SQL_USER_STATE_DIFF,
     "scd2_user_history": SQL_SCD2_USER_HISTORY,
     "point_in_time_user_state": SQL_POINT_IN_TIME_USER_STATE,
     "cdc_apply_changes": SQL_CDC_APPLY_CHANGES,

@@ -154,3 +154,50 @@ def test_retraction_aggregate_retracts_superseded_versions(spark):
         ).collect()
     }
     assert got == {"a": (1, 5.0), "b": (2, 22.0)}
+
+
+# --- table_diff ---------------------------------------------------------------
+
+
+def test_table_diff_roundtrips_apply_changes(spark):
+    """Replaying a changelog onto `before` must diff as exactly the applied
+    changes: inserts → added, deletes → removed, updates with new values →
+    changed, untouched keys → unchanged."""
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, tag string, value double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (5, "e", 50.0, "c", 1),   # insert      → added
+            (2, None, None, "d", 2),  # delete      → removed
+            (3, "c2", 31.0, "u", 3),  # real update → changed
+            (4, "d", 40.0, "u", 4),   # no-op update → unchanged
+        ],
+        "id long, tag string, value double, op string, _seq long",
+    )
+    after = cdc.apply_changes(before, changes, key="id")
+    got = {
+        r.id: r.diff_status
+        for r in cdc.table_diff(before, after, "id").collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "removed",
+        3: "changed",
+        4: "unchanged",
+        5: "added",
+    }
+
+
+def test_table_diff_null_safe_compare(spark):
+    """Null payloads compare null-safely: null == null is unchanged,
+    null vs value is changed."""
+    a = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "id long, tag string"
+    )
+    b = spark.createDataFrame(
+        [(1, None), (2, "y"), (3, None)], "id long, tag string"
+    )
+    got = {r.id: r.diff_status for r in cdc.table_diff(a, b, "id").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "changed"}
