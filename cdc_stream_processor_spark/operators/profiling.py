@@ -1,0 +1,79 @@
+"""Single-scan table profiling: per-column null / distinct / range / sum
+statistics — the data-quality summary every ingest pipeline runs before
+training (the reference has no profiling surface; this is a §2.11-style
+engine completion, Deequ-shaped but stock-Spark).
+
+Scale shape: ALL columns' statistics are computed in ONE aggregation over
+ONE scan (a single agg row, then a map-only explode into per-column rows)
+— profiling a 100-column 100 TB table costs one pass, not 100. Exact
+count(distinct) across k columns makes Catalyst plan an Expand (k+1 row
+multiplier before partial aggregation); swap `exact_distinct=False` to use
+approx_count_distinct (HLL, no Expand) when the profile feeds monitoring
+rather than an exactness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: list[str],
+    string_cols: list[str],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One row per profiled column:
+    (column, n_rows, n_nulls, n_distinct, min_num, max_num, sum_num,
+    min_str, max_str) — numeric stats null for string columns and vice
+    versa. Numeric sums aggregate in DECIMAL(18,4) (order-independent,
+    exact) and cast back to double."""
+    n_distinct = (
+        F.countDistinct if exact_distinct else F.approx_count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in numeric_cols + string_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(n_distinct(c).alias(f"{c}__dist"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"{c}__min"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"{c}__max"))
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(18,4)")).cast("double").alias(f"{c}__sum")
+        )
+    for c in string_cols:
+        aggs.append(F.min(c).alias(f"{c}__smin"))
+        aggs.append(F.max(c).alias(f"{c}__smax"))
+    row = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_num"),
+            F.col(f"{c}__max").alias("max_num"),
+            F.col(f"{c}__sum").alias("sum_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        )
+        for c in numeric_cols
+    ] + [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__dist").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            null_d.alias("sum_num"),
+            F.col(f"{c}__smin").alias("min_str"),
+            F.col(f"{c}__smax").alias("max_str"),
+        )
+        for c in string_cols
+    ]
+    return row.select(F.explode(F.array(*per_col)).alias("_p")).select("_p.*")

@@ -923,6 +923,56 @@ FROM steps
 """
 
 
+# --- single-scan table profiling ----------------------------------------------
+
+PROFILE_NUM_COLS = ["event_id", "user_id", "value"]
+PROFILE_STR_COLS = ["event_type", "props"]
+
+
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_stream_processor_spark.operators.profiling import profile_table
+
+    return profile_table(
+        B.load_table(spark, sf_dir, "events"),
+        numeric_cols=PROFILE_NUM_COLS,
+        string_cols=PROFILE_STR_COLS,
+    )
+
+
+def _profile_events_sql() -> str:
+    num = ",\n    ".join(
+        f"MIN({c}::DOUBLE) AS {c}__min, MAX({c}::DOUBLE) AS {c}__max, "
+        f"CAST(SUM({c}::DECIMAL(18,4)) AS DOUBLE) AS {c}__sum"
+        for c in PROFILE_NUM_COLS
+    )
+    strs = ",\n    ".join(
+        f"MIN({c}) AS {c}__smin, MAX({c}) AS {c}__smax"
+        for c in PROFILE_STR_COLS
+    )
+    nd = ",\n    ".join(
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}__nulls, "
+        f"COUNT(DISTINCT {c}) AS {c}__dist"
+        for c in PROFILE_NUM_COLS + PROFILE_STR_COLS
+    )
+    rows = [
+        f"""SELECT '{c}' AS "column", _n AS n_rows, {c}__nulls AS n_nulls,
+        {c}__dist AS n_distinct, {c}__min AS min_num, {c}__max AS max_num,
+        {c}__sum AS sum_num, NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+        FROM s"""
+        for c in PROFILE_NUM_COLS
+    ] + [
+        f"""SELECT '{c}' AS "column", _n AS n_rows, {c}__nulls AS n_nulls,
+        {c}__dist AS n_distinct, NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num,
+        NULL::DOUBLE AS sum_num, {c}__smin AS min_str, {c}__smax AS max_str
+        FROM s"""
+        for c in PROFILE_STR_COLS
+    ]
+    return (
+        f"WITH s AS (\n  SELECT COUNT(*) AS _n,\n    {nd},\n    {num},\n    "
+        f"{strs}\n  FROM events\n)\n" + "\nUNION ALL\n".join(rows)
+    )
+
+
 # --- semi-structured JSON processing ------------------------------------------
 
 
@@ -1016,6 +1066,7 @@ QUERIES = {
     "grouping_sets_revenue": q_grouping_sets_revenue,
     "zorder_keys": q_zorder_keys,
     "json_props_rollup": q_json_props_rollup,
+    "profile_events": q_profile_events,
 }
 
 ORACLES = {
@@ -1047,4 +1098,5 @@ ORACLES = {
     "grouping_sets_revenue": SQL_GROUPING_SETS_REVENUE,
     "zorder_keys": SQL_ZORDER_KEYS,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
+    "profile_events": _profile_events_sql(),
 }

@@ -191,3 +191,13 @@ def test_zorder_write_narrows_file_stats_on_both_dims(spark, sf_dir, tmp_path):
         # the z-layout must beat each single-column sort on the column that
         # sort neglects, without giving up ALL the narrowing on its own
         assert z[other] < 0.8 * mean_spans(lin)[other], (col, z)
+
+
+def test_profile_events_is_single_scan(spark, sf_dir):
+    """All per-column statistics come from ONE pass: exactly one parquet
+    scan in the plan (Catalyst's Expand handles the multi-distinct), so
+    profiling k columns never costs k scans."""
+    df = QR.q_profile_events(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "Expand" in plan  # count(distinct) over k columns, one scan
