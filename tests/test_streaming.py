@@ -570,3 +570,50 @@ def test_kafka_source_unavailable_is_clear(spark):
         df.printSchema()  # pragma: no cover - only if jar present
     except Exception as e:  # noqa: BLE001
         assert "kafka" in str(e).lower()
+
+
+def test_foreachbatch_merge_sink_materializes_and_is_idempotent(spark, tmpdirs):
+    """The foreachBatch merge sink must (1) continuously materialize the
+    keyed table across micro-batches — inserts, updates, deletes — and
+    (2) be replay-safe: re-merging an already-applied batch reproduces the
+    identical snapshot (the exactly-once-via-idempotence contract)."""
+    from cdc_stream_processor_spark.streaming import sinks as SK
+
+    src = f"{tmpdirs}/changes_src"
+    target = f"{tmpdirs}/merged_table"
+    ckpt = f"{tmpdirs}/merge_ckpt"
+    schema = "id long, tag string, value double, op string, _seq long"
+    cols = ["id", "tag", "value"]
+
+    def run(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = SK.start_merge_sink(
+            stream, target, ckpt, key="id", snapshot_cols=cols
+        )
+        q.awaitTermination(120)
+
+    # batch 1: three inserts
+    run([(1, "a", 1.0, "c", 1), (2, "b", 2.0, "c", 2), (3, "c", 3.0, "c", 3)])
+    got = {r.id: (r.tag, r.value) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b", 2.0), 3: ("c", 3.0)}
+
+    # batch 2: update 1, delete 2, insert 4; within-batch 4 updated twice
+    run([
+        (1, "a2", 1.5, "u", 4),
+        (2, None, None, "d", 5),
+        (4, "d", 4.0, "c", 6),
+        (4, "d2", 4.5, "u", 7),
+    ])
+    got = {r.id: (r.tag, r.value) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a2", 1.5), 3: ("c", 3.0), 4: ("d2", 4.5)}
+
+    # replay safety: manually re-apply batch 2 — snapshot must not change
+    replay = spark.createDataFrame(
+        [(1, "a2", 1.5, "u", 4), (2, None, None, "d", 5),
+         (4, "d", 4.0, "c", 6), (4, "d2", 4.5, "u", 7)],
+        schema,
+    )
+    SK.merge_batch_into_parquet(spark, replay, target, "id", cols)
+    again = {r.id: (r.tag, r.value) for r in spark.read.parquet(target).collect()}
+    assert again == got
