@@ -346,3 +346,70 @@ def tfidf_top_terms(
         rank_col="rank",
     )
     return out.select("doc_id", "term", "tf", "df", "score", "rank")
+
+
+BIGRAM_MIN_COUNT = 5  # collocation support floor (noise guard)
+BIGRAM_TOP_K = 50
+
+
+def bigram_lift_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = BIGRAM_TOP_K,
+    min_count: int = BIGRAM_MIN_COUNT,
+) -> DataFrame:
+    """Top-k adjacent-token collocations ranked by lift
+    p(w1,w2) / (p(w1)·p(w2)) — rank-equivalent to PMI without the log, so
+    the score stays an exact rational: BIGINT numerator n_ab·N² and
+    denominator M·n_a·n_b are each < 2⁵³, their doubles are exact, and the
+    single division is correctly rounded — bit-equal in any IEEE engine
+    (no transcendental functions to disagree on).
+
+    Plan shape: bigrams come from a JVM-side transform over the token
+    array (map-only explode — no self-join to form pairs), one groupBy for
+    bigram counts, one for unigram counts, both joined back via broadcast
+    (vocabulary-sized), TakeOrderedAndProject for the global top-k.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("toks")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i-1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    totals = uni.agg(
+        F.sum("n_w").alias("n_tokens"),
+    ).crossJoin(bigrams.agg(F.count(F.lit(1)).alias("n_bigrams")))
+    scored = (
+        bg_counts.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_tokens") * F.col("n_tokens")).cast("double")
+                / (F.col("n_bigrams") * F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    from cdc_stream_processor_spark.operators.relational import global_top_k
+
+    return global_top_k(
+        scored,
+        [F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()],
+        k,
+    )

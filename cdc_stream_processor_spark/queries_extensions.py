@@ -810,9 +810,45 @@ LEFT JOIN dups d ON s.doc_id = d.new_id
     )
 
 
+# --- bigram collocations (lift / PMI-ranked) ----------------------------------
+
+
+def q_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_lift_topk(B.load_table(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LIFT = f"""
+WITH toks AS (
+  SELECT doc_id, {TH.TOKENS_SQL.format(text="text")} AS toks FROM documents
+), bg AS (
+  SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM toks, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2
+), uni AS (
+  SELECT w, COUNT(*) AS n_w
+  FROM (SELECT unnest(toks) AS w FROM toks) GROUP BY 1
+), tot AS (
+  SELECT (SELECT SUM(n_w) FROM uni) AS n_tokens,
+         (SELECT COUNT(*) FROM bg) AS n_bigrams
+)
+SELECT c.w1, c.w2, c.n_ab,
+       (c.n_ab * t.n_tokens * t.n_tokens)::DOUBLE
+         / (t.n_bigrams * a.n_w * b.n_w)::DOUBLE AS lift
+FROM bgc c
+JOIN uni a ON c.w1 = a.w
+JOIN uni b ON c.w2 = b.w
+CROSS JOIN tot t
+WHERE c.n_ab >= {X.BIGRAM_MIN_COUNT}
+ORDER BY lift DESC, c.w1, c.w2
+LIMIT {X.BIGRAM_TOP_K}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
+    "bigram_lift_topk": q_bigram_lift,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -837,6 +873,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "incremental_dedup": _incremental_dedup_sql(),
+    "bigram_lift_topk": SQL_BIGRAM_LIFT,
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),

@@ -761,3 +761,18 @@ def test_incremental_dedup_agrees_with_full_pair_list(spark, sf_dir):
     for doc_id, (keep, n_dups) in got.items():
         want = expect_dups.get(doc_id, set())
         assert keep == (not want) and n_dups == len(want), doc_id
+
+
+def test_bigram_lift_ranks_planted_collocation_first(spark):
+    """Tokens that ONLY occur as a pair maximize lift: a planted 'alpha
+    beta' collocation must outrank bigrams of independently-common
+    words."""
+    docs = [
+        (i, "alpha beta " + "the cat sat on the mat and the dog ran " * 2)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = X.bigram_lift_topk(df, k=5, min_count=5).collect()
+    assert (out[0].w1, out[0].w2) == ("alpha", "beta")
+    lifts = [r.lift for r in out]
+    assert lifts == sorted(lifts, reverse=True)
