@@ -923,6 +923,47 @@ FROM steps
 """
 
 
+# --- user journey paths (ordered sequence aggregation) ------------------------
+
+PATH_MAX_STEPS = 12  # cap the rendered path; full length still reported
+
+
+def q_user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event-type journey ('signup>view>click>…') — the
+    secondary-sort pattern without RDDs: collect_list of (ts, event_id,
+    type) structs, sort_array for a deterministic total order (struct
+    comparison = lexicographic on fields), then a map-side slice/join.
+    ONE shuffle (the groupBy), partial aggregation map-side; no window,
+    no per-user sort of the whole table."""
+    ev = B.load_table(spark, sf_dir, "events")
+    packed = F.struct(
+        F.col("ts"), F.col("event_id"), F.col("event_type")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(packed)).alias("seq"),
+        F.count(F.lit(1)).alias("n_steps"),
+    )
+    return agg.select(
+        "user_id",
+        "n_steps",
+        F.array_join(
+            F.slice(F.col("seq.event_type"), 1, PATH_MAX_STEPS), ">"
+        ).alias("path"),
+    )
+
+
+SQL_USER_EVENT_PATHS = f"""
+WITH ordered AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq,
+         COUNT(*) AS n_steps
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_steps,
+       array_to_string(seq[1:{PATH_MAX_STEPS}], '>') AS path
+FROM ordered
+"""
+
+
 # --- single-scan table profiling ----------------------------------------------
 
 PROFILE_NUM_COLS = ["event_id", "user_id", "value"]
@@ -1067,6 +1108,7 @@ QUERIES = {
     "zorder_keys": q_zorder_keys,
     "json_props_rollup": q_json_props_rollup,
     "profile_events": q_profile_events,
+    "user_event_paths": q_user_event_paths,
 }
 
 ORACLES = {
@@ -1099,4 +1141,5 @@ ORACLES = {
     "zorder_keys": SQL_ZORDER_KEYS,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "profile_events": _profile_events_sql(),
+    "user_event_paths": SQL_USER_EVENT_PATHS,
 }
