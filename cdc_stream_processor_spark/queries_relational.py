@@ -923,6 +923,54 @@ FROM steps
 """
 
 
+# --- OHLC bars (first/last/extreme per bucket) --------------------------------
+
+
+def q_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily OHLC bars over the event value stream: open/close via
+    max_by/min_by on the (ts, event_id) sequence — ONE shuffle with full
+    map-side partial aggregation (min_by/max_by combine associatively),
+    never a window sort. The timeseries-engine resample primitive."""
+    ev = B.load_table(spark, sf_dir, "events")
+    # scalar total-order key (µs·10⁸ + event_id, exact in DECIMAL(38,0)):
+    # DuckDB's arg_min/arg_max take scalar keys, so both engines order by
+    # the identical number; Spark's min_by happily orders decimals
+    seq = (
+        F.unix_micros(F.col("ts")).cast("decimal(38,0)") * 100_000_000
+        + F.col("event_id")
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {R.DAY_US}").alias("day_idx"),
+            F.col("value"),
+            seq.alias("_seq"),
+        )
+        .groupBy("user_id", "day_idx")
+        .agg(
+            F.min_by("value", F.col("_seq")).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", F.col("_seq")).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+            R.dsum("value").alias("volume"),
+        )
+    )
+
+
+SQL_DAILY_OHLC = f"""
+SELECT user_id, epoch_us(ts) // {R.DAY_US} AS day_idx,
+       arg_min(value, (epoch_us(ts)::HUGEINT * 100000000 + event_id)) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, (epoch_us(ts)::HUGEINT * 100000000 + event_id)) AS close,
+       COUNT(*) AS n_ticks,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --- user journey paths (ordered sequence aggregation) ------------------------
 
 PATH_MAX_STEPS = 12  # cap the rendered path; full length still reported
@@ -1109,6 +1157,7 @@ QUERIES = {
     "json_props_rollup": q_json_props_rollup,
     "profile_events": q_profile_events,
     "user_event_paths": q_user_event_paths,
+    "daily_ohlc": q_daily_ohlc,
 }
 
 ORACLES = {
@@ -1142,4 +1191,5 @@ ORACLES = {
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "profile_events": _profile_events_sql(),
     "user_event_paths": SQL_USER_EVENT_PATHS,
+    "daily_ohlc": SQL_DAILY_OHLC,
 }
