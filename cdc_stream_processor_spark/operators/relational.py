@@ -501,3 +501,52 @@ def event_transitions(
         "n_steps",
         (F.col("n_steps").cast("double") / F.col("n_out")).alias("p_transition"),
     )
+
+
+INTERVAL_BUCKET_US = 6 * 3600 * 1_000_000  # 6h epochs for interval binning
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_us: int = INTERVAL_BUCKET_US,
+    extra_cond: Column | None = None,
+) -> DataFrame:
+    """Interval-overlap join ([s,e] closed intervals) as a hash EQUI-join:
+    explode each interval onto the bucket_us epochs it covers, join on the
+    epoch, keep true overlaps, then dedup (a pair sharing k epochs arrives
+    k times). Same binning trick as the banded range join — the shuffle
+    key is the epoch, so there is never a nested-loop range scan; pick
+    bucket_us ≈ typical interval length so the explode factor stays ~2.
+    Column names of the two inputs must be disjoint."""
+    lb = left.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"{l_start} div {bucket_us}"),
+                F.expr(f"{l_end} div {bucket_us}"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"{r_start} div {bucket_us}"),
+                F.expr(f"{r_end} div {bucket_us}"),
+            )
+        ),
+    )
+    cond = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return (
+        lb.join(rb, "_bkt")
+        .filter(cond)
+        .drop("_bkt")
+        .dropDuplicates(left.columns + right.columns)
+    )

@@ -923,6 +923,61 @@ FROM steps
 """
 
 
+# --- interval-overlap join (concurrent sessions) ------------------------------
+
+CONC_CUTOFF_US = 1_704_240_000_000_000  # 2024-01-03 UTC in µs: 48h slice
+
+
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-user session pairs whose [start,end] intervals overlap —
+    interval-overlap join binned to 6h epochs so it runs as a hash
+    equi-join (never a nested-loop range scan; asserted on the plan)."""
+    s = (
+        R.sessionize(B.load_table(spark, sf_dir, "events"))
+        .filter(F.col("start_us") < CONC_CUTOFF_US)
+        .select("user_id", "session_id", "start_us", "end_us")
+    )
+    a = s.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("session_a"),
+        F.col("start_us").alias("start_a"),
+        F.col("end_us").alias("end_a"),
+    )
+    b = s.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("start_us").alias("start_b"),
+        F.col("end_us").alias("end_b"),
+    )
+    joined = R.interval_overlap_join(
+        a, b, "start_a", "end_a", "start_b", "end_b",
+        extra_cond=F.col("user_a") < F.col("user_b"),
+    )
+    return joined.select(
+        "user_a",
+        "session_a",
+        "user_b",
+        "session_b",
+        (
+            F.least("end_a", "end_b") - F.greatest("start_a", "start_b")
+        ).alias("overlap_us"),
+    )
+
+
+def _concurrent_sessions_sql() -> str:
+    return f"""
+WITH s AS ({SQL_USER_SESSIONS.strip()})
+SELECT a.user_id AS user_a, a.session_id AS session_a,
+       b.user_id AS user_b, b.session_id AS session_b,
+       LEAST(a.end_us, b.end_us) - GREATEST(a.start_us, b.start_us)
+         AS overlap_us
+FROM s a JOIN s b
+  ON a.user_id < b.user_id
+ AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+WHERE a.start_us < {CONC_CUTOFF_US} AND b.start_us < {CONC_CUTOFF_US}
+"""
+
+
 # --- OHLC bars (first/last/extreme per bucket) --------------------------------
 
 
@@ -1158,6 +1213,7 @@ QUERIES = {
     "profile_events": q_profile_events,
     "user_event_paths": q_user_event_paths,
     "daily_ohlc": q_daily_ohlc,
+    "concurrent_sessions": q_concurrent_sessions,
 }
 
 ORACLES = {
@@ -1192,4 +1248,5 @@ ORACLES = {
     "profile_events": _profile_events_sql(),
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "daily_ohlc": SQL_DAILY_OHLC,
+    "concurrent_sessions": _concurrent_sessions_sql(),
 }

@@ -201,3 +201,11 @@ def test_profile_events_is_single_scan(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Scan parquet") == 1
     assert "Expand" in plan  # count(distinct) over k columns, one scan
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    """The epoch binning must make the overlap join a hash equi-join —
+    a CartesianProduct/NestedLoop here means the range predicate leaked
+    into the join itself and the operator degraded to brute force."""
+    plan = _plan(QR.q_concurrent_sessions(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
