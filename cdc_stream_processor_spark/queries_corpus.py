@@ -289,6 +289,52 @@ SELECT c.tok, c.cnt FROM c, t WHERE c.cnt * {FR.HH_K} > t.n
 """
 
 
+# --- grouped top-k frequent tokens --------------------------------------------
+
+TOP_TOKENS_K = 5
+
+
+def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-k tokens: exact grouped frequency ranking — one
+    partial-agg shuffle for the (lang, tok) counts, then WindowGroupLimit
+    top-k per lang (rank pushdown keeps k rows per partition pre-sort)."""
+    from cdc_stream_processor_spark.operators.relational import top_k_per_group
+
+    docs = B.load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang", F.explode(TH.tokens(F.col("text"))).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return top_k_per_group(
+        counts,
+        partition_by=["lang"],
+        order_by=[F.col("cnt").desc(), F.col("tok").asc()],
+        k=TOP_TOKENS_K,
+        rank_col="rank",
+    ).select("lang", "tok", "cnt", "rank")
+
+
+SQL_TOP_TOKENS_PER_LANG = f"""
+WITH c AS (
+  SELECT lang, tok, COUNT(*) AS cnt
+  FROM (
+    SELECT lang, unnest({TH.TOKENS_SQL.format(text="text")}) AS tok
+    FROM documents
+  )
+  GROUP BY 1, 2
+)
+SELECT lang, tok, cnt, rank FROM (
+  SELECT lang, tok, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tok) AS rank
+  FROM c
+)
+WHERE rank <= {TOP_TOKENS_K}
+"""
+
+
 # --- deterministic stratified sample ------------------------------------------
 
 
@@ -321,6 +367,7 @@ QUERIES = {
     "temperature_sample": q_temperature_sample,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "stratified_sample": q_stratified_sample,
+    "top_tokens_per_lang": q_top_tokens_per_lang,
 }
 
 ORACLES = {
@@ -334,4 +381,5 @@ ORACLES = {
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTERS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
 }

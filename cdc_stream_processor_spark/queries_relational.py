@@ -923,6 +923,52 @@ FROM steps
 """
 
 
+# --- hopping (sliding) window aggregation -------------------------------------
+
+HOP_US = 3_600_000_000  # 1h hop
+HOP_WINDOW_US = 2 * HOP_US  # 2h window → every event lands in 2 windows
+
+
+def q_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (2h window, 1h hop) — the overlapping
+    twin of the tumbling velocity window, same F.window operator the
+    streaming pipelines use. Spark explodes each event into its
+    window-count copies map-side, then one partial-agg shuffle."""
+    ev = B.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            R.dsum("value").alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_HOPPING_EVENT_COUNTS = f"""
+WITH hits AS (
+  SELECT unnest([
+           (epoch_us(ts) // {HOP_US}) * {HOP_US} - {HOP_US},
+           (epoch_us(ts) // {HOP_US}) * {HOP_US}
+         ]) AS window_start_us,
+         event_type, value
+  FROM events
+)
+SELECT window_start_us, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM hits
+GROUP BY 1, 2
+"""
+
+
 # --- interval-overlap join (concurrent sessions) ------------------------------
 
 CONC_CUTOFF_US = 1_704_240_000_000_000  # 2024-01-03 UTC in µs: 48h slice
@@ -1214,6 +1260,7 @@ QUERIES = {
     "user_event_paths": q_user_event_paths,
     "daily_ohlc": q_daily_ohlc,
     "concurrent_sessions": q_concurrent_sessions,
+    "hopping_event_counts": q_hopping_event_counts,
 }
 
 ORACLES = {
@@ -1249,4 +1296,5 @@ ORACLES = {
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "daily_ohlc": SQL_DAILY_OHLC,
     "concurrent_sessions": _concurrent_sessions_sql(),
+    "hopping_event_counts": SQL_HOPPING_EVENT_COUNTS,
 }
