@@ -615,3 +615,50 @@ def ivf_topk(
         rank_col="rank",
     )
     return out.select("query_id", "neighbor_id", "cosine_sim", "rank")
+
+
+CENTROID_SCALE = 1_000_000  # 1e-6 component grid: exact integer sums
+
+
+def embedding_centroids(
+    vecs: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding (class centroids) with engine-exact
+    arithmetic: components snap to a 1e-6 grid via trunc-toward-zero
+    (CAST(x·1e6 AS LONG) in Spark = trunc() in DuckDB), per-(group, dim)
+    BIGINT sums — order-independent and overflow-free — and the mean is a
+    single correctly-rounded double division.
+
+    Plan shape: posexplode to (group, dim, component) rows, ONE partial-agg
+    shuffle on (group, dim) — the fact table never collects — then a
+    per-group sorted reassembly whose input is only n_groups·dim rows.
+    """
+    exploded = vecs.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(vec_col).alias("d", "x"),
+    )
+    per_dim = exploded.select(
+        "grp",
+        "d",
+        (F.col("x").cast("double") * CENTROID_SCALE).cast("long").alias("xi"),
+    ).groupBy("grp", "d").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sort_array(F.collect_list(F.struct("d", "s"))).alias("sv"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_vecs",
+            F.transform(
+                "sv",
+                lambda t: t.getField("s").cast("double")
+                / (F.col("n_vecs") * CENTROID_SCALE).cast("double"),
+            ).alias("centroid"),
+        )
+    )

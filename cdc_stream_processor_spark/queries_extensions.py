@@ -810,6 +810,33 @@ LEFT JOIN dups d ON s.doc_id = d.new_id
     )
 
 
+# --- per-label embedding centroids --------------------------------------------
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_centroids(B.load_table(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_CENTROIDS = f"""
+WITH e AS (
+  SELECT label,
+         g.i AS d,
+         trunc(embedding[g.i]::DOUBLE * {S.CENTROID_SCALE})::BIGINT AS xi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+), pd AS (
+  SELECT label, d, SUM(xi) AS s, COUNT(*) AS n FROM e GROUP BY 1, 2
+), asm AS (
+  SELECT label, MAX(n)::BIGINT AS n_vecs,
+         list(s::DOUBLE ORDER BY d) AS sv
+  FROM pd GROUP BY label
+)
+SELECT label, n_vecs,
+       list_transform(sv, s -> s / (n_vecs * {S.CENTROID_SCALE})::DOUBLE)
+         AS centroid
+FROM asm
+"""
+
+
 # --- bigram collocations (lift / PMI-ranked) ----------------------------------
 
 
@@ -849,6 +876,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
     "bigram_lift_topk": q_bigram_lift,
+    "embedding_centroids": q_embedding_centroids,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -874,6 +902,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "incremental_dedup": _incremental_dedup_sql(),
     "bigram_lift_topk": SQL_BIGRAM_LIFT,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),
