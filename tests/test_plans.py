@@ -209,3 +209,31 @@ def test_interval_overlap_join_is_equi_join(spark, sf_dir):
     into the join itself and the operator degraded to brute force."""
     plan = _plan(QR.q_concurrent_sessions(spark, sf_dir))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned fact table on its partition column with a
+    filtered dim must inject a DynamicPruning subquery into the fact scan —
+    at 100 TB this is the difference between scanning 2 partitions and
+    scanning all of them."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.plans import layout as L
+    from cdc_stream_processor_spark.sources import batch as B
+
+    ev = B.load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    L.write_date_partitioned(ev, path, ["day"])
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.select("day")
+        .distinct()
+        .filter(F.col("day") <= F.lit("2024-01-02").cast("date"))
+        .withColumn("tag", F.lit("x"))
+    )
+    joined = fact.join(dim, "day").groupBy("tag").count()
+    joined.collect()  # AQE: pruning shows in the final executed plan
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
