@@ -662,3 +662,42 @@ def embedding_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def centroid_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """Nearest-centroid assignment: every vector gets the centroid label
+    maximizing cosine (ties → smallest label). The centroid table is tiny
+    (n_labels rows) and broadcasts, so assignment is a MAP-ONLY pass over
+    the corpus — the same shape as IVF cell assignment, reused here as the
+    classification / drift-detection primitive. max_by on an exact
+    (cosine, -label) ordering struct keeps the reduction associative (no
+    window, no shuffle beyond the corpus's own partitioning)."""
+    v = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    c = centroids.select(
+        F.col(label_col).alias("_cl"), as_double(F.col(centroid_col)).alias("cv")
+    )
+    scored = v.join(F.broadcast(c)).select(
+        id_col,
+        "_cl",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    pick = F.max_by(
+        F.struct(F.col("_cl").alias("l"), F.col("sim").alias("s")),
+        F.struct(F.col("sim").alias("s"), (-F.col("_cl")).alias("nl")),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(pick.alias("_p"))
+        .select(
+            id_col,
+            F.col("_p.l").alias("assigned_label"),
+            F.col("_p.s").alias("sim"),
+        )
+    )

@@ -837,6 +837,36 @@ FROM asm
 """
 
 
+# --- nearest-centroid assignment ----------------------------------------------
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    return S.centroid_assign(emb, S.embedding_centroids(emb))
+
+
+def _centroid_assign_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(v.v, c.centroid), p -> p[1] * p[2])"
+    )
+    nv = _FOLD_SUM.format(arr="list_transform(v.v, x -> x * x)")
+    nc = _FOLD_SUM.format(arr="list_transform(c.centroid, x -> x * x)")
+    return f"""
+WITH cents AS ({SQL_EMBEDDING_CENTROIDS}),
+v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), scored AS (
+  SELECT v.vec_id, c.label,
+         ROUND(({dot}) / (sqrt({nv}) * sqrt({nc})), 6) AS sim
+  FROM v CROSS JOIN cents c
+)
+SELECT vec_id, label AS assigned_label, sim FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, label ASC) = 1
+"""
+
+
 # --- bigram collocations (lift / PMI-ranked) ----------------------------------
 
 
@@ -877,6 +907,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "bigram_lift_topk": q_bigram_lift,
     "embedding_centroids": q_embedding_centroids,
+    "centroid_assign": q_centroid_assign,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -903,6 +934,7 @@ ORACLES = {
     "incremental_dedup": _incremental_dedup_sql(),
     "bigram_lift_topk": SQL_BIGRAM_LIFT,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "centroid_assign": _centroid_assign_sql(),
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),
