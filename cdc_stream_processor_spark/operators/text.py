@@ -413,3 +413,62 @@ def bigram_lift_topk(
         [F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()],
         k,
     )
+
+
+TYPO_MAX_DIST = 2
+
+# single-deletion neighborhood of a string expression (1-based positions)
+_DEL1 = (
+    "transform(sequence(1, char_length({s})), {i} -> "
+    "concat(substring({s}, 1, {i}-1), substring({s}, {i}+1, char_length({s}))))"
+)
+
+
+def typo_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = TYPO_MAX_DIST,
+) -> DataFrame:
+    """Token pairs within edit distance ≤ 2 — typo/variant normalization
+    candidates — via FastSS deletion-neighborhood blocking (Bocek et al.
+    '07): tokens sharing any ≤2-deletion variant are the only candidates
+    (guaranteed superset for Levenshtein ≤ 2), joined on the variant as a
+    hash EQUI-join over the (vocabulary-sized, not corpus-sized) token
+    table, then exact-verified with levenshtein(). Never an all-pairs
+    product; neighborhood size is O(len²) per distinct token. Returns
+    (tok_a, tok_b, dist, n_a, n_b) with corpus frequencies."""
+    if max_dist != 2:
+        raise ValueError("blocking is built for max_dist=2")
+    uni = (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d1 = _DEL1.format(s="tok", i="i")
+    d2 = _DEL1.format(s="s", i="j")
+    variants = F.expr(
+        f"array_distinct(concat(array(tok), {d1}, "
+        f"CASE WHEN char_length(tok) >= 2 "
+        f"THEN flatten(transform({d1}, s -> {d2})) "
+        f"ELSE CAST(array() AS array<string>) END))"
+    )
+    vv = uni.select("tok", "n", F.explode(variants).alias("var"))
+    a = vv.select(
+        F.col("tok").alias("tok_a"), F.col("n").alias("n_a"), "var"
+    )
+    b = vv.select(
+        F.col("tok").alias("tok_b"), F.col("n").alias("n_b"), "var"
+    )
+    cand = (
+        a.join(b, "var")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b", "n_a", "n_b")
+        .dropDuplicates(["tok_a", "tok_b"])
+    )
+    dist = F.levenshtein("tok_a", "tok_b")
+    return (
+        cand.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select("tok_a", "tok_b", "dist", "n_a", "n_b")
+    )

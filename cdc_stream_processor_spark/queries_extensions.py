@@ -810,6 +810,31 @@ LEFT JOIN dups d ON s.doc_id = d.new_id
     )
 
 
+# --- typo-pair join (FastSS deletion-neighborhood blocking) -------------------
+
+
+def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.typo_pairs(B.load_table(spark, sf_dir, "documents"))
+
+
+# The deletion neighborhood is a guaranteed candidate superset for
+# Levenshtein ≤ 2, so the oracle states the definition directly: all
+# vocabulary pairs within edit distance 2, with corpus frequencies.
+SQL_TYPO_PAIRS = f"""
+WITH uni AS (
+  SELECT tok, COUNT(*) AS n
+  FROM (
+    SELECT unnest({TH.TOKENS_SQL.format(text="text")}) AS tok FROM documents
+  ) GROUP BY tok
+)
+SELECT a.tok AS tok_a, b.tok AS tok_b,
+       levenshtein(a.tok, b.tok) AS dist,
+       a.n AS n_a, b.n AS n_b
+FROM uni a JOIN uni b
+  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= {X.TYPO_MAX_DIST}
+"""
+
+
 # --- per-label embedding centroids --------------------------------------------
 
 
@@ -908,6 +933,7 @@ QUERIES = {
     "bigram_lift_topk": q_bigram_lift,
     "embedding_centroids": q_embedding_centroids,
     "centroid_assign": q_centroid_assign,
+    "typo_pairs": q_typo_pairs,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -935,6 +961,7 @@ ORACLES = {
     "bigram_lift_topk": SQL_BIGRAM_LIFT,
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "centroid_assign": _centroid_assign_sql(),
+    "typo_pairs": SQL_TYPO_PAIRS,
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),

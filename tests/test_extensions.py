@@ -776,3 +776,22 @@ def test_bigram_lift_ranks_planted_collocation_first(spark):
     assert (out[0].w1, out[0].w2) == ("alpha", "beta")
     lifts = [r.lift for r in out]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_typo_pairs_blocking_finds_planted_typos(spark):
+    """Planted single-char typos (substitution, deletion, transposition-ish)
+    must surface through the deletion-neighborhood blocking with exact
+    distances; unrelated words must not pair."""
+    docs = [
+        (1, "spark spark spork"),     # substitution: dist 1
+        (2, "table tble cat"),        # deletion: dist 1
+        (3, "window windwo dog"),     # adjacent swap: dist 2
+        (4, "completely unrelated"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.tok_a, r.tok_b): r.dist for r in X.typo_pairs(df).collect()}
+    assert got[("spark", "spork")] == 1
+    assert got[("table", "tble")] == 1
+    assert got[("window", "windwo")] == 2
+    assert ("completely", "unrelated") not in got
+    assert all(d <= 2 for d in got.values())
