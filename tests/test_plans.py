@@ -237,3 +237,42 @@ def test_dynamic_partition_pruning_on_partitioned_join(spark, sf_dir, tmp_path):
     joined.collect()  # AQE: pruning shows in the final executed plan
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_daily_ohlc_partial_agg_no_window(spark, sf_dir):
+    """OHLC bars must reduce via partial+final aggregation (associative
+    min_by/max_by), never a per-key window sort."""
+    plan = _plan(QR.q_daily_ohlc(spark, sf_dir))
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "Window" not in plan
+    assert "partial" in plan.lower()
+
+
+def test_retraction_aggregate_single_wide_shuffle(spark, sf_dir):
+    """One Exchange for the per-key window lag, one tiny Exchange for the
+    dimension groupBy — the changelog itself shuffles exactly once."""
+    from cdc_stream_processor_spark import queries as Q
+
+    plan = _plan(Q.q_retraction_aggregate(spark, sf_dir))
+    assert plan.count("Exchange") == 2
+    assert "Generate explode" in plan  # delta pairs expand map-side
+
+
+def test_hopping_window_expands_map_side(spark, sf_dir):
+    """The 2-windows-per-event expansion happens before the shuffle
+    (Expand/Generate under the partial aggregate), so the shuffle carries
+    aggregated rows, not 2× raw events."""
+    plan = _plan(QR.q_hopping_event_counts(spark, sf_dir))
+    assert ("Expand" in plan) or ("Generate" in plan)
+    assert "partial" in plan.lower()
+
+
+def test_centroid_assign_broadcasts_centroids(spark, sf_dir):
+    """The centroid table must broadcast: assignment is a map-only pass
+    over the corpus plus its own partial aggregation — no shuffle of the
+    corpus against the centroids."""
+    from cdc_stream_processor_spark import queries_extensions as QE
+
+    plan = _plan(QE.q_centroid_assign(spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
