@@ -472,3 +472,50 @@ def typo_pairs(
         .filter(F.col("dist") <= max_dist)
         .select("tok_a", "tok_b", "dist", "n_a", "n_b")
     )
+
+
+def doc_rarity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perplexity-proxy quality score without a model: mean corpus-frequency
+    rank of a document's tokens (dense_rank over document frequency,
+    rank 1 = most common). Rare-token-heavy documents score high — the
+    cheap first-pass noise filter before any model-based scoring.
+
+    Exactness: ranks and rank-sums are integers; the mean is one
+    correctly-rounded double division — engine-equal by construction.
+    Plan: token explode → (doc, term) tf groupBy → broadcast join against
+    the vocabulary rank table → per-doc partial-agg sum."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.tokens(F.col(text_col))).alias("term"),
+    )
+    dfreq = (
+        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql.window import Window
+
+    ranked = dfreq.select(
+        "term",
+        F.dense_rank()
+        .over(Window.orderBy(F.col("df").desc(), F.col("term").asc()))
+        .alias("rank"),
+    )
+    return (
+        toks.join(F.broadcast(ranked), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("rank").alias("rank_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("rank_sum").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_rarity_rank"),
+        )
+    )

@@ -810,6 +810,30 @@ LEFT JOIN dups d ON s.doc_id = d.new_id
     )
 
 
+# --- token-rarity quality score -----------------------------------------------
+
+
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.doc_rarity(B.load_table(spark, sf_dir, "documents"))
+
+
+SQL_DOC_RARITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TH.TOKENS_SQL.format(text="text")}) AS term
+  FROM documents
+), dfreq AS (
+  SELECT term, COUNT(*) AS df
+  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+), ranked AS (
+  SELECT term, DENSE_RANK() OVER (ORDER BY df DESC, term) AS rank FROM dfreq
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       SUM(r.rank)::DOUBLE / COUNT(*)::DOUBLE AS mean_rarity_rank
+FROM toks t JOIN ranked r ON t.term = r.term
+GROUP BY t.doc_id
+"""
+
+
 # --- typo-pair join (FastSS deletion-neighborhood blocking) -------------------
 
 
@@ -934,6 +958,7 @@ QUERIES = {
     "embedding_centroids": q_embedding_centroids,
     "centroid_assign": q_centroid_assign,
     "typo_pairs": q_typo_pairs,
+    "doc_rarity": q_doc_rarity,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -962,6 +987,7 @@ ORACLES = {
     "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
     "centroid_assign": _centroid_assign_sql(),
     "typo_pairs": SQL_TYPO_PAIRS,
+    "doc_rarity": SQL_DOC_RARITY,
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),

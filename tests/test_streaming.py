@@ -617,3 +617,52 @@ def test_foreachbatch_merge_sink_materializes_and_is_idempotent(spark, tmpdirs):
     SK.merge_batch_into_parquet(spark, replay, target, "id", cols)
     again = {r.id: (r.tag, r.value) for r in spark.read.parquet(target).collect()}
     assert again == got
+
+
+def test_stream_stream_interval_join_with_watermarks(spark, tmpdirs):
+    """Stream-stream inner join bounded by an event-time interval: orders
+    stream joins payments stream arriving within 10 minutes, both sides
+    watermarked so join state is dropped once the interval expires —
+    Structured Streaming's stateful two-stream join (the reference's DAG
+    has only stream-table joins; this completes the family)."""
+    from pyspark.sql import functions as F
+
+    left_src = f"{tmpdirs}/ss_left"
+    right_src = f"{tmpdirs}/ss_right"
+    ckpt = f"{tmpdirs}/ss_ckpt"
+    base = 1_700_000_000
+    lrows = [(1, base), (2, base + 60), (3, base + 7200)]
+    rrows = [
+        (1, base + 300),    # within 10 min of order 1 → joins
+        (2, base + 3000),   # 49 min after order 2 → outside bound
+        (3, base + 7260),   # within bound of order 3 → joins
+    ]
+    spark.createDataFrame(lrows, "order_id long, o_epoch long").write.mode(
+        "append"
+    ).parquet(left_src)
+    spark.createDataFrame(rrows, "pay_id long, p_epoch long").write.mode(
+        "append"
+    ).parquet(right_src)
+
+    lstream = (
+        spark.readStream.schema("order_id long, o_epoch long")
+        .parquet(left_src)
+        .withColumn("o_time", F.timestamp_seconds("o_epoch"))
+        .withWatermark("o_time", "30 minutes")
+    )
+    rstream = (
+        spark.readStream.schema("pay_id long, p_epoch long")
+        .parquet(right_src)
+        .withColumn("p_time", F.timestamp_seconds("p_epoch"))
+        .withWatermark("p_time", "30 minutes")
+    )
+    joined = lstream.join(
+        rstream,
+        (F.col("order_id") == F.col("pay_id"))
+        & (F.col("p_time") >= F.col("o_time"))
+        & (F.col("p_time") <= F.col("o_time") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("order_id", "o_epoch", "p_epoch")
+    out = _run_to_memory(
+        spark, joined, "ss_join_sink", ckpt, output_mode="append"
+    ).collect()
+    assert sorted(r.order_id for r in out) == [1, 3]
