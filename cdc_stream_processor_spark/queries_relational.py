@@ -923,6 +923,103 @@ FROM steps
 """
 
 
+# --- winsorized outlier clipping ----------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization: clip value to the [p5, p95] band of
+    its group. Exact per-group percentiles reduce to a TINY bounds table
+    (one row per event_type) that broadcasts back over the fact scan —
+    clipping itself is map-only, the classic two-pass clean-up shape."""
+    ev = B.load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {WINSOR_HI})").alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo")).alias(
+                "clipped"
+            ),
+            (
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+            ).alias("was_clipped"),
+        )
+    )
+
+
+# DuckDB quantile_cont matches Spark's percentile() (linear interpolation).
+SQL_WINSORIZE_VALUES = f"""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, {WINSOR_LO}) AS lo,
+         quantile_cont(value, {WINSOR_HI}) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       GREATEST(LEAST(e.value, b.hi), b.lo) AS clipped,
+       (e.value < b.lo OR e.value > b.hi) AS was_clipped
+FROM events e JOIN bounds b USING (event_type)
+"""
+
+
+# --- referential-integrity audit ----------------------------------------------
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table foreign-key audit over the star schema: for each
+    declared FK edge, total rows vs orphaned rows (left anti join against
+    the parent). Anti joins broadcast the parent key sets where small;
+    one row per edge — the referential-integrity report every warehouse
+    runs after ingest."""
+    li = B.load_table(spark, sf_dir, "lineitem")
+    orders = B.load_table(spark, sf_dir, "orders")
+    cust = B.load_table(spark, sf_dir, "customer")
+    nation = B.load_table(spark, sf_dir, "nation")
+
+    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
+        total = child.count()
+        orphans = (
+            child.select(F.col(ck).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
+            .count()
+        )
+        return (name, total, orphans)
+
+    rows = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "fk_edge string, n_rows long, n_orphans long"
+    )
+
+
+SQL_FK_INTEGRITY_AUDIT = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o
+         ON l.l_orderkey = o.o_orderkey) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders r ANTI JOIN customer c
+         ON r.o_custkey = c.c_custkey)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c ANTI JOIN nation n
+         ON c.c_nationkey = n.n_nationkey)
+"""
+
+
 # --- hopping (sliding) window aggregation -------------------------------------
 
 HOP_US = 3_600_000_000  # 1h hop
@@ -1261,6 +1358,8 @@ QUERIES = {
     "daily_ohlc": q_daily_ohlc,
     "concurrent_sessions": q_concurrent_sessions,
     "hopping_event_counts": q_hopping_event_counts,
+    "winsorize_values": q_winsorize_values,
+    "fk_integrity_audit": q_fk_integrity_audit,
 }
 
 ORACLES = {
@@ -1297,4 +1396,6 @@ ORACLES = {
     "daily_ohlc": SQL_DAILY_OHLC,
     "concurrent_sessions": _concurrent_sessions_sql(),
     "hopping_event_counts": SQL_HOPPING_EVENT_COUNTS,
+    "winsorize_values": SQL_WINSORIZE_VALUES,
+    "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
