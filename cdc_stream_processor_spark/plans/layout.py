@@ -124,3 +124,49 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+class AuditFailure(RuntimeError):
+    """A write-audit-publish validation rejected the staged data."""
+
+
+def publish_with_audit(
+    df: DataFrame,
+    path: str,
+    checks: list,
+    mode: str = "overwrite",
+) -> dict:
+    """Write-audit-publish: stage the data to a scratch directory, run
+    validation checks against the STAGED files (what readers would see,
+    not the pre-write plan), and only then atomically swap it live —
+    readers never observe a half-written or invalid table.
+
+    `checks` are (name, fn) pairs where fn(staged_df) -> bool; any False
+    aborts with AuditFailure and removes the staging dir, leaving the
+    previous published version untouched. Returns {check_name: True}.
+    The pattern Delta/Iceberg formalize as branch-and-publish, expressed
+    with stock parquet + directory rename.
+    """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    tmp = f"{path}.__stage__"
+    df.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    results: dict = {}
+    for name, fn in checks:
+        ok = bool(fn(staged))
+        results[name] = ok
+        if not ok:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise AuditFailure(f"audit check failed: {name}")
+    old = f"{path}.__old__"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    return results

@@ -201,3 +201,35 @@ def test_table_diff_null_safe_compare(spark):
     )
     got = {r.id: r.diff_status for r in cdc.table_diff(a, b, "id").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "changed"}
+
+
+# --- write-audit-publish ------------------------------------------------------
+
+
+def test_publish_with_audit_blocks_bad_data_and_keeps_previous(spark, tmp_path):
+    """A failing audit must leave the previously published version intact
+    and remove the staging dir; a passing audit swaps atomically."""
+    import os
+
+    import pytest
+
+    from cdc_stream_processor_spark.plans import layout as L
+
+    path = str(tmp_path / "published")
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, tag string")
+    checks = [
+        ("non_empty", lambda d: d.count() > 0),
+        ("no_null_ids", lambda d: d.filter("id IS NULL").count() == 0),
+    ]
+    assert L.publish_with_audit(good, path, checks) == {
+        "non_empty": True,
+        "no_null_ids": True,
+    }
+    v1 = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    bad = spark.createDataFrame([(None, "x")], "id long, tag string")
+    with pytest.raises(L.AuditFailure, match="no_null_ids"):
+        L.publish_with_audit(bad, path, checks)
+    # previous version still live, staging cleaned up
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == v1
+    assert not os.path.isdir(f"{path}.__stage__")
