@@ -983,22 +983,35 @@ def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = B.load_table(spark, sf_dir, "customer")
     nation = B.load_table(spark, sf_dir, "nation")
 
-    def edge(name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str):
-        total = child.count()
+    def edge(
+        name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str
+    ) -> DataFrame:
+        # fully declarative — no driver-side count() actions; each edge is
+        # one row built from two aggregates Catalyst runs distributed
+        total = child.agg(F.count(F.lit(1)).alias("n_rows"))
         orphans = (
             child.select(F.col(ck).alias("k"))
             .join(parent.select(F.col(pk).alias("k")), "k", "left_anti")
-            .count()
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
         )
-        return (name, total, orphans)
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("fk_edge"), "n_rows", "n_orphans"
+        )
 
-    rows = [
-        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
-        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
-        edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
-    ]
-    return spark.createDataFrame(
-        rows, "fk_edge string, n_rows long, n_orphans long"
+    return (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(
+            edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+        )
+        .unionByName(
+            edge(
+                "customer.c_nationkey->nation",
+                cust,
+                "c_nationkey",
+                nation,
+                "n_nationkey",
+            )
+        )
     )
 
 
