@@ -170,3 +170,36 @@ def publish_with_audit(
     if os.path.isdir(old):
         shutil.rmtree(old)
     return results
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Compact a small-file parquet directory (the debris a streaming sink
+    accumulates: one file per micro-batch per partition) into
+    ≈target_file_mb files, republished atomically via the write-audit
+    swap so readers never see a partial table. Returns the new file count.
+
+    File count derives from the CURRENT on-disk byte size — no driver
+    collect of data, just directory metadata; optional sort_cols re-sort
+    within output files to restore clustering after compaction."""
+    import glob as _glob
+    import os
+
+    files = _glob.glob(f"{path}/*.parquet") + _glob.glob(f"{path}/**/*.parquet")
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    compacted = df.repartition(n_files)
+    if sort_cols:
+        compacted = compacted.sortWithinPartitions(*sort_cols)
+    rows_before = df.count()
+    publish_with_audit(
+        compacted,
+        path,
+        checks=[("row_count_preserved", lambda d: d.count() == rows_before)],
+    )
+    return n_files

@@ -233,3 +233,22 @@ def test_publish_with_audit_blocks_bad_data_and_keeps_previous(spark, tmp_path):
     # previous version still live, staging cleaned up
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == v1
     assert not os.path.isdir(f"{path}.__stage__")
+
+
+def test_compact_parquet_merges_small_files_preserving_rows(spark, tmp_path):
+    """Many tiny files (a streaming sink's debris) compact down to few,
+    with the row multiset preserved and the swap atomic."""
+    import glob
+
+    from cdc_stream_processor_spark.plans import layout as L
+
+    path = str(tmp_path / "sink")
+    for i in range(12):  # 12 micro-batch-sized appends → ≥12 files
+        spark.createDataFrame(
+            [(i * 10 + j, f"v{i}") for j in range(5)], "id long, tag string"
+        ).write.mode("append").parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert len(glob.glob(f"{path}/*.parquet")) >= 12
+    L.compact_parquet(spark, path, target_file_mb=128)
+    assert len(glob.glob(f"{path}/*.parquet")) <= 2
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
