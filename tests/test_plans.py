@@ -276,3 +276,29 @@ def test_centroid_assign_broadcasts_centroids(spark, sf_dir):
     plan = _plan(QE.q_centroid_assign(spark, sf_dir))
     assert "Broadcast" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_registry_plan_hygiene_no_rowwise_python(spark, sf_dir):
+    """Global regression net over EVERY registered query: no plan may
+    contain row-at-a-time Python evaluation (BatchEvalPython) — all
+    Python stages must be Arrow-batched (ArrowEvalPython / InPandas).
+    Catches a silent de-optimization anywhere in the registry."""
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, fn in entry.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_registry_every_query_has_an_oracle():
+    """The driver records a weaker rows-only check for oracle-less
+    queries; keep the registry at 100% oracle coverage so every operator
+    has an external verdict."""
+    import __spark_entry__ as entry
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    assert sorted(qs) == sorted(oracles)
+    assert len(qs) >= 85
