@@ -666,3 +666,38 @@ def test_stream_stream_interval_join_with_watermarks(spark, tmpdirs):
         spark, joined, "ss_join_sink", ckpt, output_mode="append"
     ).collect()
     assert sorted(r.order_id for r in out) == [1, 3]
+
+
+def test_max_files_per_trigger_paces_backlog(spark, tmpdirs):
+    """Source rate limiting: a 6-file backlog with maxFilesPerTrigger=2
+    must drain in 3 paced micro-batches (backpressure knob for replaying
+    deep history without a mega-batch), with every row delivered exactly
+    once to the sink."""
+    src = f"{tmpdirs}/paced_src"
+    ckpt = f"{tmpdirs}/paced_ckpt"
+    out_dir = f"{tmpdirs}/paced_out"
+    for i in range(6):
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(4)], "id long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.queryName("paced")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 3  # 6 files / 2 per trigger
+    assert all(p["numInputRows"] == 8 for p in batches)  # 2 files × 4 rows
+    got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
+    assert got == sorted(i * 10 + j for i in range(6) for j in range(4))
