@@ -203,3 +203,19 @@ def compact_parquet(
         checks=[("row_count_preserved", lambda d: d.count() == rows_before)],
     )
     return n_files
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent backfill: replace ONLY the hive partitions present in
+    `df`, leaving every other partition untouched (dynamic partition
+    overwrite). Re-running the same backfill converges to the same state,
+    so a failed job can simply be retried — the selective-recompute
+    primitive for date-partitioned 100 TB tables."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -252,3 +252,39 @@ def test_compact_parquet_merges_small_files_preserving_rows(spark, tmp_path):
     L.compact_parquet(spark, path, target_file_mb=128)
     assert len(glob.glob(f"{path}/*.parquet")) <= 2
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == before
+
+
+def test_overwrite_partitions_replaces_only_touched_days(spark, tmp_path):
+    """Dynamic partition overwrite: backfilling one day replaces that
+    day's data and leaves the others byte-identical; re-running the same
+    backfill is a no-op (idempotent retry)."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.plans import layout as L
+
+    path = str(tmp_path / "by_day")
+    full = spark.createDataFrame(
+        [(d, i, float(i)) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for i in range(5)],
+        "day string, id long, v double",
+    )
+    L.write_date_partitioned(full, path, ["day"])
+
+    fix = spark.createDataFrame(
+        [("2024-01-02", i, float(i) * 100) for i in range(3)],
+        "day string, id long, v double",
+    )
+    for _ in range(2):  # idempotent: second run converges to same state
+        L.overwrite_partitions(fix, path, ["day"])
+        got = spark.read.parquet(path)
+        by_day = {
+            str(r.day): (r.n, round(r.s, 3))  # partition col reads back DATE
+            for r in got.groupBy("day")
+            .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        assert by_day == {
+            "2024-01-01": (5, 10.0),
+            "2024-01-02": (3, 300.0),
+            "2024-01-03": (5, 10.0),
+        }
