@@ -923,6 +923,42 @@ FROM steps
 """
 
 
+# --- windowed distinct users ---------------------------------------------------
+
+HOP_US = 3_600_000_000  # 1h hop
+HOP_WINDOW_US = 2 * HOP_US  # 2h window → every event lands in 2 windows
+
+
+def q_hopping_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users per hopping window (2h window, 1h hop) — the
+    windowed-distinct family (think 'rolling DAU'). Exact countDistinct:
+    Catalyst plans the two-phase distinct expansion; swap
+    approx_count_distinct for the sketch path at extreme cardinalities."""
+    ev = B.load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_active_users",
+        )
+    )
+
+
+SQL_HOPPING_ACTIVE_USERS = f"""
+WITH hits AS (
+  SELECT unnest([
+           (epoch_us(ts) // {HOP_US}) * {HOP_US} - {HOP_US},
+           (epoch_us(ts) // {HOP_US}) * {HOP_US}
+         ]) AS window_start_us,
+         user_id
+  FROM events
+)
+SELECT window_start_us, COUNT(DISTINCT user_id) AS n_active_users
+FROM hits GROUP BY 1
+"""
+
+
 # --- winsorized outlier clipping ----------------------------------------------
 
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
@@ -1033,10 +1069,7 @@ SELECT 'customer.c_nationkey->nation',
 """
 
 
-# --- hopping (sliding) window aggregation -------------------------------------
-
-HOP_US = 3_600_000_000  # 1h hop
-HOP_WINDOW_US = 2 * HOP_US  # 2h window → every event lands in 2 windows
+# --- hopping (sliding) window aggregation (HOP_US defined above) --------------
 
 
 def q_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,6 +1405,7 @@ QUERIES = {
     "concurrent_sessions": q_concurrent_sessions,
     "hopping_event_counts": q_hopping_event_counts,
     "winsorize_values": q_winsorize_values,
+    "hopping_active_users": q_hopping_active_users,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
 
@@ -1410,5 +1444,6 @@ ORACLES = {
     "concurrent_sessions": _concurrent_sessions_sql(),
     "hopping_event_counts": SQL_HOPPING_EVENT_COUNTS,
     "winsorize_values": SQL_WINSORIZE_VALUES,
+    "hopping_active_users": SQL_HOPPING_ACTIVE_USERS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
