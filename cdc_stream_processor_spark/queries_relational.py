@@ -592,6 +592,38 @@ def q_pivot_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — the inverse of the cross-tab: the wide pivot
+    result melts back to long (orderstatus, priority, revenue) rows via
+    the native unpivot operator (map-only Expand, no shuffle of its own).
+    Pivot→unpivot round-trips to the plain GROUP BY, which is exactly
+    what the oracle states."""
+    wide = q_pivot_order_revenue(spark, sf_dir)
+    return wide.unpivot(
+        ids=["orderstatus"],
+        values=[alias for _, alias in PIVOT_PRIORITIES],
+        variableColumnName="priority",
+        valueColumnName="revenue",
+    ).filter(F.col("revenue").isNotNull())
+
+
+# unpivot's variable column carries the wide-table COLUMN names (the
+# aliases), so the oracle groups by the alias and maps it back to the
+# original priority value only inside the filter
+_ALIAS_TO_VALUE = " ".join(
+    f"WHEN '{alias}' THEN '{v}'" for v, alias in PIVOT_PRIORITIES
+)
+
+SQL_UNPIVOT_ORDER_REVENUE = f"""
+SELECT o_orderstatus AS orderstatus, u.p AS priority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM orders, unnest([{", ".join("'" + a + "'" for _, a in PIVOT_PRIORITIES)}])
+  AS u(p)
+WHERE o_orderpriority = CASE u.p {_ALIAS_TO_VALUE} END
+GROUP BY 1, 2
+"""
+
+
 SQL_PIVOT_ORDER_REVENUE = """
 SELECT o_orderstatus AS orderstatus,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
@@ -1393,6 +1425,7 @@ QUERIES = {
     "event_pairs_range_join": q_event_pairs_range_join,
     "order_value_deciles": q_order_value_deciles,
     "pivot_order_revenue": q_pivot_order_revenue,
+    "unpivot_order_revenue": q_unpivot_order_revenue,
     "doc_word_count": q_doc_word_count,
     "order_price_quantiles": q_order_price_quantiles,
     "order_price_quantiles_approx": q_order_price_quantiles_approx,
@@ -1431,6 +1464,7 @@ ORACLES = {
     "event_pairs_range_join": SQL_EVENT_PAIRS_RANGE_JOIN,
     "order_value_deciles": SQL_ORDER_VALUE_DECILES,
     "pivot_order_revenue": SQL_PIVOT_ORDER_REVENUE,
+    "unpivot_order_revenue": SQL_UNPIVOT_ORDER_REVENUE,
     "doc_word_count": SQL_DOC_WORD_COUNT,
     "order_price_quantiles": SQL_ORDER_PRICE_QUANTILES,
     "order_price_quantiles_approx": SQL_ORDER_PRICE_QUANTILES_APPROX,
