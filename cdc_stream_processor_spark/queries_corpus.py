@@ -356,6 +356,58 @@ WHERE sample_rank <= {FR.STRAT_K}
 """
 
 
+# --- end-to-end corpus prep pipeline ------------------------------------------
+
+PIPELINE_MIN_TOKENS = 30
+
+
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole prep in one call — what a training-data user actually
+    runs: exact dedup (keep-first on normalized text), token-count quality
+    gate, deterministic train/val/test split. Each stage is the already-
+    verified operator; the composition itself is what this query proves.
+    Plan: one dedup shuffle, then map-only gate + split."""
+    from cdc_stream_processor_spark.operators import dedup as D
+
+    docs = B.load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.select("doc_id", D.normalized_text(F.col("text")).alias("_norm"))
+        .groupBy("_norm")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(keep, "doc_id")  # keep-first representatives only
+    gated = kept.withColumn(
+        "n_tokens", F.size(TH.tokens(F.col("text")))
+    ).filter(F.col("n_tokens") >= PIPELINE_MIN_TOKENS)
+    return C.corpus_split(gated).select(
+        "doc_id", "lang", "n_tokens", "split"
+    )
+
+
+SQL_CORPUS_PREP_PIPELINE = f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM documents
+  GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+), gated AS (
+  SELECT d.doc_id, d.lang,
+         len({TH.TOKENS_SQL.format(text="d.text")}) AS n_tokens
+  FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+  WHERE len({TH.TOKENS_SQL.format(text="d.text")}) >= {PIPELINE_MIN_TOKENS}
+)
+SELECT doc_id, lang, n_tokens,
+       CASE WHEN u < 0.1 THEN 'test'
+            WHEN u < 0.3 THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT *, ((doc_id * {C.SPLIT_A} + {C.SPLIT_B}) % {C.SPLIT_P})::DOUBLE
+              / {C.SPLIT_P}::DOUBLE AS u
+  FROM gated
+)
+"""
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
     "decontamination_overlap": q_decontamination_overlap,
@@ -368,6 +420,7 @@ QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "stratified_sample": q_stratified_sample,
     "top_tokens_per_lang": q_top_tokens_per_lang,
+    "corpus_prep_pipeline": q_corpus_prep_pipeline,
 }
 
 ORACLES = {
@@ -382,4 +435,5 @@ ORACLES = {
     "heavy_hitter_tokens": SQL_HEAVY_HITTERS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
+    "corpus_prep_pipeline": SQL_CORPUS_PREP_PIPELINE,
 }
