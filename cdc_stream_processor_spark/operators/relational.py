@@ -550,3 +550,50 @@ def interval_overlap_join(
         .drop("_bkt")
         .dropDuplicates(left.columns + right.columns)
     )
+
+
+MAD_K = 3.0  # outlier fence: |v - median| > 3 * MAD
+
+
+def user_value_mad(events: DataFrame) -> DataFrame:
+    """Per-user robust outlier statistics (median / MAD / fence count) via
+    grouped-map applyInPandas — the batch 'custom per-group Python' slot
+    (SURVEY §7.2(b)): semantics a single SQL window can't express cleanly
+    run as one Arrow-batched kernel per key group, one shuffle total.
+
+    Medians interpolate as lo + (hi - lo) * 0.5 — the same expression tree
+    as Spark's percentile() and DuckDB's quantile_cont — NOT numpy's
+    (lo + hi) / 2, which can differ in the last ulp and break the oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _median(v: "np.ndarray") -> float:
+        s = np.sort(v)
+        n = len(s)
+        if n % 2 == 1:
+            return float(s[n // 2])
+        lo, hi = float(s[n // 2 - 1]), float(s[n // 2])
+        return lo + (hi - lo) * 0.5
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        med = _median(v)
+        dev = np.abs(v - med)
+        mad = _median(dev)
+        n_out = int((dev > MAD_K * mad).sum())
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n": len(v),
+                    "median": med,
+                    "mad": mad,
+                    "n_outliers": n_out,
+                }
+            ]
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandas(
+        kernel, schema="user_id long, n long, median double, mad double, n_outliers long"
+    )

@@ -955,6 +955,32 @@ FROM steps
 """
 
 
+# --- per-user robust outlier stats (grouped-map applyInPandas) -----------------
+
+
+def q_user_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.user_value_mad(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_USER_VALUE_MAD = f"""
+WITH m AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT e.user_id, m.med, abs(e.value - m.med) AS dev
+  FROM events e JOIN m USING (user_id)
+), md AS (
+  SELECT user_id, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY user_id
+)
+SELECT d.user_id, COUNT(*) AS n,
+       MAX(d.med) AS median, MAX(md.mad) AS mad,
+       SUM(CASE WHEN d.dev > {R.MAD_K} * md.mad THEN 1 ELSE 0 END)
+         AS n_outliers
+FROM d JOIN md USING (user_id)
+GROUP BY d.user_id
+"""
+
+
 # --- windowed distinct users ---------------------------------------------------
 
 HOP_US = 3_600_000_000  # 1h hop
@@ -1439,6 +1465,7 @@ QUERIES = {
     "hopping_event_counts": q_hopping_event_counts,
     "winsorize_values": q_winsorize_values,
     "hopping_active_users": q_hopping_active_users,
+    "user_value_mad": q_user_value_mad,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
 
@@ -1479,5 +1506,6 @@ ORACLES = {
     "hopping_event_counts": SQL_HOPPING_EVENT_COUNTS,
     "winsorize_values": SQL_WINSORIZE_VALUES,
     "hopping_active_users": SQL_HOPPING_ACTIVE_USERS,
+    "user_value_mad": SQL_USER_VALUE_MAD,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
