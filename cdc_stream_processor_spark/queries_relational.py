@@ -955,6 +955,68 @@ FROM steps
 """
 
 
+# --- behavioral user similarity (co-activity Jaccard) --------------------------
+
+USER_SIM_TAU = 0.1  # hour-set Jaccard threshold (synthetic corpus is sparse)
+
+
+def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User pairs with Jaccard(co-active hours) ≥ τ — the collaborative-
+    filtering neighbor block, via an inverted index on the activity hour:
+    candidates come from an equi-join on the hour (never an all-pairs
+    user product), shared counts from one groupBy, exact Jaccard from the
+    broadcast per-user set sizes. The ngram-Jaccard machinery transplanted
+    from text to behavior."""
+    ev = B.load_table(spark, sf_dir, "events")
+    hrs = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).distinct()
+    sizes = hrs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        hrs.select(F.col("user_id").alias("user_a"), "hr")
+        .join(hrs.select(F.col("user_id").alias("user_b"), "hr"), "hr")
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.round(
+        F.col("shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+        6,
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("user_id").alias("user_a"), F.col("n").alias("n_a"))),
+            "user_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("user_id").alias("user_b"), F.col("n").alias("n_b"))),
+            "user_b",
+        )
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= USER_SIM_TAU)
+        .select("user_a", "user_b", "shared", "jaccard")
+    )
+
+
+SQL_USER_SIMILARITY = f"""
+WITH hrs AS (
+  SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr FROM events
+), sz AS (
+  SELECT user_id, COUNT(*) AS n FROM hrs GROUP BY user_id
+), sh AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS shared
+  FROM hrs a JOIN hrs b ON a.hr = b.hr AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT s.user_a, s.user_b, s.shared,
+       ROUND(s.shared::DOUBLE / (x.n + y.n - s.shared)::DOUBLE, 6) AS jaccard
+FROM sh s JOIN sz x ON s.user_a = x.user_id JOIN sz y ON s.user_b = y.user_id
+WHERE ROUND(s.shared::DOUBLE / (x.n + y.n - s.shared)::DOUBLE, 6)
+        >= {USER_SIM_TAU}
+"""
+
+
 # --- per-user robust outlier stats (grouped-map applyInPandas) -----------------
 
 
@@ -1466,6 +1528,7 @@ QUERIES = {
     "winsorize_values": q_winsorize_values,
     "hopping_active_users": q_hopping_active_users,
     "user_value_mad": q_user_value_mad,
+    "user_similarity": q_user_similarity,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
 
@@ -1507,5 +1570,6 @@ ORACLES = {
     "winsorize_values": SQL_WINSORIZE_VALUES,
     "hopping_active_users": SQL_HOPPING_ACTIVE_USERS,
     "user_value_mad": SQL_USER_VALUE_MAD,
+    "user_similarity": SQL_USER_SIMILARITY,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
