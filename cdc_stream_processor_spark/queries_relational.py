@@ -955,6 +955,99 @@ FROM steps
 """
 
 
+# --- ratio-to-report (window over aggregate) -----------------------------------
+
+
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of each nation within its region — the
+    ratio-to-report window over a pre-aggregated frame: the window input
+    is the 25-row nation aggregate, never the fact table, so the
+    unpartitioned-window hazard never materializes. Share is one
+    correctly-rounded division of decimal-exact sums."""
+    orders = B.load_table(spark, sf_dir, "orders")
+    cust = B.load_table(spark, sf_dir, "customer")
+    nation = B.load_table(spark, sf_dir, "nation")
+    region = B.load_table(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(R.dsum("o_totalprice").alias("nation_revenue"))
+    )
+    w = Window.partitionBy("r_name")
+    return per_nation.select(
+        "r_name",
+        "n_name",
+        "nation_revenue",
+        (
+            F.col("nation_revenue") / F.sum("nation_revenue").over(w)
+        ).alias("share_of_region"),
+    )
+
+
+SQL_NATION_REVENUE_SHARE = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS nation_revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, nation_revenue,
+       nation_revenue / SUM(nation_revenue) OVER (PARTITION BY r_name)
+         AS share_of_region
+FROM per_nation
+"""
+
+
+# --- behavioral segments (set-membership over collected arrays) ----------------
+
+SEG_MUST = ("purchase", "signup")
+SEG_MUST_NOT = "error"
+
+
+def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment extraction: users who did ALL of SEG_MUST and never
+    SEG_MUST_NOT — per-user sorted distinct event-type array (one
+    partial-agg shuffle via collect_set) filtered with array_contains.
+    The marketing-segment shape; the array also ships for downstream
+    feature use. Scoped to the first 48h (over the full range every user
+    exhausts all five event types and every segment is degenerate)."""
+    ev = B.load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit(FUNNEL_CUTOFF).cast("timestamp")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("event_types")
+    )
+    cond = ~F.array_contains("event_types", SEG_MUST_NOT)
+    for m in SEG_MUST:
+        cond = cond & F.array_contains("event_types", m)
+    return agg.filter(cond).select(
+        "user_id",
+        "event_types",
+        F.size("event_types").alias("n_types"),
+    )
+
+
+SQL_USER_SEGMENTS = f"""
+WITH agg AS (
+  SELECT user_id,
+         list_sort(list(DISTINCT event_type)) AS event_types
+  FROM events
+  WHERE ts < TIMESTAMP '{FUNNEL_CUTOFF}'
+  GROUP BY user_id
+)
+SELECT user_id, event_types, len(event_types) AS n_types
+FROM agg
+WHERE {" AND ".join(f"list_contains(event_types, '{m}')" for m in SEG_MUST)}
+  AND NOT list_contains(event_types, '{SEG_MUST_NOT}')
+"""
+
+
 # --- behavioral user similarity (co-activity Jaccard) --------------------------
 
 USER_SIM_TAU = 0.1  # hour-set Jaccard threshold (synthetic corpus is sparse)
@@ -1529,6 +1622,8 @@ QUERIES = {
     "hopping_active_users": q_hopping_active_users,
     "user_value_mad": q_user_value_mad,
     "user_similarity": q_user_similarity,
+    "nation_revenue_share": q_nation_revenue_share,
+    "user_segments": q_user_segments,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
 
@@ -1571,5 +1666,7 @@ ORACLES = {
     "hopping_active_users": SQL_HOPPING_ACTIVE_USERS,
     "user_value_mad": SQL_USER_VALUE_MAD,
     "user_similarity": SQL_USER_SIMILARITY,
+    "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
+    "user_segments": SQL_USER_SEGMENTS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
