@@ -955,6 +955,55 @@ FROM steps
 """
 
 
+# --- Benford first-digit screening ---------------------------------------------
+
+
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of transaction-like amounts
+    per event type — the Benford's-law fraud screen (the reference domain
+    is banking; auditors run exactly this over amount columns). Digit
+    extraction is pure string ops on the absolute value (exact — no
+    log10 and its cross-engine rounding hazards); observed fraction is
+    one correctly-rounded division against the group total."""
+    ev = B.load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.col("value").cast("double"), 9), r"[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        ev.select("event_type", digit.alias("digit"))
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "frac"
+        ),
+    )
+
+
+SQL_BENFORD_DIGITS = """
+WITH d AS (
+  SELECT event_type,
+         CAST(substr(regexp_replace(format('{:.9f}', value), '[0.,]', '', 'g'),
+                     1, 1) AS INT) AS digit
+  FROM events WHERE value > 0
+), c AS (
+  SELECT event_type, digit, COUNT(*) AS n FROM d GROUP BY 1, 2
+)
+SELECT event_type, digit, n,
+       n::DOUBLE / SUM(n) OVER (PARTITION BY event_type)::DOUBLE AS frac
+FROM c
+"""
+
+
 # --- ratio-to-report (window over aggregate) -----------------------------------
 
 
@@ -1623,6 +1672,7 @@ QUERIES = {
     "user_value_mad": q_user_value_mad,
     "user_similarity": q_user_similarity,
     "nation_revenue_share": q_nation_revenue_share,
+    "benford_digits": q_benford_digits,
     "user_segments": q_user_segments,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
@@ -1667,6 +1717,7 @@ ORACLES = {
     "user_value_mad": SQL_USER_VALUE_MAD,
     "user_similarity": SQL_USER_SIMILARITY,
     "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
+    "benford_digits": SQL_BENFORD_DIGITS,
     "user_segments": SQL_USER_SEGMENTS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
