@@ -955,6 +955,59 @@ FROM steps
 """
 
 
+# --- Gini concentration index ---------------------------------------------------
+
+
+def q_order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Gini) index per order priority:
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-ranked amounts.
+    Rank products and sums stay in DECIMAL (exact, order-independent);
+    only the final two divisions run in double with the identical
+    expression tree in the oracle — so the index matches bit-for-bit.
+    One shuffle for the per-group rank window, then partial aggregation."""
+    orders = B.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    ranked = orders.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    agg = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        F.col("o_orderpriority").alias("orderpriority"),
+        "n",
+        F.col("sx").cast("double").alias("total"),
+        (
+            (F.lit(2.0) * F.col("six").cast("double"))
+            / (F.col("n").cast("double") * F.col("sx").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+        ).alias("gini"),
+    )
+
+
+SQL_ORDER_VALUE_GINI = """
+WITH ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS i
+  FROM orders
+), agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority AS orderpriority, n, sx::DOUBLE AS total,
+       (2.0 * six::DOUBLE) / (n::DOUBLE * sx::DOUBLE)
+         - (n + 1)::DOUBLE / n::DOUBLE AS gini
+FROM agg
+"""
+
+
 # --- Benford first-digit screening ---------------------------------------------
 
 
@@ -1673,6 +1726,7 @@ QUERIES = {
     "user_similarity": q_user_similarity,
     "nation_revenue_share": q_nation_revenue_share,
     "benford_digits": q_benford_digits,
+    "order_value_gini": q_order_value_gini,
     "user_segments": q_user_segments,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
@@ -1718,6 +1772,7 @@ ORACLES = {
     "user_similarity": SQL_USER_SIMILARITY,
     "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
     "benford_digits": SQL_BENFORD_DIGITS,
+    "order_value_gini": SQL_ORDER_VALUE_GINI,
     "user_segments": SQL_USER_SEGMENTS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
