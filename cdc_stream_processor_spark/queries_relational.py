@@ -1075,15 +1075,21 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(R.dsum("o_totalprice").alias("nation_revenue"))
+        # keep DECIMAL through the window: a double window-sum accumulates
+        # in partition row order (nondeterministic last-ulp results); the
+        # decimal sum is exact and order-independent, cast only at the end
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec")
+        )
     )
     w = Window.partitionBy("r_name")
     return per_nation.select(
         "r_name",
         "n_name",
-        "nation_revenue",
+        F.col("rev_dec").cast("double").alias("nation_revenue"),
         (
-            F.col("nation_revenue") / F.sum("nation_revenue").over(w)
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double")
         ).alias("share_of_region"),
     )
 
@@ -1091,16 +1097,16 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NATION_REVENUE_SHARE = """
 WITH per_nation AS (
   SELECT r.r_name, n.n_name,
-         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-           AS nation_revenue
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS rev_dec
   FROM orders o
   JOIN customer c ON o.o_custkey = c.c_custkey
   JOIN nation n ON c.c_nationkey = n.n_nationkey
   JOIN region r ON n.n_regionkey = r.r_regionkey
   GROUP BY 1, 2
 )
-SELECT r_name, n_name, nation_revenue,
-       nation_revenue / SUM(nation_revenue) OVER (PARTITION BY r_name)
+SELECT r_name, n_name, rev_dec::DOUBLE AS nation_revenue,
+       rev_dec::DOUBLE
+         / (SUM(rev_dec) OVER (PARTITION BY r_name))::DOUBLE
          AS share_of_region
 FROM per_nation
 """
