@@ -329,3 +329,36 @@ def start_pipeline(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_file_envelopes_with_dlq(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """JSON envelope stream split into (valid, dead-letter): corrupt lines
+    are preserved verbatim in the `_corrupt` column and routed to a
+    quarantine stream instead of being silently nulled away — drop-corrupt
+    (F2) keeps pipelines alive, but a production ingest also needs the
+    rejects auditable/replayable once the producer bug is fixed. PERMISSIVE
+    mode + columnNameOfCorruptRecord is the stock Spark mechanism; no UDF.
+    """
+    from pyspark.sql import types as T
+
+    schema_with_corrupt = T.StructType(
+        list(schemas.TRANSACTION_ENVELOPE.fields)
+        + [T.StructField("_corrupt", T.StringType())]
+    )
+    raw = (
+        spark.readStream.format("json")
+        .schema(schema_with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .load(path)
+    )
+    valid = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    # Spark refuses a scan whose projection is ONLY the corrupt column
+    # (populated lazily alongside parsed fields), so the quarantine carries
+    # one parsed column too — null for rejects, and it documents op anyway
+    dead = raw.filter(F.col("_corrupt").isNotNull()).select(
+        F.col("_corrupt").alias("raw_record"), F.col("op")
+    )
+    return valid, dead

@@ -701,3 +701,47 @@ def test_max_files_per_trigger_paces_backlog(spark, tmpdirs):
     assert all(p["numInputRows"] == 8 for p in batches)  # 2 files × 4 rows
     got = sorted(r.id for r in spark.read.parquet(out_dir).collect())
     assert got == sorted(i * 10 + j for i in range(6) for j in range(4))
+
+
+def test_corrupt_envelopes_route_to_dead_letter_queue(spark, tmpdirs):
+    """The DLQ split: valid envelopes flow to the pipeline, corrupt lines
+    land VERBATIM in the quarantine sink (auditable + replayable), and
+    neither kills the query."""
+    import json as _json
+    import os
+
+    src = f"{tmpdirs}/dlq_src"
+    ckpt = f"{tmpdirs}/dlq_ckpt"
+    dlq_out = f"{tmpdirs}/dlq_out"
+    os.makedirs(src, exist_ok=True)
+    good = {
+        "after": {"TRANSACTION_ID": 1.0, "ACCOUNT_ID": 7.0, "AMOUNT": 50.0,
+                  "TRANSACTION_TYPE": "DEBIT", "TRANSACTION_STATUS": "COMPLETED",
+                  "CURRENCY": "NGN", "INITIATED_AT": 1_700_000_000_000_000},
+        "op": "c", "ts_ms": 1_700_000_000_000,
+    }
+    bad_line = "{definitely not json"
+    with open(f"{src}/data.json", "w") as f:
+        f.write(_json.dumps(good) + "\n")
+        f.write(bad_line + "\n")
+
+    valid, dead = SP.read_file_envelopes_with_dlq(spark, src)
+    q1 = SP.start_pipeline(
+        cdc.parse_transactions(valid), "dlq_valid", ckpt,
+        output_mode="append", trigger_available_now=True,
+    )
+    q2 = (
+        dead.writeStream.queryName("dlq_dead")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", dlq_out)
+        .option("checkpointLocation", f"{ckpt}/dead")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    ok = spark.sql("select * from dlq_valid").collect()
+    quarantined = spark.read.parquet(dlq_out).collect()
+    assert [r.transaction_id for r in ok] == [1]
+    assert [r.raw_record for r in quarantined] == [bad_line]
