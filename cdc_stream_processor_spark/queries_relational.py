@@ -1280,6 +1280,59 @@ FROM hits GROUP BY 1
 """
 
 
+# --- windowed trending top-k ---------------------------------------------------
+
+TRENDING_K = 3
+
+
+def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k event types per hopping window — the 'trending now' shape:
+    map-side window expansion, one partial-agg shuffle for the
+    (window, type) counts, WindowGroupLimit for the per-window rank."""
+    ev = B.load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    from cdc_stream_processor_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        counts,
+        partition_by=["window_start_us"],
+        order_by=[F.col("n_events").desc(), F.col("event_type").asc()],
+        k=TRENDING_K,
+        rank_col="rank",
+    ).select("window_start_us", "event_type", "n_events", "rank")
+
+
+SQL_TRENDING_EVENT_TYPES = f"""
+WITH hits AS (
+  SELECT unnest([
+           (epoch_us(ts) // {HOP_US}) * {HOP_US} - {HOP_US},
+           (epoch_us(ts) // {HOP_US}) * {HOP_US}
+         ]) AS window_start_us,
+         event_type
+  FROM events
+), c AS (
+  SELECT window_start_us, event_type, COUNT(*) AS n_events
+  FROM hits GROUP BY 1, 2
+)
+SELECT window_start_us, event_type, n_events, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_us
+                               ORDER BY n_events DESC, event_type) AS rank
+  FROM c
+)
+WHERE rank <= {TRENDING_K}
+"""
+
+
 # --- winsorized outlier clipping ----------------------------------------------
 
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
@@ -1733,6 +1786,7 @@ QUERIES = {
     "nation_revenue_share": q_nation_revenue_share,
     "benford_digits": q_benford_digits,
     "order_value_gini": q_order_value_gini,
+    "trending_event_types": q_trending_event_types,
     "user_segments": q_user_segments,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
@@ -1779,6 +1833,7 @@ ORACLES = {
     "nation_revenue_share": SQL_NATION_REVENUE_SHARE,
     "benford_digits": SQL_BENFORD_DIGITS,
     "order_value_gini": SQL_ORDER_VALUE_GINI,
+    "trending_event_types": SQL_TRENDING_EVENT_TYPES,
     "user_segments": SQL_USER_SEGMENTS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
