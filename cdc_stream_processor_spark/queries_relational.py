@@ -1008,6 +1008,36 @@ FROM agg
 """
 
 
+# --- PII pseudonymization -------------------------------------------------------
+
+PSEUDO_SALT = "cdc-stream-processor-spark/v1"  # deploy-time secret in prod
+
+
+def q_pseudonymized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style pseudonymization: the user identifier is replaced by a
+    salted SHA-256 (stable join key across tables, irreversible without
+    the salt), raw id dropped. Map-only column transform inside codegen —
+    at 100 TB this is a projection, not a job. Complements pii_scan
+    (detection) with the remediation half."""
+    ev = B.load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.sha2(
+            F.concat(F.lit(PSEUDO_SALT), F.col("user_id").cast("string")), 256
+        ).alias("user_pseudo"),
+        "event_type",
+        "value",
+    )
+
+
+SQL_PSEUDONYMIZED_EVENTS = f"""
+SELECT event_id,
+       sha256('{PSEUDO_SALT}' || user_id::VARCHAR) AS user_pseudo,
+       event_type, value
+FROM events
+"""
+
+
 # --- Benford first-digit screening ---------------------------------------------
 
 
@@ -1787,6 +1817,7 @@ QUERIES = {
     "benford_digits": q_benford_digits,
     "order_value_gini": q_order_value_gini,
     "trending_event_types": q_trending_event_types,
+    "pseudonymized_events": q_pseudonymized_events,
     "user_segments": q_user_segments,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
@@ -1834,6 +1865,7 @@ ORACLES = {
     "benford_digits": SQL_BENFORD_DIGITS,
     "order_value_gini": SQL_ORDER_VALUE_GINI,
     "trending_event_types": SQL_TRENDING_EVENT_TYPES,
+    "pseudonymized_events": SQL_PSEUDONYMIZED_EVENTS,
     "user_segments": SQL_USER_SEGMENTS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
