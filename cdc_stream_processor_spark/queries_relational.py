@@ -955,6 +955,37 @@ FROM steps
 """
 
 
+# --- empirical CDF (percent_rank / cume_dist) -----------------------------------
+
+
+def q_order_price_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical CDF position of every order within its priority class —
+    percent_rank ((rank-1)/(n-1)) and cume_dist (rows≤current / n), the
+    two distribution-position windows not covered by the analytics bank.
+    Both are single divisions of integers, so engine-exact."""
+    orders = B.load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_ORDER_PRICE_CDF = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 # --- Gini concentration index ---------------------------------------------------
 
 
@@ -1818,6 +1849,7 @@ QUERIES = {
     "order_value_gini": q_order_value_gini,
     "trending_event_types": q_trending_event_types,
     "pseudonymized_events": q_pseudonymized_events,
+    "order_price_cdf": q_order_price_cdf,
     "user_segments": q_user_segments,
     "fk_integrity_audit": q_fk_integrity_audit,
 }
@@ -1866,6 +1898,7 @@ ORACLES = {
     "order_value_gini": SQL_ORDER_VALUE_GINI,
     "trending_event_types": SQL_TRENDING_EVENT_TYPES,
     "pseudonymized_events": SQL_PSEUDONYMIZED_EVENTS,
+    "order_price_cdf": SQL_ORDER_PRICE_CDF,
     "user_segments": SQL_USER_SEGMENTS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
 }
