@@ -55,6 +55,10 @@ def main() -> None:
         dt = round(best, 3)
         timings[name] = dt
         total += dt
+        # operators persist() intermediates (LSH blocks, shingle indexes);
+        # drop them between queries so 99 queries' caches don't accumulate
+        # into executor-memory pressure that taxes later queries
+        spark.catalog.clearCache()
     print(
         json.dumps(
             {

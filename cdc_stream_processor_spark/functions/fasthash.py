@@ -157,3 +157,70 @@ def seq_dot_norms(
         na += a[:, i] * a[:, i]
         nb += b[:, i] * b[:, i]
     return dot, na, nb
+
+
+# Scaled distance (in 10^-round_digits units) from the nearest round-half
+# boundary under which a fast-summed cosine is re-verified with the exact
+# sequential fold.  BLAS/einsum accumulation differs from the left-to-right
+# fold by ≲1e-13 absolute for unit-scale values; 1e-4 scaled units = 1e-10
+# absolute at 6 digits — a ~1000× safety margin, while flagging only
+# ~0.02% of candidates for the slow path.
+ROUND_GUARD_SCALED = 1e-4
+
+
+def _near_round_boundary(
+    raw: np.ndarray, round_digits: int = 6, tol: float = ROUND_GUARD_SCALED
+) -> np.ndarray:
+    scaled = raw * (10.0**round_digits)
+    frac = scaled - np.floor(scaled)
+    with np.errstate(invalid="ignore"):
+        return np.abs(frac - 0.5) < tol
+
+
+def fast_cosine_rowwise(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine(a[i], b[i]) with fold parity at 6 decimal digits:
+    BLAS-speed einsum for every row, then the exact left-to-right fold
+    (seq_dot_norms) re-run ONLY for rows whose value lands within
+    ROUND_GUARD_SCALED of a 6-dp rounding boundary — so ``round(out, 6)``
+    is bit-identical to rounding the pure fold, at matmul speed.
+    a, b: float64[n, d]."""
+    dot = np.einsum("ij,ij->i", a, b)
+    na = np.einsum("ij,ij->i", a, a)
+    nb = np.einsum("ij,ij->i", b, b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = dot / (np.sqrt(na) * np.sqrt(nb))
+    flag = _near_round_boundary(raw)
+    if flag.any():
+        sdot, sna, snb = seq_dot_norms(a[flag], b[flag])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            raw[flag] = sdot / (np.sqrt(sna) * np.sqrt(snb))
+    return raw
+
+
+def fast_cosine_gram_candidates(
+    A: np.ndarray, B: np.ndarray, min_sim: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(row_idx, col_idx, sim) for every Gram entry with cosine ≥ min_sim,
+    with the same 6-dp fold parity as fast_cosine_rowwise.
+
+    Shaped for low memory traffic, which dominates on this class of host:
+    rows are L2-normalized first (an O(n·d) pass), so ONE float64 matmul
+    yields cosine directly — no (n_a × n_b) division/broadcast temporaries —
+    and the threshold compare is the only full-matrix pass.  Boundary
+    flagging and the exact sequential re-fold then run on just the
+    candidate entries (using the ORIGINAL unnormalized rows, so flagged
+    values are bit-identical to the DuckDB list_reduce fold).
+    A: [n_a, d], B: [n_b, d]."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        An = A / np.sqrt(np.einsum("ij,ij->i", A, A))[:, None]
+        Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+    cos = An @ Bn.T
+    with np.errstate(invalid="ignore"):
+        ai, bi = np.nonzero(cos >= min_sim)
+    sim = cos[ai, bi]
+    flag = _near_round_boundary(sim)
+    if flag.any():
+        sdot, sna, snb = seq_dot_norms(A[ai[flag]], B[bi[flag]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim[flag] = sdot / (np.sqrt(sna) * np.sqrt(snb))
+    return ai, bi, sim

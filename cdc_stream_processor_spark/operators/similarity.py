@@ -48,14 +48,14 @@ def as_double(a: Column) -> Column:
 
 
 def _cosine_pandas_udf():
-    """Vectorized cosine over (qv, cv) array<double> columns. Accumulates
-    dimension-by-dimension in float64 (fasthash.seq_dot_norms), so values are
-    bit-identical to the F.aggregate / DuckDB list_reduce fold — just ~100×
-    faster than interpreting one lambda per element."""
+    """Vectorized cosine over (qv, cv) array<double> columns. BLAS-speed
+    einsum with sequential re-fold of rounding-boundary rows
+    (fasthash.fast_cosine_rowwise), so ROUND(·, 6) stays bit-identical to
+    the F.aggregate / DuckDB list_reduce fold."""
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
 
-    from cdc_stream_processor_spark.functions.fasthash import seq_dot_norms
+    from cdc_stream_processor_spark.functions.fasthash import fast_cosine_rowwise
 
     @pandas_udf(T.DoubleType())
     def cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
@@ -63,8 +63,7 @@ def _cosine_pandas_udf():
             return pd.Series([], dtype=np.float64)
         a = np.vstack([np.asarray(v, dtype=np.float64) for v in qv])
         b = np.vstack([np.asarray(v, dtype=np.float64) for v in cv])
-        dot, na, nb = seq_dot_norms(a, b)
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+        return pd.Series(fast_cosine_rowwise(a, b))
 
     return cos
 
@@ -123,9 +122,11 @@ def cosine_pairs(
     2. enumerate the B(B+1)/2 unordered block combos with a self cross-join
        of the B-row block table (block i pairs with j ≥ i);
     3. per combo, an Arrow-batched kernel computes the (block × block) Gram
-       product accumulated dimension-by-dimension in float64 — the same
-       left-to-right order as the F.aggregate / DuckDB list_reduce fold, so
-       values are bit-identical to the oracle.
+       product as ONE normalized float64 matmul; only candidate entries
+       landing within 1e-10 of a 6-dp rounding boundary are re-accumulated
+       with the left-to-right fold (fasthash.fast_cosine_gram_candidates),
+       so the ROUNDed values stay bit-identical to the F.aggregate / DuckDB
+       list_reduce oracle at BLAS speed with no full-matrix temporaries.
 
     O(n²/B) shuffle bytes and O(n²d) flops spread over B(B+1)/2 independent
     tasks: executors hold two blocks (2·block_size·d doubles) at a time, so
@@ -166,6 +167,10 @@ def cosine_pairs(
         )
     )
 
+    from cdc_stream_processor_spark.functions.fasthash import (
+        fast_cosine_gram_candidates,
+    )
+
     def score_combo(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
@@ -173,31 +178,25 @@ def cosine_pairs(
                 ids_b = np.asarray(row["ids_b"], dtype=np.int64)
                 A = np.vstack([np.asarray(x) for x in row["vs_a"]])
                 Bm = np.vstack([np.asarray(x) for x in row["vs_b"]])
-                d = A.shape[1]
-                dot = np.zeros((len(ids_a), len(ids_b)))
-                na = np.zeros(len(ids_a))
-                nb = np.zeros(len(ids_b))
-                for k in range(d):  # sequential over dims: fold-order parity
-                    dot += A[:, k : k + 1] * Bm[None, :, k]
-                    na += A[:, k] * A[:, k]
-                    nb += Bm[:, k] * Bm[:, k]
-                raw = dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                # one normalized float64 matmul + loose pre-filter (exact
+                # threshold applied after F.round so rounding semantics live
+                # in one engine pair); boundary-adjacent candidates are
+                # re-folded sequentially, keeping bit parity with the oracle
+                ai, bi, sim = fast_cosine_gram_candidates(
+                    A, Bm, threshold - 1e-6
+                )
+                ia, ib = ids_a[ai], ids_b[bi]
                 # same-block combos see each unordered pair twice ((p,q) and
                 # (q,p)): keep a<b. Cross-block combos see it once (each id
                 # lives in exactly one block): keep all, emit (min, max).
                 if row["blk_a"] == row["blk_b"]:
-                    pair_ok = ids_a[:, None] < ids_b[None, :]
-                else:
-                    pair_ok = np.ones((len(ids_a), len(ids_b)), dtype=bool)
-                # loose pre-filter only — exact threshold applied after
-                # F.round so rounding semantics live in one engine pair
-                ai, bi = np.nonzero((raw >= threshold - 1e-6) & pair_ok)
-                ia, ib = ids_a[ai], ids_b[bi]
+                    keep = ia < ib
+                    ia, ib, sim = ia[keep], ib[keep], sim[keep]
                 yield pd.DataFrame(
                     {
                         "vec_a": np.minimum(ia, ib),
                         "vec_b": np.maximum(ia, ib),
-                        "raw_sim": raw[ai, bi],
+                        "raw_sim": sim,
                     }
                 )
 

@@ -19,13 +19,26 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
     Streaming DataFrames have no driver-side partition count (``df.rdd``
     would throw) — their parallelism comes from the source + shuffle confs,
-    so they pass through unchanged. For batch the ``df.rdd.getNumPartitions``
-    probe costs one extra plan conversion; callers sit at pipeline heads, not
-    in per-batch loops, so that is a one-time planning cost.
+    so they pass through unchanged.
+
+    The under-partitioned check uses ``df.inputFiles()`` (analyzed-plan
+    metadata, ~ms) rather than ``df.rdd.getNumPartitions()`` (forces full
+    physical planning, ~1 s per fresh plan — measured; it was the dominant
+    planning cost when this sat on a dozen query heads). A scan backed by
+    ≥ target non-tiny files yields ≥ target splits (tiny-file packing can
+    coalesce below that, but in that regime the extra repartition is cheap
+    anyway), so at real scale (thousands of input files) this is a
+    metadata no-op. The RDD probe
+    remains only as the fallback for file-less plans (in-memory test DFs).
     """
     if df.isStreaming:
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if len(files) >= target:
+        return df
+    if files:
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

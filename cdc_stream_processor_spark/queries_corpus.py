@@ -90,9 +90,9 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT doc_id, source, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-           AS start
+           )::BIGINT AS start
   FROM t
 )
 SELECT doc_id, source, n_tokens,

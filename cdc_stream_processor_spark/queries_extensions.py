@@ -284,7 +284,7 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ranking — recall vs brute force is additionally pinned in
     tests/test_extensions.py."""
     emb = B.load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = B.embedding_dim(sf_dir)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
     return S.lsh_topk(
         queries, emb, dim=dim, k=TOPK, probe_hamming=LSH_PROBE_HAMMING
@@ -460,7 +460,7 @@ def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact blocked operator stays available as S.cosine_pairs (equality
     asserted in tests)."""
     emb = B.load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = B.embedding_dim(sf_dir)
     return S.lsh_near_dup_pairs(emb, threshold=NEAR_DUP_COSINE, dim=dim)
 
 
@@ -484,7 +484,7 @@ SELECT * FROM (
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = B.load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = B.embedding_dim(sf_dir)
     return S.embedding_near_dup(
         emb, threshold=NEAR_DUP_COSINE, method="lsh", dim=dim
     )

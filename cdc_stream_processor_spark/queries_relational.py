@@ -806,8 +806,9 @@ WITH base AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ), sessions AS (
   SELECT user_id, us, v,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         (SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -1298,7 +1299,7 @@ WITH m AS (
 )
 SELECT d.user_id, COUNT(*) AS n,
        MAX(d.med) AS median, MAX(md.mad) AS mad,
-       SUM(CASE WHEN d.dev > {R.MAD_K} * md.mad THEN 1 ELSE 0 END)
+       (SUM(CASE WHEN d.dev > {R.MAD_K} * md.mad THEN 1 ELSE 0 END))::BIGINT
          AS n_outliers
 FROM d JOIN md USING (user_id)
 GROUP BY d.user_id
@@ -1718,7 +1719,7 @@ def _profile_events_sql() -> str:
         for c in PROFILE_STR_COLS
     )
     nd = ",\n    ".join(
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS {c}__nulls, "
+        f"(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END))::BIGINT AS {c}__nulls, "
         f"COUNT(DISTINCT {c}) AS {c}__dist"
         for c in PROFILE_NUM_COLS + PROFILE_STR_COLS
     )

@@ -62,6 +62,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # stdout stays line-oriented JSON/PASS lines: the driver's bench/gate
+        # capture truncates to a tail window, and \r progress bars can push
+        # the final JSON line out of it
+        .config("spark.ui.showConsoleProgress", "false")
     )
     if rocksdb_state_store:
         builder = builder.config(

@@ -72,3 +72,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def embedding_dim(
+    sf_dir: str, table: str = "embeddings", col: str = "embedding"
+) -> int:
+    """Vector width of an array column, read from ONE parquet record batch
+    via pyarrow (~ms, no Spark job). Replaces the previous
+    ``df.select(col).first()`` probe, which launched an eager driver job on
+    every registered-query construction and raised an opaque TypeError on an
+    empty table."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    for batch in pf.iter_batches(batch_size=1, columns=[col]):
+        if batch.num_rows:
+            val = batch.column(0)[0].as_py()
+            if not val:
+                break
+            return len(val)
+    raise ValueError(
+        f"cannot infer vector dim: {sf_dir}/{table}.parquet has no non-empty "
+        f"'{col}' value"
+    )

@@ -63,6 +63,7 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
             srows = sdf.collect()
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
@@ -71,6 +72,15 @@ def main() -> int:
             print(f"ok~  {name}: rows={len(srows)} (rows-only, no oracle)")
             continue
         try:
+            # The external gate hashes DuckDB's native output; HUGEINT
+            # (int128) columns stringify differently there than Spark's
+            # BIGINT, so any HUGEINT in an oracle is a latent hash fail.
+            desc = con.execute(f"DESCRIBE ({oracles[name]})").fetchall()
+            huge = [r[0] for r in desc if "HUGEINT" in str(r[1]).upper()]
+            if huge:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — add ::BIGINT casts")
+                failures += 1
+                continue
             ddf = con.execute(oracles[name]).fetch_arrow_table()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
