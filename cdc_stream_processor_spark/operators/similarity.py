@@ -218,6 +218,7 @@ def lsh_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 2,
     n_tables: int = 32,
+    block_size: int = 4096,
 ) -> DataFrame:
     """Sub-quadratic near-dup pairs: SRP-LSH bucket self-join for candidates,
     exact cosine verify ≥ threshold. Output contract = cosine_pairs
@@ -231,7 +232,23 @@ def lsh_near_dup_pairs(
     equi-join on (table, bucket). Raise n_planes for high thresholds to
     shrink buckets (at t ≥ 0.9, 8 planes × 16 tables still misses < 1e-6
     and cuts candidate volume by ~2⁶ per table): that's the knob that makes
-    this the 100 TB path where the exact blocked product is O(n²)."""
+    this the 100 TB path where the exact blocked product is O(n²).
+
+    Execution shape — verify INSIDE the bucket, never materialize the
+    candidate-pair list: vectors are packed per (table, bucket) with
+    collect_list and each bucket is scored by ONE normalized matmul
+    (fasthash.fast_cosine_gram_candidates). Only pairs that already pass
+    the threshold leave a task (≈ |output| × L rows into the final
+    dedup), versus the candidate-equi-join formulation whose shuffle
+    carries every colliding pair (~n²·L/2^planes skinny rows at low
+    thresholds) into a verify join. Hot buckets are sub-chunked to
+    ``block_size`` rows (chunk-combo self-join, same pattern as
+    cosine_pairs), so per-task memory stays O(block_size·d) at any
+    corpus size; n_planes remains the candidate-volume knob."""
+    import numpy as np
+
+    n = vecs.count()
+    chunks = max(1, -(-n // ((1 << n_planes) * block_size)))
     v = vecs.select(F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v"))
     b = _with_buckets(
         ensure_parallelism(v).select("vid", F.col("v").alias("_v")),
@@ -239,28 +256,68 @@ def lsh_near_dup_pairs(
         n_planes,
         n_tables,
         weight_fn=_plane_weight_mixed,
-    ).select("vid", "table_idx", "bucket")
-    cand = (
-        b.select(F.col("vid").alias("vec_a"), "table_idx", "bucket")
-        .join(
-            b.select(F.col("vid").alias("vec_b"), "table_idx", "bucket"),
-            ["table_idx", "bucket"],
-        )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .dropDuplicates(["vec_a", "vec_b"])
+    ).select("vid", F.col("_v").alias("v"), "table_idx", "bucket")
+    packed = (
+        b.withColumn("chk", F.pmod(F.col("vid"), F.lit(chunks)))
+        .groupBy("table_idx", "bucket", "chk")
+        .agg(F.collect_list("vid").alias("ids"), F.collect_list("v").alias("vs"))
     )
-    cos = _cosine_pandas_udf()
-    scored = (
-        cand.join(v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va")), "vec_a")
-        .join(v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb")), "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(cos(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
-        )
+    combos = packed.select(
+        "table_idx",
+        "bucket",
+        F.col("chk").alias("chk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vs").alias("vs_a"),
+    ).join(
+        packed.select(
+            "table_idx",
+            "bucket",
+            F.col("chk").alias("chk_b"),
+            F.col("ids").alias("ids_b"),
+            F.col("vs").alias("vs_b"),
+        ),
+        ["table_idx", "bucket"],
+    ).filter(F.col("chk_a") <= F.col("chk_b"))
+
+    from cdc_stream_processor_spark.functions.fasthash import (
+        fast_cosine_gram_candidates,
     )
-    return scored.filter(F.col("cosine_sim") >= threshold)
+
+    def score_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                A = np.vstack([np.asarray(x) for x in row["vs_a"]])
+                Bm = np.vstack([np.asarray(x) for x in row["vs_b"]])
+                ai, bi, sim = fast_cosine_gram_candidates(
+                    A, Bm, threshold - 1e-6
+                )
+                ia, ib = ids_a[ai], ids_b[bi]
+                # same-chunk combos see each unordered pair twice: keep a<b
+                # (also drops the self-pair diagonal); cross-chunk see once.
+                if row["chk_a"] == row["chk_b"]:
+                    keep = ia < ib
+                    ia, ib, sim = ia[keep], ib[keep], sim[keep]
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                        "raw_sim": sim,
+                    }
+                )
+
+    scored = combos.mapInPandas(
+        score_bucket, schema="vec_a long, vec_b long, raw_sim double"
+    )
+    return (
+        # the same pair surfaces from every colliding table with bit-identical
+        # raw_sim (same kernel, same full vectors), so dedup-then-round is safe
+        scored.dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cosine_sim", F.round(F.col("raw_sim"), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
 
 
 def embedding_near_dup(
@@ -361,12 +418,23 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int, weight_fn=_plane_weight)
     )  # (L, m, dim)
     powers = (1 << np.arange(n_planes)).astype(np.int64)  # (m,)
 
+    wt = w.reshape(-1, dim).T  # (dim, L·m) for one matmul
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vecs: pd.Series) -> pd.Series:
         mat = np.vstack(vecs.to_numpy())  # (n, dim)
-        proj = np.zeros((len(mat), n_tables, n_planes))
-        for d in range(dim):  # sequential over dims: fold-order parity
-            proj += mat[:, d, None, None] * w[None, :, :, d]
+        proj = (mat @ wt).reshape(len(mat), n_tables, n_planes)
+        # Only the SIGN of each projection matters. BLAS summation differs
+        # from the left-to-right fold by ≲1e-13, so re-fold sequentially
+        # just the near-zero projections — keeps bucket ids bit-identical
+        # to the DuckDB oracle's fold replay at matmul speed.
+        ni, ti, pi = np.nonzero(np.abs(proj) < 1e-10)
+        for a, t, p in zip(ni, ti, pi):
+            acc = 0.0
+            row, ww = mat[a], w[t, p]
+            for d in range(dim):
+                acc += row[d] * ww[d]
+            proj[a, t, p] = acc
         bits = (proj > 0).astype(np.int64)
         out = bits @ powers  # (n, L)
         return pd.Series(list(out))

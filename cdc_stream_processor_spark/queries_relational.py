@@ -1223,21 +1223,50 @@ WHERE {" AND ".join(f"list_contains(event_types, '{m}')" for m in SEG_MUST)}
 USER_SIM_TAU = 0.1  # hour-set Jaccard threshold (synthetic corpus is sparse)
 
 
+USER_SIM_CHUNK = 256  # max users per (hour, chunk) join cell — skew cap
+
+
 def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User pairs with Jaccard(co-active hours) ≥ τ — the collaborative-
     filtering neighbor block, via an inverted index on the activity hour:
     candidates come from an equi-join on the hour (never an all-pairs
     user product), shared counts from one groupBy, exact Jaccard from the
     broadcast per-user set sizes. The ngram-Jaccard machinery transplanted
-    from text to behavior."""
+    from text to behavior.
+
+    Hot-hour skew guard (exact): an hour with H active users would land H²
+    pair rows on ONE reducer key in the plain hr self-join. Instead each
+    hour is split into ⌈H/USER_SIM_CHUNK⌉ chunks from its broadcast-joined
+    density: side A keeps its own chunk, side B is replicated across the
+    hour's chunks, and the join key becomes (hr, chunk) — identical pair
+    multiset (each pair meets exactly once per shared hour), but per-reducer
+    work is bounded by USER_SIM_CHUNK·H instead of H². Dense hours cost
+    ~H²/chunk extra replicated shuffle rows — the same order as the pair
+    rows the query must produce anyway."""
     ev = B.load_table(spark, sf_dir, "events")
     hrs = ev.select(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
     ).distinct()
     sizes = hrs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # per-hour density → chunk count (hours are bounded — a year is 8760
+    # keys — so the density table always broadcasts)
+    hdf = hrs.groupBy("hr").agg(F.count(F.lit(1)).alias("hdf"))
+    nchunks = F.greatest(
+        F.lit(1), F.ceil(F.col("hdf") / F.lit(USER_SIM_CHUNK))
+    ).cast("int")
+    with_chunks = hrs.join(F.broadcast(hdf), "hr")
+    side_a = with_chunks.select(
+        F.col("user_id").alias("user_a"),
+        "hr",
+        F.pmod(F.xxhash64("user_id"), nchunks).alias("chk"),
+    )
+    side_b = with_chunks.select(
+        F.col("user_id").alias("user_b"),
+        "hr",
+        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chk"),
+    )
     shared = (
-        hrs.select(F.col("user_id").alias("user_a"), "hr")
-        .join(hrs.select(F.col("user_id").alias("user_b"), "hr"), "hr")
+        side_a.join(side_b, ["hr", "chk"])
         .filter(F.col("user_a") < F.col("user_b"))
         .groupBy("user_a", "user_b")
         .agg(F.count(F.lit(1)).alias("shared"))
