@@ -286,6 +286,11 @@ def retraction_aggregate(
             F.sum("c").alias("n_current"),
             F.sum("v").cast("double").alias("total_value"),
         )
+        # snapshot semantics: a dimension whose contributions fully
+        # telescope away (no key's LATEST row has it) has no row in the
+        # snapshot groupBy — without this filter it would surface as a
+        # (dim, 0, 0.0) row the snapshot form never produces
+        .filter(F.col("n_current") > 0)
     )
 
 

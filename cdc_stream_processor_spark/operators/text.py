@@ -360,11 +360,13 @@ def bigram_lift_topk(
     min_count: int = BIGRAM_MIN_COUNT,
 ) -> DataFrame:
     """Top-k adjacent-token collocations ranked by lift
-    p(w1,w2) / (p(w1)·p(w2)) — rank-equivalent to PMI without the log, so
-    the score stays an exact rational: BIGINT numerator n_ab·N² and
-    denominator M·n_a·n_b are each < 2⁵³, their doubles are exact, and the
-    single division is correctly rounded — bit-equal in any IEEE engine
-    (no transcendental functions to disagree on).
+    p(w1,w2) / (p(w1)·p(w2)) — rank-equivalent to PMI without the log.
+    Every factor is cast to double BEFORE multiplying: each cast and each
+    product is a single exactly-rounded IEEE op computed in the same
+    left-to-right order in both engines, so the score is bit-equal in any
+    IEEE engine at ANY corpus size (int64 products would wrap in Spark but
+    raise in DuckDB once n_ab·N² exceeds 2⁶³; no transcendental functions
+    to disagree on).
 
     Plan shape: bigrams come from a JVM-side transform over the token
     array (map-only explode — no self-join to form pairs), one groupBy for
@@ -400,9 +402,20 @@ def bigram_lift_topk(
             "w1",
             "w2",
             "n_ab",
+            # each factor cast to double BEFORE multiplying: int64 products
+            # wrap silently in Spark but raise in DuckDB at n_tokens ≳ 3e6,
+            # so the engines would diverge; double products are exact-rounded
+            # IEEE ops computed identically (left-to-right) in both engines
+            # and cannot overflow for any realistic corpus
             (
-                (F.col("n_ab") * F.col("n_tokens") * F.col("n_tokens")).cast("double")
-                / (F.col("n_bigrams") * F.col("n_a") * F.col("n_b")).cast("double")
+                F.col("n_ab").cast("double")
+                * F.col("n_tokens").cast("double")
+                * F.col("n_tokens").cast("double")
+                / (
+                    F.col("n_bigrams").cast("double")
+                    * F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                )
             ).alias("lift"),
         )
     )

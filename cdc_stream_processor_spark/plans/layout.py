@@ -164,6 +164,12 @@ def publish_with_audit(
     import shutil
 
     spark = df.sparkSession
+    # crash recovery: a prior publish dying between its two renames leaves
+    # the published version parked at .__old__ with no live path — restore
+    # it so this publish swaps against the real previous version
+    old_dangling = f"{path}.__old__"
+    if not os.path.isdir(path) and os.path.isdir(old_dangling):
+        os.rename(old_dangling, path)
     tmp = f"{path}.__stage__"
     df.write.mode("overwrite").parquet(tmp)
     staged = spark.read.parquet(tmp)

@@ -939,8 +939,8 @@ WITH toks AS (
          (SELECT COUNT(*) FROM bg) AS n_bigrams
 )
 SELECT c.w1, c.w2, c.n_ab,
-       (c.n_ab * t.n_tokens * t.n_tokens)::DOUBLE
-         / (t.n_bigrams * a.n_w * b.n_w)::DOUBLE AS lift
+       c.n_ab::DOUBLE * t.n_tokens::DOUBLE * t.n_tokens::DOUBLE
+         / (t.n_bigrams::DOUBLE * a.n_w::DOUBLE * b.n_w::DOUBLE) AS lift
 FROM bgc c
 JOIN uni a ON c.w1 = a.w
 JOIN uni b ON c.w2 = b.w

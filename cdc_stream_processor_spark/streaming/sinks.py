@@ -39,7 +39,15 @@ def merge_batch_into_parquet(
     via cdc.apply_changes (latest change per key wins; op 'd' deletes),
     writes to a scratch dir, then swaps directories — so readers never see
     a partial table and re-running the same batch reproduces the identical
-    snapshot (asserted in tests)."""
+    snapshot (asserted in tests).
+
+    Crash recovery: a process dying between the two renames leaves the
+    snapshot parked at ``.__old__`` with no target dir; without the entry
+    recovery below, the next batch would silently treat the table as empty
+    and rebuild from scratch, dropping all merged history."""
+    old = f"{target_dir}.__old__"
+    if not os.path.isdir(target_dir) and os.path.isdir(old):
+        os.rename(old, target_dir)
     if os.path.isdir(target_dir):
         snapshot = spark.read.parquet(target_dir).select(*snapshot_cols)
     else:
@@ -49,7 +57,6 @@ def merge_batch_into_parquet(
     merged = cdc.apply_changes(snapshot, batch, key=key, seq=seq, op_col=op_col)
     tmp = f"{target_dir}.__tmp__"
     merged.write.mode("overwrite").parquet(tmp)
-    old = f"{target_dir}.__old__"
     if os.path.isdir(old):
         shutil.rmtree(old)
     if os.path.isdir(target_dir):

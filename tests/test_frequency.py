@@ -156,6 +156,24 @@ def test_retraction_aggregate_retracts_superseded_versions(spark):
     assert got == {"a": (1, 5.0), "b": (2, 22.0)}
 
 
+def test_retraction_aggregate_fully_retracted_dim_has_no_row(spark):
+    """A dimension that is no key's LATEST state must vanish from the
+    aggregate (snapshot semantics), not surface as a (dim, 0, 0.0) row —
+    here every user that ever visited 'a' later moved to 'b'."""
+    rows = [
+        (1, 1, "a", 10.0), (2, 1, "b", 20.0),
+        (3, 2, "a", 5.0), (4, 2, "b", 7.0),
+    ]
+    ev = spark.createDataFrame(rows, "seq long, user_id long, dim string, value double")
+    got = {
+        r.dim: (r.n_current, r.total_value)
+        for r in cdc.retraction_aggregate(
+            ev, key="user_id", dim="dim", value="value", order_by=["seq"]
+        ).collect()
+    }
+    assert got == {"b": (2, 27.0)}
+
+
 # --- table_diff ---------------------------------------------------------------
 
 

@@ -618,6 +618,20 @@ def test_foreachbatch_merge_sink_materializes_and_is_idempotent(spark, tmpdirs):
     again = {r.id: (r.tag, r.value) for r in spark.read.parquet(target).collect()}
     assert again == got
 
+    # crash recovery: simulate dying between the two renames (snapshot
+    # parked at .__old__, no target dir) — the next merge must restore the
+    # parked snapshot and fold into it, not rebuild from empty
+    import os
+
+    os.rename(target, f"{target}.__old__")
+    more = spark.createDataFrame([(5, "e", 5.0, "c", 8)], schema)
+    SK.merge_batch_into_parquet(spark, more, target, "id", cols)
+    recovered = {
+        r.id: (r.tag, r.value) for r in spark.read.parquet(target).collect()
+    }
+    assert recovered == {**got, 5: ("e", 5.0)}
+    assert not os.path.isdir(f"{target}.__old__")
+
 
 def test_stream_stream_interval_join_with_watermarks(spark, tmpdirs):
     """Stream-stream inner join bounded by an event-time interval: orders
