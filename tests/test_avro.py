@@ -161,3 +161,44 @@ def test_envelopes_from_avro_py_end_to_end(spark):
     )
     rows = cdc.parse_transactions(envs).collect()
     assert [(r.transaction_id, r.amount) for r in rows] == [(1, 600_000.0)]
+
+
+def _jvm_avro_available(spark) -> bool:
+    """True iff the from_avro SQL function is actually usable — probe by
+    evaluating it (class-presence checks lie: the wrapper classes can be on
+    the classpath while the Avro data source is not loaded, raising
+    AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE at analysis time)."""
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql.avro.functions import from_avro
+
+        probe_schema = json.dumps(
+            {"type": "record", "name": "p", "fields": [{"name": "x", "type": "long"}]}
+        )
+        spark.range(1).select(
+            from_avro(F.lit(bytearray(b"\x02")), probe_schema)
+        ).collect()
+        return True
+    except Exception:
+        return False
+
+
+def test_envelopes_from_avro_jvm_matches_python_codec(spark):
+    """Classpath parity (reference AvroSerdes.java:35-58): the JVM
+    from_avro path must decode the same Confluent-framed bytes to the same
+    envelopes as the pure-Python codec. Auto-skips where the spark-avro
+    jar isn't shipped (this container), runs wherever it is."""
+    if not _jvm_avro_available(spark):
+        pytest.skip("spark-avro jar not on classpath")
+    schema_json = json.dumps(ENVELOPE_SCHEMA)
+    good = AC.encode_record(
+        ENVELOPE_SCHEMA, _envelope(_image(1.0, 600_000.0)), confluent_schema_id=7
+    )
+    raw = spark.createDataFrame([(bytearray(good),)], "value binary")
+    got_jvm = cdc.parse_transactions(
+        cdc.envelopes_from_avro(raw, schema_json, confluent_framed=True)
+    ).collect()
+    got_py = cdc.parse_transactions(
+        AC.envelopes_from_avro_py(raw, schema_json, schemas.TRANSACTION_ENVELOPE)
+    ).collect()
+    assert [tuple(r) for r in got_jvm] == [tuple(r) for r in got_py]

@@ -179,6 +179,55 @@ def test_stream_daily_spend_and_dormancy_smoke(spark, tmpdirs):
     assert '"severity":"MEDIUM"' in out[0].value
 
 
+def test_dormancy_session_window_closes_once_on_watermark_advance(
+    spark, tmpdirs
+):
+    """A4/§2.10 semantics the reference never tests: a session window must
+    stay open until the watermark passes its end, then close and emit its
+    dormancy notification EXACTLY once in append mode — later batches must
+    not re-emit it. Watermark advancement is driven by three availableNow
+    runs against one checkpoint (file micro-batches), each adding an event
+    1h + gap later that closes the previous account's session."""
+    src, ckpt = f"{tmpdirs}/src", f"{tmpdirs}/ckpt"
+    out_dir = f"{tmpdirs}/dormancy_parquet"
+    gap_s = 3600  # "1 hour" session gap keeps the fixture arithmetic small
+    t0 = 1_700_000_000
+
+    def run_batch(envs):
+        _write_envelopes(spark, src, envs)
+        txns = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+        q = SP.start_pipeline(
+            SP.dormancy_notifications(txns, gap="1 hour"),
+            "dormancy_files", ckpt, output_mode="append",
+            sink_format="parquet", sink_options={"path": out_dir},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        try:
+            return sorted(r.key for r in spark.read.parquet(out_dir).collect())
+        except Exception:  # sink dir not created until first emission
+            return []
+
+    # run 1: account A's lone txn opens session [t0, t0+gap); the 0s-delay
+    # watermark reaches only t0, so nothing closes, nothing is emitted
+    a = fx.envelope(fx.txn_image(
+        txn_id=1.0, account_id=101.0, initiated_at_us=t0 * US))
+    assert run_batch([a]) == []
+
+    # run 2: account B's txn sits past A's session end → watermark passes
+    # it → A's session closes, emitted exactly once
+    t1 = t0 + 2 * gap_s
+    b = fx.envelope(fx.txn_image(
+        txn_id=2.0, account_id=202.0, initiated_at_us=t1 * US))
+    assert run_batch([b]) == ["101"]
+
+    # run 3: account C closes B's session; A must NOT be re-emitted
+    t2 = t1 + 2 * gap_s
+    c = fx.envelope(fx.txn_image(
+        txn_id=3.0, account_id=303.0, initiated_at_us=t2 * US))
+    assert run_batch([c]) == ["101", "202"]
+
+
 def test_stream_dedup_within_watermark_drops_redeliveries(spark, tmpdirs):
     """At-least-once redelivery (same transaction_id piped twice, plus a
     second batch re-sending an old id) collapses to one row per key while
