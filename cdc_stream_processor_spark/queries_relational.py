@@ -717,15 +717,15 @@ def q_order_price_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
     pytest separately bounds error vs exact at low accuracy.
 
     The exactness precondition is eps·N < 0.5 per group, i.e. accuracy >
-    2·max-group-cardinality — enforced below by scaling the accuracy with an
-    upfront (partial-agg, cheap) group-size probe rather than silently
-    breaking the oracle guarantee at a larger scale factor."""
+    2·max-group-cardinality — enforced below by scaling the accuracy with
+    the table's parquet-footer row count (an upper bound on any group's
+    cardinality, read driver-side in ~ms) rather than an eager group-size
+    Spark job at query construction."""
+    import pyarrow.parquet as pq
+
     orders = B.load_table(spark, sf_dir, "orders")
-    max_n = (
-        orders.groupBy("o_orderpriority").count().agg(F.max("count")).first()[0]
-        or 0
-    )
-    accuracy = max(100_000, 4 * int(max_n))
+    total_n = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    accuracy = max(100_000, 4 * int(total_n))
     pct = F.approx_percentile(
         "o_totalprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(accuracy)
     )
@@ -1244,9 +1244,13 @@ def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~H²/chunk extra replicated shuffle rows — the same order as the pair
     rows the query must produce anyway."""
     ev = B.load_table(spark, sf_dir, "events")
-    hrs = ev.select(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("hr")
-    ).distinct()
+    # persist: the distinct (user, hour) index feeds four consumers (sizes,
+    # density, both join sides) — one dedup shuffle instead of four
+    hrs = (
+        ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .distinct()
+        .persist()
+    )
     sizes = hrs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     # per-hour density → chunk count (hours are bounded — a year is 8760
     # keys — so the density table always broadcasts)
