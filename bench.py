@@ -21,6 +21,10 @@ from cdc_stream_processor_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # 99 back-to-back queries on an 8g heap spend measurable time in GC by the
+    # back half of the run (balance_recon: 2.5s in-sequence vs 0.75s alone);
+    # the bench box has 128 GiB, so give the single local JVM a real heap.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Warm-up: absorb one-time JVM/codegen/Arrow/parquet-footer/Python-runner
@@ -59,6 +63,10 @@ def main() -> None:
         # drop them between queries so 99 queries' caches don't accumulate
         # into executor-memory pressure that taxes later queries
         spark.catalog.clearCache()
+        if os.environ.get("SPARK_GRAFT_BENCH_GC", "") == "1":
+            # ask the JVM for a collection between queries so one query's
+            # garbage isn't paid as GC pause inside the next timed region
+            spark.sparkContext._jvm.System.gc()
     print(
         json.dumps(
             {
