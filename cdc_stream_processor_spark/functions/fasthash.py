@@ -224,3 +224,49 @@ def fast_cosine_gram_candidates(
         with np.errstate(divide="ignore", invalid="ignore"):
             sim[flag] = sdot / (np.sqrt(sna) * np.sqrt(snb))
     return ai, bi, sim
+
+
+def fast_cosine_gram_topk_candidates(
+    A: np.ndarray, B: np.ndarray, k: int, same_block: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row AND per-column top-k candidate entries of the cosine Gram
+    matrix, with the same 6-dp fold parity as fast_cosine_gram_candidates.
+
+    Returns (row_idx, col_idx, sim) containing, for every row of A, its k
+    best columns of B (and, when ``same_block`` is False, for every column
+    of B its k best rows of A — the transposed direction, so one matmul
+    serves both directed sides of a cross-block combo). Entries within
+    2e-6 raw of the k-th best are also kept: after ROUND(·, 6) a value can
+    only tie an in-set value if its raw score is within 1e-6, so the extra
+    margin makes the downstream (rounded desc, id asc) row_number() rank
+    exact. ``same_block`` masks the diagonal (self-pairs) and emits only
+    the row direction — a square same-block Gram already contains both
+    directed entries of every pair.
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        An = A / np.sqrt(np.einsum("ij,ij->i", A, A))[:, None]
+        Bn = B / np.sqrt(np.einsum("ij,ij->i", B, B))[:, None]
+    cos = An @ Bn.T
+    if same_block:
+        np.fill_diagonal(cos, -np.inf)
+    na, nb = cos.shape
+
+    def _mask_axis(m: np.ndarray, axis: int) -> np.ndarray:
+        kk = min(k, (nb if axis == 1 else na) - (1 if same_block else 0))
+        if kk <= 0:
+            return np.zeros_like(m, dtype=bool)
+        kth = np.partition(m, -kk, axis=axis)
+        thr = (kth[:, -kk] if axis == 1 else kth[-kk, :]) - 2e-6
+        return m >= (thr[:, None] if axis == 1 else thr[None, :])
+
+    mask = _mask_axis(cos, 1)
+    if not same_block:
+        mask |= _mask_axis(cos, 0)
+    ai, bi = np.nonzero(mask)
+    sim = cos[ai, bi]
+    flag = _near_round_boundary(sim)
+    if flag.any():
+        sdot, sna, snb = seq_dot_norms(A[ai[flag]], B[bi[flag]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim[flag] = sdot / (np.sqrt(sna) * np.sqrt(snb))
+    return ai, bi, sim

@@ -768,3 +768,213 @@ def centroid_assign(
             F.col("_p.s").alias("sim"),
         )
     )
+
+
+def knn_graph(
+    vecs: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
+    """Exact cosine k-nearest-neighbor graph over the WHOLE corpus —
+    (vec_id, neighbor_id, cosine_sim, rank) with k rows per vector — the
+    neighbor structure behind semantic dedup clustering, diversity
+    sampling, and label propagation.
+
+    Unlike brute_force_topk (broadcast query set × corpus — right when the
+    query set is small), every vector is a query here, so the corpus can
+    never ride a broadcast. Same block-matrix shape as cosine_pairs:
+    B ≈ ⌈n/block_size⌉ packed blocks, B(B+1)/2 unordered combos, one
+    normalized float64 matmul per combo. Per combo only each row's local
+    top-k (plus raw scores within 2e-6 — the rounding-tie capture zone) and
+    each column's local top-k leave the task, so the global shuffle carries
+    O(n·B·k) skinny rows, never the n² Gram. A final row_number() window
+    per vec_id — WindowGroupLimit prunes to k per partition before the
+    sort — yields the exact graph: the true top-k always survives local
+    pruning because a global winner is a fortiori a within-combo winner.
+
+    6-dp fold parity: near-boundary Gram entries are re-accumulated with
+    the sequential fold (fasthash), so ROUND(·, 6) and hence the
+    (cosine_sim DESC, neighbor_id ASC) ranking is bit-identical to the
+    DuckDB list_reduce oracle."""
+    import numpy as np
+
+    from cdc_stream_processor_spark.functions.fasthash import (
+        fast_cosine_gram_topk_candidates,
+    )
+
+    n = vecs.count()
+    n_blocks = max(1, -(-n // block_size))
+    v = vecs.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    blocks = (
+        v.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("v").alias("vs"),
+        )
+        .persist()
+    )
+    combos = blocks.select(
+        F.col("blk").alias("blk_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vs").alias("vs_a"),
+    ).join(
+        blocks.select(
+            F.col("blk").alias("blk_b"),
+            F.col("ids").alias("ids_b"),
+            F.col("vs").alias("vs_b"),
+        ),
+        F.col("blk_a") <= F.col("blk_b"),
+        "inner",
+    )
+
+    def score_combo(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"], dtype=np.int64)
+                ids_b = np.asarray(row["ids_b"], dtype=np.int64)
+                A = np.vstack([np.asarray(x) for x in row["vs_a"]])
+                Bm = np.vstack([np.asarray(x) for x in row["vs_b"]])
+                same = row["blk_a"] == row["blk_b"]
+                ai, bi, sim = fast_cosine_gram_topk_candidates(A, Bm, k, same)
+                out = {
+                    "query_id": ids_a[ai],
+                    "neighbor_id": ids_b[bi],
+                    "raw_sim": sim,
+                }
+                if same:
+                    yield pd.DataFrame(out)
+                else:
+                    # candidates serve both directed sides of the combo
+                    yield pd.DataFrame(out)
+                    yield pd.DataFrame(
+                        {
+                            "query_id": ids_b[bi],
+                            "neighbor_id": ids_a[ai],
+                            "raw_sim": sim,
+                        }
+                    )
+
+    scored = combos.mapInPandas(
+        score_combo, schema="query_id long, neighbor_id long, raw_sim double"
+    ).withColumn("cosine_sim", F.round(F.col("raw_sim"), 6))
+    out = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return out.select(
+        F.col("query_id").alias("vec_id"), "neighbor_id", "cosine_sim", "rank"
+    )
+
+
+# Fixed-point grid for the Gram/covariance surface: components snap to
+# 1e-4 (CAST(ROUND(x·1e4) AS LONG) — HALF_UP in Spark = round-half-away in
+# DuckDB, the same pairing the money columns rely on), so every pairwise
+# product is an exact int64 ≤ ~6.4e9 and sums are order-independent.
+GRAM_SCALE = 10_000
+
+
+def embedding_gram(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    block_rows: int = 65_536,
+) -> DataFrame:
+    """Distributed Gram / second-moment matrix Σₙ eᵢ·eⱼ over the corpus —
+    the d×d statistic behind PCA whitening, covariance drift monitors, and
+    low-rank projection — computed WITHOUT collecting the corpus:
+    every partition contributes one d×d int64 partial via a single
+    quantized matmul (XᵀX over ≤ block_rows rows at a time), partials
+    groupBy-sum on (i, j) — shuffle volume is partitions·d², independent
+    of corpus size — and only the final d(d+1)/2 upper-triangle rows reach
+    the caller.
+
+    Exactness: components are snapped to the 1e-4 grid first, so partial
+    products and sums are integer arithmetic — order-independent, and
+    bit-identical to the DuckDB oracle's per-pair SUM. gram_q is the raw
+    fixed-point sum in 1e-8 units (divide by GRAM_SCALE² for the float
+    Gram); int64 holds corpora to ~1e9 rows of unit-scale vectors — beyond
+    that, sum the partials in DECIMAL(38,0).
+    """
+    import numpy as np
+
+    def partial_gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: np.ndarray | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            for s in range(0, X.shape[0], block_rows):
+                Q = np.rint(X[s : s + block_rows] * GRAM_SCALE).astype(np.int64)
+                part = Q.T @ Q  # exact: |q| ≤ ~8e4 → products ≤ 6.4e9
+                acc = part if acc is None else acc + part
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": ii.astype(np.int32), "j": jj.astype(np.int32),
+                 "part": acc[ii, jj]}
+            )
+
+    partials = vecs.select(vec_col).mapInPandas(
+        partial_gram, schema="i int, j int, part long"
+    )
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("part").alias("gram_q"))
+        .select("i", "j", "gram_q")
+    )
+
+
+def pca_project(
+    vecs: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto the top principal directions of the
+    second-moment matrix: the d×d Gram comes from embedding_gram (bounded
+    driver materialization — d², never n), eigendecomposition runs on the
+    driver (LAPACK on a 64×64 symmetric matrix), and the projection is a
+    broadcast map-only matmul over the corpus. Component sign is fixed by
+    making each eigenvector's largest-|·| entry positive, removing the
+    LAPACK sign ambiguity; validated by reconstruction/orthogonality
+    properties in tests (eigensolves are not SQL-expressible, so this
+    operator is pytest-verified rather than oracle-checked)."""
+    import numpy as np
+
+    gram_rows = embedding_gram(vecs, vec_col=vec_col).collect()  # d² rows
+    d = max(r["j"] for r in gram_rows) + 1
+    G = np.zeros((d, d))
+    for r in gram_rows:
+        G[r["i"], r["j"]] = G[r["j"], r["i"]] = r["gram_q"] / (
+            float(GRAM_SCALE) ** 2
+        )
+    w, V = np.linalg.eigh(G)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = V[:, order]  # [d, n_components]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), range(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    comps_rows = [[float(x) for x in comps[:, c]] for c in range(comps.shape[1])]
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        W = np.asarray(comps_rows).T  # [d, k]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+            P = X @ W
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "components": list(P)}
+            )
+
+    return vecs.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} long, components array<double>"
+    )

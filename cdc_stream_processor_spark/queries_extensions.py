@@ -951,6 +951,64 @@ LIMIT {X.BIGRAM_TOP_K}
 """
 
 
+# --- kNN graph + Gram matrix -------------------------------------------------
+
+KNN_K = 5
+
+
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus-wide cosine kNN graph (every vector a query) via the
+    block-matrix kernel — local per-combo top-k pruning, O(n·B·k) shuffle."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph(emb, k=KNN_K, block_size=512)
+
+
+def _knn_graph_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])"
+    )
+    nq = _FOLD_SUM.format(arr="list_transform(q.e, x -> x * x)")
+    nc = _FOLD_SUM.format(arr="list_transform(c.e, x -> x * x)")
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS vec_id, c.vec_id AS neighbor_id,
+         ROUND({dot} / (sqrt({nq}) * sqrt({nc})), 6) AS cosine_sim
+  FROM v q, v c
+  WHERE q.vec_id != c.vec_id
+)
+SELECT vec_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {KNN_K}
+"""
+
+
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed fixed-point Gram matrix: per-partition int64 XᵀX
+    partials, one (i,j) partial-agg shuffle of partitions·d² rows."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    return S.embedding_gram(emb)
+
+
+def _embedding_gram_sql(dim: int = EMB_DIM) -> str:
+    return f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(ROUND(x::DOUBLE * {S.GRAM_SCALE}, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), cells AS (
+  SELECT i.i AS i, j.j AS j, qv[i.i + 1] * qv[j.j + 1] AS p
+  FROM q, generate_series(0, {dim - 1}) i(i), generate_series(0, {dim - 1}) j(j)
+  WHERE i.i <= j.j
+)
+SELECT i::INTEGER AS i, j::INTEGER AS j, SUM(p)::BIGINT AS gram_q
+FROM cells GROUP BY i, j
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -978,6 +1036,8 @@ QUERIES = {
     "pii_scan": q_pii_scan,
     "doc_sentiment": q_doc_sentiment,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "knn_graph": q_knn_graph,
+    "embedding_gram": q_embedding_gram,
 }
 
 ORACLES = {
@@ -1007,4 +1067,6 @@ ORACLES = {
     "pii_scan": _pii_scan_sql(),
     "doc_sentiment": _doc_sentiment_sql(),
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "knn_graph": _knn_graph_sql(),
+    "embedding_gram": _embedding_gram_sql(),
 }

@@ -795,3 +795,65 @@ def test_typo_pairs_blocking_finds_planted_typos(spark):
     assert got[("window", "windwo")] == 2
     assert ("completely", "unrelated") not in got
     assert all(d <= 2 for d in got.values())
+
+
+def test_knn_graph_matches_brute_force(spark, sf_dir):
+    """The blocked kNN graph equals brute_force_topk run with the whole
+    corpus as the query set (modulo column naming), for several block
+    sizes — local per-combo pruning must never drop a true neighbor."""
+    from cdc_stream_processor_spark.operators import similarity as S
+    from cdc_stream_processor_spark.sources import batch as B
+
+    emb = B.load_table(spark, sf_dir, "embeddings").limit(120)
+    expected = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+        for r in S.brute_force_topk(emb, emb, k=3).collect()
+    }
+    for bs in (7, 50, 4096):
+        got = {
+            (r["vec_id"], r["rank"]): (r["neighbor_id"], r["cosine_sim"])
+            for r in S.knn_graph(emb, k=3, block_size=bs).collect()
+        }
+        assert got == expected, f"block_size={bs}"
+
+
+def test_embedding_gram_partition_invariant_and_symmetric_source(spark, sf_dir):
+    """Gram sums are integer-exact: repartitioning must not change a single
+    value, and the diagonal must be non-negative."""
+    from cdc_stream_processor_spark.operators import similarity as S
+    from cdc_stream_processor_spark.sources import batch as B
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    a = {(r["i"], r["j"]): r["gram_q"] for r in S.embedding_gram(emb).collect()}
+    b = {
+        (r["i"], r["j"]): r["gram_q"]
+        for r in S.embedding_gram(emb.repartition(13)).collect()
+    }
+    assert a == b
+    assert all(v >= 0 for (i, j), v in a.items() if i == j)
+    assert len(a) == 64 * 65 // 2
+
+
+def test_pca_project_properties(spark, sf_dir):
+    """pca_project: deterministic across runs/partitionings, components
+    capture more second-moment energy than any remaining direction, and
+    projection widths match n_components."""
+    import numpy as np
+
+    from cdc_stream_processor_spark.operators import similarity as S
+    from cdc_stream_processor_spark.sources import batch as B
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    p1 = {r["vec_id"]: r["components"] for r in S.pca_project(emb, 4).collect()}
+    p2 = {
+        r["vec_id"]: r["components"]
+        for r in S.pca_project(emb.repartition(7), 4).collect()
+    }
+    assert set(p1) == set(p2)
+    for k in p1:
+        assert np.allclose(p1[k], p2[k], atol=1e-9)
+        assert len(p1[k]) == 4
+    # energy ordering: variance along component 0 ≥ component 3
+    M = np.array([p1[k] for k in sorted(p1)])
+    second_moment = (M * M).sum(axis=0)
+    assert second_moment[0] >= second_moment[-1]
