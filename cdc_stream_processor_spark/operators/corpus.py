@@ -494,3 +494,197 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+# --- per-source (domain) caps ------------------------------------------------
+
+SOURCE_CAP = 40  # kept docs per source in the registered query
+
+
+def source_cap(
+    docs: DataFrame,
+    cap: int = SOURCE_CAP,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Per-domain document cap — the web-corpus guard against a single host
+    flooding the training mix. Keeps the top ``cap`` docs per source by
+    (quality DESC, id ASC) — "keep the longest/highest-quality per domain".
+
+    One shuffle on the group key; Spark plans a WindowGroupLimit so each
+    group is pruned to ``cap`` rows before the final sort — a skewed domain
+    (the 100 TB failure mode: one host = 10⁹ docs) never materializes its
+    full ranked list. Deterministic total order → reproducible sample."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        docs.select(id_col, group_col, quality_col)
+        .withColumn("src_rank", F.row_number().over(w))
+        .filter(F.col("src_rank") <= cap)
+    )
+
+
+# --- inverted index ----------------------------------------------------------
+
+INDEX_TOP_TERMS = 50
+INDEX_MAX_POSTINGS = 20
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_terms: int = INDEX_TOP_TERMS,
+    max_postings: int = INDEX_MAX_POSTINGS,
+) -> DataFrame:
+    """Term → postings-list index over the corpus: for the ``top_terms``
+    highest-df terms (df DESC, term ASC), the first ``max_postings`` doc
+    ids ascending plus the true document frequency.
+
+    Shape: explode distinct per-doc terms (map-side), then two bounded
+    term-level passes that join on the (tiny) term dictionary:
+    df from a partial-agg count, postings from a rank ≤ max_postings
+    window — Spark's WindowGroupLimit keeps a bounded heap per group, so
+    a stopword-grade hot term never materializes its full posting list
+    (collect_list only ever sees ≤ max_postings rows per term). The
+    top-terms cut is orderBy().limit() — TakeOrderedAndProject (per-
+    partition top-N + merge), never a global sort or single-partition
+    window over the vocabulary.
+    """
+    terms = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(TH.tokens(F.col(text_col)))).alias("term"),
+    )
+    df_agg = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pw = Window.partitionBy("term").orderBy(F.col(id_col).asc())
+    postings = (
+        terms.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= max_postings)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("postings"))
+    )
+    agg = df_agg.join(postings, "term")
+    top = agg.orderBy(F.col("df").desc(), F.col("term").asc()).limit(top_terms)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return top.withColumn("term_rank", F.row_number().over(w)).select(
+        "term", "df", "postings", "term_rank"
+    )
+
+
+# --- Bloom-prefiltered decontamination ---------------------------------------
+
+# (a, b) pairs for the k bloom probes: position_i(h) = (a_i*h + b_i) % P % m.
+# a < 2^31 and h < P < 2^30, so every product stays exact in int64 — the
+# arithmetic is replayable bit-for-bit in SQL.
+BLOOM_PARAMS = (
+    (1_103_515_245, 12_345),
+    (69_069, 1),
+    (1_664_525, 1_013_904_223),
+    (22_695_477, 1),
+)
+BLOOM_BITS_LOG2 = 20  # 2^20 bits = 128 KiB broadcast
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 5,
+    m_log2: int = BLOOM_BITS_LOG2,
+) -> DataFrame:
+    """Decontamination with a Bloom prefilter — the shape that scales past
+    a broadcastable benchmark index. Returns every corpus doc with its
+    bloom maybe-hit count and an EXACT ``clean`` flag (same contamination
+    rule as ``decontaminate``: some benchmark doc shares ≥ min_overlap
+    distinct word k-grams).
+
+    1. The benchmark's distinct shingle hashes are folded into an m-bit
+       Bloom filter DISTRIBUTEDLY: hash → k bit positions → (word, bit)
+       rows → one bit_or groupBy; only the ≤ m/64 filled words reach the
+       driver — the broadcast is the 128 KiB sketch, never the index.
+    2. A map-only Arrow pass counts, per corpus doc, shingles whose k
+       positions are all set. Bloom filters have no false negatives, so
+       maybe_hits bounds the true overlap with ANY benchmark doc from
+       above: maybe_hits < min_overlap proves the doc clean — at real
+       contamination rates that's ~all docs, and they never shuffle.
+    3. Only the surviving candidates join the (bench_id, h) index for the
+       exact per-pair overlap count; false-positive candidates are cleared
+       there, making the flag exact.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    from cdc_stream_processor_spark.operators.dedup import _vectorized_signatures
+
+    m = 1 << m_log2
+    bench_sig = _vectorized_signatures(
+        benchmark, text_col, id_col, k=k, with_minhash=False
+    ).persist()
+    bench_h = bench_sig.select(F.explode("hs").alias("h")).distinct()
+    pos_cols = [
+        ((F.col("h") * F.lit(a) + F.lit(b)) % TH.P_MOD % m).alias(f"p{i}")
+        for i, (a, b) in enumerate(BLOOM_PARAMS)
+    ]
+    words = (
+        bench_h.select(F.explode(F.array(*pos_cols)).alias("pos"))
+        .select(
+            F.expr("CAST(pos / 64 AS BIGINT)").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )  # bounded: ≤ m/64 rows — this is the sketch, not the data
+    bits = np.zeros(m >> 6, dtype=np.int64)
+    for r in words:
+        bits[r["w"]] = r["bits"]
+    bc = corpus.sparkSession.sparkContext.broadcast(bits)
+    params = list(BLOOM_PARAMS)
+    p_mod = TH.P_MOD
+
+    def _maybe_hits(hs):
+        arr = bc.value
+        out = np.empty(len(hs), dtype=np.int32)
+        for i, h_list in enumerate(hs):
+            h = np.asarray(h_list, dtype=np.int64)
+            if h.size == 0:
+                out[i] = 0
+                continue
+            hit = np.ones(h.size, dtype=bool)
+            for a, b in params:
+                pos = (h * a + b) % p_mod % m
+                hit &= (arr[pos >> 6] >> (pos & 63)) & 1 == 1
+            out[i] = int(hit.sum())
+        return pd.Series(out)
+
+    maybe_hits = pandas_udf(_maybe_hits, "int")
+    corp_sig = _vectorized_signatures(
+        corpus, text_col, id_col, k=k, with_minhash=False
+    )
+    scored = corp_sig.withColumn("maybe_hits", maybe_hits(F.col("hs"))).persist()
+    cand = scored.filter(F.col("maybe_hits") >= min_overlap)
+    bench_idx = bench_sig.select(
+        F.col("doc_id").alias("bench_id"), F.explode("hs").alias("h")
+    )
+    dirty = (
+        cand.select("doc_id", F.explode("hs").alias("h"))
+        .join(F.broadcast(bench_idx), "h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_overlap)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        scored.join(dirty.withColumn("_dirty", F.lit(True)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "maybe_hits",
+            F.coalesce(~F.col("_dirty"), F.lit(True)).alias("clean"),
+        )
+    )

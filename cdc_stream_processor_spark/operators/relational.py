@@ -597,3 +597,40 @@ def user_value_mad(events: DataFrame) -> DataFrame:
     return events.select("user_id", "value").groupBy("user_id").applyInPandas(
         kernel, schema="user_id long, n long, median double, mad double, n_outliers long"
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    span: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per series — the
+    smoothing primitive behind drift monitors and rate baselines.
+
+    ewma_t = Σ_{j<span} wⱼ·x_{t-j} / Σ_{j<span, j≤t} wⱼ with wⱼ =
+    α(1−α)ʲ. The span-truncated form replaces the unbounded recursion
+    (which no engine can shuffle-parallelize and no non-recursive SQL can
+    state) with a fixed lag chain: one window shuffle on the series key,
+    O(span) lag frames, and an EXACT left-to-right double summation that
+    both Spark and the DuckDB oracle evaluate in the same literal order —
+    term weights are emitted as repr'd double literals, so the arithmetic
+    is reproducible bit-for-bit.
+
+    Missing leading lags (series head) drop out of both numerator and
+    denominator via a presence indicator, so early rows average over the
+    terms that exist rather than decaying toward zero.
+    """
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(order_col).asc())
+    num: Column | None = None
+    den: Column | None = None
+    for j in range(span):
+        wj = alpha * (1.0 - alpha) ** j
+        lagged = F.lag(F.col(value_col).cast("double"), j).over(w)
+        term = F.coalesce(lagged, F.lit(0.0)) * F.lit(wj)
+        present = F.when(lagged.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = present if den is None else den + present
+    return df.withColumn("ewma", F.round(num / den, 6))

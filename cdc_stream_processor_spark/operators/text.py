@@ -532,3 +532,72 @@ def doc_rarity(
             ).alias("mean_rarity_rank"),
         )
     )
+
+
+# --- Gopher-style quality rules ----------------------------------------------
+
+# Rule thresholds follow the public Gopher corpus-filtering heuristics
+# (Rae et al. 2021, table A1), with min-words scaled to this synthetic
+# corpus (docs run 10-99 words; the canonical 50 would keep only the tail).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-rule document quality filter: per-rule booleans + keep flag.
+
+    Pure column expressions, map-only (the 100 TB shape — no shuffle, no
+    UDF): word bounds, mean word length, symbol-to-word ratio (#/ellipsis),
+    alphabetic-word fraction, and required-stopword hits. All ratios are a
+    single int/int division (no accumulation-order hazard), so the DuckDB
+    oracle reproduces every value bit-exactly.
+    """
+    text = F.col(text_col)
+    toks = TH.tokens(text)
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    # Σ token chars == chars left after stripping ASCII whitespace
+    char_sum = F.length(F.regexp_replace(text, "[ \\t\\n\\x0B\\f\\r]", ""))
+    mean_word_len = F.round(char_sum.cast("double") / safe_words, 6)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.regexp_count(text, F.lit("\\.\\.\\."))
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / safe_words, 6)
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_ratio = F.round(alpha_words.cast("double") / safe_words, 6)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = {
+        "ok_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN),
+        "ok_symbol_ratio": symbol_ratio < GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha_words": alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO,
+        "ok_stopwords": stop_hits >= GOPHER_MIN_STOP_HITS,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    out = ensure_parallelism(docs).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stop_hits"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
+    return out

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from cdc_stream_processor_spark.functions import texthash as TH
 from cdc_stream_processor_spark.operators import corpus as C
 from cdc_stream_processor_spark.operators import frequency as FR
+from cdc_stream_processor_spark.operators import text as T
 from cdc_stream_processor_spark.queries_extensions import DOCS_CTE
 from cdc_stream_processor_spark.sources import batch as B
 
@@ -408,6 +409,160 @@ FROM (
 """
 
 
+
+
+# --- Gopher quality rules ----------------------------------------------------
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return T.gopher_quality(docs)
+
+
+def _gopher_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    stop_list = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+    return f"""
+WITH feats AS (
+  SELECT doc_id,
+    len({toks}) AS n_words,
+    GREATEST(len({toks}), 1)::DOUBLE AS safe_words,
+    length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS char_sum,
+    length(text) - length(replace(text, '#', '')) AS n_hash,
+    len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+    len(list_filter({toks}, t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
+    len(list_intersect(list_distinct({toks}), [{stop_list}])) AS stop_hits
+  FROM documents
+), r AS (
+  SELECT doc_id, n_words,
+    ROUND(char_sum::DOUBLE / safe_words, 6) AS mean_word_len,
+    ROUND((n_hash + n_ellipsis)::DOUBLE / safe_words, 6) AS symbol_ratio,
+    ROUND(alpha_words::DOUBLE / safe_words, 6) AS alpha_word_ratio,
+    stop_hits
+  FROM feats
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+  stop_hits::INTEGER AS stop_hits,
+  (n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS})
+    AS ok_word_count,
+  (mean_word_len >= {T.GOPHER_MIN_MEAN_WORD_LEN}
+   AND mean_word_len <= {T.GOPHER_MAX_MEAN_WORD_LEN}) AS ok_mean_word_len,
+  (symbol_ratio < {T.GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+  (alpha_word_ratio >= {T.GOPHER_MIN_ALPHA_WORD_RATIO}) AS ok_alpha_words,
+  (stop_hits >= {T.GOPHER_MIN_STOP_HITS}) AS ok_stopwords,
+  (n_words >= {T.GOPHER_MIN_WORDS} AND n_words <= {T.GOPHER_MAX_WORDS}
+   AND mean_word_len >= {T.GOPHER_MIN_MEAN_WORD_LEN}
+   AND mean_word_len <= {T.GOPHER_MAX_MEAN_WORD_LEN}
+   AND symbol_ratio < {T.GOPHER_MAX_SYMBOL_RATIO}
+   AND alpha_word_ratio >= {T.GOPHER_MIN_ALPHA_WORD_RATIO}
+   AND stop_hits >= {T.GOPHER_MIN_STOP_HITS}) AS keep
+FROM r
+"""
+
+
+# --- per-source cap ----------------------------------------------------------
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return C.source_cap(docs)
+
+
+SQL_SOURCE_CAP = f"""
+SELECT doc_id, source, n_chars, src_rank FROM (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS src_rank
+  FROM documents
+) WHERE src_rank <= {C.SOURCE_CAP}
+"""
+
+
+# --- inverted index ----------------------------------------------------------
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return C.inverted_index(docs)
+
+
+def _inverted_index_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    return f"""
+WITH terms AS (
+  SELECT doc_id, unnest(list_distinct({toks})) AS term FROM documents
+), agg AS (
+  SELECT term, COUNT(*)::BIGINT AS df,
+         (list_sort(list(doc_id)))[1:{C.INDEX_MAX_POSTINGS}] AS postings
+  FROM terms GROUP BY term
+)
+SELECT term, df, postings, term_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS term_rank
+  FROM agg
+) WHERE term_rank <= {C.INDEX_TOP_TERMS}
+"""
+
+
+# --- Bloom-prefiltered decontamination ---------------------------------------
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    return C.bloom_decontaminate(corpus, bench, min_overlap=DECON_MIN_OVERLAP)
+
+
+def _bloom_decon_sql() -> str:
+    # replay the k probe positions in SQL (pure int64 arithmetic) and the
+    # exact contamination rule. Probe membership is a JOIN against the
+    # distinct benchmark position set (a list_contains() scan over the
+    # position list would be O(|set|) per probe): a doc shingle maybe-hits
+    # iff all k of its probe rows find their position in the set.
+    m = 1 << C.BLOOM_BITS_LOG2
+    pos_exprs = ", ".join(
+        f"(h * {a} + {b}) % {TH.P_MOD} % {m}" for (a, b) in C.BLOOM_PARAMS
+    )
+    n_probes = len(C.BLOOM_PARAMS)
+    return (
+        DOCS_CTE
+        + f"""
+, bench_h AS (
+  SELECT DISTINCT unnest(hs) AS h FROM shh WHERE doc_id % {BENCH_MOD} = 0
+), pos AS (
+  SELECT DISTINCT unnest([{pos_exprs}]) AS p FROM bench_h
+), corp AS (
+  SELECT doc_id, hs FROM shh WHERE doc_id % {BENCH_MOD} <> 0
+), corp_h AS (
+  SELECT doc_id, unnest(hs) AS h FROM corp
+), probes AS (
+  SELECT doc_id, h, unnest([{pos_exprs}]) AS p FROM corp_h
+), phit AS (
+  SELECT pr.doc_id, pr.h, COUNT(ps.p) AS set_probes
+  FROM probes pr LEFT JOIN pos ps ON pr.p = ps.p
+  GROUP BY 1, 2
+), scored AS (
+  SELECT c.doc_id,
+         COALESCE(x.mh, 0)::INTEGER AS maybe_hits
+  FROM corp c LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS mh FROM phit
+    WHERE set_probes = {n_probes} GROUP BY doc_id
+  ) x USING (doc_id)
+), pairs AS (
+  SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
+  FROM (SELECT doc_id, unnest(hs) AS h FROM corp) c
+  JOIN (SELECT doc_id, unnest(hs) AS h FROM shh
+        WHERE doc_id % {BENCH_MOD} = 0) b USING (h)
+  GROUP BY 1, 2
+), dirty AS (
+  SELECT DISTINCT doc_id FROM pairs WHERE shared >= {DECON_MIN_OVERLAP}
+)
+SELECT s.doc_id, s.maybe_hits, d.doc_id IS NULL AS clean
+FROM scored s LEFT JOIN dirty d USING (doc_id)
+"""
+    )
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
     "decontamination_overlap": q_decontamination_overlap,
@@ -421,6 +576,10 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "corpus_prep_pipeline": q_corpus_prep_pipeline,
+    "gopher_quality": q_gopher_quality,
+    "source_cap": q_source_cap,
+    "inverted_index": q_inverted_index,
+    "bloom_decontaminate": q_bloom_decontaminate,
 }
 
 ORACLES = {
@@ -436,4 +595,8 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "corpus_prep_pipeline": SQL_CORPUS_PREP_PIPELINE,
+    "gopher_quality": _gopher_sql(),
+    "source_cap": SQL_SOURCE_CAP,
+    "inverted_index": _inverted_index_sql(),
+    "bloom_decontaminate": _bloom_decon_sql(),
 }

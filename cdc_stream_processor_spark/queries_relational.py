@@ -1839,6 +1839,53 @@ FROM events
 """
 
 
+def q_ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA over each event type's daily event count — the
+    smoothed-rate baseline. One (event_type, day) partial agg + one
+    series-key window; the lag-chain arithmetic is stated identically in
+    both engines (see operators.relational.ewma_smooth)."""
+    ev = B.load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(F.unix_micros("ts") / F.lit(R.DAY_US)).alias("day_idx"),
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return R.ewma_smooth(
+        daily, ["event_type"], "day_idx", "n_events",
+        alpha=EWMA_ALPHA, span=EWMA_SPAN,
+    ).select("event_type", "day_idx", "n_events", "ewma")
+
+
+EWMA_ALPHA = 0.3
+EWMA_SPAN = 8
+
+
+def _ewma_sql() -> str:
+    terms = []
+    dens = []
+    for j in range(EWMA_SPAN):
+        wj = repr(EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j)
+        lag = f"lag(n_events::DOUBLE, {j}) OVER w"
+        terms.append(f"COALESCE({lag}, 0.0) * {wj}")
+        dens.append(f"CASE WHEN {lag} IS NOT NULL THEN {wj} ELSE 0.0 END")
+    num = " + ".join(terms)
+    den = " + ".join(dens)
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // {R.DAY_US} AS day_idx,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day_idx, n_events::BIGINT AS n_events,
+       ROUND(({num}) / ({den}), 6) AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_idx ASC)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
@@ -1886,6 +1933,7 @@ QUERIES = {
     "order_price_cdf": q_order_price_cdf,
     "user_segments": q_user_segments,
     "fk_integrity_audit": q_fk_integrity_audit,
+    "ewma_event_rate": q_ewma_event_rate,
 }
 
 ORACLES = {
@@ -1935,4 +1983,5 @@ ORACLES = {
     "order_price_cdf": SQL_ORDER_PRICE_CDF,
     "user_segments": SQL_USER_SEGMENTS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
+    "ewma_event_rate": _ewma_sql(),
 }

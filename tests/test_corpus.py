@@ -321,3 +321,101 @@ def test_chunk_documents_overlap_and_tail(spark):
     # map-only: no shuffle at any scale
     plan = C.chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_gopher_quality_rules_on_known_docs(spark):
+    rows = [
+        # prose-like: 24 words incl. stopwords, alpha, no symbols → keep
+        (1, " ".join(["the quick brown fox and all of that have been with us"] * 2) + " again more"),
+        # too short
+        (2, "tiny doc"),
+        # symbol-heavy: many # marks
+        (3, " ".join(["#tag"] * 30)),
+        # numeric tokens → alpha ratio fails
+        (4, " ".join(str(i) for i in range(30)) + " the of and"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in X.gopher_quality(docs).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["ok_symbol_ratio"] is False
+    assert out[4]["ok_alpha_words"] is False
+    # keep == conjunction of all rules, on every row
+    for r in out.values():
+        rules = [r["ok_word_count"], r["ok_mean_word_len"], r["ok_symbol_ratio"],
+                 r["ok_alpha_words"], r["ok_stopwords"]]
+        assert r["keep"] == all(rules)
+
+
+def test_source_cap_enforces_cap_and_is_partition_invariant(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    out = C.source_cap(docs, cap=7)
+    per_src = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per_src)
+    a = sorted((r["doc_id"], r["src_rank"]) for r in out.collect())
+    b = sorted(
+        (r["doc_id"], r["src_rank"])
+        for r in C.source_cap(docs.repartition(17), cap=7).collect()
+    )
+    assert a == b
+    # kept docs are the longest per source
+    full = docs.select("doc_id", "source", "n_chars").collect()
+    kept = {r["doc_id"] for r in out.collect()}
+    by_src: dict[str, list] = {}
+    for r in full:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rows in by_src.items():
+        want = {
+            r["doc_id"]
+            for r in sorted(rows, key=lambda r: (-r["n_chars"], r["doc_id"]))[:7]
+        }
+        assert want == {r["doc_id"] for r in rows if r["doc_id"] in kept}
+
+
+def test_inverted_index_bounded_postings_and_exact_df(spark):
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma" if i % 2 == 0 else "delta")) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    out = {r["term"]: r for r in C.inverted_index(docs, top_terms=3, max_postings=5).collect()}
+    # df: alpha 40, beta 40, gamma 20, delta 20 — delta beats gamma on the
+    # term-ASC tie-break at equal df
+    assert set(out) == {"alpha", "beta", "delta"}
+    assert out["alpha"]["df"] == 40 and len(out["alpha"]["postings"]) == 5
+    assert out["alpha"]["postings"] == [0, 1, 2, 3, 4]
+    assert out["delta"]["postings"] == [1, 3, 5, 7, 9]
+    assert [out[t]["term_rank"] for t in ("alpha", "beta", "delta")] == [1, 2, 3]
+
+
+def test_bloom_decontaminate_agrees_with_exact_and_flags_planted_copy(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents").limit(200)
+    bench = docs.filter(F.col("doc_id") % 13 == 0)
+    # plant: corpus doc 100001 is a verbatim copy of a benchmark doc
+    planted_text = bench.limit(1).collect()[0]["text"]
+    corpus = docs.filter(F.col("doc_id") % 13 != 0).select("doc_id", "text").union(
+        spark.createDataFrame([(100001, planted_text)], ["doc_id", "text"])
+    )
+    out = {r["doc_id"]: r for r in C.bloom_decontaminate(corpus, bench).collect()}
+    assert out[100001]["clean"] is False
+    exact_dirty = {
+        r["doc_id"]
+        for r in C.decontaminate(corpus, bench, min_overlap=5).collect()
+    }
+    bloom_dirty = {d for d, r in out.items() if not r["clean"]}
+    assert bloom_dirty == exact_dirty
+    # prefilter soundness: every exactly-dirty doc has maybe_hits >= overlap
+    assert all(out[d]["maybe_hits"] >= 5 for d in exact_dirty)
+
+
+def test_ewma_constant_series_and_head(spark):
+    from cdc_stream_processor_spark.operators.relational import ewma_smooth
+
+    rows = [("a", t, 10) for t in range(20)] + [("b", 0, 4)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {(r["k"], r["t"]): r["ewma"] for r in
+           ewma_smooth(df, ["k"], "t", "x", alpha=0.3, span=8).collect()}
+    # constant series → ewma equals the constant at every position,
+    # including the head where fewer than span lags exist
+    for t in range(20):
+        assert abs(out[("a", t)] - 10.0) < 1e-9
+    assert out[("b", 0)] == 4.0
