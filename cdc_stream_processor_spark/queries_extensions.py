@@ -1009,6 +1009,81 @@ FROM cells GROUP BY i, j
 """
 
 
+# --- PageRank over the kNN graph ---------------------------------------------
+
+PR_ITERS = 3
+
+
+def q_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the exact kNN neighbor graph — iterative fixed-point
+    integer arithmetic (operators.graph), so 3 rounds of distributed power
+    iteration are bit-replayable in the DuckDB oracle."""
+    from cdc_stream_processor_spark.operators.graph import pagerank
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=KNN_K, block_size=512).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return pagerank(edges, n_iter=PR_ITERS).select("node", "pr_q", "pagerank")
+
+
+def _knn_pagerank_sql() -> str:
+    from cdc_stream_processor_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    # CTE portion of the kNN SQL only (strip its final SELECT — the edge
+    # list restates the rank cut inside the e CTE below)
+    knn_full = _knn_graph_sql().strip().removeprefix("WITH")
+    knn = knn_full[: knn_full.rindex("SELECT vec_id, neighbor_id, cosine_sim, rank")]
+    tele = f"({(PR_DAMP_DEN - PR_DAMP_NUM)} * {PR_SCALE}) // ({PR_DAMP_DEN} * nn.n)"
+    its = []
+    prev = "pr0"
+    for t in range(1, PR_ITERS + 1):
+        its.append(f"""it{t} AS (
+  SELECT no.node,
+         CAST({tele} + (COALESCE(s.g, 0) * {PR_DAMP_NUM}) // {PR_DAMP_DEN}
+              AS BIGINT) AS pr_q
+  FROM nodes no CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr_q // od.outdeg) AS g
+    FROM e JOIN {prev} p ON e.src = p.node
+    JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+        prev = f"it{t}"
+    iter_sql = ",\n".join(its)
+    return f"""
+WITH {knn}
+, e AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), od AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+), pr0 AS (
+  SELECT no.node, CAST({PR_SCALE} // nn.n AS BIGINT) AS pr_q
+  FROM nodes no CROSS JOIN nn
+),
+{iter_sql}
+SELECT node, pr_q,
+       ROUND(pr_q::DOUBLE / {float(PR_SCALE)!r}, 6) AS pagerank
+FROM {prev}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1038,6 +1113,7 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "knn_graph": q_knn_graph,
     "embedding_gram": q_embedding_gram,
+    "knn_pagerank": q_knn_pagerank,
 }
 
 ORACLES = {
@@ -1069,4 +1145,5 @@ ORACLES = {
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "knn_graph": _knn_graph_sql(),
     "embedding_gram": _embedding_gram_sql(),
+    "knn_pagerank": _knn_pagerank_sql(),
 }

@@ -857,3 +857,35 @@ def test_pca_project_properties(spark, sf_dir):
     M = np.array([p1[k] for k in sorted(p1)])
     second_moment = (M * M).sum(axis=0)
     assert second_moment[0] >= second_moment[-1]
+
+
+def test_pagerank_hand_computed_and_partition_invariant(spark):
+    """3-node cycle + a sink edge: replay the integer arithmetic by hand
+    and require bit-equality; repartitioning must not change any value."""
+    from cdc_stream_processor_spark.operators.graph import (
+        PR_SCALE,
+        pagerank,
+    )
+
+    # a -> b, b -> c, c -> a, a -> c   (a outdeg 2, b 1, c 1)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2)], ["src", "dst"]
+    )
+    got = {r["node"]: r["pr_q"] for r in pagerank(edges, n_iter=3).collect()}
+    # hand replay
+    n = 3
+    tele = 15 * PR_SCALE // (100 * n)
+    pr = {v: PR_SCALE // n for v in (0, 1, 2)}
+    out = {0: 2, 1: 1, 2: 1}
+    adj = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    for _ in range(3):
+        g = {v: 0 for v in pr}
+        for s, d in adj:
+            g[d] += pr[s] // out[s]
+        pr = {v: tele + (g[v] * 85) // 100 for v in pr}
+    assert got == pr
+    got2 = {
+        r["node"]: r["pr_q"]
+        for r in pagerank(edges.repartition(5), n_iter=3).collect()
+    }
+    assert got2 == got
