@@ -688,3 +688,37 @@ def bloom_decontaminate(
             F.coalesce(~F.col("_dirty"), F.lit(True)).alias("clean"),
         )
     )
+
+
+# --- deterministic weighted sampling -----------------------------------------
+
+WEIGHTED_SAMPLE_K = 100
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int = WEIGHTED_SAMPLE_K,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weight-biased sample of k rows: each row gets priority
+    u / w where u is its id's LCG uniform (split_key) and w its weight;
+    the k smallest priorities win — heavier rows systematically draw
+    smaller priorities, so inclusion odds grow with weight (the
+    priority-sampling family; exact A-ES exponentials would need pow(),
+    whose last-ulp behavior differs between libms — u/w is ONE IEEE
+    division, reproducible everywhere).
+
+    Map-only priority + global bottom-k via orderBy().limit() —
+    TakeOrderedAndProject keeps k rows per partition and merges, so no
+    global sort, no single reducer. Deterministic total order (priority,
+    id) makes the sample reproducible across engines and partitionings.
+    """
+    pri = (split_key(F.col(id_col)) / F.col(weight_col).cast("double")).alias(
+        "priority"
+    )
+    ranked = docs.select(F.col(id_col), F.col(weight_col), pri).orderBy(
+        F.col("priority").asc(), F.col(id_col).asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("priority").asc(), F.col(id_col).asc())
+    return ranked.withColumn("draw_rank", F.row_number().over(w))

@@ -563,6 +563,28 @@ FROM scored s LEFT JOIN dirty d USING (doc_id)
     )
 
 
+# --- deterministic weighted sampling -----------------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return C.weighted_priority_sample(docs)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+SELECT doc_id, n_chars, priority, draw_rank FROM (
+  SELECT doc_id, n_chars, priority,
+         ROW_NUMBER() OVER (ORDER BY priority ASC, doc_id ASC) AS draw_rank
+  FROM (
+    SELECT doc_id, n_chars,
+           (((doc_id * {C.SPLIT_A} + {C.SPLIT_B}) % {C.SPLIT_P})::DOUBLE
+             / {C.SPLIT_P}::DOUBLE) / n_chars::DOUBLE AS priority
+    FROM documents
+  )
+) WHERE draw_rank <= {C.WEIGHTED_SAMPLE_K}
+"""
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
     "decontamination_overlap": q_decontamination_overlap,
@@ -580,6 +602,7 @@ QUERIES = {
     "source_cap": q_source_cap,
     "inverted_index": q_inverted_index,
     "bloom_decontaminate": q_bloom_decontaminate,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES = {
@@ -599,4 +622,5 @@ ORACLES = {
     "source_cap": SQL_SOURCE_CAP,
     "inverted_index": _inverted_index_sql(),
     "bloom_decontaminate": _bloom_decon_sql(),
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
 }

@@ -419,3 +419,19 @@ def test_ewma_constant_series_and_head(spark):
     for t in range(20):
         assert abs(out[("a", t)] - 10.0) < 1e-9
     assert out[("b", 0)] == 4.0
+
+
+def test_weighted_sample_bias_and_determinism(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    s1 = [(r["doc_id"], r["draw_rank"]) for r in
+          C.weighted_priority_sample(docs, k=50).collect()]
+    s2 = [(r["doc_id"], r["draw_rank"]) for r in
+          C.weighted_priority_sample(docs.repartition(11), k=50).collect()]
+    assert sorted(s1) == sorted(s2) and len(s1) == 50
+    # weight bias: the sample's mean n_chars should exceed the corpus mean
+    corpus_mean = docs.agg(F.avg("n_chars")).collect()[0][0]
+    ids = [d for d, _ in s1]
+    sample_mean = (
+        docs.filter(F.col("doc_id").isin(ids)).agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
