@@ -270,3 +270,21 @@ def fast_cosine_gram_topk_candidates(
         with np.errstate(divide="ignore", invalid="ignore"):
             sim[flag] = sdot / (np.sqrt(sna) * np.sqrt(snb))
     return ai, bi, sim
+
+
+def rolling_horner_batch(h: np.ndarray, span: int) -> np.ndarray:
+    """Window hashes w_p = fold_{i<span} (acc*31 + h[p+i]) % P for every
+    start p — the Horner expansion Σ h[p+i]·31^(span-1-i) mod P evaluated
+    as one strided matmul-free pass. h[i] < P and 31^j mod P < P, so each
+    product is < P² < 2^61 and the span-length sum of residues < span·P —
+    exact in int64 for span ≤ 9e9/P ≈ 9. Returns int64[len(h)-span+1]."""
+    n = len(h)
+    if n < span:
+        return np.empty(0, dtype=np.int64)
+    powm = np.empty(span, dtype=np.int64)
+    acc = 1
+    for j in range(span - 1, -1, -1):
+        powm[j] = acc
+        acc = (acc * P_FACTOR) % P_MOD
+    win = np.lib.stride_tricks.sliding_window_view(h, span)
+    return ((win * powm) % P_MOD).sum(axis=1) % P_MOD

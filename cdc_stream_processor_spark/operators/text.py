@@ -601,3 +601,92 @@ def gopher_quality(
         keep.alias("keep"),
     )
     return out
+
+
+# --- exact duplicated-substring detection ------------------------------------
+
+DUP_SPAN_LEN = 8  # window length in tokens
+
+
+def dup_spans(
+    docs: DataFrame,
+    span_len: int = DUP_SPAN_LEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicated-substring signal (the substring-dedup primitive of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): for every document, how many of its length-``span_len``
+    token windows also occur verbatim in some OTHER document.
+
+    Window hashes are the Horner fold of the per-token polynomial hashes
+    ((acc·31 + h) mod P) — the same deterministic arithmetic as the doc
+    fingerprint, so the DuckDB oracle reproduces every value. A window is
+    "shared" when its hash occurs in ≥ 2 distinct documents; token-level
+    hash collisions are ~1e-9·|windows| under P = 1e9+7 and identical in
+    both engines, so the comparison stays exact even in the astronomically
+    unlikely collision case.
+
+    Shape: map-side window hashing — one Arrow pass per batch running the
+    numpy Horner twins (fasthash.polyhash_batch + rolling_horner_batch;
+    the interpreted Catalyst nested fold is ~10× slower on this hot
+    path) — then explode to (doc, window) rows, ONE groupBy(window_hash)
+    partial-agg counting distinct docs (bounded: ≤ 2 matters, via min/max
+    doc id — never a collect), and a second agg back to per-doc counts.
+    Returns (doc_id, n_windows, n_dup_windows, dup_span_frac).
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    from cdc_stream_processor_spark.functions import fasthash as FH
+
+    def window_hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            ws: list = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                th = FH.polyhash_batch(FH.tokens_py(text))
+                ids.append(doc_id)
+                ws.append(FH.rolling_horner_batch(th, span_len))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "ws": ws})
+
+    # persisted: feeds the window explode, the shared-hash agg upstream of
+    # it, and the per-doc n_windows base — one Arrow hashing pass total
+    hashed = (
+        ensure_parallelism(docs.select(F.col(id_col).alias(id_col), F.col(text_col)))
+        .mapInPandas(window_hashes, schema="doc_id long, ws array<long>")
+        .persist()
+    )
+    wins = hashed.select("doc_id", F.explode("ws").alias("w"))
+    # a window hash is shared iff seen in ≥2 distinct docs: min!=max doc id
+    # is the bounded-state form of that test (no distinct-count expansion)
+    shared = (
+        wins.groupBy("w")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .select("w")
+    )
+    # no broadcast hint: the shared-hash set scales with the dup rate, so
+    # let AQE pick broadcast vs shuffle from its runtime size
+    per_doc = (
+        wins.join(shared, "w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    base = hashed.select("doc_id", F.size("ws").alias("n_windows"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_windows"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_span_frac"),
+        )
+    )

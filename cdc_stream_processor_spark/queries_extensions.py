@@ -1084,6 +1084,47 @@ FROM {prev}
 """
 
 
+# --- duplicated-substring spans ----------------------------------------------
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.dup_spans(B.load_table(spark, sf_dir, "documents"))
+
+
+def _dup_spans_sql() -> str:
+    L = X.DUP_SPAN_LEN
+    fold = (
+        f"list_reduce(list_prepend(0::BIGINT, hs[p : p + {L - 1}]), "
+        f"(acc, h) -> (acc * {TH.P_FACTOR} + h) % {TH.P_MOD})"
+    )
+    return (
+        DOCS_CTE
+        + f"""
+, wpos AS (
+  SELECT doc_id, hs,
+         unnest(generate_series(1, GREATEST(len(hs) - {L - 1}, 0))) AS p
+  FROM tokh
+), wins AS (
+  SELECT doc_id, {fold} AS w FROM wpos
+), shared AS (
+  SELECT w FROM wins GROUP BY w HAVING MIN(doc_id) != MAX(doc_id)
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup FROM wins
+  WHERE w IN (SELECT w FROM shared) GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id,
+         GREATEST(len(COALESCE(t.hs, [])) - {L - 1}, 0)::INTEGER AS n_windows
+  FROM documents d LEFT JOIN tokh t USING (doc_id)
+)
+SELECT b.doc_id, b.n_windows,
+       COALESCE(p.n_dup, 0)::BIGINT AS n_dup_windows,
+       ROUND(COALESCE(p.n_dup, 0)::DOUBLE
+             / GREATEST(b.n_windows, 1)::DOUBLE, 6) AS dup_span_frac
+FROM base b LEFT JOIN per_doc p USING (doc_id)
+"""
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1114,6 +1155,7 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "embedding_gram": q_embedding_gram,
     "knn_pagerank": q_knn_pagerank,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLES = {
@@ -1146,4 +1188,5 @@ ORACLES = {
     "knn_graph": _knn_graph_sql(),
     "embedding_gram": _embedding_gram_sql(),
     "knn_pagerank": _knn_pagerank_sql(),
+    "dup_spans": _dup_spans_sql(),
 }

@@ -889,3 +889,27 @@ def test_pagerank_hand_computed_and_partition_invariant(spark):
         for r in pagerank(edges.repartition(5), n_iter=3).collect()
     }
     assert got2 == got
+
+
+def test_dup_spans_planted_and_partition_invariant(spark):
+    from cdc_stream_processor_spark.operators.text import dup_spans
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail alpha beta"),
+            (2, "head words here " + shared),
+            (3, "completely different text with no overlap at all present"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dup_spans(docs, span_len=8).collect()}
+    # the 8-token shared window occurs in docs 1 and 2
+    assert out[1]["n_dup_windows"] >= 1 and out[2]["n_dup_windows"] >= 1
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_span_frac"] == 0.0
+    assert out[1]["n_windows"] == 4  # 11 tokens -> 4 windows
+    inv = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+        for r in dup_spans(docs.repartition(5), span_len=8).collect()
+    }
+    assert inv == {d: (r["n_windows"], r["n_dup_windows"]) for d, r in out.items()}
