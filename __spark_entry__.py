@@ -31,6 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # verdict yet (round-3 additions + the round-3 reds + entries last checked
 # in r1/r2) come first; the 47 queries with green round-3 rows ride behind.
 # Rotate this list each round so every query re-earns a verdict over time.
+#
+# ROUND-5 ROTATION TODO (after the r4 driver check lands): move the 11
+# round-4 additions — knn_graph, embedding_gram, knn_pagerank, dup_spans,
+# gopher_quality, source_cap, inverted_index, bloom_decontaminate,
+# weighted_sample, ewma_event_rate (+ any r5 additions) — into the front
+# window, followed by the r1/r2-verified core CDC queries that rode behind
+# in r4; everything checked green in r4 can ride the back.
 _VERIFY_FIRST = [
     # never driver-checked (round-3 additions)
     "hopping_active_users", "user_value_mad", "user_similarity",
