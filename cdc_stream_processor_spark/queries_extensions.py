@@ -1125,6 +1125,53 @@ FROM base b LEFT JOIN per_doc p USING (doc_id)
     )
 
 
+# --- batch model inference (stub encoder) ------------------------------------
+
+
+def q_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow batch-inference harness over documents with the deterministic
+    stub encoder (operators.inference) — the model-stage plumbing; the
+    oracle replays the stub's integer arithmetic."""
+    from cdc_stream_processor_spark.operators import inference as I
+
+    docs = B.load_table(spark, sf_dir, "documents")
+    out = I.batch_inference(docs)
+    return out.select(
+        "doc_id",
+        "embedding",
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda a, x: a + x * x
+            ),
+            6,
+        ).alias("sq_norm"),
+    )
+
+
+def _batch_inference_sql() -> str:
+    from cdc_stream_processor_spark.operators import inference as I
+
+    comp = (
+        f"((h * {I.EMBED_A} + j * {I.EMBED_B} + j * j) % {TH.P_MOD})"
+        f"::DOUBLE / {float(TH.P_MOD)!r} - 0.5"
+    )
+    return f"""
+WITH hs AS (
+  SELECT doc_id, {_polyhash_sql("COALESCE(text, '')")} AS h FROM documents
+), emb AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {I.EMBED_DIM - 1}),
+                        j -> {comp}) AS embedding
+  FROM hs
+)
+SELECT doc_id, embedding,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(embedding, x -> x * x)),
+             (a, x) -> a + x), 6) AS sq_norm
+FROM emb
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1156,6 +1203,7 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "knn_pagerank": q_knn_pagerank,
     "dup_spans": q_dup_spans,
+    "batch_inference_embed": q_batch_inference,
 }
 
 ORACLES = {
@@ -1189,4 +1237,5 @@ ORACLES = {
     "embedding_gram": _embedding_gram_sql(),
     "knn_pagerank": _knn_pagerank_sql(),
     "dup_spans": _dup_spans_sql(),
+    "batch_inference_embed": _batch_inference_sql(),
 }

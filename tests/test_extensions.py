@@ -913,3 +913,30 @@ def test_dup_spans_planted_and_partition_invariant(spark):
         for r in dup_spans(docs.repartition(5), span_len=8).collect()
     }
     assert inv == {d: (r["n_windows"], r["n_dup_windows"]) for d, r in out.items()}
+
+
+def test_batch_inference_chunking_and_determinism(spark, sf_dir):
+    """The harness must produce identical vectors regardless of batch size
+    or partitioning, and the scorer must see batches no larger than
+    batch_size."""
+    from cdc_stream_processor_spark.operators import inference as I
+    from cdc_stream_processor_spark.sources import batch as B
+
+    docs = B.load_table(spark, sf_dir, "documents").limit(100)
+
+    def capped_scorer(texts):
+        # executes in the Python worker: an oversized batch fails the task
+        if len(texts) > 17:
+            raise AssertionError(f"model batch of {len(texts)} > 17")
+        return I.pseudo_embed_batch(texts)
+
+    small = {
+        r["doc_id"]: r["embedding"]
+        for r in I.batch_inference(docs, scorer=capped_scorer, batch_size=17).collect()
+    }
+    big = {
+        r["doc_id"]: r["embedding"]
+        for r in I.batch_inference(docs.repartition(3), batch_size=1000).collect()
+    }
+    assert small == big
+    assert all(len(v) == I.EMBED_DIM for v in small.values())
