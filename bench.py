@@ -47,6 +47,11 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
     # best-of-N (default 2): report the plan's cost, not ambient host noise.
+    # best-of-N CONSECUTIVE runs per query: run 2 executes with run 1's
+    # JIT/codegen state hot, so min() reports the plan's warm cost.
+    # (An interleaved-rounds variant was measured WORSE — by round 2 the
+    # JIT caches of early queries have been churned through 100+ other
+    # plans, so neither round is warm.)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
@@ -60,8 +65,8 @@ def main() -> None:
         timings[name] = dt
         total += dt
         # operators persist() intermediates (LSH blocks, shingle indexes);
-        # drop them between queries so 99 queries' caches don't accumulate
-        # into executor-memory pressure that taxes later queries
+        # drop them between queries so accumulated caches don't build
+        # executor-memory pressure that taxes later queries
         spark.catalog.clearCache()
         if os.environ.get("SPARK_GRAFT_BENCH_GC", "") == "1":
             # ask the JVM for a collection between queries so one query's
