@@ -6,6 +6,8 @@ shuffle, codegen break) fails CI — not just a slow bench run later.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from cdc_stream_processor_spark import queries_relational as QR
 
 
@@ -302,3 +304,46 @@ def test_registry_every_query_has_an_oracle():
     qs, oracles = entry.queries(), entry.oracle_sql()
     assert sorted(qs) == sorted(oracles)
     assert len(qs) >= 85
+
+
+def test_runtime_bloom_filter_semi_reduces_fact_side(spark, sf_dir):
+    """The 100 TB join story Spark gives us for free: when a dimension side
+    carries a selective filter, the optimizer injects a runtime Bloom
+    filter (might_contain over the join key) into the FACT side's scan, so
+    rows that cannot match never enter the shuffle. On by default
+    (spark.sql.optimizer.runtime.bloomFilter.enabled); the size thresholds
+    only fire on big scans, so the test lowers them to observe the plan at
+    test scale."""
+    from cdc_stream_processor_spark.sources import batch as B
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0"
+        )
+        # force a shuffle join: a broadcast join needs no runtime filter
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = B.load_table(spark, sf_dir, "lineitem")
+        orders = B.load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
