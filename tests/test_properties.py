@@ -107,3 +107,42 @@ def test_asof_join_matches_brute_force(spark, data):
         ]
         expected = max(cand)[1] if cand else None
         assert got[i] == expected, (i, k, t, cand)
+
+
+@given(
+    st.lists(st.integers(0, P_MOD - 1), min_size=0, max_size=60),
+    st.integers(1, 9),
+)
+@settings(max_examples=60, deadline=None)
+def test_rolling_horner_batch_matches_fold(hashes, span):
+    import numpy as np
+
+    from cdc_stream_processor_spark.functions.fasthash import (
+        rolling_horner_batch,
+    )
+
+    h = np.asarray(hashes, dtype=np.int64)
+    got = list(rolling_horner_batch(h, span))
+    want = []
+    for p in range(max(len(h) - span + 1, 0)):
+        acc = 0
+        for x in h[p : p + span]:
+            acc = (acc * P_FACTOR + int(x)) % P_MOD
+        want.append(acc)
+    assert got == want
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=50)), max_size=20))
+@settings(max_examples=40, deadline=None)
+def test_pseudo_embed_batch_bounded_and_deterministic(texts):
+    from cdc_stream_processor_spark.operators.inference import (
+        EMBED_DIM,
+        pseudo_embed_batch,
+    )
+
+    a = pseudo_embed_batch(texts)
+    b = pseudo_embed_batch(list(texts))
+    assert a == b
+    for vec in a:
+        assert len(vec) == EMBED_DIM
+        assert all(-0.5 <= x < 0.5 for x in vec)
