@@ -634,3 +634,122 @@ def ewma_smooth(
         num = term if num is None else num + term
         den = present if den is None else den + present
     return df.withColumn("ewma", F.round(num / den, 6))
+
+
+HIST_BINS = 20
+
+
+def value_histogram(
+    events: DataFrame,
+    n_bins: int = HIST_BINS,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Fixed-width per-group histogram — the chart/monitoring primitive.
+
+    Bin edges come from each group's [min, max] (one partial-agg pass);
+    bin index is trunc((x - lo) / width) clamped to n_bins - 1 so the max
+    lands in the last bin. Integer trunc-toward-zero matches DuckDB's
+    explicit trunc() (x ≥ lo, so trunc == floor); the width division is
+    one IEEE double op. Empty bins are materialized via a sequence spine
+    at GROUP scale (n_groups · n_bins rows) so consumers see dense
+    histograms.
+
+    Scale: two shuffles on the group key (extent agg, bin counts), both
+    partial-aggregated map-side; the spine join runs at aggregate scale.
+    """
+    ext = events.groupBy(group_col).agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+    )
+    binned = (
+        events.join(F.broadcast(ext), group_col)
+        .select(
+            group_col,
+            F.least(
+                F.when(
+                    F.col("hi") == F.col("lo"), F.lit(0)
+                ).otherwise(
+                    (
+                        (F.col(value_col).cast("double") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins)))
+                    ).cast("long")
+                ),
+                F.lit(n_bins - 1).cast("long"),
+            ).alias("bin"),
+        )
+        .groupBy(group_col, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = ext.select(
+        group_col,
+        "lo",
+        "hi",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    ).select(group_col, F.col("bin").cast("long").alias("bin"), "lo", "hi")
+    return (
+        spine.join(binned, [group_col, "bin"], "left")
+        .select(
+            group_col,
+            "bin",
+            F.round(
+                F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / n_bins),
+                6,
+            ).alias("bin_lo"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )
+
+
+ATTR_WINDOW_DAYS = 7
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    window_days: int = ATTR_WINDOW_DAYS,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Marketing-style first-touch attribution: each conversion event is
+    credited to the FIRST event (any type) in the user's preceding
+    ``window_days`` — ties on timestamp break by event_id.
+
+    One window shuffle on the user key: events sort once per user; for
+    each conversion, min_by over the look-back frame picks the earliest
+    qualifying touch. The frame is a range frame on epoch-µs (long), so
+    Spark plans a single running-window pass — no self-join, no per-
+    conversion scan. Emits (conversion event, touch event_type, touch ts,
+    seconds between).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    win_us = window_days * 86_400_000_000
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(us.asc())
+        .rangeBetween(-win_us, 0)
+    )
+    touch = F.min_by(
+        F.struct(
+            us.alias("t_us"),
+            F.col("event_id").alias("t_id"),
+            F.col(type_col).alias("t_type"),
+        ),
+        F.struct(us.alias("t_us"), F.col("event_id").alias("t_id")),
+    ).over(w)
+    return (
+        events.withColumn("_touch", touch)
+        .filter(F.col(type_col) == conversion_type)
+        .select(
+            "event_id",
+            user_col,
+            F.col(ts_col).alias("conversion_ts"),
+            F.col("_touch.t_type").alias("touch_type"),
+            F.col("_touch.t_id").alias("touch_event_id"),
+            (
+                (F.unix_micros(F.col(ts_col)) - F.col("_touch.t_us"))
+                / F.lit(1_000_000.0)
+            ).alias("seconds_since_touch"),
+        )
+    )

@@ -1886,6 +1886,63 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day_idx ASC)
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-event-type fixed-width histogram of event values."""
+    return R.value_histogram(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH ext AS (
+  SELECT event_type, MIN(value::DOUBLE) AS lo, MAX(value::DOUBLE) AS hi
+  FROM events GROUP BY event_type
+), binned AS (
+  SELECT e.event_type,
+         LEAST(
+           CASE WHEN x.hi = x.lo THEN 0
+                ELSE trunc((e.value::DOUBLE - x.lo)
+                           / ((x.hi - x.lo) / {float(R.HIST_BINS)!r}))::BIGINT
+           END,
+           {R.HIST_BINS - 1}) AS bin,
+         COUNT(*) AS n
+  FROM events e JOIN ext x USING (event_type)
+  GROUP BY 1, 2
+), spine AS (
+  SELECT event_type, lo, hi, unnest(generate_series(0, {R.HIST_BINS - 1})) AS bin
+  FROM ext
+)
+SELECT s.event_type, s.bin::BIGINT AS bin,
+       ROUND(s.lo + s.bin * ((s.hi - s.lo) / {R.HIST_BINS}), 6) AS bin_lo,
+       COALESCE(b.n, 0)::BIGINT AS n
+FROM spine s LEFT JOIN binned b ON s.event_type = b.event_type AND s.bin = b.bin
+"""
+
+
+def q_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution for purchase conversions over a 7-day
+    look-back — one running range-frame window per user, no self-join."""
+    return R.first_touch_attribution(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_FIRST_TOUCH = f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us, event_type, ts FROM events
+), conv AS (
+  SELECT * FROM ev WHERE event_type = 'purchase'
+), cand AS (
+  SELECT c.event_id, c.user_id, c.ts AS conversion_ts, c.us AS c_us,
+         e.event_type AS t_type, e.event_id AS t_id, e.us AS t_us,
+         ROW_NUMBER() OVER (PARTITION BY c.event_id
+                            ORDER BY e.us ASC, e.event_id ASC) AS rn
+  FROM conv c JOIN ev e ON e.user_id = c.user_id
+   AND e.us BETWEEN c.us - {R.ATTR_WINDOW_DAYS * 86_400_000_000} AND c.us
+)
+SELECT event_id, user_id, conversion_ts,
+       t_type AS touch_type, t_id AS touch_event_id,
+       (c_us - t_us) / 1000000.0 AS seconds_since_touch
+FROM cand WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
@@ -1934,6 +1991,8 @@ QUERIES = {
     "user_segments": q_user_segments,
     "fk_integrity_audit": q_fk_integrity_audit,
     "ewma_event_rate": q_ewma_event_rate,
+    "value_histogram": q_value_histogram,
+    "first_touch_attribution": q_first_touch_attribution,
 }
 
 ORACLES = {
@@ -1984,4 +2043,6 @@ ORACLES = {
     "user_segments": SQL_USER_SEGMENTS,
     "fk_integrity_audit": SQL_FK_INTEGRITY_AUDIT,
     "ewma_event_rate": _ewma_sql(),
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "first_touch_attribution": SQL_FIRST_TOUCH,
 }

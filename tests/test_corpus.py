@@ -435,3 +435,46 @@ def test_weighted_sample_bias_and_determinism(spark, sf_dir):
         docs.filter(F.col("doc_id").isin(ids)).agg(F.avg("n_chars")).collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_value_histogram_dense_and_consistent(spark, sf_dir):
+    from cdc_stream_processor_spark.operators.relational import (
+        HIST_BINS,
+        value_histogram,
+    )
+
+    ev = B.load_table(spark, sf_dir, "events")
+    out = value_histogram(ev).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    counts = {r["event_type"]: r["cnt"] for r in
+              ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for et, rows in by_type.items():
+        assert len(rows) == HIST_BINS  # dense spine
+        assert sorted(r["bin"] for r in rows) == list(range(HIST_BINS))
+        assert sum(r["n"] for r in rows) == counts[et]  # nothing dropped
+
+
+def test_first_touch_attribution_planted(spark):
+    from datetime import datetime
+
+    from cdc_stream_processor_spark.operators.relational import (
+        first_touch_attribution,
+    )
+
+    rows = [
+        # user 1: view on day 1, click day 3, purchase day 5 → first touch = view
+        (10, datetime(2024, 1, 1, 12), 1, "view"),
+        (11, datetime(2024, 1, 3, 12), 1, "click"),
+        (12, datetime(2024, 1, 5, 12), 1, "purchase"),
+        # user 2: touch 10 days before purchase — outside the 7d window,
+        # so the purchase itself is the first touch in-frame
+        (20, datetime(2024, 1, 1, 0), 2, "view"),
+        (21, datetime(2024, 1, 11, 0), 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    out = {r["event_id"]: r for r in first_touch_attribution(ev).collect()}
+    assert out[12]["touch_event_id"] == 10 and out[12]["touch_type"] == "view"
+    assert out[12]["seconds_since_touch"] == 4 * 86400.0
+    assert out[21]["touch_event_id"] == 21 and out[21]["touch_type"] == "purchase"
