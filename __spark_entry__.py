@@ -32,12 +32,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # in r1/r2) come first; the 47 queries with green round-3 rows ride behind.
 # Rotate this list each round so every query re-earns a verdict over time.
 #
-# ROUND-5 ROTATION TODO (after the r4 driver check lands): move the 11
+# ROUND-5 ROTATION TODO (after the r4 driver check lands): move the 13
 # round-4 additions — knn_graph, embedding_gram, knn_pagerank, dup_spans,
 # gopher_quality, source_cap, inverted_index, bloom_decontaminate,
-# weighted_sample, ewma_event_rate (+ any r5 additions) — into the front
-# window, followed by the r1/r2-verified core CDC queries that rode behind
-# in r4; everything checked green in r4 can ride the back.
+# weighted_sample, ewma_event_rate, batch_inference_embed,
+# value_histogram, first_touch_attribution (+ any r5 additions) — into the
+# front window, followed by the r1/r2-verified core CDC queries that rode
+# behind in r4; everything checked green in r4 can ride the back.
 _VERIFY_FIRST = [
     # never driver-checked (round-3 additions)
     "hopping_active_users", "user_value_mad", "user_similarity",
