@@ -808,3 +808,63 @@ def test_corrupt_envelopes_route_to_dead_letter_queue(spark, tmpdirs):
     quarantined = spark.read.parquet(dlq_out).collect()
     assert [r.transaction_id for r in ok] == [1]
     assert [r.raw_record for r in quarantined] == [bad_line]
+
+
+def test_map_only_corpus_operators_run_unchanged_on_streams(spark, tmpdirs):
+    """Batch/streaming unification of the map-only corpus surface: the
+    SAME operator functions (gopher_quality, text_profile stage exprs,
+    batch_inference) applied to a streaming DataFrame plan and run —
+    pure column expressions and mapInPandas are streamable as-is, so one
+    operator definition serves both modes (the engine's analog of the
+    reference running one topology continuously)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from cdc_stream_processor_spark.operators import inference as I
+    from cdc_stream_processor_spark.operators.text import gopher_quality
+
+    src, ckpt = f"{tmpdirs}/docs_src", f"{tmpdirs}/docs_ckpt"
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox and all of that have been with us again "
+             "now for many long years of steady text"),
+         (2, "tiny")],
+        schema,
+    )
+    batch.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    out1 = gopher_quality(stream)
+    assert out1.isStreaming
+    q = (
+        out1.writeStream.format("memory")
+        .queryName("gopher_stream")
+        .option("checkpointLocation", f"{ckpt}/g")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("select * from gopher_stream").collect()}
+    want = {r["doc_id"]: r for r in gopher_quality(batch).collect()}
+    assert got.keys() == want.keys()
+    assert all(got[d]["keep"] == want[d]["keep"] for d in got)
+
+    out2 = I.batch_inference(stream)
+    assert out2.isStreaming
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("infer_stream")
+        .option("checkpointLocation", f"{ckpt}/i")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {r["doc_id"]: r["embedding"]
+            for r in spark.sql("select * from infer_stream").collect()}
+    want2 = {r["doc_id"]: r["embedding"] for r in I.batch_inference(batch).collect()}
+    assert got2 == want2
