@@ -372,12 +372,28 @@ def simhash_pairs(
         "band_idx", "band_bits",
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # A pair sharing k bands would surface k times from the equi-join; keep
+    # it only at its FIRST shared band — computable as a pure expression
+    # from the two full fingerprints already on the row — so the pair set
+    # is exact without a dropDuplicates shuffle over the candidates.
+    first_shared = F.least(
+        *[
+            F.when(
+                F.shiftright("sh_a", i * width).bitwiseAND(F.lit((1 << width) - 1))
+                == F.shiftright("sh_b", i * width).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                ),
+                F.lit(i),
+            ).otherwise(F.lit(SIMHASH_BANDS))
+            for i in range(SIMHASH_BANDS)
+        ]
+    )
     return (
         left.join(right, ["band_idx", "band_bits"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.col("band_idx") == first_shared)
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
