@@ -347,3 +347,32 @@ def test_runtime_bloom_filter_semi_reduces_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_registry_rotation_prioritizes_unverified_queries():
+    """queries() must order never-green queries (per the committed
+    CORRECTNESS_r*.json verdicts) ahead of verified ones, and older greens
+    ahead of newer — the driver only checks the first 50 entries per
+    round, so this ordering IS the verification schedule."""
+    import json
+    import glob
+    import os
+
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    greens: dict[str, int] = {}
+    base = os.path.dirname(os.path.abspath(entry.__file__))
+    for path in glob.glob(os.path.join(base, "CORRECTNESS_r*.json")):
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for name, rec in json.load(open(path)).items():
+            if (
+                isinstance(rec, dict)
+                and not rec.get("err")
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match") in (True, None)
+            ):
+                greens[name] = max(greens.get(name, -1), rnd)
+    ranks = [greens.get(n, -1) for n in names]
+    assert ranks == sorted(ranks)  # never-green (-1) first, then ascending
