@@ -1172,6 +1172,46 @@ FROM emb
 """
 
 
+# --- centroid drift (pairwise class-centroid similarity) ---------------------
+
+
+def q_centroid_pair_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between class centroids — the embedding-drift /
+    class-separability monitor. Centroids are n_labels rows (bounded), so
+    the pair join is a broadcast self-join at aggregate scale; the fold
+    cosine keeps oracle bit-parity."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    cents = S.embedding_centroids(emb)
+    a = cents.select(
+        F.col("label").alias("label_a"), S.as_double(F.col("centroid")).alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), S.as_double(F.col("centroid")).alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(S.cosine(F.col("ca"), F.col("cb")), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def _centroid_pair_sim_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(a.centroid, b.centroid), p -> p[1] * p[2])"
+    )
+    na = _FOLD_SUM.format(arr="list_transform(a.centroid, x -> x * x)")
+    nb = _FOLD_SUM.format(arr="list_transform(b.centroid, x -> x * x)")
+    return f"""
+WITH cents AS ({SQL_EMBEDDING_CENTROIDS})
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(({dot}) / (sqrt({na}) * sqrt({nb})), 6) AS cosine_sim
+FROM cents a JOIN cents b ON a.label < b.label
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1204,6 +1244,7 @@ QUERIES = {
     "knn_pagerank": q_knn_pagerank,
     "dup_spans": q_dup_spans,
     "batch_inference_embed": q_batch_inference,
+    "centroid_pair_sim": q_centroid_pair_sim,
 }
 
 ORACLES = {
@@ -1238,4 +1279,5 @@ ORACLES = {
     "knn_pagerank": _knn_pagerank_sql(),
     "dup_spans": _dup_spans_sql(),
     "batch_inference_embed": _batch_inference_sql(),
+    "centroid_pair_sim": _centroid_pair_sim_sql(),
 }
