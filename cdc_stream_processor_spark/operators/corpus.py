@@ -722,3 +722,48 @@ def weighted_priority_sample(
     ).limit(k)
     w = Window.orderBy(F.col("priority").asc(), F.col(id_col).asc())
     return ranked.withColumn("draw_rank", F.row_number().over(w))
+
+
+# --- deterministic dataset mixing --------------------------------------------
+
+# registered-query mix over the synthetic sources: upweight a few,
+# downweight one, default 1.0 for the rest
+MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 0.5}
+
+
+def dataset_mixture(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted interleave of sources into ONE training
+    order — the data-mixing step between corpus filtering and sequence
+    packing. Each document gets a mixture position
+    ``(within-source rank) / weight``: a source with weight w appears w
+    times as often per unit of the merged stream (the classic
+    rate-monotonic interleave), upweighting high-quality sources without
+    duplication-by-copying. Unknown sources default to weight 1.
+
+    Shape: one rank window per source key (shuffle on the group key;
+    rank order is the deterministic LCG permutation of split_key, so the
+    interleave is also a per-source shuffle), then the merged order is
+    just ORDER BY (position, tiebreak) — consumers that stream the mix
+    sort-merge it; nothing materializes a global sort until a sink asks
+    for one. Emits (doc, source, src_rank, mix_pos).
+    """
+    w = weights if weights is not None else MIX_WEIGHTS
+    wcol = F.lit(1.0)
+    for name, weight in w.items():
+        wcol = F.when(F.col(group_col) == name, F.lit(float(weight))).otherwise(
+            wcol
+        )
+    win = Window.partitionBy(group_col).orderBy(
+        split_key(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.row_number().over(win).alias("src_rank"),
+        (F.row_number().over(win).cast("double") / wcol).alias("mix_pos"),
+    )

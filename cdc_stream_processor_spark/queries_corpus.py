@@ -585,6 +585,30 @@ SELECT doc_id, n_chars, priority, draw_rank FROM (
 """
 
 
+# --- deterministic dataset mixing --------------------------------------------
+
+
+def q_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return C.dataset_mixture(docs)
+
+
+def _dataset_mixture_sql() -> str:
+    cases = "CASE " + " ".join(
+        f"WHEN source = '{k}' THEN {float(v)!r}" for k, v in C.MIX_WEIGHTS.items()
+    ) + " ELSE 1.0 END"
+    u = f"(((doc_id * {C.SPLIT_A} + {C.SPLIT_B}) % {C.SPLIT_P})::DOUBLE / {C.SPLIT_P}::DOUBLE)"
+    return f"""
+SELECT doc_id, source, src_rank, src_rank::DOUBLE / ({cases}) AS mix_pos
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY {u} ASC, doc_id ASC) AS src_rank
+  FROM documents
+)
+"""
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
     "decontamination_overlap": q_decontamination_overlap,
@@ -603,6 +627,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "bloom_decontaminate": q_bloom_decontaminate,
     "weighted_sample": q_weighted_sample,
+    "dataset_mixture": q_dataset_mixture,
 }
 
 ORACLES = {
@@ -623,4 +648,5 @@ ORACLES = {
     "inverted_index": _inverted_index_sql(),
     "bloom_decontaminate": _bloom_decon_sql(),
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "dataset_mixture": _dataset_mixture_sql(),
 }

@@ -478,3 +478,27 @@ def test_first_touch_attribution_planted(spark):
     assert out[12]["touch_event_id"] == 10 and out[12]["touch_type"] == "view"
     assert out[12]["seconds_since_touch"] == 4 * 86400.0
     assert out[21]["touch_event_id"] == 21 and out[21]["touch_type"] == "purchase"
+
+
+def test_dataset_mixture_rates_and_determinism(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    out = C.dataset_mixture(docs)
+    rows = out.collect()
+    # exact rate law: a source with weight w has exactly min(floor(T*w), n_src)
+    # docs at mix_pos <= T
+    import math
+
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for T in (3.0, 7.5):
+        for src, srows in by_src.items():
+            w = C.MIX_WEIGHTS.get(src, 1.0)
+            got = sum(1 for r in srows if r["mix_pos"] <= T)
+            assert got == min(math.floor(T * w), len(srows)), (src, T)
+    # determinism across partitionings
+    again = sorted(
+        (r["doc_id"], r["src_rank"])
+        for r in C.dataset_mixture(docs.repartition(9)).collect()
+    )
+    assert again == sorted((r["doc_id"], r["src_rank"]) for r in rows)
