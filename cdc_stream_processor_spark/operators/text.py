@@ -690,3 +690,79 @@ def dup_spans(
             ).alias("dup_span_frac"),
         )
     )
+
+
+# --- chi-squared discriminative terms ----------------------------------------
+
+CHI2_TOP_K = 5
+
+
+def chi2_terms_per_lang(
+    docs: DataFrame,
+    k: int = CHI2_TOP_K,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k chi-squared discriminative terms per language — the classic
+    feature-selection statistic: for each (term, lang), the 2x2 presence
+    contingency (a = lang docs containing term, b = lang docs without,
+    c = other-lang docs containing, d = rest) scored as
+    N*(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d)).
+
+    All four cells derive from three integer aggregations (term-lang
+    counts, per-lang totals, per-term totals) joined at vocabulary scale;
+    the statistic itself is per-row double arithmetic (products of casts,
+    one division) — no accumulation-order hazard, so the oracle matches
+    bit-for-bit. Terms present in every document (zero absent-cell margin)
+    are excluded — their chi2 is undefined. Top-k per language via the
+    rank-pushdown window.
+    """
+    from cdc_stream_processor_spark.operators.relational import top_k_per_group
+
+    terms = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(F.array_distinct(TH.tokens(F.col(text_col)))).alias("term"),
+    )
+    tl = terms.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("a"))
+    lang_tot = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    term_tot = terms.groupBy("term").agg(F.count(F.lit(1)).alias("nt"))
+    n_docs = docs.count()
+    cells = (
+        tl.join(F.broadcast(lang_tot), "lang")
+        .join(term_tot, "term")
+        .select(
+            "lang",
+            "term",
+            F.col("a").cast("double").alias("da"),
+            (F.col("nl") - F.col("a")).cast("double").alias("db"),
+            (F.col("nt") - F.col("a")).cast("double").alias("dc"),
+            (F.lit(n_docs) - F.col("nl") - (F.col("nt") - F.col("a")))
+            .cast("double")
+            .alias("dd"),
+        )
+    )
+    num = (
+        F.lit(float(n_docs))
+        * (F.col("da") * F.col("dd") - F.col("db") * F.col("dc"))
+        * (F.col("da") * F.col("dd") - F.col("db") * F.col("dc"))
+    )
+    den = (
+        (F.col("da") + F.col("db"))
+        * (F.col("dc") + F.col("dd"))
+        * (F.col("da") + F.col("dc"))
+        * (F.col("db") + F.col("dd"))
+    )
+    scored = cells.filter(den > 0).select(
+        "lang", "term", F.round(num / den, 6).alias("chi2")
+    )
+    out = top_k_per_group(
+        scored,
+        ["lang"],
+        [F.col("chi2").desc(), F.col("term").asc()],
+        k,
+        rank_col="term_rank",
+    )
+    return out.select("lang", "term", "chi2", "term_rank")

@@ -1212,6 +1212,47 @@ FROM cents a JOIN cents b ON a.label < b.label
 """
 
 
+# --- chi-squared discriminative terms ----------------------------------------
+
+
+def q_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.chi2_terms_per_lang(B.load_table(spark, sf_dir, "documents"))
+
+
+def _chi2_terms_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    q = "(da * dd - db * dc)"
+    den = "(da + db) * (dc + dd) * (da + dc) * (db + dd)"
+    return f"""
+WITH terms AS (
+  SELECT lang, unnest(list_distinct({toks})) AS term FROM documents
+), tl AS (
+  SELECT term, lang, COUNT(*) AS a FROM terms GROUP BY 1, 2
+), lt AS (
+  SELECT lang, COUNT(*) AS nl FROM documents GROUP BY lang
+), tt AS (
+  SELECT term, COUNT(*) AS nt FROM terms GROUP BY term
+), nn AS (
+  SELECT COUNT(*) AS nd FROM documents
+), cells AS (
+  SELECT tl.lang, tl.term,
+         a::DOUBLE AS da, (nl - a)::DOUBLE AS db,
+         (nt - a)::DOUBLE AS dc, (nd - nl - (nt - a))::DOUBLE AS dd
+  FROM tl JOIN lt USING (lang) JOIN tt USING (term) CROSS JOIN nn
+), scored AS (
+  SELECT lang, term,
+         ROUND(nd_d * {q} * {q} / ({den}), 6) AS chi2
+  FROM (SELECT *, (SELECT nd FROM nn)::DOUBLE AS nd_d FROM cells)
+  WHERE {den} > 0
+)
+SELECT lang, term, chi2, term_rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY chi2 DESC, term ASC) AS term_rank
+  FROM scored
+) WHERE term_rank <= {X.CHI2_TOP_K}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1245,6 +1286,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "batch_inference_embed": q_batch_inference,
     "centroid_pair_sim": q_centroid_pair_sim,
+    "chi2_terms": q_chi2_terms,
 }
 
 ORACLES = {
@@ -1280,4 +1322,5 @@ ORACLES = {
     "dup_spans": _dup_spans_sql(),
     "batch_inference_embed": _batch_inference_sql(),
     "centroid_pair_sim": _centroid_pair_sim_sql(),
+    "chi2_terms": _chi2_terms_sql(),
 }
