@@ -940,3 +940,19 @@ def test_batch_inference_chunking_and_determinism(spark, sf_dir):
     }
     assert small == big
     assert all(len(v) == I.EMBED_DIM for v in small.values())
+
+
+def test_chi2_terms_flags_planted_discriminative_token(spark):
+    from cdc_stream_processor_spark.operators.text import chi2_terms_per_lang
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "en", "shared words here " + ("anglo token" if True else "")))
+    for i in range(30, 60):
+        rows.append((i, "fr", "shared words here gaulois jeton"))
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = chi2_terms_per_lang(docs, k=3)
+    top = {(r["lang"], r["term_rank"]): r["term"] for r in out.collect()}
+    # the perfectly-discriminative tokens rank first for their language
+    assert top[("en", 1)] in ("anglo", "token")
+    assert top[("fr", 1)] in ("gaulois", "jeton")

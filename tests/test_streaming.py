@@ -868,3 +868,46 @@ def test_map_only_corpus_operators_run_unchanged_on_streams(spark, tmpdirs):
             for r in spark.sql("select * from infer_stream").collect()}
     want2 = {r["doc_id"]: r["embedding"] for r in I.batch_inference(batch).collect()}
     assert got2 == want2
+
+
+def test_progress_recorder_captures_batch_metrics(spark, tmpdirs):
+    """The ProgressRecorder listener must record one row per micro-batch
+    with the true input row count — the JMX-metrics analog of the
+    reference's streams observability."""
+    from pyspark.sql import types as T
+
+    from cdc_stream_processor_spark.streaming.metrics import ProgressRecorder
+
+    src, ckpt = f"{tmpdirs}/met_src", f"{tmpdirs}/met_ckpt"
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    spark.createDataFrame([(i, f"doc {i}") for i in range(25)], schema).write.mode(
+        "append"
+    ).parquet(src)
+
+    rec = ProgressRecorder(query_name="metered")
+    spark.streams.addListener(rec)
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("memory")
+            .queryName("metered")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener bus is async; wait briefly for delivery
+        import time
+
+        for _ in range(40):
+            if rec.metrics_df(spark).count() > 0:
+                break
+            time.sleep(0.25)
+        m = rec.metrics_df(spark).collect()
+        assert sum(r["num_input_rows"] for r in m) == 25
+        assert all(r["query_name"] == "metered" for r in m)
+    finally:
+        spark.streams.removeListener(rec)
