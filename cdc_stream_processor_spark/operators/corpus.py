@@ -767,3 +767,82 @@ def dataset_mixture(
         F.row_number().over(win).alias("src_rank"),
         (F.row_number().over(win).cast("double") / wcol).alias("mix_pos"),
     )
+
+
+# --- vocabulary build + token-id encoding ------------------------------------
+
+VOCAB_SIZE = 256  # registered-query vocabulary (incl. id 0 = <unk>)
+IDS_PREVIEW = 32  # ids per doc surfaced by the registered query
+
+
+def build_vocab(
+    docs: DataFrame, vocab_size: int = VOCAB_SIZE, text_col: str = "text"
+) -> DataFrame:
+    """Frequency vocabulary: the top (vocab_size - 1) tokens by
+    (count DESC, token ASC) get ids 1..V-1; id 0 is reserved for <unk>.
+    One token-count partial-agg shuffle + a TakeOrderedAndProject cut —
+    the vocabulary table is tiny and downstream encoders broadcast it."""
+    counts = (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(
+        vocab_size - 1
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.select(
+        "token", F.row_number().over(w).cast("long").alias("token_id"), "n"
+    )
+
+
+def tokenize_ids(
+    docs: DataFrame,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    preview: int = IDS_PREVIEW,
+) -> DataFrame:
+    """Encode each document to token ids under the (broadcast) vocabulary —
+    the tokenize-to-ids stage every pretraining pipeline runs between text
+    cleaning and sequence packing. Out-of-vocabulary tokens map to 0.
+
+    Shape: posexplode keeps token positions, a broadcast hash join against
+    the vocabulary maps ids map-side (the corpus never shuffles for the
+    lookup), and per-doc ids reassemble with one groupBy(doc) sorting the
+    bounded (position, id) structs. Emits (doc_id, n_tokens, oov_count,
+    ids[:preview]).
+    """
+    if vocab is None:
+        vocab = build_vocab(docs)
+    pos = docs.select(
+        F.col(id_col),
+        F.posexplode(TH.tokens(F.col(text_col))).alias("p", "token"),
+    )
+    mapped = (
+        pos.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+        .select(
+            id_col,
+            "p",
+            F.coalesce(F.col("token_id"), F.lit(0)).alias("tid"),
+        )
+    )
+    # collect only the preview-window positions (p < preview) so per-doc
+    # aggregation state stays bounded however long a document runs
+    return (
+        mapped.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("tid") == 0).cast("long")).alias("oov_count"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("p") < preview, F.struct("p", "tid")
+                        )
+                    )
+                ),
+                lambda s: s.getField("tid"),
+            ).alias("ids"),
+        )
+    )

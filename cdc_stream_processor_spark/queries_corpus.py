@@ -609,6 +609,41 @@ FROM (
 """
 
 
+# --- vocabulary + token-id encoding ------------------------------------------
+
+
+def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return C.tokenize_ids(docs)
+
+
+def _tokenize_ids_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+), flat AS (
+  SELECT doc_id, unnest(toks) AS token FROM d
+), counts AS (
+  SELECT token, COUNT(*) AS n FROM flat GROUP BY token
+), vocab AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS token_id
+  FROM counts ORDER BY n DESC, token ASC LIMIT {C.VOCAB_SIZE - 1}
+), tokpos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p FROM d
+), mapped AS (
+  SELECT t.doc_id, t.p, COALESCE(v.token_id, 0) AS tid
+  FROM tokpos t LEFT JOIN vocab v ON t.toks[t.p] = v.token
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_tokens,
+       SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS oov_count,
+       list(tid ORDER BY p) FILTER (WHERE p <= {C.IDS_PREVIEW}) AS ids
+FROM mapped
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
     "decontamination_overlap": q_decontamination_overlap,
@@ -628,6 +663,7 @@ QUERIES = {
     "bloom_decontaminate": q_bloom_decontaminate,
     "weighted_sample": q_weighted_sample,
     "dataset_mixture": q_dataset_mixture,
+    "tokenize_ids": q_tokenize_ids,
 }
 
 ORACLES = {
@@ -649,4 +685,5 @@ ORACLES = {
     "bloom_decontaminate": _bloom_decon_sql(),
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "dataset_mixture": _dataset_mixture_sql(),
+    "tokenize_ids": _tokenize_ids_sql(),
 }

@@ -502,3 +502,26 @@ def test_dataset_mixture_rates_and_determinism(spark, sf_dir):
         for r in C.dataset_mixture(docs.repartition(9)).collect()
     )
     assert again == sorted((r["doc_id"], r["src_rank"]) for r in rows)
+
+
+def test_tokenize_ids_roundtrip_known_vocab(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b b c"),       # freq: a=3, b=2, c=1 (+ below)
+            (2, "a b zz"),            # zz appears once -> may fall off vocab
+        ],
+        ["doc_id", "text"],
+    )
+    vocab = {r["token"]: r["token_id"] for r in C.build_vocab(docs, vocab_size=4).collect()}
+    # ids 1..3 by (count desc, token asc): a(4), b(3), c(1) < zz? c vs zz both 1,
+    # 'c' wins the token-ASC tie-break
+    assert vocab == {"a": 1, "b": 2, "c": 3}
+    out = {
+        r["doc_id"]: r
+        for r in C.tokenize_ids(
+            docs, vocab=C.build_vocab(docs, vocab_size=4), preview=10
+        ).collect()
+    }
+    assert out[1]["ids"] == [1, 1, 1, 2, 2, 3] and out[1]["oov_count"] == 0
+    assert out[2]["ids"] == [1, 2, 0] and out[2]["oov_count"] == 1  # zz -> <unk>
+    assert out[2]["n_tokens"] == 3
