@@ -846,3 +846,56 @@ def tokenize_ids(
             ).alias("ids"),
         )
     )
+
+
+# --- span-corruption mask selection ------------------------------------------
+
+SPAN_LEN = 3        # masked span length in tokens
+SPAN_EVERY = 20     # one span per 20 tokens → 15% of tokens masked
+
+
+def span_corruption_masks(
+    docs: DataFrame,
+    span_len: int = SPAN_LEN,
+    span_every: int = SPAN_EVERY,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic T5-style span-corruption mask selection: each document
+    with n tokens gets ⌊n / span_every⌋ non-overlapping masked spans of
+    ``span_len`` tokens (≈ span_len/span_every noise density). The k-th
+    span lives in the k-th equal segment of the token range, jittered
+    inside it by the LCG of (doc_id, k) — pseudo-random placement with no
+    RNG state, reproducible across engines and partitionings, and
+    non-overlap holds by construction (one span per disjoint segment).
+
+    Pure integer column arithmetic + one explode over the per-doc span
+    index; map-only (the shape that streams through a 100 TB corpus).
+    Emits (doc_id, mask_id, span_start, span_len) with 0-based token
+    offsets — the consumer applies them during example building.
+    """
+    n = F.size(TH.tokens(F.col(text_col)))
+    # ⌊n / span_every⌋ — n ≥ 0 so trunc == floor, and IEEE int/int division
+    # is correctly rounded identically in both engines
+    n_spans = (n / span_every).cast("long")
+    seg = F.floor(n / F.greatest(n_spans, F.lit(1))).cast("long")
+    k = F.explode(F.sequence(F.lit(0), n_spans - 1))
+    base = docs.select(
+        F.col(id_col), n.alias("n"), n_spans.alias("ns"), seg.alias("seg"),
+        k.alias("mask_id"),
+    ).filter(F.col("ns") > 0)
+    jitter_room = F.greatest(F.col("seg") - span_len + 1, F.lit(1))
+    # pre-reduce the id term mod P before the multiply so the largest
+    # intermediate is (P-1)·A < 2^62 — exact int64 at any doc_id (int64
+    # products would otherwise wrap in Spark but raise in DuckDB)
+    mixed = (F.col(id_col) % F.lit(SPLIT_P)) * 31 + F.col("mask_id")
+    lcg = ((mixed % F.lit(SPLIT_P)) * F.lit(SPLIT_A) + F.lit(SPLIT_B)) % F.lit(
+        SPLIT_P
+    )
+    start = F.col("mask_id") * F.col("seg") + F.pmod(lcg, jitter_room)
+    return base.select(
+        id_col,
+        "mask_id",
+        start.alias("span_start"),
+        F.least(F.lit(span_len).cast("long"), F.col("seg")).alias("span_len"),
+    )

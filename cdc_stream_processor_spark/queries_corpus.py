@@ -644,6 +644,42 @@ GROUP BY doc_id
 """
 
 
+# --- span-corruption masks ---------------------------------------------------
+
+
+def q_span_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return C.span_corruption_masks(docs)
+
+
+def _span_masks_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    return f"""
+WITH d AS (
+  SELECT doc_id, len({toks}) AS n FROM documents
+), spans AS (
+  SELECT doc_id, n,
+         trunc(n / {C.SPAN_EVERY})::BIGINT AS ns
+  FROM d
+), seg AS (
+  SELECT doc_id, n, ns,
+         trunc(n / GREATEST(ns, 1))::BIGINT AS seg
+  FROM spans WHERE ns > 0
+), k AS (
+  SELECT doc_id, n, ns, seg,
+         unnest(generate_series(0, ns - 1)) AS mask_id
+  FROM seg
+)
+SELECT doc_id, mask_id,
+       mask_id * seg +
+         ((((doc_id % {C.SPLIT_P}) * 31 + mask_id) % {C.SPLIT_P})
+            * {C.SPLIT_A} + {C.SPLIT_B})
+           % {C.SPLIT_P} % GREATEST(seg - {C.SPAN_LEN} + 1, 1) AS span_start,
+       LEAST({C.SPAN_LEN}, seg)::BIGINT AS span_len
+FROM k
+"""
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
     "decontamination_overlap": q_decontamination_overlap,
@@ -664,6 +700,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "dataset_mixture": q_dataset_mixture,
     "tokenize_ids": q_tokenize_ids,
+    "span_masks": q_span_masks,
 }
 
 ORACLES = {
@@ -686,4 +723,5 @@ ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "dataset_mixture": _dataset_mixture_sql(),
     "tokenize_ids": _tokenize_ids_sql(),
+    "span_masks": _span_masks_sql(),
 }

@@ -525,3 +525,27 @@ def test_tokenize_ids_roundtrip_known_vocab(spark):
     assert out[1]["ids"] == [1, 1, 1, 2, 2, 3] and out[1]["oov_count"] == 0
     assert out[2]["ids"] == [1, 2, 0] and out[2]["oov_count"] == 1  # zz -> <unk>
     assert out[2]["n_tokens"] == 3
+
+
+def test_span_masks_non_overlapping_and_in_bounds(spark, sf_dir):
+    from cdc_stream_processor_spark.functions.fasthash import tokens_py
+
+    docs = B.load_table(spark, sf_dir, "documents")
+    n_by_doc = {
+        r["doc_id"]: len(tokens_py(r["text"]))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    out = C.span_corruption_masks(docs).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc  # corpus docs are long enough to draw spans
+    for doc_id, spans in by_doc.items():
+        n = n_by_doc[doc_id]
+        assert len(spans) == n // C.SPAN_EVERY
+        spans.sort(key=lambda r: r["span_start"])
+        prev_end = -1
+        for r in spans:
+            assert 0 <= r["span_start"] and r["span_start"] + r["span_len"] <= n
+            assert r["span_start"] > prev_end  # non-overlap
+            prev_end = r["span_start"] + r["span_len"] - 1
