@@ -162,15 +162,16 @@ def _band_rows(mh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
+def minhash_scored_candidates(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    threshold: float = 0.5,
     fast: bool = False,
 ) -> DataFrame:
-    """Candidate pairs sharing ≥1 LSH band, verified by exact Jaccard ≥
-    threshold on the shingle sets. Returns (doc_a, doc_b, jaccard)."""
+    """Every LSH candidate pair (≥1 shared band) with its EXACT Jaccard —
+    the scored candidate set behind near-dup detection (≥ threshold) and
+    hard-negative mining (band-collision pairs below it). Returns
+    (doc_a < doc_b, jaccard)."""
     # Persist the signature table: it feeds both sides of the band self-join
     # plus the verification join — without it the (expensive) hashing subplan
     # is recomputed once per branch. At cluster scale this is the standard
@@ -198,10 +199,20 @@ def minhash_lsh_pairs(
     shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
     union = (F.size("hs_a") + F.size("hs_b")).cast("double") - shared
     jac = F.round(shared / union, 6)
-    return (
-        verified.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return verified.withColumn("jaccard", jac).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    fast: bool = False,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band, verified by exact Jaccard ≥
+    threshold on the shingle sets. Returns (doc_a, doc_b, jaccard)."""
+    return minhash_scored_candidates(docs, text_col, id_col, fast=fast).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -568,3 +579,68 @@ def minhash_dedup(
     cc = connected_components(pairs)
     drop = cc.filter(F.col("id") != F.col("rep")).select(F.col("id").alias(id_col))
     return docs.join(drop, id_col, "left_anti")
+
+
+def contrastive_triplets(
+    docs: DataFrame,
+    pos_threshold: float = 0.5,
+    neg_threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """(anchor, positive, hard_negative) training triplets for embedding-
+    model fine-tuning, mined from the MinHash-LSH candidate structure:
+    positives are near-dups (Jaccard ≥ pos_threshold), hard negatives are
+    band-collision candidates that verify BELOW neg_threshold — lexically
+    entangled enough to collide in LSH space yet semantically far, the
+    classic "hard" negative that random sampling never finds.
+
+    Pairs anchor both directions; per anchor, max_by picks the strongest
+    positive and the weakest colliding negative with (score, id)
+    tie-breaks — associative reductions, one groupBy, no window. Only
+    anchors having both a positive and a hard negative emit a triplet.
+    """
+    scored = minhash_scored_candidates(
+        docs, text_col, id_col, fast=fast
+    ).persist()
+    both = scored.select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("other"), "jaccard"
+    ).union(
+        scored.select(
+            F.col("doc_b").alias("anchor"), F.col("doc_a").alias("other"), "jaccard"
+        )
+    )
+    pos = (
+        both.filter(F.col("jaccard") >= pos_threshold)
+        .groupBy("anchor")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("other").alias("id"), F.col("jaccard").alias("j")
+                ),
+                F.struct(F.col("jaccard").alias("j"), (-F.col("other")).alias("ni")),
+            ).alias("p")
+        )
+    )
+    # hardest negative = the MOST similar candidate still below the
+    # negative threshold (closest to the decision boundary)
+    neg = (
+        both.filter(F.col("jaccard") < neg_threshold)
+        .groupBy("anchor")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col("other").alias("id"), F.col("jaccard").alias("j")
+                ),
+                F.struct(F.col("jaccard").alias("j"), (-F.col("other")).alias("ni")),
+            ).alias("n")
+        )
+    )
+    return pos.join(neg, "anchor").select(
+        "anchor",
+        F.col("p.id").alias("positive_id"),
+        F.col("p.j").alias("positive_jaccard"),
+        F.col("n.id").alias("negative_id"),
+        F.col("n.j").alias("negative_jaccard"),
+    )

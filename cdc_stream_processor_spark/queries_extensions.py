@@ -1253,6 +1253,50 @@ SELECT lang, term, chi2, term_rank FROM (
 """
 
 
+# --- contrastive training triplets -------------------------------------------
+
+TRIPLET_POS_T = 0.5
+TRIPLET_NEG_T = 0.2
+
+
+def q_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.contrastive_triplets(
+        B.load_table(spark, sf_dir, "documents"),
+        pos_threshold=TRIPLET_POS_T,
+        neg_threshold=TRIPLET_NEG_T,
+    )
+
+
+def _contrastive_triplets_sql() -> str:
+    # reuse the MinHash CTE chain up to `scored` (pre-threshold candidates)
+    ctes = _minhash_pairs_ctes()
+    ctes = ctes[: ctes.rindex(", pairs AS (")]
+    return (
+        ctes
+        + f"""
+, both_dir AS (
+  SELECT doc_a AS anchor, doc_b AS other, jaccard FROM scored
+  UNION ALL
+  SELECT doc_b AS anchor, doc_a AS other, jaccard FROM scored
+), pos AS (
+  SELECT anchor, other AS positive_id, jaccard AS positive_jaccard FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+              ORDER BY jaccard DESC, other ASC) AS rn
+    FROM both_dir WHERE jaccard >= {TRIPLET_POS_T}
+  ) WHERE rn = 1
+), neg AS (
+  SELECT anchor, other AS negative_id, jaccard AS negative_jaccard FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor
+              ORDER BY jaccard DESC, other ASC) AS rn
+    FROM both_dir WHERE jaccard < {TRIPLET_NEG_T}
+  ) WHERE rn = 1
+)
+SELECT anchor, positive_id, positive_jaccard, negative_id, negative_jaccard
+FROM pos JOIN neg USING (anchor)
+"""
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1287,6 +1331,7 @@ QUERIES = {
     "batch_inference_embed": q_batch_inference,
     "centroid_pair_sim": q_centroid_pair_sim,
     "chi2_terms": q_chi2_terms,
+    "contrastive_triplets": q_contrastive_triplets,
 }
 
 ORACLES = {
@@ -1323,4 +1368,5 @@ ORACLES = {
     "batch_inference_embed": _batch_inference_sql(),
     "centroid_pair_sim": _centroid_pair_sim_sql(),
     "chi2_terms": _chi2_terms_sql(),
+    "contrastive_triplets": _contrastive_triplets_sql(),
 }

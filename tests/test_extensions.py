@@ -956,3 +956,28 @@ def test_chi2_terms_flags_planted_discriminative_token(spark):
     # the perfectly-discriminative tokens rank first for their language
     assert top[("en", 1)] in ("anglo", "token")
     assert top[("fr", 1)] in ("gaulois", "jeton")
+
+
+def test_contrastive_triplets_invariants(spark, sf_dir):
+    """Every triplet's positive/negative must be the per-anchor best choice
+    under the documented (jaccard DESC, id ASC) order, drawn from the true
+    scored candidate set."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    cands = D.minhash_scored_candidates(docs).collect()
+    both = {}
+    for r in cands:
+        both.setdefault(r["doc_a"], []).append((r["doc_b"], r["jaccard"]))
+        both.setdefault(r["doc_b"], []).append((r["doc_a"], r["jaccard"]))
+    trips = D.contrastive_triplets(docs, pos_threshold=0.5, neg_threshold=0.2).collect()
+    want_anchors = {
+        a
+        for a, os_ in both.items()
+        if any(j >= 0.5 for _, j in os_) and any(j < 0.2 for _, j in os_)
+    }
+    assert {t["anchor"] for t in trips} == want_anchors
+    for t in trips:
+        os_ = both[t["anchor"]]
+        best_pos = max(((j, -o) for o, j in os_ if j >= 0.5))
+        best_neg = max(((j, -o) for o, j in os_ if j < 0.2))
+        assert (t["positive_jaccard"], -t["positive_id"]) == best_pos
+        assert (t["negative_jaccard"], -t["negative_id"]) == best_neg
