@@ -1943,6 +1943,43 @@ FROM cand WHERE rn = 1
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog — average yearly revenue lost to small orders: the
+    per-part correlated scalar subquery (l_quantity < 0.2 * the part's
+    mean quantity) written as-is and DECORRELATED by Catalyst into one
+    aggregate + equi-join (plan-asserted in tests) — the optimizer
+    behavior that makes subquery-style analytics scale.
+
+    Exactness: l_quantity is integer-valued, so per-part sums are exact in
+    double at any accumulation order; the mean is one division, the 0.2
+    scaling one multiply, and the revenue total a DECIMAL sum.
+    """
+    li = B.load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                    / 7.0 AS DOUBLE) AS avg_yearly
+        FROM v_lineitem l
+        WHERE l_quantity < (
+          SELECT 0.2 * AVG(l_quantity) FROM v_lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        """
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+            / 7.0 AS DOUBLE) AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
@@ -1993,6 +2030,7 @@ QUERIES = {
     "ewma_event_rate": q_ewma_event_rate,
     "value_histogram": q_value_histogram,
     "first_touch_attribution": q_first_touch_attribution,
+    "small_quantity_revenue": q_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -2045,4 +2083,5 @@ ORACLES = {
     "ewma_event_rate": _ewma_sql(),
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "first_touch_attribution": SQL_FIRST_TOUCH,
+    "small_quantity_revenue": SQL_SMALL_QUANTITY_REVENUE,
 }

@@ -376,3 +376,14 @@ def test_registry_rotation_prioritizes_unverified_queries():
                 greens[name] = max(greens.get(name, -1), rnd)
     ranks = [greens.get(n, -1) for n in names]
     assert ranks == sorted(ranks)  # never-green (-1) first, then ascending
+
+
+def test_correlated_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
+    """The Q17-style per-part scalar subquery must be rewritten by Catalyst
+    into one per-part aggregate joined back on the key — NOT a per-row
+    re-execution of the inner query. A plan containing the decorrelated
+    aggregate + equi-join proves subquery analytics scale linearly."""
+    plan = _plan(QR.q_small_quantity_revenue(spark, sf_dir))
+    assert "Join" in plan  # the decorrelated equi-join on l_partkey
+    assert plan.count("HashAggregate") >= 2  # inner avg + outer sum
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
