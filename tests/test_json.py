@@ -32,3 +32,25 @@ def test_from_json_corrupt_input_yields_null_not_error(spark):
     got = {r.id: r.k for r in df.collect()}
     assert got[1] == 7
     assert got[2] is None and got[3] is None and got[4] is None and got[5] is None
+
+
+def test_jsonl_and_csv_sources_quarantine_corrupt_rows(spark, tmp_path):
+    from cdc_stream_processor_spark.sources import files as FS
+
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    df = FS.read_jsonl(spark, str(jl), "doc_id long, text string")
+    clean, bad = FS.split_corrupt(df)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert bad.count() == 1 and "NOT JSON" in bad.collect()[0][0]
+
+    cv = tmp_path / "docs.csv"
+    cv.write_text("doc_id,n\n1,10\n2,notanint\n3,30\n")
+    cdf = FS.read_csv(spark, str(cv), "doc_id long, n long")
+    cclean, cbad = FS.split_corrupt(cdf)
+    assert {(r["doc_id"], r["n"]) for r in cclean.collect()} == {(1, 10), (3, 30)}
+    assert cbad.count() == 1
