@@ -978,3 +978,41 @@ def pca_project(
     return vecs.select(id_col, vec_col).mapInPandas(
         project, schema=f"{id_col} long, components array<double>"
     )
+
+
+DIVERSITY_PER_CLUSTER = 10
+
+
+def diversity_sample(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    per_cluster: int = DIVERSITY_PER_CLUSTER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-stratified diversity sampling: assign every vector to its
+    nearest centroid (broadcast map-only pass), then keep ``per_cluster``
+    vectors per cluster by a deterministic LCG draw — the standard
+    embedding-space coverage sampler (every region of the space is
+    represented; a uniform draw oversamples dense regions). Greedy
+    max-min diversity is inherently sequential; per-cluster stratification
+    is its distributable surrogate.
+
+    One WindowGroupLimit shuffle on the (small-cardinality) cluster key
+    after the map-only assignment. Deterministic across engines and
+    partitionings — the draw key is the id LCG, not an RNG.
+    """
+    from cdc_stream_processor_spark.operators.corpus import split_key
+    from cdc_stream_processor_spark.operators.relational import top_k_per_group
+
+    assigned = centroid_assign(vecs, centroids, id_col=id_col, vec_col=vec_col)
+    ranked = top_k_per_group(
+        assigned.withColumn("draw_key", split_key(F.col(id_col))),
+        ["assigned_label"],
+        [F.col("draw_key").asc(), F.col(id_col).asc()],
+        per_cluster,
+        rank_col="draw_rank",
+    )
+    return ranked.select(
+        id_col, "assigned_label", "sim", "draw_rank"
+    )

@@ -1297,6 +1297,34 @@ FROM pos JOIN neg USING (anchor)
     )
 
 
+# --- cluster-stratified diversity sampling -----------------------------------
+
+
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    return S.diversity_sample(emb, S.embedding_centroids(emb))
+
+
+def _diversity_sample_sql() -> str:
+    from cdc_stream_processor_spark.operators.corpus import (
+        SPLIT_A,
+        SPLIT_B,
+        SPLIT_P,
+    )
+
+    assign = _centroid_assign_sql().strip()
+    u = f"(((vec_id * {SPLIT_A} + {SPLIT_B}) % {SPLIT_P})::DOUBLE / {SPLIT_P}::DOUBLE)"
+    return f"""
+WITH assigned AS ({assign})
+SELECT vec_id, assigned_label, sim, draw_rank FROM (
+  SELECT vec_id, assigned_label, sim,
+         ROW_NUMBER() OVER (PARTITION BY assigned_label
+                            ORDER BY {u} ASC, vec_id ASC) AS draw_rank
+  FROM assigned
+) WHERE draw_rank <= {S.DIVERSITY_PER_CLUSTER}
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1332,6 +1360,7 @@ QUERIES = {
     "centroid_pair_sim": q_centroid_pair_sim,
     "chi2_terms": q_chi2_terms,
     "contrastive_triplets": q_contrastive_triplets,
+    "diversity_sample": q_diversity_sample,
 }
 
 ORACLES = {
@@ -1369,4 +1398,5 @@ ORACLES = {
     "centroid_pair_sim": _centroid_pair_sim_sql(),
     "chi2_terms": _chi2_terms_sql(),
     "contrastive_triplets": _contrastive_triplets_sql(),
+    "diversity_sample": _diversity_sample_sql(),
 }

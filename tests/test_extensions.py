@@ -981,3 +981,22 @@ def test_contrastive_triplets_invariants(spark, sf_dir):
         best_neg = max(((j, -o) for o, j in os_ if j < 0.2))
         assert (t["positive_jaccard"], -t["positive_id"]) == best_pos
         assert (t["negative_jaccard"], -t["negative_id"]) == best_neg
+
+
+def test_diversity_sample_covers_every_cluster(spark, sf_dir):
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    cents = S.embedding_centroids(emb)
+    out = S.diversity_sample(emb, cents, per_cluster=4).collect()
+    by_cluster: dict[int, int] = {}
+    for r in out:
+        by_cluster[r["assigned_label"]] = by_cluster.get(r["assigned_label"], 0) + 1
+    n_labels = cents.count()
+    # every populated cluster is represented, capped at per_cluster
+    assert len(by_cluster) == n_labels
+    assert all(c <= 4 for c in by_cluster.values())
+    # deterministic under repartitioning
+    again = sorted(
+        (r["vec_id"], r["draw_rank"])
+        for r in S.diversity_sample(emb.repartition(7), cents, per_cluster=4).collect()
+    )
+    assert again == sorted((r["vec_id"], r["draw_rank"]) for r in out)
