@@ -387,3 +387,17 @@ def test_correlated_subquery_decorrelates_to_aggregate_join(spark, sf_dir):
     assert "Join" in plan  # the decorrelated equi-join on l_partkey
     assert plan.count("HashAggregate") >= 2  # inner avg + outer sum
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_knn_graph_plan_blocked_kernel_no_driver_collect(spark, sf_dir):
+    """knn_graph must run as the distributed block kernel: Arrow InPandas
+    stage fed from the parquet scan (never a LocalTableScan of collected
+    data), with the final per-vector rank kept as a WindowGroupLimit."""
+    from cdc_stream_processor_spark.operators import similarity as S
+    from cdc_stream_processor_spark.sources import batch as B
+
+    df = S.knn_graph(B.load_table(spark, sf_dir, "embeddings"), k=3, block_size=256)
+    plan = _plan(df)
+    assert "InPandas" in plan
+    assert "LocalTableScan" not in plan
+    assert "WindowGroupLimit" in plan
