@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         full.update(QC.QUERIES)
     except ImportError:
         pass
+    try:
+        from cdc_stream_processor_spark import queries_tpch as QT
+
+        full.update(QT.QUERIES)
+    except ImportError:
+        pass
     return {name: full[name] for name in _rotation_order(list(full))}
 
 
@@ -117,6 +123,12 @@ def oracle_sql() -> dict[str, str]:
         from cdc_stream_processor_spark import queries_corpus as QC
 
         out.update(QC.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from cdc_stream_processor_spark import queries_tpch as QT
+
+        out.update(QT.ORACLES)
     except ImportError:
         pass
     return out

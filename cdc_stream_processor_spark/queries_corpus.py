@@ -429,7 +429,7 @@ WITH feats AS (
     GREATEST(len({toks}), 1)::DOUBLE AS safe_words,
     length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS char_sum,
     length(text) - length(replace(text, '#', '')) AS n_hash,
-    len(regexp_extract_all(text, '\.\.\.')) AS n_ellipsis,
+    len(regexp_extract_all(text, '\\.\\.\\.')) AS n_ellipsis,
     len(list_filter({toks}, t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
     len(list_intersect(list_distinct({toks}), [{stop_list}])) AS stop_hits
   FROM documents

@@ -1,0 +1,567 @@
+"""TPC-H-analog subquery-family queries (SURVEY.md §2.11 relational surface).
+
+The reference (Kafka Streams, `ABBankTopology.java`) has no subquery or
+decorrelation surface at all; these queries exercise the Catalyst paths a
+general analytics engine must have — EXISTS / NOT EXISTS semi/anti joins,
+IN over an aggregated subquery, correlated scalar subqueries (decorrelated
+into aggregate + equi-join), scalar-subquery thresholds against global
+aggregates, and outer-join count distributions — each with a bit-exact
+DuckDB oracle.
+
+Exactness rules (same as queries_relational):
+- money sums run in DECIMAL(18,4) on both engines (order-independent),
+  cast to DOUBLE only at the end;
+- threshold comparisons against aggregates are done in decimal/integer
+  arithmetic (`sum * 1000 > total`, `bal * n > total`) — never via a
+  double division whose rounding could flip a boundary row;
+- quantities are integer-valued doubles, exact at any accumulation order;
+- every LIMIT carries a unique tie-break so results are total-ordered.
+
+At 100 TB: every query here is one or two shuffles after Catalyst
+decorrelation; dimension sides (part, supplier, customer, nation) are
+broadcast; the fact-side scans carry pushed filters. No correlated
+per-row re-execution survives optimization (plan-asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.operators.relational import (
+    dsum,
+    global_top_k,
+)
+from cdc_stream_processor_spark.sources import batch as B
+
+
+# --- Q4 analog: order priority checking (EXISTS → left-semi join) -----------
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders (in one quarter) having at least one late-shipped lineitem
+    (shipdate > orderdate + 60 days), counted per priority.
+
+    EXISTS compiles to a left-semi hash join on l_orderkey: the lineitem
+    side is reduced map-side by the lateness predicate before the shuffle,
+    and each order ships at most once into the count regardless of how many
+    of its lines are late.
+    """
+    orders = B.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-04-01"))
+    )
+    li = B.load_table(spark, sf_dir, "lineitem")
+    late = li.select("l_orderkey", "l_shipdate")
+    joined = orders.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_ORDER_PRIORITY_CHECK = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --- Q10 analog: returned-item reporting (join + agg + top-20) --------------
+
+
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns (l_returnflag = 'R') in a
+    quarter, enriched with nation name.
+
+    lineitem⋈orders shuffles once on orderkey; customer and nation broadcast.
+    The top-20 runs as TakeOrderedAndProject (no global sort materialized).
+    """
+    t = B.load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "nation"
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1998-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-04-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        dsum(rev).alias("revenue")
+    )
+    return global_top_k(
+        agg, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20
+    )
+
+
+SQL_RETURNED_ITEM_CUSTOMERS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o_orderdate < TIMESTAMP '1998-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q11 analog: important parts (HAVING vs global-total scalar subquery) ---
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 1.5× the average per-part revenue — the
+    Q11 "important stock" shape with a SCALE-FREE threshold (TPC-H scales
+    Q11's fraction by 1/SF by hand; tying the bar to the average keeps the
+    selectivity stable from sf0.001 to 100 TB).
+
+    The global (total, n_parts) one-row aggregate broadcast-cross-joins
+    onto the per-part aggregate (Catalyst plans the scalar subquery exactly
+    so).  The threshold compares `part_rev * n_parts * 2 > total_rev * 3` in
+    DECIMAL-times-integer — exact, cannot flip on double rounding.
+    """
+    li = B.load_table(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(rev.cast("decimal(18,4)")).alias("rev_dec")
+    )
+    total = per_part.agg(
+        F.sum("rev_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_dec") * F.col("n_parts") * 2 > F.col("total_dec") * 3)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("rev_dec").cast("double").alias("part_revenue"),
+        )
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
+      AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT SUM(rev_dec) AS total_dec, COUNT(*) AS n_parts FROM per_part
+)
+SELECT l_partkey AS p_partkey, CAST(rev_dec AS DOUBLE) AS part_revenue
+FROM per_part, tot
+WHERE rev_dec * n_parts * 2 > total_dec * 3
+"""
+
+
+# --- Q13 analog: customer order-count distribution (outer join + re-agg) ----
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by how many non-urgent orders they placed
+    (including zero-order customers via the left outer join).
+
+    Two aggregations: per-customer count (shuffle on custkey), then the
+    tiny count-of-counts re-aggregation.  The join condition's priority
+    filter lives ON the join (not WHERE) so customers with only urgent
+    orders still appear with c_count = 0 — the classic Q13 trap.
+    """
+    cust = B.load_table(spark, sf_dir, "customer")
+    orders = B.load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+SQL_CUSTDIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+# --- Q14 analog: promo revenue share (conditional aggregate ratio) ----------
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly share of revenue from PROMO-type parts.
+
+    part broadcasts onto the lineitem scan; one shuffle on the month key.
+    Both operands of the final ratio are exact DECIMAL sums; the ratio is
+    one double multiply + one divide in the same literal order on both
+    engines, so the result is bit-identical.
+    """
+    li = B.load_table(spark, sf_dir, "lineitem")
+    part = B.load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month")
+    ).agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", rev)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,4)")
+        ).alias("promo_dec"),
+        F.sum(rev.cast("decimal(18,4)")).alias("total_dec"),
+    )
+    return agg.select(
+        "ship_month",
+        (
+            F.col("promo_dec").cast("double") * 100.0
+            / F.col("total_dec").cast("double")
+        ).alias("promo_share_pct"),
+    )
+
+
+SQL_PROMO_REVENUE = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+             THEN ROUND(l_extendedprice * (1 - l_discount), 4)
+             ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) * 100.0
+  / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+             AS DECIMAL(18,4))) AS DOUBLE) AS promo_share_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
+# --- Q15 analog: top supplier(s) (aggregate view + scalar-max equality) -----
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose half-year revenue equals the maximum over all
+    suppliers — the Q15 view + scalar subquery, with the equality taken on
+    exact DECIMAL revenue so ties and boundaries are engine-independent.
+    """
+    li = B.load_table(spark, sf_dir, "lineitem")
+    supp = B.load_table(spark, sf_dir, "supplier")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-07-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev.cast("decimal(18,4)")).alias("rev_dec"))
+    )
+    mx = revenue.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
+      AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    AND l_shipdate < TIMESTAMP '1998-07-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+"""
+
+
+# --- Q16 analog: supplier diversity per part group (NOT IN → anti join) -----
+
+
+def q_parts_supplier_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count of distinct suppliers per (brand, type, size) for small parts,
+    excluding suppliers with negative account balance (the NOT IN
+    "complaints" subquery → broadcast anti join on the lineitem bridge).
+    """
+    li = B.load_table(spark, sf_dir, "lineitem")
+    part = B.load_table(spark, sf_dir, "part")
+    supp = B.load_table(spark, sf_dir, "supplier")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    bridge = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_size") <= 10)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return bridge.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_PARTS_SUPPLIER_DIST = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 10
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- Q18 analog: large-volume orders (IN over aggregated subquery) ----------
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 200 units, with customer info.
+
+    The IN-subquery (GROUP BY + HAVING) becomes a left-semi join onto
+    orders; quantities are integer-valued so the HAVING sum is exact in
+    double at any accumulation order (asserted by the integer-quantity
+    check in tests).
+    """
+    t = B.load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    return (
+        t["orders"]
+        .join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+SQL_LARGE_ORDERS = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, t.sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+) t ON o_orderkey = t.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- Q22 analog: dormant high-balance customers (NOT EXISTS + scalar avg) ---
+
+
+def q_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per nation: customers with above-average positive balance and no
+    RECENT orders (none since 1998-06-01) — the acquisition-opportunity
+    query (Q22 with nationkey standing in for the phone country code and
+    recency standing in for "never ordered", which is empty on this corpus
+    where every customer has some order).
+
+    The average comparison is done exactly: `bal * n_pos > total_pos` in
+    DECIMAL (count-scaled), never via a double division.  NOT EXISTS is a
+    broadcast anti join of the recent order keys onto customer.
+    """
+    cust = B.load_table(spark, sf_dir, "customer")
+    orders = B.load_table(spark, sf_dir, "orders")
+    bal_dec = F.col("c_acctbal").cast("decimal(18,4)")
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_dec).alias("total_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal_dec * F.col("n_pos") > F.col("total_pos"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("1998-06-01")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal").alias("totacctbal"),
+    )
+
+
+SQL_SALES_OPPORTUNITY = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total_pos,
+         COUNT(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > total_pos
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '1998-06-01'
+  )
+GROUP BY c_nationkey
+"""
+
+
+# --- Q2 analog: min-balance supplier per part (correlated scalar MIN) -------
+
+
+def q_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each small part, the supplier(s) with the minimum account balance
+    among suppliers who actually shipped it — written as the correlated
+    scalar-MIN subquery (TPC-H Q2 shape) and decorrelated by Catalyst into
+    one aggregate + equi-join (plan-asserted in tests).
+
+    The equality compares raw stored doubles (no arithmetic), so it is
+    engine-independent by construction.
+    """
+    B.load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li2")
+    B.load_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supp2")
+    B.load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part2")
+    return spark.sql(
+        """
+        SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+                        s.s_acctbal
+        FROM v_part2 p
+        JOIN v_li2 l ON l.l_partkey = p.p_partkey
+        JOIN v_supp2 s ON l.l_suppkey = s.s_suppkey
+        WHERE p.p_size <= 3
+          AND s.s_acctbal = (
+            SELECT MIN(s2.s_acctbal)
+            FROM v_li2 l2 JOIN v_supp2 s2 ON l2.l_suppkey = s2.s_suppkey
+            WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+SQL_MIN_ACCTBAL_SUPPLIER = """
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE p.p_size <= 3
+  AND s.s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM lineitem l2 JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+
+# --- Q6 analog: banded-predicate revenue (pure scan-side reduction) ---------
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue delta from discounted small-quantity lines in one year — a
+    single filtered scan with every predicate pushed to parquet and one
+    map-side partial sum; the minimal-footprint aggregate (Q6 shape).
+
+    The discount band uses exact decimal bounds (discount values are
+    2-dp doubles; the cast to DECIMAL(8,4) is exact for them).
+    """
+    li = B.load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(8,4)")
+    rev = F.col("l_extendedprice") * F.col("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01"))
+            & (d >= F.lit("0.05").cast("decimal(8,4)"))
+            & (d <= F.lit("0.07").cast("decimal(8,4)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.round(rev, 4)).alias("revenue"))
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 4)
+            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+  AND CAST(l_discount AS DECIMAL(8,4)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+QUERIES = {
+    "order_priority_check": q_order_priority_check,
+    "returned_item_customers": q_returned_item_customers,
+    "important_parts": q_important_parts,
+    "custdist": q_custdist,
+    "promo_revenue": q_promo_revenue,
+    "top_supplier": q_top_supplier,
+    "parts_supplier_dist": q_parts_supplier_dist,
+    "large_orders": q_large_orders,
+    "sales_opportunity": q_sales_opportunity,
+    "min_acctbal_supplier": q_min_acctbal_supplier,
+    "forecast_revenue": q_forecast_revenue,
+}
+
+ORACLES = {
+    "order_priority_check": SQL_ORDER_PRIORITY_CHECK,
+    "returned_item_customers": SQL_RETURNED_ITEM_CUSTOMERS,
+    "important_parts": SQL_IMPORTANT_PARTS,
+    "custdist": SQL_CUSTDIST,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "parts_supplier_dist": SQL_PARTS_SUPPLIER_DIST,
+    "large_orders": SQL_LARGE_ORDERS,
+    "sales_opportunity": SQL_SALES_OPPORTUNITY,
+    "min_acctbal_supplier": SQL_MIN_ACCTBAL_SUPPLIER,
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+}
