@@ -690,6 +690,88 @@ def bloom_decontaminate(
     )
 
 
+# --- segment-level exact dedup-and-rewrite -----------------------------------
+
+SEGMENT_TOKENS = 10
+# first-occurrence key = doc_id * SEG_SHIFT + seg_id: valid while every doc
+# has < SEG_SHIFT segments (10M tokens at the default width) — asserted
+# nowhere at runtime because a violating doc would first blow the token
+# array; the composite stays exact far beyond any real document size.
+SEG_SHIFT = 1_000_000
+
+
+def remove_dup_segments(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = SEGMENT_TOKENS,
+) -> DataFrame:
+    """Segment-level exact dedup-and-rewrite: split every document into
+    fixed-width token segments (the structural analogue of C4's line-level
+    dedup, Raffel et al. '20 §2.2, for corpora without line structure —
+    RefinedWeb and Dolma apply the same keep-one-copy rule per line), keep
+    each distinct segment's FIRST corpus occurrence (min (doc_id, seg_id)),
+    drop every other copy — including within-document repeats — and
+    reconstruct each document from its surviving segments in order.
+
+    Unlike `dup_spans` (which only *signals* shared windows), this operator
+    produces the cleaned corpus. First-occurrence selection uses the exact
+    integer composite doc_id*SEG_SHIFT+seg_id, bit-reproducible in any
+    engine — no struct-ordering or float-rank subtleties.
+
+    Scale shape: one explode to (segment, doc, pos) skinny rows; the
+    first-occurrence pass is a partial-aggregated groupBy on seg_text
+    (hot segments — boilerplate repeated in millions of docs — collapse to
+    one MIN per map task before the shuffle); the keep-set join is an
+    equi-join on seg_text whose right side is one row per DISTINCT segment;
+    reassembly is one groupBy(doc_id) with a sorted-struct collect (the
+    secondary-sort pattern, same as user_event_paths). Returns
+    (doc_id, n_segs, n_kept, clean_text).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("toks")
+    )
+    n_seg = F.ceil(F.size("toks") / F.lit(float(seg_tokens))).cast("long")
+    seg_array = F.when(F.size("toks") > 0, F.transform(
+        F.sequence(F.lit(0).cast("long"), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("toks"), i.cast("int") * seg_tokens + 1, seg_tokens),
+            " ",
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    with_n = toks.select("doc_id", n_seg.alias("n_segs"), seg_array.alias("segs"))
+    segs = with_n.select(
+        "doc_id", F.posexplode("segs").alias("seg_id", "seg_text")
+    )
+    key = F.col("doc_id") * SEG_SHIFT + F.col("seg_id")
+    firsts = (
+        segs.select("seg_text", key.alias("k"))
+        .groupBy("seg_text")
+        .agg(F.min("k").alias("first_key"))
+    )
+    kept = segs.join(firsts, "seg_text").filter(key == F.col("first_key"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg_text"))),
+                lambda s: s["seg_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        with_n.select("doc_id", "n_segs")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 # --- deterministic weighted sampling -----------------------------------------
 
 WEIGHTED_SAMPLE_K = 100

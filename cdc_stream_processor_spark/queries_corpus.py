@@ -197,6 +197,48 @@ FROM toks t, stop s
 """
 
 
+# --- segment-level exact dedup-and-rewrite ------------------------------------
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.remove_dup_segments(B.load_table(spark, sf_dir, "documents"))
+
+
+# Same fixed-width segmentation (1-based inclusive list slice truncates the
+# last partial segment identically), same integer first-occurrence composite
+# doc_id*SEG_SHIFT+seg_id; reassembly orders by seg_id in both engines so
+# clean_text matches byte-for-byte.
+SQL_SEGMENT_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id, {TH.TOKENS_SQL.format(text="text")} AS t FROM documents
+), segs AS (
+  SELECT doc_id, u.i AS seg_id,
+         array_to_string(
+           t[(u.i*{C.SEGMENT_TOKENS}+1):((u.i+1)*{C.SEGMENT_TOKENS})], ' ')
+           AS seg_text
+  FROM toks,
+       UNNEST(range(CAST(ceil(len(t)/{C.SEGMENT_TOKENS}.0) AS BIGINT))) AS u(i)
+), firsts AS (
+  SELECT seg_text, MIN(doc_id*{C.SEG_SHIFT} + seg_id) AS first_key
+  FROM segs GROUP BY seg_text
+), kept AS (
+  SELECT s.doc_id, s.seg_id, s.seg_text
+  FROM segs s JOIN firsts f
+    ON s.seg_text = f.seg_text
+   AND s.doc_id*{C.SEG_SHIFT} + s.seg_id = f.first_key
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg_text, ' ' ORDER BY seg_id) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(ceil(len(t.t)/{C.SEGMENT_TOKENS}.0) AS BIGINT) AS n_segs,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 # --- sliding-window document chunking -----------------------------------------
 
 
@@ -686,6 +728,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "quantize_embeddings": q_quantize_embeddings,
     "boilerplate_removal": q_boilerplate_removal,
+    "segment_dedup": q_segment_dedup,
     "global_shuffle": q_global_shuffle,
     "chunk_documents": q_chunk_documents,
     "temperature_sample": q_temperature_sample,
@@ -709,6 +752,7 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
     "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,

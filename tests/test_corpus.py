@@ -549,3 +549,59 @@ def test_span_masks_non_overlapping_and_in_bounds(spark, sf_dir):
             assert 0 <= r["span_start"] and r["span_start"] + r["span_len"] <= n
             assert r["span_start"] > prev_end  # non-overlap
             prev_end = r["span_start"] + r["span_len"] - 1
+
+
+# --- remove_dup_segments ------------------------------------------------------
+
+
+def test_segment_dedup_keeps_first_occurrence_only(spark):
+    # seg width 3. doc 0 repeats its own first segment (within-doc dup) and
+    # doc 1 copies doc 0's first segment (cross-doc dup): only the (0,0)
+    # copy survives; unique segments are untouched.
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c x y z"),  # segs: "a b c" | "a b c" | "x y z"
+            (1, "a b c q r s"),        # segs: "a b c" | "q r s"
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in C.remove_dup_segments(docs, seg_tokens=3).collect()
+    }
+    assert out[0].n_segs == 3 and out[0].n_kept == 2
+    assert out[0].clean_text == "a b c x y z"  # order preserved
+    assert out[1].n_segs == 2 and out[1].n_kept == 1
+    assert out[1].clean_text == "q r s"
+
+
+def test_segment_dedup_partial_tail_and_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "   "), (2, "a b c d")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in C.remove_dup_segments(docs, seg_tokens=3).collect()
+    }
+    # 4 tokens at width 3 -> 2 segments, tail "d" NOT padded
+    assert out[0].n_segs == 2 and out[0].clean_text == "a b c d"
+    # whitespace-only doc survives with zero segments and empty text
+    assert out[1].n_segs == 0 and out[1].n_kept == 0
+    assert out[1].clean_text == ""
+    # full duplicate doc collapses to nothing but keeps its row
+    assert out[2].n_segs == 2 and out[2].n_kept == 0
+    assert out[2].clean_text == ""
+
+
+def test_segment_dedup_first_pass_partial_aggregates(spark, sf_dir):
+    docs = B.load_table(spark, sf_dir, "documents")
+    plan = (
+        C.remove_dup_segments(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # hot segments collapse map-side before the shuffle: the MIN(first_key)
+    # groupBy must show a partial aggregate, and reassembly must be the
+    # sorted-struct collect (no corpus-wide window sort)
+    assert "partial_min" in plan
+    assert "Window" not in plan
