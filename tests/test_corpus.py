@@ -605,3 +605,49 @@ def test_segment_dedup_first_pass_partial_aggregates(spark, sf_dir):
     # sorted-struct collect (no corpus-wide window sort)
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+# --- bpe_merges ---------------------------------------------------------------
+
+
+def test_bpe_merges_match_hand_computed_reference(spark):
+    # words: low:3, lower:1, lowest:1, new:1, newer:2
+    # r1: (l,o)=5 ties (o,w)=5, p1-asc tie-break -> (l,o)
+    # r2: (lo,w)=5    r3: (e,r)=3 ties (e,w),(n,e) -> (e,r)
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest new newer"), (1, "low low newer")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        C.bpe_merges(docs).collect(), key=lambda r: r.merge_rank
+    )
+    assert [(r.p1, r.p2, r.pair_count) for r in rows] == [
+        ("l", "o", 5),
+        ("lo", "w", 5),
+        ("e", "r", 3),
+    ]
+
+
+def test_bpe_apply_is_canonical_left_scan(spark):
+    # 'aaaa' with pair (a,a) must merge to [aa, aa] (i+=2 scan), never
+    # [aa, a, a] (the over-eager string-replace trap)
+    docs = spark.createDataFrame([(0, "aaaa aaaa")], ["doc_id", "text"])
+    rows = sorted(
+        C.bpe_merges(docs, rounds=2).collect(), key=lambda r: r.merge_rank
+    )
+    assert (rows[0].p1, rows[0].p2, rows[0].pair_count) == ("a", "a", 6)
+    # round 2 sees [aa, aa] per word -> pair (aa, aa) with count 2
+    assert (rows[1].p1, rows[1].p2, rows[1].pair_count) == ("aa", "aa", 2)
+
+
+def test_bpe_rounds_stay_lazy_no_driver_collect(spark, sf_dir):
+    # building the 3-round DAG must not trigger any Spark job
+    docs = B.load_table(spark, sf_dir, "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = C.bpe_merges(docs)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before)
+    assert df.schema.simpleString() == (
+        "struct<merge_rank:int,p1:string,p2:string,pair_count:bigint>"
+    )
