@@ -538,6 +538,220 @@ WHERE l_shipdate >= TIMESTAMP '1998-01-01'
 """
 
 
+# --- Q7 analog: two-nation trade volume (OR pair predicate on dims) ---------
+
+
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped between NATION_1 and NATION_2 (either direction),
+    per (supplier nation, customer nation, year).
+
+    Both nation lookups broadcast; the OR pair predicate evaluates on the
+    broadcast-joined names, so the fact side still makes exactly one
+    orderkey shuffle.  The yearly revenue is an exact DECIMAL sum.
+    """
+    t = B.load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(rev).alias("revenue"))
+
+
+SQL_NATION_TRADE_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+# --- Q8 analog: market share (conditional ratio inside re-aggregation) ------
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_1 suppliers' share of ASIA customers' revenue, per order year.
+
+    The two-level shape of Q8: revenue rows tagged with the supplier
+    nation, then a conditional-sum ratio per year.  Both operands are exact
+    DECIMAL sums; the final division is one double op in identical literal
+    order on both engines.
+    """
+    t = B.load_tables(
+        spark, sf_dir,
+        "customer", "orders", "lineitem", "supplier", "nation", "region",
+    )
+    asia_nations = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    agg = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_1", rev)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,4)")
+        ).alias("nat_dec"),
+        F.sum(rev.cast("decimal(18,4)")).alias("total_dec"),
+    )
+    return agg.select(
+        "o_year",
+        (
+            F.col("nat_dec").cast("double")
+            / F.col("total_dec").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(CASE WHEN n1.n_name = 'NATION_1'
+             THEN ROUND(l_extendedprice * (1 - l_discount), 4)
+             ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+  / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+             AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+"""
+
+
+# --- Q12 analog: priority class counts per return flag ----------------------
+
+
+def q_priority_linecount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag, how many 1998-shipped lines belong to urgent/high
+    orders vs the rest — Q12's dual conditional count (shipmode stood in by
+    l_returnflag, which this corpus has).
+    """
+    orders = B.load_table(spark, sf_dir, "orders")
+    li = B.load_table(spark, sf_dir, "lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    ).join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("l_returnflag").agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+SQL_PRIORITY_LINECOUNT = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag
+"""
+
+
+# --- Q19 analog: disjunctive brand/size/quantity predicates -----------------
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue matching any of three (brand, size-band, quantity-band)
+    clauses — Q19's disjunctive predicate.  Catalyst extracts the common
+    conjuncts and pushes the quantity bounds to the lineitem scan; the
+    per-clause brand/size tests run on the broadcast part side.
+    """
+    li = B.load_table(spark, sf_dir, "lineitem")
+    part = B.load_table(spark, sf_dir, "part")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return joined.filter(clause).agg(dsum(rev).alias("revenue"))
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4)
+            AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 QUERIES = {
     "order_priority_check": q_order_priority_check,
     "returned_item_customers": q_returned_item_customers,
@@ -550,6 +764,10 @@ QUERIES = {
     "sales_opportunity": q_sales_opportunity,
     "min_acctbal_supplier": q_min_acctbal_supplier,
     "forecast_revenue": q_forecast_revenue,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "priority_linecount": q_priority_linecount,
+    "disjunctive_revenue": q_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -564,4 +782,8 @@ ORACLES = {
     "sales_opportunity": SQL_SALES_OPPORTUNITY,
     "min_acctbal_supplier": SQL_MIN_ACCTBAL_SUPPLIER,
     "forecast_revenue": SQL_FORECAST_REVENUE,
+    "nation_trade_volume": SQL_NATION_TRADE_VOLUME,
+    "market_share": SQL_MARKET_SHARE,
+    "priority_linecount": SQL_PRIORITY_LINECOUNT,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
 }
