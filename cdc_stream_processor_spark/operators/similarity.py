@@ -110,6 +110,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 4096,
+    part_col: str | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine similarity ≥ threshold, emitted once per pair as
     (vec_a < vec_b, cosine_sim).
@@ -133,17 +134,30 @@ def cosine_pairs(
     the operator survives any corpus size — compute cost, not memory, is the
     scale limit, which is inherent to EXACT all-pairs. For real corpora use
     the LSH/MinHash candidate families and keep this as the verify/oracle
-    surface."""
+    surface.
+
+    With `part_col`, pairs are scoped WITHIN each partition value (the
+    SemDeDup cluster case): block counts derive per-partition from a
+    broadcast size table — ⌈|part|/block_size⌉ blocks each — so a small
+    cluster is one combo task and a huge one still sub-chunks; total cost
+    drops from O(n²) to O(Σ|part|²). The size lookup also replaces the
+    former driver-side count(): the whole operator is lazy."""
     import numpy as np
 
-    n = vecs.count()
-    n_blocks = max(1, -(-n // block_size))
+    part = F.col(part_col) if part_col else F.lit(0)
     v = vecs.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+        part.alias("part"),
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
     )
+    sizes = v.groupBy("part").agg(F.count(F.lit(1)).alias("pn"))
+    n_blocks = F.greatest(
+        F.lit(1), F.ceil(F.col("pn") / F.lit(float(block_size)))
+    ).cast("long")
     blocks = (
-        v.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
-        .groupBy("blk")
+        v.join(F.broadcast(sizes), "part")
+        .withColumn("blk", F.pmod(F.col("vec_id"), n_blocks))
+        .groupBy("part", "blk")
         .agg(
             F.collect_list("vec_id").alias("ids"),
             F.collect_list("v").alias("vs"),
@@ -152,17 +166,20 @@ def cosine_pairs(
     )
     combos = (
         blocks.select(
+            F.col("part").alias("part_a"),
             F.col("blk").alias("blk_a"),
             F.col("ids").alias("ids_a"),
             F.col("vs").alias("vs_a"),
         )
         .join(
             blocks.select(
+                F.col("part").alias("part_b"),
                 F.col("blk").alias("blk_b"),
                 F.col("ids").alias("ids_b"),
                 F.col("vs").alias("vs_b"),
             ),
-            F.col("blk_a") <= F.col("blk_b"),
+            (F.col("part_a") == F.col("part_b"))
+            & (F.col("blk_a") <= F.col("blk_b")),
             "inner",
         )
     )
@@ -1015,4 +1032,72 @@ def diversity_sample(
     )
     return ranked.select(
         id_col, "assigned_label", "sim", "draw_rank"
+    )
+
+
+# --- SemDeDup: cluster-scoped semantic dedup ----------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+
+def semdedup(
+    vecs: DataFrame,
+    threshold: float = SEMDEDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    block_size: int = 4096,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. '23): semantic deduplication scoped to
+    embedding clusters — assign every vector to its nearest class centroid,
+    find cosine-near-duplicate pairs ONLY within each cluster, group them
+    into components, and keep one representative (min vec_id) per
+    component.
+
+    This is the step that makes semantic dedup tractable at corpus scale:
+    exact near-dup search is O(n²), but scoping it to k clusters costs
+    O(Σ n_c²) ≈ O(n²/k) — the paper's observation that semantic duplicates
+    co-locate in embedding space, so cross-cluster pairs need not be
+    scored.  The price is a principled miss class (near-dups straddling a
+    cluster boundary), inherent to the method.
+
+    Stages, all distributed: centroid build (one (label, dim) partial-agg
+    shuffle), broadcast map-only assignment, the blocked pair kernel
+    per-cluster (`cosine_pairs(part_col=...)`, per-cluster block counts),
+    and min-label connected components over the (tiny) pair table.
+    Returns one row per vector: (vec_id, cluster, rep_id, kept) — `kept`
+    marks the component representative and every unpaired vector.
+    """
+    from cdc_stream_processor_spark.operators.dedup import connected_components
+
+    cents = embedding_centroids(vecs, group_col=label_col, vec_col=vec_col)
+    assign = centroid_assign(
+        vecs, cents, id_col=id_col, vec_col=vec_col, label_col=label_col
+    )
+    clustered = vecs.select(id_col, vec_col).join(
+        assign.select(id_col, "assigned_label"), id_col
+    )
+    pairs = cosine_pairs(
+        clustered,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_size=block_size,
+        part_col="assigned_label",
+    )
+    cc = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    return (
+        clustered.select(
+            F.col(id_col).alias("vec_id"),
+            F.col("assigned_label").alias("cluster"),
+        )
+        .join(cc.withColumnRenamed("id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce("rep", F.col("vec_id")).alias("rep_id"),
+            (F.coalesce("rep", F.col("vec_id")) == F.col("vec_id")).alias(
+                "kept"
+            ),
+        )
     )

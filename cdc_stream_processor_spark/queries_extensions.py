@@ -1325,6 +1325,48 @@ SELECT vec_id, assigned_label, sim, draw_rank FROM (
 """
 
 
+# --- SemDeDup: cluster-scoped semantic dedup ----------------------------------
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup (SemDeDup, Abbas et al. '23): pairs
+    are scored only within nearest-centroid clusters, so the exact kernel
+    runs at O(Σ n_c²) instead of O(n²)."""
+    return S.semdedup(B.load_table(spark, sf_dir, "embeddings"))
+
+
+def _semdedup_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(x.v, y.v), p -> p[1] * p[2])"
+    )
+    nx = _FOLD_SUM.format(arr="list_transform(x.v, t -> t * t)")
+    ny = _FOLD_SUM.format(arr="list_transform(y.v, t -> t * t)")
+    assign = _centroid_assign_sql().strip()
+    # pair CTE keeps dedup_clusters' (doc_a, doc_b) naming so the
+    # transitive-closure CC CTEs (_CC_CTES) drop in unchanged
+    return f"""
+WITH RECURSIVE assigned AS ({assign}),
+v AS (
+  SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS v
+  FROM embeddings
+), cv AS (
+  SELECT a.vec_id, a.assigned_label AS cluster, v.v
+  FROM assigned a JOIN v ON a.vec_id = v.vec_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT x.vec_id AS doc_a, y.vec_id AS doc_b,
+           ROUND(({dot}) / (sqrt({nx}) * sqrt({ny})), 6) AS s
+    FROM cv x JOIN cv y
+      ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  ) WHERE s >= {S.SEMDEDUP_TAU}
+){_CC_CTES}
+SELECT c.vec_id, c.cluster,
+       COALESCE(comp.rep, c.vec_id) AS rep_id,
+       COALESCE(comp.rep, c.vec_id) = c.vec_id AS kept
+FROM cv c LEFT JOIN comp ON comp.id = c.vec_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1361,6 +1403,7 @@ QUERIES = {
     "chi2_terms": q_chi2_terms,
     "contrastive_triplets": q_contrastive_triplets,
     "diversity_sample": q_diversity_sample,
+    "semdedup": q_semdedup,
 }
 
 ORACLES = {
@@ -1399,4 +1442,5 @@ ORACLES = {
     "chi2_terms": _chi2_terms_sql(),
     "contrastive_triplets": _contrastive_triplets_sql(),
     "diversity_sample": _diversity_sample_sql(),
+    "semdedup": _semdedup_sql(),
 }

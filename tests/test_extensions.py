@@ -1000,3 +1000,47 @@ def test_diversity_sample_covers_every_cluster(spark, sf_dir):
         for r in S.diversity_sample(emb.repartition(7), cents, per_cluster=4).collect()
     )
     assert again == sorted((r["vec_id"], r["draw_rank"]) for r in out)
+
+
+# --- semdedup -----------------------------------------------------------------
+
+
+def test_semdedup_reps_are_component_minima_and_cluster_scoped(spark, sf_dir):
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    out = S.semdedup(emb).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == emb.count()  # every vector receives a verdict
+    for r in out:
+        rep = by_id[r.rep_id]
+        assert rep.kept  # representative of any component is kept
+        assert r.rep_id <= r.vec_id  # min-id representative
+        assert rep.cluster == r.cluster  # dedup never crosses clusters
+    # with no near-dups above tau the operator is the identity keep-all;
+    # at tau low enough some component must form on this corpus
+    dropped = [r for r in out if not r.kept]
+    lo = S.semdedup(emb, threshold=0.2).collect()
+    assert sum(not r.kept for r in lo) >= len(dropped)
+
+
+def test_cosine_pairs_part_scoping_subsets_global_pairs(spark, sf_dir):
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    scoped = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_pairs(
+            emb, threshold=0.3, part_col="label"
+        ).collect()
+    }
+    global_ = {
+        (r.vec_a, r.vec_b)
+        for r in S.cosine_pairs(emb, threshold=0.3).collect()
+    }
+    assert scoped <= global_
+    # scoping must agree with the label of both endpoints
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[a] == labels[b] for a, b in scoped)
+    expected = {(a, b) for a, b in global_ if labels[a] == labels[b]}
+    assert scoped == expected
