@@ -1101,3 +1101,118 @@ def semdedup(
             ),
         )
     )
+
+
+# --- distributed Lloyd k-means (fixed rounds, engine-exact) -------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid by squared L2 — the distance is a sequential
+    left-fold over (x-c)², so both engines accumulate in the same order;
+    ties break to the smallest cluster id via an associative min_by."""
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cluster", d.alias("d")
+    )
+    pick = F.min_by(
+        F.struct(F.col("cluster").alias("c"), F.col("d").alias("d")),
+        F.struct(F.col("d").alias("d"), F.col("cluster").alias("c")),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.first("v").alias("v"), pick.alias("_p"))
+        .select(
+            "vec_id",
+            "v",
+            F.col("_p.c").alias("cluster"),
+            F.col("_p.d").alias("d"),
+        )
+    )
+
+
+def _kmeans_rebuild(assigned: DataFrame) -> DataFrame:
+    """Cluster means on the 1e-6 integer grid (same arithmetic as
+    embedding_centroids): per-(cluster, dim) BIGINT sums — order-free —
+    then one correctly-rounded double division per component."""
+    per_dim = assigned.select(
+        "cluster", F.posexplode("v").alias("dim", "x")
+    ).select(
+        "cluster",
+        "dim",
+        (F.col("x") * CENTROID_SCALE).cast("long").alias("xi"),
+    ).groupBy("cluster", "dim").agg(
+        F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("cluster")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sort_array(F.collect_list(F.struct("dim", "s"))).alias("sv"),
+        )
+        .select(
+            "cluster",
+            F.transform(
+                "sv",
+                lambda t: t.getField("s").cast("double")
+                / (F.col("n_vecs") * CENTROID_SCALE).cast("double"),
+            ).alias("cv"),
+        )
+    )
+
+
+def kmeans_labels(
+    vecs: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully-distributed Lloyd k-means over the embedding column, run for a
+    FIXED number of rounds with engine-exact arithmetic — the unsupervised
+    clustering primitive (topic discovery, SemDeDup clustering when no
+    labels exist, IVF coarse quantizer training at full-corpus scale; cf.
+    the bounded driver-SAMPLE spherical k-means inside ivf_topk — this is
+    its no-sample, all-data sibling).
+
+    Determinism: seeds are the k lowest-id vectors; squared-L2 folds are
+    sequential (identical order both engines); cluster means snap to the
+    1e-6 integer grid via BIGINT sums (order-free); argmin ties break to
+    the smallest cluster id. A cluster that loses all members simply stops
+    existing — both engines drop it identically. Every round is therefore
+    bit-reproducible, and the DuckDB oracle replays all rounds as chained
+    CTEs.
+
+    Scale: per round, assignment is a broadcast map-only pass (k·d doubles)
+    + one associative min_by groupBy; the rebuild is one (cluster, dim)
+    partial-agg shuffle of skinny integer rows. iters rounds = 2·iters
+    bounded shuffles; nothing ever collects.
+
+    Returns the final assignment: (vec_id, cluster, sq_dist).
+    """
+    from pyspark.sql.window import Window
+
+    v = vecs.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    w = Window.orderBy("vec_id")
+    cents = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("long").alias("cluster"),
+            F.col("v").alias("cv"),
+        )
+    )
+    assigned = _kmeans_assign(v, cents)
+    for _ in range(iters - 1):
+        assigned = _kmeans_assign(v, _kmeans_rebuild(assigned))
+    return assigned.select(
+        "vec_id", "cluster", F.round("d", 6).alias("sq_dist")
+    )

@@ -1367,6 +1367,66 @@ FROM cv c LEFT JOIN comp ON comp.id = c.vec_id
 """
 
 
+# --- distributed Lloyd k-means -------------------------------------------------
+
+
+def q_kmeans_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.kmeans_labels(B.load_table(spark, sf_dir, "embeddings"))
+
+
+def _kmeans_sql(k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> str:
+    """Replay every Lloyd round as chained CTEs: the same seeded init, the
+    same sequential (x-c)² fold, the same integer-grid mean rebuild."""
+    scale = S.CENTROID_SCALE
+    folddist = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_zip(v.v, c.cv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+    )
+
+    def assign(cn: str, an: str) -> str:
+        return f""", {an} AS (
+  SELECT vec_id, cluster, d FROM (
+    SELECT v.vec_id, c.cluster, {folddist} AS d
+    FROM v CROSS JOIN {cn} c)
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY d ASC, cluster ASC) = 1
+)"""
+
+    def rebuild(an: str, cn: str) -> str:
+        return f""", {cn} AS (
+  SELECT cluster,
+         list(s::DOUBLE / (n * {scale})::DOUBLE ORDER BY dim) AS cv
+  FROM (
+    SELECT a.cluster, g.i AS dim,
+           SUM(trunc(v.v[g.i] * {scale})::BIGINT) AS s,
+           COUNT(*)::BIGINT AS n
+    FROM {an} a JOIN v ON a.vec_id = v.vec_id,
+         unnest(generate_series(1, len(v.v))) AS g(i)
+    GROUP BY 1, 2)
+  GROUP BY cluster
+)"""
+
+    sql = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id) - 1)::BIGINT AS cluster,
+         v AS cv
+  FROM v ORDER BY vec_id LIMIT {k}
+)"""
+    ]
+    for r in range(1, iters + 1):
+        sql.append(assign(f"c{r - 1}", f"a{r}"))
+        if r < iters:
+            sql.append(rebuild(f"a{r}", f"c{r}"))
+    sql.append(
+        f"\nSELECT vec_id, cluster, ROUND(d, 6) AS sq_dist FROM a{iters}"
+    )
+    return "".join(sql)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "incremental_dedup": q_incremental_dedup,
@@ -1404,6 +1464,7 @@ QUERIES = {
     "contrastive_triplets": q_contrastive_triplets,
     "diversity_sample": q_diversity_sample,
     "semdedup": q_semdedup,
+    "kmeans_labels": q_kmeans_labels,
 }
 
 ORACLES = {
@@ -1443,4 +1504,5 @@ ORACLES = {
     "contrastive_triplets": _contrastive_triplets_sql(),
     "diversity_sample": _diversity_sample_sql(),
     "semdedup": _semdedup_sql(),
+    "kmeans_labels": _kmeans_sql(),
 }

@@ -1044,3 +1044,35 @@ def test_cosine_pairs_part_scoping_subsets_global_pairs(spark, sf_dir):
     assert all(labels[a] == labels[b] for a, b in scoped)
     expected = {(a, b) for a, b in global_ if labels[a] == labels[b]}
     assert scoped == expected
+
+
+# --- kmeans_labels ------------------------------------------------------------
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    pts = [
+        (0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 0.1]),
+        (3, [5.0, 5.0]), (4, [5.1, 5.0]), (5, [5.0, 5.1]),
+    ]
+    emb = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = {r.vec_id: r.cluster for r in S.kmeans_labels(emb, k=2, iters=3).collect()}
+    assert {out[0], out[1], out[2]} == {out[0]}  # one cluster
+    assert {out[3], out[4], out[5]} == {out[3]}  # the other
+    assert out[0] != out[3]
+
+
+def test_kmeans_is_partitioning_invariant(spark, sf_dir):
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        (r.vec_id, r.cluster, r.sq_dist)
+        for r in S.kmeans_labels(emb).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster, r.sq_dist)
+        for r in S.kmeans_labels(emb.repartition(13)).collect()
+    )
+    assert a == b
