@@ -644,3 +644,75 @@ def contrastive_triplets(
         F.col("n.id").alias("negative_id"),
         F.col("n.j").alias("negative_jaccard"),
     )
+
+
+# --- directional n-gram containment -------------------------------------------
+
+CONTAINMENT_TAU = 0.5
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = CONTAINMENT_TAU,
+    fast: bool = False,
+) -> DataFrame:
+    """Directional shingle containment C(A→B) = |S(A) ∩ S(B)| / |S(A)|:
+    the asymmetric near-dup signal Jaccard misses when one document quotes
+    or wholly embeds another of very different length (|A| ≪ |B| caps
+    Jaccard at |A|/|B| but containment at 1.0) — the standard
+    quote/subset-detection measure alongside resemblance (Broder '97).
+
+    Shape: one inverted-index self-join on the shingle hash produces each
+    unordered candidate once (a < b) with its shared count — identical
+    cost to ngram_jaccard_pairs — then both directions are emitted from
+    the one shared count with their own denominators (an array explode,
+    no second join).  Emits (doc_a, doc_b, containment) for every ordered
+    pair clearing the threshold.
+    """
+    hs = TH.shingle_hashes(F.col(text_col), k=3, fast=fast)
+    base = (
+        ensure_parallelism(docs)
+        .select(F.col(id_col).alias("doc_id"), hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .persist()
+    )
+    sizes = base.select("doc_id", F.size("hs").alias("n"))
+    inv = base.select("doc_id", F.explode("hs").alias("h"))
+    shared = (
+        inv.alias("a")
+        .join(inv.alias("b"), "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_lo"), F.col("b.doc_id").alias("id_hi")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    directed = shared.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_lo").alias("doc_a"), F.col("id_hi").alias("doc_b")
+                ),
+                F.struct(
+                    F.col("id_hi").alias("doc_a"), F.col("id_lo").alias("doc_b")
+                ),
+            )
+        ).alias("p"),
+        "shared",
+    ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"), "shared")
+    return (
+        directed.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared").cast("double") / F.col("n_a").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

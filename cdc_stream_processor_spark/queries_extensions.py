@@ -1367,6 +1367,34 @@ FROM cv c LEFT JOIN comp ON comp.id = c.vec_id
 """
 
 
+# --- directional n-gram containment --------------------------------------------
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(
+        B.load_table(spark, sf_dir, "documents"), threshold=D.CONTAINMENT_TAU
+    )
+
+
+def _containment_pairs_sql() -> str:
+    return (
+        DOCS_CTE
+        + f"""
+, cpair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.hs, b.hs)) AS shared,
+         len(a.hs) AS n_a
+  FROM shh a JOIN shh b ON a.doc_id <> b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(shared::DOUBLE / n_a::DOUBLE, 6) AS containment
+FROM cpair
+WHERE shared > 0
+  AND ROUND(shared::DOUBLE / n_a::DOUBLE, 6) >= {D.CONTAINMENT_TAU}
+"""
+    )
+
+
 # --- distributed Lloyd k-means -------------------------------------------------
 
 
@@ -1465,6 +1493,7 @@ QUERIES = {
     "diversity_sample": q_diversity_sample,
     "semdedup": q_semdedup,
     "kmeans_labels": q_kmeans_labels,
+    "containment_pairs": q_containment_pairs,
 }
 
 ORACLES = {
@@ -1505,4 +1534,5 @@ ORACLES = {
     "diversity_sample": _diversity_sample_sql(),
     "semdedup": _semdedup_sql(),
     "kmeans_labels": _kmeans_sql(),
+    "containment_pairs": _containment_pairs_sql(),
 }

@@ -1076,3 +1076,22 @@ def test_kmeans_is_partitioning_invariant(spark, sf_dir):
         for r in S.kmeans_labels(emb.repartition(13)).collect()
     )
     assert a == b
+
+
+def test_containment_catches_embedded_quote_jaccard_misses(spark):
+    from cdc_stream_processor_spark.operators import dedup as D
+
+    quote = "alpha beta gamma delta epsilon"
+    host = quote + " " + " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host)], ["doc_id", "text"]
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(docs, threshold=0.9).collect()
+    }
+    # every shingle of the quote appears in the host: C(1->2) = 1.0
+    assert cont[(1, 2)] == 1.0
+    assert (2, 1) not in cont  # the big host is NOT contained in the quote
+    jac = D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    assert jac == []  # resemblance misses the asymmetric relation
