@@ -77,3 +77,39 @@ def profile_table(
         for c in string_cols
     ]
     return row.select(F.explode(F.array(*per_col)).alias("_p")).select("_p.*")
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: the top-k heaviest keys with their row
+    counts and exact skew ratio (count · n_keys / total rows — how many
+    times heavier than the average key).  This is the number that predicts
+    whether a groupBy/join on `key_col` needs salting or AQE skew-join
+    before it straggles at scale: a ratio near 1 is uniform; ratios in the
+    hundreds mean one reducer does hundreds of keys' worth of work.
+
+    One partial-aggregated count shuffle (key-cardinality output), a
+    one-row global (n_keys, total) broadcast, and a TakeOrderedAndProject
+    top-k — the diagnostic itself can never become the skew problem it
+    measures.  The ratio divides exact integers once, so it is
+    engine-exact."""
+    from cdc_stream_processor_spark.operators.relational import global_top_k
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
+    )
+    enriched = counts.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "cnt",
+        (
+            (F.col("cnt") * F.col("n_keys")).cast("double")
+            / F.col("total").cast("double")
+        ).alias("skew_ratio"),
+    )
+    return global_top_k(
+        enriched, [F.col("cnt").desc(), F.col("key").asc()], top_k
+    )

@@ -1725,6 +1725,31 @@ FROM ordered
 """
 
 
+# --- shuffle-key skew diagnostic -----------------------------------------------
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_stream_processor_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(
+        B.load_table(spark, sf_dir, "events"), "user_id", top_k=10
+    )
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id
+), tot AS (
+  SELECT COUNT(*) AS n_keys, SUM(cnt)::BIGINT AS total FROM counts
+)
+SELECT key, cnt,
+       (cnt * n_keys)::DOUBLE / total::DOUBLE AS skew_ratio
+FROM counts, tot
+ORDER BY cnt DESC, key ASC
+LIMIT 10
+"""
+
+
 # --- single-scan table profiling ----------------------------------------------
 
 PROFILE_NUM_COLS = ["event_id", "user_id", "value"]
@@ -2011,6 +2036,7 @@ QUERIES = {
     "zorder_keys": q_zorder_keys,
     "json_props_rollup": q_json_props_rollup,
     "profile_events": q_profile_events,
+    "key_skew_profile": q_key_skew_profile,
     "user_event_paths": q_user_event_paths,
     "daily_ohlc": q_daily_ohlc,
     "concurrent_sessions": q_concurrent_sessions,
@@ -2064,6 +2090,7 @@ ORACLES = {
     "zorder_keys": SQL_ZORDER_KEYS,
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "profile_events": _profile_events_sql(),
+    "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "daily_ohlc": SQL_DAILY_OHLC,
     "concurrent_sessions": _concurrent_sessions_sql(),
