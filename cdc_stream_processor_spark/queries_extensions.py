@@ -1395,6 +1395,35 @@ WHERE shared > 0
     )
 
 
+# --- Johnson–Lindenstrauss random projection -----------------------------------
+
+
+def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.rp_project(B.load_table(spark, sf_dir, "embeddings"))
+
+
+def _rp_project_sql() -> str:
+    sign = (
+        f"(CASE WHEN (((i - 1) * {S.RP_DIMS} + j) * {S.RP_A} + {S.RP_B})"
+        f" % {S.RP_P} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+    )
+    fold = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, len(v)), i -> v[i] * {sign})), "
+        "(acc, x) -> acc + x)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       list_transform(generate_series(0, {S.RP_DIMS - 1}),
+                      j -> {fold} / {float(S.RP_DIMS) ** 0.5}) AS proj
+FROM e
+"""
+
+
 # --- distributed Lloyd k-means -------------------------------------------------
 
 
@@ -1494,6 +1523,7 @@ QUERIES = {
     "semdedup": q_semdedup,
     "kmeans_labels": q_kmeans_labels,
     "containment_pairs": q_containment_pairs,
+    "rp_project": q_rp_project,
 }
 
 ORACLES = {
@@ -1535,4 +1565,5 @@ ORACLES = {
     "semdedup": _semdedup_sql(),
     "kmeans_labels": _kmeans_sql(),
     "containment_pairs": _containment_pairs_sql(),
+    "rp_project": _rp_project_sql(),
 }

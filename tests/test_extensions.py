@@ -1095,3 +1095,27 @@ def test_containment_catches_embedded_quote_jaccard_misses(spark):
     assert (2, 1) not in cont  # the big host is NOT contained in the quote
     jac = D.ngram_jaccard_pairs(docs, threshold=0.3).collect()
     assert jac == []  # resemblance misses the asymmetric relation
+
+
+def test_rp_project_is_an_expected_isometry(spark, sf_dir):
+    """The +-1 JL matrix preserves norms IN EXPECTATION (E||y||^2 =
+    ||x||^2): per-vector ratios scatter (std ~ sqrt(2/r) ~ 0.35 at r=16)
+    but the corpus mean must concentrate near 1 — the property that makes
+    projected distances usable for candidate generation. (Pairwise-order
+    correlation is NOT asserted: this corpus's pairwise distances are
+    near-uniform, so JL noise dominates ordering at r=16 by design.)"""
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    orig = {r.vec_id: list(map(float, r.embedding)) for r in emb.collect()}
+    proj = {r.vec_id: r.proj for r in S.rp_project(emb).collect()}
+    assert set(proj) == set(orig)
+    assert all(len(p) == S.RP_DIMS for p in proj.values())
+    ratios = []
+    for vid, x in orig.items():
+        nx = sum(t * t for t in x)
+        ny = sum(t * t for t in proj[vid])
+        if nx > 0:
+            ratios.append(ny / nx)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
