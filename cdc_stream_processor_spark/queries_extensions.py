@@ -1395,6 +1395,54 @@ WHERE shared > 0
     )
 
 
+# --- triangle counts over the kNN graph ----------------------------------------
+
+
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the exact kNN neighbor graph — the
+    clustering-coefficient numerator (wedge join + closing-edge join)."""
+    from cdc_stream_processor_spark.operators.graph import triangle_counts
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=KNN_K, block_size=512).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return triangle_counts(edges)
+
+
+def _knn_triangles_sql() -> str:
+    knn_full = _knn_graph_sql().strip().removeprefix("WITH")
+    knn = knn_full[
+        : knn_full.rindex("SELECT vec_id, neighbor_id, cosine_sim, rank")
+    ]
+    return f"""
+WITH {knn}
+, e0 AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), ce AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e0 WHERE src <> dst
+), w AS (
+  SELECT x.lo AS a, x.hi AS b, y.hi AS c
+  FROM ce x JOIN ce y ON x.lo = y.lo AND x.hi < y.hi
+), tri AS (
+  SELECT a, b, c FROM w JOIN ce ON ce.lo = w.b AND ce.hi = w.c
+)
+SELECT vertex, COUNT(*)::BIGINT AS n_triangles
+FROM (
+  SELECT a AS vertex FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY vertex
+"""
+
+
 # --- Johnson–Lindenstrauss random projection -----------------------------------
 
 
@@ -1524,6 +1572,7 @@ QUERIES = {
     "kmeans_labels": q_kmeans_labels,
     "containment_pairs": q_containment_pairs,
     "rp_project": q_rp_project,
+    "knn_triangles": q_knn_triangles,
 }
 
 ORACLES = {
@@ -1566,4 +1615,5 @@ ORACLES = {
     "kmeans_labels": _kmeans_sql(),
     "containment_pairs": _containment_pairs_sql(),
     "rp_project": _rp_project_sql(),
+    "knn_triangles": _knn_triangles_sql(),
 }

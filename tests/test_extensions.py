@@ -1119,3 +1119,16 @@ def test_rp_project_is_an_expected_isometry(spark, sf_dir):
             ratios.append(ny / nx)
     mean = sum(ratios) / len(ratios)
     assert 0.85 < mean < 1.15
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from cdc_stream_processor_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every vertex sits in C(3,2)=3 triangles; vertex 5
+    # hangs off vertex 1 and closes nothing. Directions/duplicates must
+    # not double-count.
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    edges += [(1, 5), (5, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
