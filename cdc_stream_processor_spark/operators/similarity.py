@@ -1256,6 +1256,15 @@ def rp_project(
     list_reduce replay); the sign matrix is an LCG of (i, j), never stored.
     No shuffle, no Python, streamable as-is.  out_dims defaults to 16 so
     the √r scaling (÷4.0) is exact in both engines.
+
+    Scope note (measured): JL is a DISTANCE-preserving sketch, not a
+    ranking-preserving one — on this synthetic corpus, whose pairwise
+    similarities are near-uniform (spread ≈ the JL noise even at r=48),
+    candidate generation in projected space recalls < 0.3 of the true
+    top-5, so the engine does NOT register a JL-ANN path; SRP-LSH
+    (bucketing) and IVF (coarse quantization) remain the ANN families.
+    Use rp_project where its actual contract helps: norm/distance
+    estimation, sketch columns, and pre-reduction ahead of clustering.
     """
     v = vecs.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
@@ -1281,3 +1290,4 @@ def rp_project(
             F.sequence(F.lit(0), F.lit(out_dims - 1)), one_dim
         ).alias("proj"),
     )
+
