@@ -753,3 +753,69 @@ def first_touch_attribution(
             ).alias("seconds_since_touch"),
         )
     )
+
+
+SEASON_PERIOD = 7  # weekly seasonality on the daily series
+TREND_HALF = 3  # centered 7-day moving-average trend
+
+
+def seasonal_decompose(
+    events: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Classical additive decomposition of the daily event-count series:
+    cnt = trend + seasonal + residual, with a centered 7-day moving-average
+    trend and day-of-week seasonal means (the moving-average step of
+    STL-style decomposition, kept exactly engine-reproducible).
+
+    Exactness: counts are integers, so the detrended series is carried as
+    the INTEGER numerator 7·cnt − Σ₇cnt (order-free partial sums); trend
+    and seasonal each become ONE double division of exact integers, and
+    the residual is the same left-associated double expression in both
+    engines — no accumulation-order hazard anywhere.  Days with a partial
+    trend window (the first/last 3) are excluded, which is what makes the
+    numerators exact.
+
+    Scale shape: one corpus-scale shuffle into the daily count; the spine
+    fill, trend window, and seasonal means all run on the AGGREGATE-scale
+    daily table (bounded by the calendar — a decade is ~3.7k rows), so the
+    unpartitioned window is a non-issue by construction.  Returns
+    (day, cnt, trend, seasonal, residual).
+    """
+    period, half = SEASON_PERIOD, TREND_HALF
+    daily = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(-half, half)
+    full = (
+        spine.withColumn("sum_w", F.sum("cnt").over(w))
+        .withColumn("cw", F.count(F.lit(1)).over(w))
+        .filter(F.col("cw") == period)
+    )
+    detr = full.withColumn(
+        "detr_num", F.lit(period) * F.col("cnt") - F.col("sum_w")
+    ).withColumn("dow", F.pmod(F.col("day"), F.lit(period)))
+    per_dow = detr.groupBy("dow").agg(
+        F.sum("detr_num").alias("s_num"), F.count(F.lit(1)).alias("n_dow")
+    )
+    out = detr.join(F.broadcast(per_dow), "dow")
+    trend = F.col("sum_w").cast("double") / F.lit(float(period))
+    seasonal = F.col("s_num").cast("double") / (
+        F.lit(period) * F.col("n_dow")
+    ).cast("double")
+    return out.select(
+        "day",
+        "cnt",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("cnt") - trend - seasonal).alias("residual"),
+    )

@@ -1725,6 +1725,49 @@ FROM ordered
 """
 
 
+# --- seasonal decomposition of the daily series ---------------------------------
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.seasonal_decompose(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_SEASONAL_DECOMPOSE = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {R.DAY_US} AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT s.day, COALESCE(d.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT unnest(generate_series(lo, hi)) AS day
+        FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)) s
+  LEFT JOIN daily d USING (day)
+), win AS (
+  SELECT day, cnt,
+         SUM(cnt) OVER w::BIGINT AS sum_w,
+         COUNT(*) OVER w AS cw
+  FROM spine
+  WINDOW w AS (ORDER BY day
+               ROWS BETWEEN {R.TREND_HALF} PRECEDING
+                        AND {R.TREND_HALF} FOLLOWING)
+), detr AS (
+  SELECT day, cnt, sum_w,
+         {R.SEASON_PERIOD} * cnt - sum_w AS detr_num,
+         day % {R.SEASON_PERIOD} AS dow
+  FROM win WHERE cw = {R.SEASON_PERIOD}
+), per_dow AS (
+  SELECT dow, SUM(detr_num)::BIGINT AS s_num, COUNT(*) AS n_dow
+  FROM detr GROUP BY dow
+)
+SELECT d.day, d.cnt,
+       d.sum_w::DOUBLE / {float(R.SEASON_PERIOD)} AS trend,
+       p.s_num::DOUBLE / ({R.SEASON_PERIOD} * p.n_dow)::DOUBLE AS seasonal,
+       d.cnt - d.sum_w::DOUBLE / {float(R.SEASON_PERIOD)}
+             - p.s_num::DOUBLE / ({R.SEASON_PERIOD} * p.n_dow)::DOUBLE
+         AS residual
+FROM detr d JOIN per_dow p USING (dow)
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2037,6 +2080,7 @@ QUERIES = {
     "json_props_rollup": q_json_props_rollup,
     "profile_events": q_profile_events,
     "key_skew_profile": q_key_skew_profile,
+    "seasonal_decompose": q_seasonal_decompose,
     "user_event_paths": q_user_event_paths,
     "daily_ohlc": q_daily_ohlc,
     "concurrent_sessions": q_concurrent_sessions,
@@ -2091,6 +2135,7 @@ ORACLES = {
     "json_props_rollup": SQL_JSON_PROPS_ROLLUP,
     "profile_events": _profile_events_sql(),
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,
+    "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "daily_ohlc": SQL_DAILY_OHLC,
     "concurrent_sessions": _concurrent_sessions_sql(),

@@ -651,3 +651,33 @@ def test_bpe_rounds_stay_lazy_no_driver_collect(spark, sf_dir):
     assert df.schema.simpleString() == (
         "struct<merge_rank:int,p1:string,p2:string,pair_count:bigint>"
     )
+
+
+# --- seasonal_decompose -------------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
+    """cnt(day) = 10 + (day mod 7): for interior days the 7-day trend is
+    exactly 13, the dow seasonal is exactly dow-3, and the residual is
+    exactly 0.0 — the decomposition must recover all three bit-exactly."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = []
+    d0 = 19000  # epoch day (2022-01-08), d0 % 7 == 2
+    eid = 0
+    for day in range(d0, d0 + 28):
+        for _ in range(10 + day % 7):
+            ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+            rows.append((eid, ts))
+            eid += 1
+    events = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = {r.day: r for r in R.seasonal_decompose(events).collect()}
+    # 28 days minus 3 partial-window days each end
+    assert len(out) == 22
+    for day, r in out.items():
+        assert r.cnt == 10 + day % 7
+        assert r.trend == 13.0
+        assert r.seasonal == float(day % 7 - 3)
+        assert r.residual == 0.0
