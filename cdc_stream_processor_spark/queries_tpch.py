@@ -752,6 +752,211 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 """
 
 
+# --- Q9 analog: product-type profit by nation and year ----------------------
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per (supplier nation, order year) for parts whose name contains
+    'widget' — Q9's 5-way join + two-key rollup shape.
+
+    The testdata has no partsupp, so supply cost is modeled as
+    60% of p_retailprice per unit (a deterministic stand-in that preserves
+    the plan shape: the cost column rides the broadcast part side).
+    lineitem⋈orders shuffles once on orderkey; part, supplier and nation
+    broadcast; the profit expression folds into the scan projection.
+    """
+    t = B.load_tables(
+        spark, sf_dir, "lineitem", "orders", "part", "supplier", "nation"
+    )
+    profit = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.round(F.col("p_retailprice") * 0.6, 4) * F.col("l_quantity"),
+        4,
+    )
+    joined = (
+        t["lineitem"]
+        .join(
+            F.broadcast(
+                t["part"].filter(F.col("p_name").contains("widget"))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+SQL_PRODUCT_PROFIT = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                 - ROUND(p_retailprice * 0.6, 4) * l_quantity, 4)
+            AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+
+# --- Q20 analog: dominant suppliers of a part family (nested IN + agg) ------
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped more than 12% of the total shipped quantity of
+    some 'blue' part (a discriminative share given ~100 candidate suppliers
+    per part in the testdata) — Q20's nested-IN-over-aggregated-subquery shape,
+    rewritten the way Catalyst decorrelates it: per-(part, supplier)
+    aggregate joined against the per-part total, integer-exact threshold
+    (qty * 25 > total * 3, no double division), then a semi join back to
+    supplier.
+
+    One shuffle on l_partkey serves both the pair-level and part-level
+    aggregates (partial aggs combine map-side); part and supplier broadcast.
+    """
+    t = B.load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    blue = t["part"].filter(F.col("p_name").startswith("blue")).select("p_partkey")
+    li = t["lineitem"].join(
+        F.broadcast(blue), F.col("l_partkey") == F.col("p_partkey")
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty")
+    )
+    total = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total_qty")
+    )
+    dominant = (
+        pair.join(total, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("qty") * 25 > F.col("total_qty") * 3)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_DOMINANT_PART_SUPPLIERS = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%'
+  GROUP BY l_partkey, l_suppkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) * 25 > (
+    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,4)))
+    FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+  ) * 3
+)
+ORDER BY s_suppkey
+"""
+
+
+# --- Q21 analog: suppliers solely responsible for late orders ---------------
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count, per supplier, the finished ('F') multi-supplier orders where
+    this supplier shipped late (> 90 days after order date) and NO other
+    supplier on the order did — Q21's EXISTS + NOT-EXISTS double-correlated
+    shape (testdata lacks commit/receipt dates, so lateness is
+    shipdate − orderdate > 90 days).
+
+    Implemented as one aggregate per (orderkey, suppkey) carrying
+    late-or-not, then a per-order roll-up: an order charges supplier s iff
+    s is late, the order has ≥ 2 suppliers, and exactly one supplier is
+    late.  This folds both correlated EXISTS probes into a single shuffle
+    on l_orderkey instead of two extra self-joins of lineitem.
+    """
+    t = B.load_tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    li = t["lineitem"].join(
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).cast("int")
+        ).alias("is_late")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").cast("bigint").alias("n_late"),
+    )
+    charged = (
+        pair.filter(F.col("is_late") == 1)
+        .join(
+            per_order.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+            ).select(F.col("l_orderkey").alias("o_key")),
+            F.col("l_orderkey") == F.col("o_key"),
+        )
+    )
+    return (
+        charged.join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH pair AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late)::BIGINT AS n_late
+  FROM pair GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM pair
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE pair.is_late = 1 AND per_order.n_supp >= 2 AND per_order.n_late = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+"""
+
+
 QUERIES = {
     "order_priority_check": q_order_priority_check,
     "returned_item_customers": q_returned_item_customers,
@@ -768,6 +973,9 @@ QUERIES = {
     "market_share": q_market_share,
     "priority_linecount": q_priority_linecount,
     "disjunctive_revenue": q_disjunctive_revenue,
+    "product_profit": q_product_profit,
+    "dominant_part_suppliers": q_dominant_part_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
 }
 
 ORACLES = {
@@ -786,4 +994,7 @@ ORACLES = {
     "market_share": SQL_MARKET_SHARE,
     "priority_linecount": SQL_PRIORITY_LINECOUNT,
     "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "product_profit": SQL_PRODUCT_PROFIT,
+    "dominant_part_suppliers": SQL_DOMINANT_PART_SUPPLIERS,
+    "waiting_suppliers": SQL_WAITING_SUPPLIERS,
 }
