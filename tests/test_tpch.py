@@ -94,3 +94,57 @@ def test_large_orders_threshold_is_exact_on_integer_quantities(spark, sf_dir):
 def test_promo_revenue_share_bounded(spark, sf_dir):
     rows = QT.q_promo_revenue(spark, sf_dir).collect()
     assert rows and all(0.0 <= r.promo_share_pct <= 100.0 for r in rows)
+
+
+def test_product_profit_broadcasts_all_dims(spark, sf_dir):
+    """Q9 analog: the only shuffle join is lineitem⋈orders on orderkey;
+    part, supplier, nation ride broadcasts. A shuffled dim join at 100 TB
+    would re-partition the fact table three extra times."""
+    plan = _plan(QT.q_product_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    rows = QT.q_product_profit(spark, sf_dir).collect()
+    assert rows and all(r.o_year >= 1995 for r in rows)
+
+
+def test_dominant_suppliers_single_fact_shuffle(spark, sf_dir):
+    """Q20 analog: both aggregation levels hang off the same l_partkey
+    shuffle; the supplier probe is a semi join (each supplier once)."""
+    df = QT.q_dominant_part_suppliers(spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    rows = df.collect()
+    assert len({r.s_suppkey for r in rows}) == len(rows)
+
+
+def test_waiting_suppliers_charges_sole_late_supplier_only(spark, sf_dir):
+    """Q21 analog: an order with two late suppliers charges nobody; the
+    per-order roll-up must enforce exactly-one-late + multi-supplier."""
+    import duckdb as _dd
+
+    con = _dd.connect()
+    exact = con.execute(
+        f"""
+        WITH pair AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END) AS is_late
+          FROM '{sf_dir}/lineitem.parquet'
+          JOIN '{sf_dir}/orders.parquet' ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1, 2
+        ), per_order AS (
+          SELECT l_orderkey, COUNT(*) n_supp, SUM(is_late) n_late
+          FROM pair GROUP BY 1
+        )
+        SELECT COUNT(*) FROM pair JOIN per_order USING (l_orderkey)
+        WHERE is_late = 1 AND n_supp >= 2 AND n_late = 1
+        """
+    ).fetchone()[0]
+    total = (
+        QT.q_waiting_suppliers(spark, sf_dir)
+        .agg(F.sum("numwait").cast("bigint").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert total == exact
