@@ -487,6 +487,79 @@ def typo_pairs(
     )
 
 
+BIGRAM_SCALE = 1_000_000_000
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM fluency score from a closed-corpus add-one bigram
+    model: per document, the mean smoothed bigram probability
+    p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V), each probability pre-scaled to
+    an integer floor(p·1e9) so the per-doc sum is order-independent.
+
+    Real CCNet scores with perplexity = 2^(-mean log2 p); log() rounding
+    differs across libms in the last ulp, so the hashed surface uses the
+    scaled-probability mean instead (same fluency signal: documents made
+    of common continuations score high, rare/garbled ones score low).
+    Exactness chain: (c_ab+1)·1e9 is an exact double (< 2^53), one
+    correctly-rounded division, floor — engine-identical by IEEE 754;
+    sums and counts are integers.
+
+    Plan shape (holds at 100 TB):
+      1. bigram explode → groupBy (w1,w2) and groupBy w1: both counts hang
+         off the same exploded relation with map-side partial aggs;
+      2. vocabulary size V is a one-row scalar aggregate (broadcast);
+      3. score join back on (w1,w2) then w1 — shuffle joins (a 100 TB
+         corpus's bigram table outgrows a broadcast; AQE downgrades them
+         to broadcast at small SF);
+      4. per-doc sum: one final shuffle on doc_id with partial aggs.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(t)),"
+                " i -> struct(t[i-2] AS w1, t[i-1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c_ab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    vocab = docs.select(
+        F.explode(TH.tokens(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scaled_p = F.floor(
+        (F.col("c_ab") + 1).cast("double")
+        * F.lit(float(BIGRAM_SCALE))
+        / (F.col("c_a") + F.col("v")).cast("double")
+    )
+    return (
+        bg.join(c_ab, ["w1", "w2"])
+        .join(c_a, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", scaled_p.alias("sp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("sp").alias("sp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sp_sum").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_scaled_p"),
+        )
+    )
+
+
 def doc_rarity(
     docs: DataFrame,
     text_col: str = "text",

@@ -834,6 +834,42 @@ GROUP BY t.doc_id
 """
 
 
+# --- closed-corpus bigram-LM fluency score ------------------------------------
+
+
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bigram_lm_score(B.load_table(spark, sf_dir, "documents"))
+
+
+SQL_BIGRAM_LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, {TH.TOKENS_SQL.format(text="text")} AS t FROM documents
+), widx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(2, len(t))) AS i
+  FROM toks WHERE len(t) >= 2
+), bg AS (
+  SELECT doc_id, t[i-1] AS w1, t[i] AS w2 FROM widx
+), cab AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY w1, w2
+), ca AS (
+  SELECT w1, COUNT(*) AS c_a FROM bg GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w) AS v
+  FROM (SELECT unnest({TH.TOKENS_SQL.format(text="text")}) AS w
+        FROM documents)
+), scored AS (
+  SELECT bg.doc_id,
+         FLOOR((cab.c_ab + 1)::DOUBLE * {float(X.BIGRAM_SCALE)}
+               / (ca.c_a + vocab.v)::DOUBLE)::BIGINT AS sp
+  FROM bg JOIN cab USING (w1, w2) JOIN ca USING (w1), vocab
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       SUM(sp)::BIGINT::DOUBLE / COUNT(*)::DOUBLE AS mean_scaled_p
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- typo-pair join (FastSS deletion-neighborhood blocking) -------------------
 
 
@@ -1540,6 +1576,7 @@ QUERIES = {
     "centroid_assign": q_centroid_assign,
     "typo_pairs": q_typo_pairs,
     "doc_rarity": q_doc_rarity,
+    "bigram_lm_score": q_bigram_lm_score,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -1583,6 +1620,7 @@ ORACLES = {
     "centroid_assign": _centroid_assign_sql(),
     "typo_pairs": SQL_TYPO_PAIRS,
     "doc_rarity": SQL_DOC_RARITY,
+    "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),

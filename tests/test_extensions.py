@@ -1132,3 +1132,36 @@ def test_triangle_counts_on_known_graph(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     out = {r.vertex: r.n_triangles for r in triangle_counts(df).collect()}
     assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """3-doc toy corpus: verify exact smoothed probabilities and that a
+    fluent (common-continuation) doc outscores a garbled one."""
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat sat"),
+            (2, "the cat ran"),
+            (3, "zx qv the"),
+        ],
+    )
+    out = {r.doc_id: r for r in X.bigram_lm_score(docs).collect()}
+    # vocab = {the,cat,sat,ran,zx,qv} -> V=6
+    # histories: c(the·)=2 via (the,cat)x2; c(cat·)=2; c(zx·)=1; c(qv·)=1
+    # doc1: (the,cat): (2+1)/(2+6)=0.375 ; (cat,sat): (1+1)/(2+6)=0.25
+    import math
+
+    exp1 = (math.floor(3 / 8 * 1e9) + math.floor(2 / 8 * 1e9)) / 2
+    assert out[1].n_bigrams == 2
+    assert out[1].mean_scaled_p == exp1
+    # doc3's bigrams (zx,qv),(qv,the) are singletons over singleton
+    # histories: (1+1)/(1+6) each
+    exp3 = math.floor(2 / 7 * 1e9) / 1  # mean of two equal values
+    assert out[3].mean_scaled_p == exp3
+    assert out[1].mean_scaled_p > out[3].mean_scaled_p
+
+
+def test_bigram_lm_score_drops_sub_bigram_docs(spark):
+    docs = _docs(spark, [(1, "single"), (2, "two tokens")])
+    rows = X.bigram_lm_score(docs).collect()
+    assert [r.doc_id for r in rows] == [2]
