@@ -819,3 +819,132 @@ def seasonal_decompose(
         seasonal.alias("seasonal"),
         (F.col("cnt") - trend - seasonal).alias("residual"),
     )
+
+
+ACF_MAX_LAG = 14
+
+
+def acf_daily(
+    events: DataFrame, ts_col: str = "ts", max_lag: int = ACF_MAX_LAG
+) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1..max_lag
+    (the seasonality probe behind picking SEASON_PERIOD).
+
+    Exactness: with a_t = n·x_t − S (integers; the mean-centered series
+    scaled by n), the standard ACF estimator collapses to
+    r_k = Σ_{t≤n−k} a_t·a_{t+k} / Σ_t a_t² — the n² scale cancels, so
+    both sums accumulate in DECIMAL(38,0) (order-free) and r_k is ONE
+    correctly-rounded double division. No libm, no double accumulation.
+
+    Scale shape: one corpus-scale shuffle into the daily count; the dense
+    spine, the scalar (n, S) broadcast, and the lag self-join all run on
+    the calendar-bounded daily table (~3.7k rows/decade × max_lag), so
+    the equality join on day+k is a trivially small exchange.
+    """
+    daily = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    tot = spine.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+    )
+    a = (
+        spine.crossJoin(F.broadcast(tot))
+        .select(
+            "day",
+            (F.col("n") * F.col("cnt") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("a"),
+        )
+    )
+    den = a.agg(F.sum(F.col("a") * F.col("a")).alias("den"))
+    lag_dim = a.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("long").alias("lag")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lag_dim))
+        .alias("x")
+        .join(
+            a.select(
+                F.col("day").alias("day2"), F.col("a").alias("a2")
+            ).alias("y"),
+            F.col("x.day") + F.col("x.lag") == F.col("y.day2"),
+        )
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("a") * F.col("a2")).alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            (F.col("num").cast("double") / F.col("den").cast("double"))
+            .alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+CUSUM_TOP_K = 5
+
+
+def cusum_changepoint(
+    events: DataFrame, ts_col: str = "ts", k: int = CUSUM_TOP_K
+) -> DataFrame:
+    """CUSUM mean-shift scan over the daily event-count series: the top-k
+    candidate changepoint days by |n·P_t − t·S| (P_t = prefix sum through
+    day t, t = 1-based day index, S = series total) — the integer-scaled
+    form of the classic max-|CUSUM| statistic |P_t − (t/n)·S|.
+
+    Exactness: the statistic stays in DECIMAL(38,0) end to end (counts,
+    prefix sums, and two integer products); ties break on earliest day.
+    Scale shape: the only corpus-scale work is the daily groupBy; the
+    prefix-sum window runs unpartitioned but on the calendar-bounded
+    aggregate, and the top-k is a TakeOrderedAndProject.
+    """
+    daily = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = spine.select(
+        "day",
+        "cnt",
+        F.sum("cnt").over(w).cast("decimal(38,0)").alias("p"),
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    tot = spine.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("decimal(38,0)").alias("s"),
+    )
+    d = pref.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "cnt",
+        F.abs(
+            F.col("n") * F.col("p") - F.col("t") * F.col("s")
+        ).alias("cusum_abs"),
+    )
+    return global_top_k(
+        d, [F.col("cusum_abs").desc(), F.col("day").asc()], k
+    ).select("day", "cnt", F.col("cusum_abs").cast("double").alias("cusum_abs"))

@@ -1768,6 +1768,70 @@ FROM detr d JOIN per_dow p USING (dow)
 """
 
 
+# --- daily-series autocorrelation ----------------------------------------------
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.acf_daily(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_ACF_DAILY = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {R.DAY_US} AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT s.day, COALESCE(d.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT unnest(generate_series(lo, hi)) AS day
+        FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)) s
+  LEFT JOIN daily d USING (day)
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(cnt)::BIGINT AS s FROM spine
+), a AS (
+  SELECT day, (n * cnt - s)::DECIMAL(38,0) AS a FROM spine, tot
+), den AS (
+  SELECT SUM(a * a) AS den FROM a
+)
+SELECT lag, COUNT(*) AS n_pairs,
+       SUM(x.a * y.a)::DOUBLE / MAX(den.den)::DOUBLE AS acf
+FROM a x
+CROSS JOIN (SELECT unnest(generate_series(1, {R.ACF_MAX_LAG})) AS lag)
+JOIN a y ON x.day + lag = y.day, den
+GROUP BY lag
+ORDER BY lag
+"""
+
+
+# --- CUSUM changepoint scan -----------------------------------------------------
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.cusum_changepoint(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_CUSUM_CHANGEPOINT = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {R.DAY_US} AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT s.day, COALESCE(d.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT unnest(generate_series(lo, hi)) AS day
+        FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)) s
+  LEFT JOIN daily d USING (day)
+), pref AS (
+  SELECT day, cnt,
+         SUM(cnt) OVER (ORDER BY day)::DECIMAL(38,0) AS p,
+         ROW_NUMBER() OVER (ORDER BY day) AS t
+  FROM spine
+), tot AS (
+  SELECT COUNT(*) AS n, SUM(cnt)::DECIMAL(38,0) AS s FROM spine
+)
+SELECT day, cnt, ABS(n * p - t * s)::DOUBLE AS cusum_abs
+FROM pref, tot
+ORDER BY ABS(n * p - t * s) DESC, day ASC
+LIMIT {R.CUSUM_TOP_K}
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2081,6 +2145,8 @@ QUERIES = {
     "profile_events": q_profile_events,
     "key_skew_profile": q_key_skew_profile,
     "seasonal_decompose": q_seasonal_decompose,
+    "acf_daily": q_acf_daily,
+    "cusum_changepoint": q_cusum_changepoint,
     "user_event_paths": q_user_event_paths,
     "daily_ohlc": q_daily_ohlc,
     "concurrent_sessions": q_concurrent_sessions,
@@ -2136,6 +2202,8 @@ ORACLES = {
     "profile_events": _profile_events_sql(),
     "key_skew_profile": SQL_KEY_SKEW_PROFILE,
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
+    "acf_daily": SQL_ACF_DAILY,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "daily_ohlc": SQL_DAILY_OHLC,
     "concurrent_sessions": _concurrent_sessions_sql(),

@@ -681,3 +681,53 @@ def test_seasonal_decompose_recovers_planted_weekly_pattern(spark):
         assert r.trend == 13.0
         assert r.seasonal == float(day % 7 - 3)
         assert r.residual == 0.0
+
+
+# --- acf_daily / cusum_changepoint --------------------------------------------
+
+
+def test_acf_daily_finds_planted_weekly_period(spark):
+    """cnt(day) = 10 + (day mod 7): the ACF must peak at lag 7 (perfect
+    weekly periodicity) and be strictly lower at every non-multiple lag."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = []
+    d0 = 19000
+    eid = 0
+    for day in range(d0, d0 + 70):
+        for _ in range(10 + day % 7):
+            ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+            rows.append((eid, ts))
+            eid += 1
+    events = spark.createDataFrame(rows, ["event_id", "ts"])
+    acf = {r.lag: r for r in R.acf_daily(events).collect()}
+    assert len(acf) == R.ACF_MAX_LAG
+    assert acf[7].n_pairs == 63
+    assert acf[7].acf > 0.85
+    for k in range(1, 15):
+        if k not in (7, 14):
+            assert acf[k].acf < acf[7].acf - 0.5
+
+
+def test_cusum_changepoint_finds_planted_step(spark):
+    """40 flat days at 5/day then 40 at 15/day: the max-|CUSUM| day must be
+    the step boundary (the last day of the low regime)."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = []
+    d0 = 19000
+    eid = 0
+    for day in range(d0, d0 + 80):
+        for _ in range(5 if day < d0 + 40 else 15):
+            ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+            rows.append((eid, ts))
+            eid += 1
+    events = spark.createDataFrame(rows, ["event_id", "ts"])
+    top = R.cusum_changepoint(events).collect()
+    assert top[0].day == d0 + 39
+    # statistic decays moving away from the boundary
+    assert {r.day for r in top} <= {d0 + 37, d0 + 38, d0 + 39, d0 + 40, d0 + 41}
