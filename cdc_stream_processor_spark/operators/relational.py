@@ -948,3 +948,183 @@ def cusum_changepoint(
     return global_top_k(
         d, [F.col("cusum_abs").desc(), F.col("day").asc()], k
     ).select("day", "cnt", F.col("cusum_abs").cast("double").alias("cusum_abs"))
+
+
+SKYLINE_BUCKETS = 1024
+
+
+def skyline_orders(
+    orders: DataFrame,
+    price_col: str = "o_totalprice",
+    date_col: str = "o_orderdate",
+    id_col: str = "o_orderkey",
+    n_buckets: int = SKYLINE_BUCKETS,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier) of orders maximizing (price, recency):
+    rows with NO other row strictly greater in BOTH columns.
+
+    Distributed shape: a naive skyline is an O(n²) self-join or an
+    unpartitioned window over a global sort — both scale-killers.  This
+    runs the standard bucket-prune: equi-width price buckets (bounds from
+    one scalar agg), per-bucket max date (tiny), a running max over the
+    ≤ n_buckets bucket rows, then the exact strict-dominance test ON THE
+    SURVIVORS ONLY (a point dominated by an eliminated point is always
+    dominated by some survivor — elimination implies a strictly-greater
+    witness, so the dominance chain terminates at a survivor).  The only
+    corpus-scale ops are one scalar agg, one groupBy(bucket), and one
+    broadcast-join filter; the windows run on bucket/candidate-scale rows.
+    Pruning choices (bucket width) affect only intermediate sets, never
+    the result, so they need no cross-engine determinism.
+    """
+    p, d = F.col(price_col), F.col(date_col)
+    bounds = orders.agg(
+        F.min(p).alias("lo"), F.max(p).alias("hi")
+    )
+    b = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (p - F.col("lo"))
+            * F.lit(float(n_buckets))
+            / (F.col("hi") - F.col("lo") + F.lit(1e-9))
+        ),
+    ).alias("bkt")
+    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
+        F.col(id_col), p.alias("price"), d.alias("dt"), b
+    )
+    bmax = bucketed.groupBy("bkt").agg(F.max("dt").alias("bd"))
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mhigh = bmax.select("bkt", F.max("bd").over(wb).alias("md_bkt"))
+    cand = bucketed.join(F.broadcast(mhigh), "bkt").filter(
+        F.col("md_bkt").isNull() | (F.col("dt") >= F.col("md_bkt"))
+    )
+    lv = cand.groupBy("price").agg(F.max("dt").alias("maxd"))
+    wl = Window.orderBy(F.col("price").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    mdl = lv.select("price", F.max("maxd").over(wl).alias("md"))
+    return (
+        cand.join(F.broadcast(mdl), "price")
+        .filter(F.col("md").isNull() | (F.col("dt") >= F.col("md")))
+        .select(
+            F.col(id_col),
+            F.col("price").alias(price_col),
+            F.col("dt").alias(date_col),
+        )
+        .orderBy(F.col(price_col).desc(), F.col(id_col).asc())
+    )
+
+
+def event_type_correlation(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Pairwise Pearson correlation between the daily count series of every
+    event-type pair (the co-movement matrix behind anomaly triage).
+
+    Exactness: every sum (Σx, Σy, Σxy, Σx², Σy², n) is an integer in
+    DECIMAL(38,0); the estimator is then numerator/denominator where each
+    factor is a single correctly-rounded double op (casts, sqrt — IEEE
+    sqrt IS exactly rounded, unlike log/exp — one multiply, one divide).
+    Missing (day, type) cells count as 0 via the dense spine cross join.
+
+    Scale: one corpus shuffle into (day, type) counts; everything after
+    runs on calendar×|types| rows.  |types| is small by assumption (it's
+    an enum column); the pair join is over that tiny relation.
+    """
+    daily = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("day", "et")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .crossJoin(daily.select("et").distinct())
+        .join(daily, ["day", "et"], "left")
+        .select(
+            "day", "et", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+        )
+    )
+    x = spine.select(
+        "day",
+        F.col("et").alias("type_a"),
+        F.col("cnt").cast("decimal(38,0)").alias("xa"),
+    )
+    y = spine.select(
+        "day",
+        F.col("et").alias("type_b"),
+        F.col("cnt").cast("decimal(38,0)").alias("xb"),
+    )
+    pairs = x.join(y, "day").filter(F.col("type_a") < F.col("type_b"))
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_days"),
+        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("corr"),
+    ).orderBy("type_a", "type_b")
+
+
+ROLL_MED_HALF = 3
+
+
+def rolling_median_daily(
+    events: DataFrame, ts_col: str = "ts", half: int = ROLL_MED_HALF
+) -> DataFrame:
+    """Rolling 7-day median of the daily event-count series — the robust
+    denoiser twin of seasonal_decompose's moving average (a single spike
+    moves the mean by spike/7 but leaves the median untouched).
+
+    Spark has no exact-median window frame, so the window is materialized
+    as an offset explode (±half) + equi-join on day, then ONE median
+    aggregate per center day; counts are integers, and an even-count
+    median is (a+b)/2 — two exact ops — so values hash-match the DuckDB
+    twin.  Partial edge windows are dropped (count == 2·half+1 only).
+    Scale: the explode is 7× the CALENDAR-sized daily aggregate, not the
+    corpus.
+    """
+    daily = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    width = 2 * half + 1
+    exploded = spine.select(
+        F.explode(
+            F.sequence(F.lit(-half), F.lit(half))
+        ).alias("off"),
+        (F.col("day")).alias("src_day"),
+        "cnt",
+    ).select((F.col("src_day") + F.col("off")).alias("day"), "cnt")
+    # n_win == width already confines output to full interior windows
+    # (days outside [lo+half, hi-half] receive < width contributions)
+    return (
+        exploded.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.median("cnt").alias("med"),
+        )
+        .filter(F.col("n_win") == width)
+        .select("day", F.col("med").alias("rolling_median"))
+        .orderBy("day")
+    )

@@ -1832,6 +1832,100 @@ LIMIT {R.CUSUM_TOP_K}
 """
 
 
+# --- 2-D skyline (Pareto frontier) ---------------------------------------------
+
+
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.skyline_orders(B.load_table(spark, sf_dir, "orders"))
+
+
+# The oracle uses the naive level-window formulation (fine single-node);
+# the Spark side reaches the same rows through the bucket-pruned plan.
+SQL_SKYLINE_ORDERS = """
+WITH lv AS (
+  SELECT o_totalprice AS price, MAX(o_orderdate) AS maxd
+  FROM orders GROUP BY 1
+), mdl AS (
+  SELECT price,
+         MAX(maxd) OVER (ORDER BY price DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS md
+  FROM lv
+)
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders JOIN mdl ON o_totalprice = mdl.price
+WHERE md IS NULL OR o_orderdate >= md
+ORDER BY o_totalprice DESC, o_orderkey ASC
+"""
+
+
+# --- event-type daily-series correlation ----------------------------------------
+
+
+def q_event_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.event_type_correlation(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_EVENT_TYPE_CORRELATION = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {R.DAY_US} AS day, event_type AS et, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT s.day, t.et, COALESCE(d.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT unnest(generate_series(lo, hi)) AS day
+        FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)) s
+  CROSS JOIN (SELECT DISTINCT et FROM daily) t
+  LEFT JOIN daily d ON s.day = d.day AND t.et = d.et
+), pairs AS (
+  SELECT x.day, x.et AS type_a, y.et AS type_b,
+         x.cnt::DECIMAL(38,0) AS xa, y.cnt::DECIMAL(38,0) AS xb
+  FROM spine x JOIN spine y ON x.day = y.day AND x.et < y.et
+), agg AS (
+  SELECT type_a, type_b,
+         COUNT(*)::DECIMAL(38,0) AS n,
+         SUM(xa) AS sx, SUM(xb) AS sy,
+         SUM(xa * xb) AS sxy, SUM(xa * xa) AS sxx, SUM(xb * xb) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, n::BIGINT AS n_days,
+       (n * sxy - sx * sy)::DOUBLE
+         / (SQRT((n * sxx - sx * sx)::DOUBLE)
+            * SQRT((n * syy - sy * sy)::DOUBLE)) AS corr
+FROM agg
+ORDER BY type_a, type_b
+"""
+
+
+# --- rolling 7-day median ------------------------------------------------------
+
+
+def q_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rolling_median_daily(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_ROLLING_MEDIAN_DAILY = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {R.DAY_US} AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT s.day, COALESCE(d.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT unnest(generate_series(lo, hi)) AS day
+        FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)) s
+  LEFT JOIN daily d USING (day)
+), exploded AS (
+  SELECT day + off AS day, cnt
+  FROM spine,
+       (SELECT unnest(generate_series(-{R.ROLL_MED_HALF},
+                                      {R.ROLL_MED_HALF})) AS off)
+)
+SELECT day, MEDIAN(cnt)::DOUBLE AS rolling_median
+FROM exploded
+GROUP BY day
+HAVING COUNT(*) = {2 * R.ROLL_MED_HALF + 1}
+ORDER BY day
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2147,6 +2241,9 @@ QUERIES = {
     "seasonal_decompose": q_seasonal_decompose,
     "acf_daily": q_acf_daily,
     "cusum_changepoint": q_cusum_changepoint,
+    "skyline_orders": q_skyline_orders,
+    "event_type_correlation": q_event_type_correlation,
+    "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
     "daily_ohlc": q_daily_ohlc,
     "concurrent_sessions": q_concurrent_sessions,
@@ -2204,6 +2301,9 @@ ORACLES = {
     "seasonal_decompose": SQL_SEASONAL_DECOMPOSE,
     "acf_daily": SQL_ACF_DAILY,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "skyline_orders": SQL_SKYLINE_ORDERS,
+    "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
+    "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,
     "daily_ohlc": SQL_DAILY_OHLC,
     "concurrent_sessions": _concurrent_sessions_sql(),

@@ -731,3 +731,83 @@ def test_cusum_changepoint_finds_planted_step(spark):
     assert top[0].day == d0 + 39
     # statistic decays moving away from the boundary
     assert {r.day for r in top} <= {d0 + 37, d0 + 38, d0 + 39, d0 + 40, d0 + 41}
+
+
+def test_skyline_orders_exact_on_planted_frontier(spark):
+    """Hand-built 2-D points with a known strict-dominance frontier,
+    including a same-price tie (both survive: ties are not strict
+    dominance) and a dominated-by-eliminated chain."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    d = lambda n: datetime.datetime(2024, 1, n)  # noqa: E731
+    rows = [
+        # (key, price, date)
+        (1, 100.0, d(10)),  # frontier (max price)
+        (2, 90.0, d(12)),   # frontier
+        (3, 90.0, d(12)),   # same-price+date tie -> also survives
+        (4, 80.0, d(11)),   # dominated by 2 (90>80, 12>11)
+        (5, 70.0, d(15)),   # frontier (most recent)
+        (6, 60.0, d(14)),   # dominated by 5
+        (7, 100.0, d(9)),   # same price as 1, older date: survives
+                            # (equal price is not strict dominance)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    )
+    got = {r.o_orderkey for r in R.skyline_orders(orders).collect()}
+    assert got == {1, 2, 3, 5, 7}
+
+
+def test_event_type_correlation_planted_signs(spark):
+    """Two perfectly anti-phased types -> corr -1; a type proportional to
+    another -> corr +1 (exactly, given integer-exact sums)."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = []
+    eid = 0
+    for day in range(20):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+        a = 5 + (day % 4)
+        for _ in range(a):
+            rows.append((eid, ts, 1, "up", 0.0, "{}")); eid += 1
+        for _ in range(2 * a):
+            rows.append((eid, ts, 1, "double", 0.0, "{}")); eid += 1
+        for _ in range(20 - a):
+            rows.append((eid, ts, 1, "down", 0.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r.type_a, r.type_b): r.corr
+        for r in R.event_type_correlation(events).collect()
+    }
+    # sqrt(vx)·sqrt(vy) rounds twice, so ±1 lands within 2 ulp, not exactly
+    assert abs(out[("double", "up")] - 1.0) < 1e-12
+    assert abs(out[("down", "up")] + 1.0) < 1e-12
+    assert abs(out[("double", "down")] + 1.0) < 1e-12
+
+
+def test_rolling_median_ignores_single_spike(spark):
+    """Flat 10/day with one 100-event spike day: the rolling median stays
+    exactly 10 everywhere (the mean would jump by 90/7)."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = []
+    eid = 0
+    for day in range(21):
+        n = 100 if day == 10 else 10
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+        for _ in range(n):
+            rows.append((eid, ts)); eid += 1
+    events = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = R.rolling_median_daily(events).collect()
+    assert len(out) == 21 - 6
+    assert all(r.rolling_median == 10.0 for r in out)
