@@ -1074,8 +1074,13 @@ def semdedup(
     assign = centroid_assign(
         vecs, cents, id_col=id_col, vec_col=vec_col, label_col=label_col
     )
-    clustered = vecs.select(id_col, vec_col).join(
-        assign.select(id_col, "assigned_label"), id_col
+    # clustered feeds BOTH the pair kernel and the final output join;
+    # persisting it avoids re-planning + re-running the centroid-assign
+    # subtree (measured ~1.5 s of semdedup's fixed cost at sf0.1)
+    clustered = (
+        vecs.select(id_col, vec_col)
+        .join(assign.select(id_col, "assigned_label"), id_col)
+        .persist()
     )
     pairs = cosine_pairs(
         clustered,

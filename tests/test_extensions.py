@@ -490,6 +490,31 @@ def test_connected_components_chain_and_islands(spark):
     got = {r["id"]: r["rep"] for r in D.connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+    # the distributed label-propagation regime must agree exactly with the
+    # small-graph union-find fast path (small_graph_limit=0 forces it)
+    dist = {
+        r["id"]: r["rep"]
+        for r in D.connected_components(
+            pairs, small_graph_limit=0
+        ).collect()
+    }
+    assert dist == got
+
+
+def test_connected_components_long_chain_distributed(spark):
+    """A 60-node path graph: diameter 59 ⇒ the distributed regime must
+    converge through pointer jumping (O(log d) rounds) well inside the
+    25-round cap — a plain propagation loop would need 59 rounds."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["id"]: r["rep"]
+        for r in D.connected_components(
+            pairs, small_graph_limit=0
+        ).collect()
+    }
+    assert out == {i: 1 for i in range(1, 61)}
 
 
 def test_minhash_dedup_keeps_one_per_cluster(spark, sf_dir):
