@@ -1128,3 +1128,169 @@ def rolling_median_daily(
         .select("day", F.col("med").alias("rolling_median"))
         .orderBy("day")
     )
+
+
+AFFINITY_TOP_K = 20
+AFFINITY_MIN_SUPPORT = 2
+
+
+def part_affinity(
+    lineitem: DataFrame,
+    k: int = AFFINITY_TOP_K,
+    min_support: int = AFFINITY_MIN_SUPPORT,
+) -> DataFrame:
+    """Market-basket affinity: top-k part pairs by lift
+    lift(a,b) = P(a,b)/(P(a)·P(b)) = n_ab·N / (n_a·n_b) over orders.
+
+    Exactness: all counts are integers; n_ab·N and n_a·n_b are exact
+    doubles (< 2^53 at any realistic basket count — documented bound),
+    so lift is ONE correctly-rounded division.  Ties break on (a, b).
+
+    Scale shape: baskets are small (lines per order is bounded by the
+    order, not the corpus), so the within-order pair explode is a ≤
+    C(max_lines, 2) fan-out per order off one orderkey shuffle — never a
+    corpus-wide self-join; pair/part counts partial-aggregate; the final
+    top-k is a TakeOrderedAndProject.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pair_cnt = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    part_cnt = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_p")
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    scored = (
+        pair_cnt.join(
+            part_cnt.select(
+                F.col("p").alias("part_a"), F.col("n_p").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_cnt.select(
+                F.col("p").alias("part_b"), F.col("n_p").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.col("n_orders")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+    return global_top_k(
+        scored,
+        [F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()],
+        k,
+    )
+
+
+SURVIVAL_CENSOR_DAYS = 7
+
+
+def survival_curve(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    censor_days: int = SURVIVAL_CENSOR_DAYS,
+) -> DataFrame:
+    """Kaplan–Meier user-survival estimator over event lifetimes:
+    S(t) = Π_{s ≤ t} (1 − d_s/n_s), where a user's lifetime is
+    last-event-day − first-event-day and users whose last event falls
+    within `censor_days` of the corpus end are right-censored (still
+    active; they contribute to the at-risk set but not to deaths).
+
+    Exactness: d_s, c_s, n_s are integers (suffix-sum window on the
+    aggregate-scale lifetime table); each daily factor is one
+    correctly-rounded division; the cumulative product folds
+    LEFT-TO-RIGHT over the sorted factor array — stated as the identical
+    sequential reduce in the DuckDB oracle, so every prefix product is
+    bit-equal (no exp/ln).  The O(T²) prefix-fold runs on ONE collected
+    row of calendar-bounded length (a decade of daily steps is ~3.7k
+    entries — sketch-sized, the same driver-materialization class as a
+    histogram).
+
+    Scale shape: one corpus shuffle to per-user (first, last); everything
+    after runs at lifetime-table scale.  Returns
+    (t_days, n_risk, n_events, n_censored, survival).
+    """
+    # day arithmetic stays in INTEGER division (div) — a double divide +
+    # cast could truncate differently than the oracle's // at quotient
+    # boundaries
+    per_user = events.groupBy(user_col).agg(
+        F.expr(f"max(unix_micros({ts_col})) div {DAY_US}").alias("last_day"),
+        F.expr(
+            f"(max(unix_micros({ts_col})) - min(unix_micros({ts_col})))"
+            f" div {DAY_US}"
+        ).alias("t_days"),
+    )
+    horizon = events.agg(
+        F.expr(f"max(unix_micros({ts_col})) div {DAY_US}").alias("max_day")
+    )
+    marked = per_user.crossJoin(F.broadcast(horizon)).select(
+        "t_days",
+        (
+            F.col("last_day") >= F.col("max_day") - F.lit(censor_days)
+        ).alias("censored"),
+    )
+    lt = marked.groupBy("t_days").agg(
+        F.sum((~F.col("censored")).cast("long")).alias("n_events"),
+        F.sum(F.col("censored").cast("long")).alias("n_censored"),
+    )
+    w_suffix = Window.orderBy(F.col("t_days").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = lt.select(
+        "t_days",
+        "n_events",
+        "n_censored",
+        F.sum(F.col("n_events") + F.col("n_censored"))
+        .over(w_suffix)
+        .alias("n_risk"),
+    )
+    packed = risk.orderBy("t_days").agg(
+        F.collect_list(
+            F.struct("t_days", "n_risk", "n_events", "n_censored")
+        ).alias("rows")
+    )
+    # factor_i = 1 - d_i/n_i (one rounded division); survival_i = the
+    # left fold of factors 0..i — identical literal order in the oracle
+    surv = F.expr(
+        "transform(sequence(1, size(rows)), i -> "
+        " aggregate(slice(rows, 1, i), cast(1.0 as double), "
+        "  (acc, r) -> acc * (cast(1.0 as double) "
+        "   - cast(r.n_events as double) / cast(r.n_risk as double))))"
+    )
+    return (
+        packed.select(
+            F.posexplode(
+                F.arrays_zip(F.col("rows"), surv.alias("surv"))
+            ).alias("pos", "z")
+        )
+        .select(
+            F.col("z.rows.t_days").alias("t_days"),
+            F.col("z.rows.n_risk").alias("n_risk"),
+            F.col("z.rows.n_events").alias("n_events"),
+            F.col("z.rows.n_censored").alias("n_censored"),
+            F.col("z.surv").alias("survival"),
+        )
+        .orderBy("t_days")
+    )

@@ -1926,6 +1926,90 @@ ORDER BY day
 """
 
 
+# --- market-basket part affinity ------------------------------------------------
+
+
+def q_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.part_affinity(B.load_table(spark, sf_dir, "lineitem"))
+
+
+SQL_PART_AFFINITY = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {R.AFFINITY_MIN_SUPPORT}
+), pc AS (
+  SELECT l_partkey AS p, COUNT(*) AS n_p FROM items GROUP BY 1
+), tot AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items
+)
+SELECT part_a, part_b, n_ab,
+       (n_ab * n_orders)::DOUBLE / (pa.n_p * pb.n_p)::DOUBLE AS lift
+FROM pair
+JOIN pc pa ON part_a = pa.p
+JOIN pc pb ON part_b = pb.p, tot
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {R.AFFINITY_TOP_K}
+"""
+
+
+# --- Kaplan–Meier user survival --------------------------------------------------
+
+
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.survival_curve(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_SURVIVAL_CURVE = f"""
+WITH pu AS (
+  SELECT user_id,
+         epoch_us(MAX(ts)) // {R.DAY_US} AS last_day,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // {R.DAY_US} AS t_days
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT epoch_us(MAX(ts)) // {R.DAY_US} AS max_day FROM events
+), marked AS (
+  SELECT t_days,
+         last_day >= max_day - {R.SURVIVAL_CENSOR_DAYS} AS censored
+  FROM pu, horizon
+), lt AS (
+  SELECT t_days,
+         SUM(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS n_events,
+         SUM(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT AS n_censored
+  FROM marked GROUP BY t_days
+), risk AS (
+  SELECT t_days, n_events, n_censored,
+         SUM(n_events + n_censored) OVER (
+           ORDER BY t_days ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         )::BIGINT AS n_risk
+  FROM lt
+), packed AS (
+  SELECT LIST(struct_pack(t_days := t_days, n_risk := n_risk,
+                          n_events := n_events, n_censored := n_censored)
+              ORDER BY t_days ASC) AS rows
+  FROM risk
+), z AS (
+  SELECT unnest(rows) AS r,
+         unnest(list_transform(generate_series(1, len(rows)), i ->
+           list_reduce(
+             list_prepend(1.0::DOUBLE,
+               list_transform(rows[1:i], x ->
+                 1.0::DOUBLE - x.n_events::DOUBLE / x.n_risk::DOUBLE)),
+             (acc, f) -> acc * f))) AS survival
+  FROM packed
+)
+SELECT r.t_days AS t_days, r.n_risk AS n_risk, r.n_events AS n_events,
+       r.n_censored AS n_censored, survival
+FROM z
+ORDER BY t_days
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2242,6 +2326,8 @@ QUERIES = {
     "acf_daily": q_acf_daily,
     "cusum_changepoint": q_cusum_changepoint,
     "skyline_orders": q_skyline_orders,
+    "part_affinity": q_part_affinity,
+    "survival_curve": q_survival_curve,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2302,6 +2388,8 @@ ORACLES = {
     "acf_daily": SQL_ACF_DAILY,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "skyline_orders": SQL_SKYLINE_ORDERS,
+    "part_affinity": SQL_PART_AFFINITY,
+    "survival_curve": SQL_SURVIVAL_CURVE,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

@@ -811,3 +811,50 @@ def test_rolling_median_ignores_single_spike(spark):
     out = R.rolling_median_daily(events).collect()
     assert len(out) == 21 - 6
     assert all(r.rolling_median == 10.0 for r in out)
+
+
+def test_part_affinity_lift_hand_computed(spark):
+    """4 baskets: parts (1,2) co-occur twice, 1 appears 3×, 2 appears 2×,
+    N=4 ⇒ lift(1,2) = 2·4/(3·2) = 4/3. Pair (1,3) has support 1 < 2 and
+    must be filtered."""
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = [
+        (1, 1), (1, 2),
+        (2, 1), (2, 2),
+        (3, 1), (3, 3),
+        (4, 4),
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = R.part_affinity(li, k=10, min_support=2)
+    got = {(r.part_a, r.part_b): (r.n_ab, r.lift) for r in out.collect()}
+    assert got == {(1, 2): (2, 2 * 4 / (3 * 2))}
+
+
+def test_survival_curve_kaplan_meier_hand_computed(spark):
+    """5 users: lifetimes 1,1,2 (events) and 3,3 (censored — last event on
+    the corpus max day). S(1)=1-2/5=0.6; S(2)=0.6·(1-1/3)=0.4; censored
+    rows keep S flat."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    base = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    rows = []
+    # users 1,2: first day0 last day1; user 3: day0..day2;
+    # users 4,5: day17..day20 (last == max day 20 -> censored)
+    for uid, (lo, hi) in enumerate(
+        [(0, 1), (0, 1), (0, 2), (17, 20), (17, 20)], start=1
+    ):
+        rows.append((uid * 100, base + lo * day, uid))
+        rows.append((uid * 100 + 1, base + hi * day, uid))
+    events = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    out = {r.t_days: r for r in R.survival_curve(events).collect()}
+    assert set(out) == {1, 2, 3}
+    assert (out[1].n_risk, out[1].n_events, out[1].n_censored) == (5, 2, 0)
+    assert (out[2].n_risk, out[2].n_events) == (3, 1)
+    assert (out[3].n_risk, out[3].n_events, out[3].n_censored) == (2, 0, 2)
+    assert out[1].survival == 1.0 * (1 - 2 / 5)
+    assert out[2].survival == (1.0 * (1 - 2 / 5)) * (1 - 1 / 3)
+    assert out[3].survival == out[2].survival  # censoring never drops S
