@@ -1296,3 +1296,151 @@ def rp_project(
         ).alias("proj"),
     )
 
+
+
+# --- product quantization (PQ codes) ------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_KSUB = 16  # centroids per subspace (4-bit codes)
+PQ_ITERS = 3
+
+
+def _pq_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per-subspace nearest centroid — `_kmeans_assign` with the subspace
+    id riding the join key (centroid table is m·ksub rows, broadcast)."""
+    d = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(F.broadcast(cents), "sub").select(
+        "vec_id", "sub", "v", "cluster", d.alias("d")
+    )
+    pick = F.min_by(
+        F.struct(F.col("cluster").alias("c"), F.col("d").alias("d")),
+        F.struct(F.col("d").alias("d"), F.col("cluster").alias("c")),
+    )
+    return (
+        scored.groupBy("vec_id", "sub")
+        .agg(F.first("v").alias("v"), pick.alias("_p"))
+        .select(
+            "vec_id",
+            "sub",
+            "v",
+            F.col("_p.c").alias("cluster"),
+            F.col("_p.d").alias("d"),
+        )
+    )
+
+
+def _pq_rebuild(assigned: DataFrame) -> DataFrame:
+    """Per-(subspace, cluster) means on the 1e-6 integer grid — the
+    `_kmeans_rebuild` arithmetic keyed by subspace."""
+    per_dim = (
+        assigned.select(
+            "sub", "cluster", F.posexplode("v").alias("dim", "x")
+        )
+        .select(
+            "sub",
+            "cluster",
+            "dim",
+            (F.col("x") * CENTROID_SCALE).cast("long").alias("xi"),
+        )
+        .groupBy("sub", "cluster", "dim")
+        .agg(F.sum("xi").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_dim.groupBy("sub", "cluster")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.sort_array(F.collect_list(F.struct("dim", "s"))).alias("sv"),
+        )
+        .select(
+            "sub",
+            "cluster",
+            F.transform(
+                "sv",
+                lambda t: t.getField("s").cast("double")
+                / (F.col("n_vecs") * CENTROID_SCALE).cast("double"),
+            ).alias("cv"),
+        )
+    )
+
+
+def pq_codes(
+    vecs: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. '11): split each d-dim vector
+    into m subvectors, Lloyd-cluster each subspace to ksub centroids, and
+    emit each vector's m-byte code word + exact reconstruction error —
+    the memory-compression stage under IVF-PQ ANN indexes (m·log2(ksub)
+    bits per vector instead of d·64).
+
+    Determinism (inherited verbatim from `kmeans_labels`): subspace seeds
+    are the ksub lowest-id subvectors, distances fold sequentially, means
+    snap to the 1e-6 integer grid, ties break to the smallest cluster,
+    and the per-vector error folds the m subspace distances IN SUBSPACE
+    ORDER — so the DuckDB oracle replays every round bit-for-bit.
+
+    Scale: the subspace explode is a fixed m× fan-out of d/m-length rows
+    (same bytes as the input); per round, assignment is one broadcast
+    (m·ksub·d/m = ksub·d doubles) map-only pass + an associative min_by,
+    and the rebuild is one (sub, cluster, dim) partial-agg shuffle of
+    skinny integers.  Nothing collects; codes stay distributed.
+
+    Returns (vec_id, codes array<long> length m, recon_err double).
+    """
+    v0 = vecs.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("fv")
+    )
+    v = v0.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        "fv",
+    ).select(
+        "vec_id",
+        "sub",
+        F.expr(
+            f"slice(fv, sub * (size(fv) div {m}) + 1,"
+            f" size(fv) div {m})"
+        ).alias("v"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("sub").orderBy("vec_id")
+    cents = (
+        v.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ksub)
+        .select(
+            "sub",
+            (F.col("rn") - 1).cast("long").alias("cluster"),
+            F.col("v").alias("cv"),
+        )
+    )
+    assigned = _pq_assign(v, cents)
+    for _ in range(iters - 1):
+        assigned = _pq_assign(v, _pq_rebuild(assigned))
+    err = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("sub", "d"))),
+            lambda t: t.getField("d"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        assigned.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("sub", "cluster"))),
+                lambda t: t.getField("cluster"),
+            ).alias("codes"),
+            F.round(err, 6).alias("recon_err"),
+        )
+        .select("vec_id", "codes", "recon_err")
+    )

@@ -1568,8 +1568,80 @@ def _kmeans_sql(k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> str:
     return "".join(sql)
 
 
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.pq_codes(B.load_table(spark, sf_dir, "embeddings"))
+
+
+def _pq_sql(
+    m: int = S.PQ_M, ksub: int = S.PQ_KSUB, iters: int = S.PQ_ITERS
+) -> str:
+    """Replay product quantization round-for-round: the kmeans_labels CTE
+    chain keyed by subspace (see `_kmeans_sql` — identical arithmetic)."""
+    scale = S.CENTROID_SCALE
+    folddist = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_zip(v.v, c.cv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+    )
+
+    def assign(cn: str, an: str) -> str:
+        return f""", {an} AS (
+  SELECT vec_id, sub, cluster, d FROM (
+    SELECT v.vec_id, v.sub, c.cluster, {folddist} AS d
+    FROM v JOIN {cn} c USING (sub))
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                             ORDER BY d ASC, cluster ASC) = 1
+)"""
+
+    def rebuild(an: str, cn: str) -> str:
+        return f""", {cn} AS (
+  SELECT sub, cluster,
+         list(s::DOUBLE / (n * {scale})::DOUBLE ORDER BY dim) AS cv
+  FROM (
+    SELECT a.sub, a.cluster, g.i AS dim,
+           SUM(trunc(v.v[g.i] * {scale})::BIGINT) AS s,
+           COUNT(*)::BIGINT AS n
+    FROM {an} a JOIN v ON a.vec_id = v.vec_id AND a.sub = v.sub,
+         unnest(generate_series(1, len(v.v))) AS g(i)
+    GROUP BY 1, 2, 3)
+  GROUP BY sub, cluster
+)"""
+
+    sql = [
+        f"""WITH v0 AS (
+  SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS fv
+  FROM embeddings
+), v AS (
+  SELECT vec_id, s.sub,
+         list_slice(fv, s.sub * (len(fv) // {m}) + 1,
+                    (s.sub + 1) * (len(fv) // {m})) AS v
+  FROM v0, (SELECT unnest(generate_series(0, {m - 1})) AS sub) s
+), c0 AS (
+  SELECT sub, (rn - 1)::BIGINT AS cluster, v AS cv FROM (
+    SELECT sub, v,
+           ROW_NUMBER() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM v)
+  WHERE rn <= {ksub}
+)"""
+    ]
+    for r in range(1, iters + 1):
+        sql.append(assign(f"c{r - 1}", f"a{r}"))
+        if r < iters:
+            sql.append(rebuild(f"a{r}", f"c{r}"))
+    sql.append(
+        f"""
+SELECT vec_id, list(cluster ORDER BY sub) AS codes,
+       ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sub)),
+                         (acc, x) -> acc + x), 6) AS recon_err
+FROM a{iters}
+GROUP BY vec_id"""
+    )
+    return "".join(sql)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "pq_codes": q_pq_codes,
     "incremental_dedup": q_incremental_dedup,
     "bigram_lift_topk": q_bigram_lift,
     "embedding_centroids": q_embedding_centroids,
@@ -1651,6 +1723,7 @@ ORACLES = {
     "diversity_sample": _diversity_sample_sql(),
     "semdedup": _semdedup_sql(),
     "kmeans_labels": _kmeans_sql(),
+    "pq_codes": _pq_sql(),
     "containment_pairs": _containment_pairs_sql(),
     "rp_project": _rp_project_sql(),
     "knn_triangles": _knn_triangles_sql(),

@@ -1190,3 +1190,55 @@ def test_bigram_lm_score_drops_sub_bigram_docs(spark):
     docs = _docs(spark, [(1, "single"), (2, "two tokens")])
     rows = X.bigram_lm_score(docs).collect()
     assert [r.doc_id for r in rows] == [2]
+
+
+def test_pq_codes_planted_subspace_clusters(spark):
+    """Vectors built from 2 prototype subvectors per subspace (+0 noise):
+    PQ with ksub=2 must reach recon_err == 0 and assign equal codes to
+    equal subvectors."""
+    import itertools
+
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    protos = {0: [1.0, 2.0, 3.0, 4.0], 1: [-1.0, 0.5, 2.5, -3.0]}
+    # combo order puts (0,0) and (1,1) at the 2 lowest ids so the per-
+    # subspace seeds (ksub lowest vec_ids) are DISTINCT subvectors —
+    # duplicate seeds would collapse k-means to one cluster by design
+    combos = [(0, 0), (1, 1), (0, 1), (1, 0)]
+    rows = []
+    for rep in range(3):  # replicate so clusters have mass
+        for c, (c1, c2) in enumerate(combos):
+            rows.append((rep * 4 + c, protos[c1] + protos[c2]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: r
+        for r in S.pq_codes(vecs, m=2, ksub=2, iters=3).collect()
+    }
+    assert len(out) == 12
+    assert all(r.recon_err == 0.0 for r in out.values())
+    assert all(len(r.codes) == 2 for r in out.values())
+    # identical vectors share identical code words
+    for c in range(4):
+        codes = {tuple(out[rep * 4 + c].codes) for rep in range(3)}
+        assert len(codes) == 1
+    # different combos get different code words
+    assert len({tuple(out[c].codes) for c in range(4)}) == 4
+
+
+def test_pq_codes_code_range_and_coverage(spark, sf_dir):
+    from cdc_stream_processor_spark.operators import similarity as S
+    from cdc_stream_processor_spark.sources import batch as B
+    from pyspark.sql import functions as F
+
+    vecs = B.load_table(spark, sf_dir, "embeddings")
+    out = S.pq_codes(vecs)
+    n = vecs.count()
+    assert out.count() == n
+    bad = out.filter(
+        F.exists(
+            "codes", lambda c: (c < 0) | (c >= F.lit(S.PQ_KSUB))
+        )
+    ).count()
+    assert bad == 0
+    assert out.filter(F.size("codes") != S.PQ_M).count() == 0
+    assert out.filter(F.col("recon_err") < 0).count() == 0
