@@ -1639,9 +1639,62 @@ GROUP BY vec_id"""
     return "".join(sql)
 
 
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return S.pq_adc_topk(queries, emb)
+
+
+def _pq_adc_sql(
+    m: int = S.PQ_M,
+    ksub: int = S.PQ_KSUB,
+    iters: int = S.PQ_ITERS,
+    k: int = S.PQ_ADC_K,
+) -> str:
+    """ADC search replay: the PQ training CTE chain (identical to
+    `_pq_sql`), then the per-query LUT and the subspace-ordered distance
+    fold."""
+    train = _pq_sql(m, ksub, iters)
+    # strip _pq_sql's final SELECT; keep its WITH chain
+    head = train[: train.rindex("\nSELECT vec_id, list(cluster ORDER BY sub)")]
+    folddist = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_transform(list_zip(q.v, c.cv), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+    )
+    return (
+        head
+        + f""", qs AS (
+  SELECT vec_id AS query_id, sub, v FROM v
+  WHERE vec_id % {QUERY_STRIDE} = 0
+), lut AS (
+  SELECT q.query_id, q.sub, c.cluster, {folddist} AS ld
+  FROM qs q JOIN c{iters - 1} c USING (sub)
+), scored AS (
+  SELECT l.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_reduce(
+           list_prepend(0.0::DOUBLE, list(l.ld ORDER BY l.sub)),
+           (acc, x) -> acc + x), 6) AS approx_sq_dist
+  FROM a{iters} a
+  JOIN lut l ON a.sub = l.sub AND a.cluster = l.cluster
+  WHERE l.query_id != a.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, approx_sq_dist,
+       rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id
+    ORDER BY approx_sq_dist ASC, neighbor_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {k}
+"""
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
     "incremental_dedup": q_incremental_dedup,
     "bigram_lift_topk": q_bigram_lift,
     "embedding_centroids": q_embedding_centroids,
@@ -1724,6 +1777,7 @@ ORACLES = {
     "semdedup": _semdedup_sql(),
     "kmeans_labels": _kmeans_sql(),
     "pq_codes": _pq_sql(),
+    "pq_adc_topk": _pq_adc_sql(),
     "containment_pairs": _containment_pairs_sql(),
     "rp_project": _rp_project_sql(),
     "knn_triangles": _knn_triangles_sql(),

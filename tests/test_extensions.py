@@ -1242,3 +1242,47 @@ def test_pq_codes_code_range_and_coverage(spark, sf_dir):
     assert bad == 0
     assert out.filter(F.size("codes") != S.PQ_M).count() == 0
     assert out.filter(F.col("recon_err") < 0).count() == 0
+
+
+def test_pq_adc_planted_duplicate_is_rank_one(spark):
+    """A query identical to a corpus vector must rank its twin first, and
+    the ADC distance to the twin equals the twin's PQ reconstruction
+    error exactly (both are the distance to the twin's reconstructed
+    codeword — same folds, same order)."""
+    rows = [
+        (i, [float((i * 13 + j * 5) % 17) - 8.0 for j in range(8)])
+        for i in range(24)
+    ]
+    rows.append((100, list(rows[3][1])))  # exact duplicate of vec 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.pq_adc_topk(
+        emb.filter("vec_id = 100"), emb, k=3, m=2, ksub=4, iters=2
+    ).collect()
+    assert out[0].neighbor_id == 3 and out[0].rank == 1
+    recon = {
+        r.vec_id: r.recon_err
+        for r in S.pq_codes(emb, m=2, ksub=4, iters=2).collect()
+    }
+    assert out[0].approx_sq_dist == recon[3]
+
+
+def test_pq_adc_recall_floor_and_shape(spark, sf_dir):
+    """Uniform-sphere corpus = PQ's worst case; the floor pins the
+    measured deterministic recall (0.24–0.30 at m=8/ksub=16), not a
+    production claim — see the operator docstring."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(queries, emb, k=5).collect()}
+    adc = S.pq_adc_topk(queries, emb, k=5).collect()
+    adc_set = {(r.query_id, r.neighbor_id) for r in adc}
+    recall = len(exact & adc_set) / len(exact)
+    assert recall >= 0.2, f"ADC recall regressed: {recall}"
+    # full top-k per query, distances non-negative and rank-ordered
+    per_q = {}
+    for r in adc:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        ds = [r.approx_sq_dist for r in rs]
+        assert ds == sorted(ds) and ds[0] >= 0.0
