@@ -1294,3 +1294,136 @@ def survival_curve(
         )
         .orderBy("t_days")
     )
+
+
+AB_CONVERSION_TYPE = "purchase"
+AB_CONVERSION_MIN = 14  # conversions = users with >= this many events
+
+
+def ab_test_zscores(
+    events: DataFrame,
+    conversion_type: str = AB_CONVERSION_TYPE,
+    min_count: int = AB_CONVERSION_MIN,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Two-proportion z-test of conversion rate between a deterministic
+    50/50 user split (user_id parity — the replayable stand-in for an
+    assignment table): z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)).
+    "Conversion" = the user logged ≥ min_count events of the conversion
+    type (a count threshold — on this corpus every user purchases at
+    least once, so presence alone is degenerate with p̂ = 1).
+
+    Exactness: group sizes and conversion counts are integers; the z
+    expression is a fixed tree of single correctly-rounded IEEE ops
+    (divisions, one subtraction, multiplies, IEEE-exact sqrt) stated
+    identically in the oracle — no accumulation-order hazard.
+
+    Scale: one shuffle to per-user conversion flags, then integer
+    partial aggs; output is one row per arm pair (constant).
+    Returns (n_a, n_b, conv_a, conv_b, rate_a, rate_b, z_score).
+    """
+    per_user = events.groupBy(user_col).agg(
+        (
+            F.sum((F.col("event_type") == conversion_type).cast("long"))
+            >= min_count
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    armed = per_user.select(
+        F.pmod(F.col(user_col), F.lit(2)).alias("arm"),
+        "converted",
+    )
+    agg = armed.groupBy().pivot("arm", [0, 1]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").cast("long").alias("conv"),
+    )
+    n_a, n_b = F.col("0_n"), F.col("1_n")
+    c_a, c_b = F.col("0_conv"), F.col("1_conv")
+    p_a = c_a.cast("double") / n_a.cast("double")
+    p_b = c_b.cast("double") / n_b.cast("double")
+    p_pool = (c_a + c_b).cast("double") / (n_a + n_b).cast("double")
+    se = F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / n_a.cast("double")
+            + F.lit(1.0) / n_b.cast("double")
+        )
+    )
+    return agg.select(
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        c_a.alias("conv_a"),
+        c_b.alias("conv_b"),
+        p_a.alias("rate_a"),
+        p_b.alias("rate_b"),
+        # degenerate arms (p_pool 0 or 1) -> NULL, stated in both engines
+        F.when(se != 0.0, (p_a - p_b) / se).alias("z_score"),
+    )
+
+
+EXPECT_VALUE_MAX = 1_000_000.0
+
+
+def expectation_suite(events: DataFrame) -> DataFrame:
+    """Declarative data-quality expectation suite over the events table —
+    the Great-Expectations-shaped pre-training gate: one row per check,
+    (check, passed, n_violations), all checks evaluated in a SINGLE
+    aggregation pass over one scan (conditional counts — profiling's
+    one-pass pattern, not one job per rule).
+
+    Checks: required columns non-null, event_id unique, value within
+    [0, EXPECT_VALUE_MAX], ts within [2000, 2100), event_type in the
+    observed enum ∪ no empty strings, props parseable JSON (try-cast).
+    """
+    checks = [
+        ("event_id_not_null", F.col("event_id").isNull()),
+        ("user_id_not_null", F.col("user_id").isNull()),
+        ("ts_not_null", F.col("ts").isNull()),
+        (
+            "value_in_range",
+            ~F.col("value").between(0.0, EXPECT_VALUE_MAX)
+            & F.col("value").isNotNull(),
+        ),
+        (
+            "ts_in_century",
+            (F.year("ts") < 2000) | (F.year("ts") >= 2100),
+        ),
+        (
+            "event_type_not_blank",
+            F.col("event_type").isNull() | (F.trim("event_type") == ""),
+        ),
+        (
+            "props_valid_json",
+            F.col("props").isNotNull()
+            & F.try_parse_json(F.col("props")).isNull(),
+        ),
+    ]
+    aggs = [
+        F.sum(cond.cast("long")).alias(f"v_{name}") for name, cond in checks
+    ]
+    # uniqueness needs a distinct — countDistinct rides the same agg
+    aggs.append(
+        (F.count("event_id") - F.countDistinct("event_id")).alias("v_dup")
+    )
+    row = events.agg(*aggs)
+    per_check = [
+        F.struct(
+            F.lit(name).alias("check"),
+            (F.col(f"v_{name}") == 0).alias("passed"),
+            F.col(f"v_{name}").alias("n_violations"),
+        )
+        for name, _ in checks
+    ] + [
+        F.struct(
+            F.lit("event_id_unique").alias("check"),
+            (F.col("v_dup") == 0).alias("passed"),
+            F.col("v_dup").alias("n_violations"),
+        )
+    ]
+    return (
+        row.select(F.explode(F.array(*per_check)).alias("c"))
+        .select("c.*")
+        .orderBy("check")
+    )

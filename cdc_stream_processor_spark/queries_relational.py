@@ -2010,6 +2010,81 @@ ORDER BY t_days
 """
 
 
+# --- A/B two-proportion z-test ---------------------------------------------------
+
+
+def q_ab_test_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.ab_test_zscores(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_AB_TEST_ZSCORES = f"""
+WITH per_user AS (
+  SELECT user_id,
+         (SUM(CASE WHEN event_type = '{R.AB_CONVERSION_TYPE}'
+                   THEN 1 ELSE 0 END) >= {R.AB_CONVERSION_MIN})::INT
+           AS converted
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT user_id % 2 AS arm, converted FROM per_user
+), agg AS (
+  SELECT
+    COUNT(*) FILTER (arm = 0) AS n_a,
+    COUNT(*) FILTER (arm = 1) AS n_b,
+    SUM(converted) FILTER (arm = 0)::BIGINT AS conv_a,
+    SUM(converted) FILTER (arm = 1)::BIGINT AS conv_b
+  FROM armed
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       conv_a::DOUBLE / n_a::DOUBLE AS rate_a,
+       conv_b::DOUBLE / n_b::DOUBLE AS rate_b,
+       CASE WHEN SQRT(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+              * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+              * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) != 0.0
+       THEN (conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE)
+       / SQRT(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+              * (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+              * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) END AS z_score
+FROM agg
+"""
+
+
+# --- declarative expectation suite ----------------------------------------------
+
+
+def q_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.expectation_suite(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_EXPECTATION_SUITE = f"""
+WITH agg AS (
+  SELECT
+    SUM((event_id IS NULL)::BIGINT)::BIGINT AS v_event_id_not_null,
+    SUM((user_id IS NULL)::BIGINT)::BIGINT AS v_user_id_not_null,
+    SUM((ts IS NULL)::BIGINT)::BIGINT AS v_ts_not_null,
+    SUM((value IS NOT NULL AND NOT (value BETWEEN 0.0
+         AND {R.EXPECT_VALUE_MAX}))::BIGINT)::BIGINT AS v_value_in_range,
+    SUM((EXTRACT(year FROM ts) < 2000
+         OR EXTRACT(year FROM ts) >= 2100)::BIGINT)::BIGINT
+      AS v_ts_in_century,
+    SUM((event_type IS NULL OR TRIM(event_type) = '')::BIGINT)::BIGINT
+      AS v_event_type_not_blank,
+    SUM((props IS NOT NULL AND NOT json_valid(props))::BIGINT)::BIGINT
+      AS v_props_valid_json,
+    (COUNT(event_id) - COUNT(DISTINCT event_id))::BIGINT AS v_dup
+  FROM events
+)
+SELECT "check", n_violations = 0 AS passed, n_violations FROM (
+  SELECT unnest(['event_id_not_null', 'user_id_not_null', 'ts_not_null',
+                 'value_in_range', 'ts_in_century', 'event_type_not_blank',
+                 'props_valid_json', 'event_id_unique']) AS "check",
+         unnest([v_event_id_not_null, v_user_id_not_null, v_ts_not_null,
+                 v_value_in_range, v_ts_in_century, v_event_type_not_blank,
+                 v_props_valid_json, v_dup]) AS n_violations
+  FROM agg)
+ORDER BY "check"
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2328,6 +2403,8 @@ QUERIES = {
     "skyline_orders": q_skyline_orders,
     "part_affinity": q_part_affinity,
     "survival_curve": q_survival_curve,
+    "ab_test_zscores": q_ab_test_zscores,
+    "expectation_suite": q_expectation_suite,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2390,6 +2467,8 @@ ORACLES = {
     "skyline_orders": SQL_SKYLINE_ORDERS,
     "part_affinity": SQL_PART_AFFINITY,
     "survival_curve": SQL_SURVIVAL_CURVE,
+    "ab_test_zscores": SQL_AB_TEST_ZSCORES,
+    "expectation_suite": SQL_EXPECTATION_SUITE,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

@@ -858,3 +858,76 @@ def test_survival_curve_kaplan_meier_hand_computed(spark):
     assert out[1].survival == 1.0 * (1 - 2 / 5)
     assert out[2].survival == (1.0 * (1 - 2 / 5)) * (1 - 1 / 3)
     assert out[3].survival == out[2].survival  # censoring never drops S
+
+
+def test_ab_test_zscores_planted_difference(spark):
+    """Arm 0 users convert (>=2 'buy' events), arm 1 users don't: z must
+    be large positive; the hand-computed value matches exactly."""
+    import datetime, math
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows, eid = [], 0
+    ts = datetime.datetime(2024, 1, 1)
+    for uid in range(20):
+        n_buy = 3 if uid % 2 == 0 else 0
+        for _ in range(n_buy):
+            rows.append((eid, ts, uid, "buy", 0.0, "{}")); eid += 1
+        rows.append((eid, ts, uid, "view", 0.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = R.ab_test_zscores(events, conversion_type="buy", min_count=2).collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (10, 10, 10, 0)
+    assert r.rate_a == 1.0 and r.rate_b == 0.0
+    p = 0.5
+    se = math.sqrt(p * (1 - p) * (1 / 10 + 1 / 10))
+    assert r.z_score == (1.0 - 0.0) / se
+
+
+def test_ab_test_degenerate_arms_null_z(spark):
+    """All users convert in both arms -> se = 0 -> z is NULL, not an
+    error (the guard the real corpus needed)."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [(i, ts, i % 4, "buy", 0.0, "{}") for i in range(16)]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = R.ab_test_zscores(events, conversion_type="buy", min_count=1).collect()[0]
+    assert r.rate_a == 1.0 and r.rate_b == 1.0 and r.z_score is None
+
+
+def test_expectation_suite_flags_planted_violations(spark):
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 1, "view", 10.0, "{}"),
+        (1, ts, 2, "view", -5.0, "{}"),          # dup id + value out of range
+        (3, datetime.datetime(1999, 1, 1), 3, " ", 1.0, "not json"),
+        (4, ts, None, "click", 2.0, '{"k": 1}'),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.check: r for r in R.expectation_suite(events).collect()}
+    assert out["event_id_unique"].n_violations == 1
+    assert out["value_in_range"].n_violations == 1
+    assert out["ts_in_century"].n_violations == 1
+    assert out["event_type_not_blank"].n_violations == 1
+    assert out["props_valid_json"].n_violations == 1
+    assert out["user_id_not_null"].n_violations == 1
+    assert out["event_id_not_null"].passed
+    assert not out["value_in_range"].passed
