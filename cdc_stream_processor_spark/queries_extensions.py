@@ -1691,10 +1691,103 @@ WHERE rank <= {k}
     )
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    return S.mmr_rerank(queries, emb)
+
+
+def _mmr_sql(
+    k: int = S.MMR_K, pool: int = S.MMR_POOL, lam: float = S.MMR_LAMBDA
+) -> str:
+    """Unrolled greedy MMR replay: candidates = the cosine_topk CTE at
+    k=pool, pairwise candidate cosines, then k chained selection rounds
+    (argmax of λ·rel − (1−λ)·max-sim-to-selected, ties to min id)."""
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])"
+    )
+    nq = _FOLD_SUM.format(arr="list_transform(q.e, x -> x * x)")
+    nc = _FOLD_SUM.format(arr="list_transform(c.e, x -> x * x)")
+    pdot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(x.e, y.e), p -> p[1] * p[2])"
+    )
+    nx = _FOLD_SUM.format(arr="list_transform(x.e, x -> x * x)")
+    ny = _FOLD_SUM.format(arr="list_transform(y.e, x -> x * x)")
+    parts = [
+        f"""WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+), q AS (
+  SELECT * FROM v WHERE vec_id % {QUERY_STRIDE} = 0
+), cand AS (
+  SELECT query_id, neighbor_id, cosine_sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND({dot} / (sqrt({nq}) * sqrt({nc})), 6) AS cosine_sim
+      FROM q, v c WHERE q.vec_id != c.vec_id))
+  WHERE rank <= {pool}
+), pair AS (
+  SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+         ROUND({pdot} / (sqrt({nx}) * sqrt({ny})), 6) AS ps
+  FROM cand ca
+  JOIN cand cb ON ca.query_id = cb.query_id
+              AND ca.neighbor_id != cb.neighbor_id
+  JOIN v x ON x.vec_id = ca.neighbor_id
+  JOIN v y ON y.vec_id = cb.neighbor_id
+), sel1 AS (
+  SELECT query_id, neighbor_id AS sel, 1 AS mmr_rank,
+         cosine_sim AS mmr_score
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM cand)
+  WHERE rn = 1
+)"""
+    ]
+    for r in range(2, k + 1):
+        prev = "sel1" if r == 2 else f"acc{r - 2}"
+        parts.append(
+            f""", acc{r - 1} AS (
+  SELECT * FROM {prev}"""
+            + (f" UNION ALL SELECT * FROM pick{r - 1}" if r > 2 else "")
+            + f"""
+), pick{r} AS (
+  SELECT query_id, neighbor_id AS sel, {r} AS mmr_rank,
+         score AS mmr_score FROM (
+    SELECT s.*, ROW_NUMBER() OVER (PARTITION BY s.query_id
+                ORDER BY s.score DESC, s.neighbor_id ASC) AS rn
+    FROM (
+      SELECT c.query_id, c.neighbor_id,
+             {lam!r} * c.cosine_sim - {1.0 - lam!r} * MAX(p.ps) AS score
+      FROM cand c
+      JOIN pair p ON p.query_id = c.query_id AND p.a = c.neighbor_id
+      JOIN acc{r - 1} s ON s.query_id = p.query_id AND s.sel = p.b
+      WHERE NOT EXISTS (SELECT 1 FROM acc{r - 1} z
+                        WHERE z.query_id = c.query_id
+                          AND z.sel = c.neighbor_id)
+      GROUP BY c.query_id, c.neighbor_id, c.cosine_sim) s)
+  WHERE rn = 1
+)"""
+        )
+    union = " UNION ALL ".join(
+        ["SELECT * FROM sel1"]
+        + [f"SELECT * FROM pick{r}" for r in range(2, k + 1)]
+    )
+    parts.append(
+        f"""
+SELECT query_id, sel AS neighbor_id, mmr_rank, mmr_score
+FROM ({union})
+ORDER BY query_id, mmr_rank
+"""
+    )
+    return "".join(parts)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
+    "mmr_rerank": q_mmr_rerank,
     "incremental_dedup": q_incremental_dedup,
     "bigram_lift_topk": q_bigram_lift,
     "embedding_centroids": q_embedding_centroids,
@@ -1778,6 +1871,7 @@ ORACLES = {
     "kmeans_labels": _kmeans_sql(),
     "pq_codes": _pq_sql(),
     "pq_adc_topk": _pq_adc_sql(),
+    "mmr_rerank": _mmr_sql(),
     "containment_pairs": _containment_pairs_sql(),
     "rp_project": _rp_project_sql(),
     "knn_triangles": _knn_triangles_sql(),

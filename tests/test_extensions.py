@@ -1286,3 +1286,48 @@ def test_pq_adc_recall_floor_and_shape(spark, sf_dir):
         rs.sort(key=lambda r: r.rank)
         ds = [r.approx_sq_dist for r in rs]
         assert ds == sorted(ds) and ds[0] >= 0.0
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """Query along x: candidates are two near-identical high-rel vectors
+    (a, a') and one moderately relevant orthogonal-ish vector b. Plain
+    top-2 = {a, a'}; MMR at λ=0.7 must pick {a, b} — the redundant twin
+    is penalized by its ~1.0 similarity to the first pick."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.14, 0.0, 0.0]),    # a  (rel ~.990)
+        (2, [0.99, 0.141, 0.0, 0.0]),   # a' (rel ~.990, sim(a,a') ~ 1)
+        (3, [0.7, 0.0, 0.71, 0.0]),     # b  (rel ~.70, far from a)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    plain = [
+        r.neighbor_id
+        for r in sorted(
+            S.brute_force_topk(q, emb, k=2).collect(), key=lambda r: r.rank
+        )
+    ]
+    mmr = [
+        r.neighbor_id
+        for r in sorted(
+            S.mmr_rerank(q, emb, k=2, pool=3, lam=0.3).collect(),
+            key=lambda r: r.mmr_rank,
+        )
+    ]
+    assert set(plain) == {1, 2}
+    assert mmr[0] in (1, 2) and mmr[1] == 3
+
+
+def test_mmr_rank_one_equals_top_relevance(spark, sf_dir):
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    top1 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(q, emb, k=1).collect()
+    }
+    mmr1 = {
+        (r.query_id, r.neighbor_id)
+        for r in S.mmr_rerank(q, emb).collect()
+        if r.mmr_rank == 1
+    }
+    assert mmr1 == top1
