@@ -1096,3 +1096,65 @@ def span_corruption_masks(
         start.alias("span_start"),
         F.least(F.lit(span_len).cast("long"), F.col("seg")).alias("span_len"),
     )
+
+
+HASH_DIM = 256  # feature-hashing output dimensionality
+
+
+def hashed_features(
+    docs: DataFrame,
+    dim: int = HASH_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature hashing (Weinberger '09): bag-of-words → fixed-dim sparse
+    count vector with NO vocabulary pass — token t lands in slot
+    polyhash(t) mod dim with sign (−1)^bit — the stateless vectorizer
+    for streaming/online featurization (no fit step to version, no
+    broadcast dictionary).
+
+    Determinism: the polynomial char hash is the oracle-matched texthash
+    fold; slot and sign derive from it with integer arithmetic; counts
+    are integer sums.  `dim` must be a POWER OF TWO: the sign bit uses
+    floor(h / dim), which is exact (dyadic) double division only then —
+    otherwise Spark's double floor-div could round differently than the
+    oracle's integer //.  Map-only until the (doc, slot) partial-agg — one
+    shuffle whose width is ≤ dim per doc.  Returns
+    (doc_id, slot, feat) sparse rows (dense assembly is a caller-side
+    pivot; sparse is the scale-correct shape at dim ≫ active slots).
+    """
+    from cdc_stream_processor_spark.functions import texthash as TH
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.tokens(F.col(text_col))).alias("term"),
+    )
+    h = TH.char_polyhash(F.col("term"))
+    signed = toks.select(
+        "doc_id",
+        F.pmod(h, F.lit(dim)).alias("slot"),
+        # sign bit from the next hash bit up — decorrelated from the slot
+        (F.lit(1) - 2 * F.pmod(F.floor(h / F.lit(dim)), F.lit(2)))
+        .cast("long")
+        .alias("sign"),
+    )
+    return (
+        signed.groupBy("doc_id", "slot")
+        .agg(F.sum("sign").alias("feat"))
+        .filter(F.col("feat") != 0)
+    )
+
+
+KFOLD_K = 5
+
+
+def kfold_assign(
+    docs: DataFrame, k: int = KFOLD_K, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    polyhash(id) mod k — map-only, engine-reproducible, no shuffle; each
+    fold's size converges to n/k.  Returns input columns + fold."""
+    from cdc_stream_processor_spark.functions import texthash as TH
+
+    h = TH.char_polyhash(F.col(id_col).cast("string"))
+    return docs.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))

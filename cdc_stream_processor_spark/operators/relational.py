@@ -1427,3 +1427,98 @@ def expectation_suite(events: DataFrame) -> DataFrame:
         .select("c.*")
         .orderBy("check")
     )
+
+
+PATTERN_W = 7  # window length (days) for series pattern matching
+PATTERN_TOP_K = 5
+
+
+def pattern_match_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    w: int = PATTERN_W,
+    k: int = PATTERN_TOP_K,
+) -> DataFrame:
+    """Time-series subsequence similarity search (the streaming-systems
+    motif-matching primitive, cf. EDBT'19 series-similarity line): find
+    the k historical w-day windows of the daily event-count series most
+    correlated with the MOST RECENT w-day window.
+
+    Pearson correlation between windows uses the same integer-moment
+    scheme as event_type_correlation: per-window Σx, Σx², and the cross
+    moment Σx·q are exact integer sums over the aligned offsets, so the
+    estimator is a fixed tree of correctly-rounded ops (casts, IEEE
+    sqrt, multiply, divide).  Flat windows (zero variance) are excluded
+    — correlation is undefined there — identically in both engines.
+
+    Scale: one corpus shuffle to daily counts; the offset explode (w×)
+    and the window join run on the calendar-bounded aggregate.  Query
+    windows overlapping the pattern window are excluded.  Returns
+    (start_day, corr) ordered by corr desc, start_day asc.
+    """
+    daily = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+    )
+    # windows: start day s covers offsets 0..w-1
+    win = spine.select(
+        F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("off"),
+        F.col("day").alias("src_day"),
+        "cnt",
+    ).select(
+        (F.col("src_day") - F.col("off")).alias("start"),
+        "off",
+        F.col("cnt").cast("decimal(38,0)").alias("x"),
+    )
+    full = (
+        win.groupBy("start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n") == w)
+    )
+    q_start = spine.agg(
+        (F.max("day") - F.lit(w - 1)).alias("qs")
+    )
+    q = (
+        win.crossJoin(F.broadcast(q_start))
+        .filter(F.col("start") == F.col("qs"))
+        .select("off", F.col("x").alias("qx"))
+    )
+    joint = (
+        win.join(F.broadcast(q), "off")
+        .groupBy("start")
+        .agg(F.sum(F.col("x") * F.col("qx")).alias("sxq"))
+    )
+    qm = q.agg(
+        F.sum("qx").alias("sq"), F.sum(F.col("qx") * F.col("qx")).alias("sqq")
+    )
+    wl = F.lit(w).cast("decimal(38,0)")
+    num = (wl * F.col("sxq") - F.col("sx") * F.col("sq")).cast("double")
+    vx = (wl * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vq = (wl * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    scored = (
+        full.join(joint, "start")
+        .crossJoin(F.broadcast(qm))
+        .crossJoin(F.broadcast(q_start))
+        .filter(F.col("start") <= F.col("qs") - F.lit(w))  # no overlap
+        .filter(vx != 0.0)
+        .select(
+            F.col("start").alias("start_day"),
+            (num / (F.sqrt(vx) * F.sqrt(vq))).alias("corr"),
+        )
+    )
+    return global_top_k(
+        scored, [F.col("corr").desc(), F.col("start_day").asc()], k
+    )

@@ -781,8 +781,47 @@ FROM k
 """
 
 
+# --- feature hashing + k-fold assignment --------------------------------------
+
+
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.hashed_features(B.load_table(spark, sf_dir, "documents"))
+
+
+SQL_HASHED_FEATURES = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TH.TOKENS_SQL.format(text="text")}) AS term
+  FROM documents
+), signed AS (
+  SELECT doc_id,
+         h % {C.HASH_DIM} AS slot,
+         (1 - 2 * ((h // {C.HASH_DIM}) % 2))::BIGINT AS sign
+  FROM (SELECT doc_id, {TH.CHAR_POLYHASH_SQL("term")} AS h FROM toks)
+)
+SELECT doc_id, slot, SUM(sign)::BIGINT AS feat
+FROM signed
+GROUP BY doc_id, slot
+HAVING SUM(sign) != 0
+"""
+
+
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return C.kfold_assign(
+        B.load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "lang", "source", "fold")
+
+
+SQL_KFOLD_ASSIGN = f"""
+SELECT doc_id, lang, source,
+       ({TH.CHAR_POLYHASH_SQL("doc_id::VARCHAR")} % {C.KFOLD_K})::INT AS fold
+FROM documents
+"""
+
+
 QUERIES = {
     "corpus_split": q_corpus_split,
+    "hashed_features": q_hashed_features,
+    "kfold_assign": q_kfold_assign,
     "decontamination_overlap": q_decontamination_overlap,
     "pack_sequences": q_pack_sequences,
     "quantize_embeddings": q_quantize_embeddings,
@@ -808,6 +847,8 @@ QUERIES = {
 
 ORACLES = {
     "corpus_split": SQL_CORPUS_SPLIT,
+    "hashed_features": SQL_HASHED_FEATURES,
+    "kfold_assign": SQL_KFOLD_ASSIGN,
     "decontamination_overlap": SQL_DECONTAMINATION,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "quantize_embeddings": SQL_QUANTIZE_EMBEDDINGS,

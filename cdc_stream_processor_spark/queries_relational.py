@@ -2085,6 +2085,52 @@ ORDER BY "check"
 """
 
 
+# --- time-series pattern (motif) matching ----------------------------------------
+
+
+def q_pattern_match_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pattern_match_daily(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_PATTERN_MATCH_DAILY = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {R.DAY_US} AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), spine AS (
+  SELECT s.day, COALESCE(d.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT unnest(generate_series(lo, hi)) AS day
+        FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)) s
+  LEFT JOIN daily d USING (day)
+), win AS (
+  SELECT day - off AS start, off, cnt::DECIMAL(38,0) AS x
+  FROM spine,
+       (SELECT unnest(generate_series(0, {R.PATTERN_W - 1})) AS off)
+), fullw AS (
+  SELECT start, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+  FROM win GROUP BY start HAVING COUNT(*) = {R.PATTERN_W}
+), qstart AS (
+  SELECT MAX(day) - {R.PATTERN_W - 1} AS qs FROM spine
+), q AS (
+  SELECT off, x AS qx FROM win, qstart WHERE start = qs
+), joint AS (
+  SELECT start, SUM(w.x * q.qx) AS sxq
+  FROM win w JOIN q USING (off) GROUP BY start
+), qm AS (
+  SELECT SUM(qx) AS sq, SUM(qx * qx) AS sqq FROM q
+)
+SELECT start AS start_day,
+       ({R.PATTERN_W}::DECIMAL(38,0) * sxq - sx * sq)::DOUBLE
+         / (SQRT(({R.PATTERN_W}::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE)
+            * SQRT(({R.PATTERN_W}::DECIMAL(38,0) * sqq - sq * sq)::DOUBLE))
+         AS corr
+FROM fullw JOIN joint USING (start), qm, qstart
+WHERE start <= qs - {R.PATTERN_W}
+  AND ({R.PATTERN_W}::DECIMAL(38,0) * sxx - sx * sx)::DOUBLE != 0.0
+ORDER BY corr DESC, start_day ASC
+LIMIT {R.PATTERN_TOP_K}
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2405,6 +2451,7 @@ QUERIES = {
     "survival_curve": q_survival_curve,
     "ab_test_zscores": q_ab_test_zscores,
     "expectation_suite": q_expectation_suite,
+    "pattern_match_daily": q_pattern_match_daily,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2469,6 +2516,7 @@ ORACLES = {
     "survival_curve": SQL_SURVIVAL_CURVE,
     "ab_test_zscores": SQL_AB_TEST_ZSCORES,
     "expectation_suite": SQL_EXPECTATION_SUITE,
+    "pattern_match_daily": SQL_PATTERN_MATCH_DAILY,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

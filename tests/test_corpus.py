@@ -931,3 +931,64 @@ def test_expectation_suite_flags_planted_violations(spark):
     assert out["user_id_not_null"].n_violations == 1
     assert out["event_id_not_null"].passed
     assert not out["value_in_range"].passed
+
+
+def test_hashed_features_deterministic_and_sparse(spark):
+    from cdc_stream_processor_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.slot): r.feat for r in C.hashed_features(docs).collect()}
+    # same token -> same slot/sign everywhere: doc1's alpha count doubles doc2's
+    slots1 = {s for (d, s) in out if d == 1}
+    slots2 = {s for (d, s) in out if d == 2}
+    assert slots2 <= slots1 and len(slots2) == 1
+    (s_alpha,) = slots2
+    assert out[(1, s_alpha)] == 2 * out[(2, s_alpha)]
+    # empty doc contributes nothing; zero-sum slots dropped
+    assert not any(d == 3 for (d, _) in out)
+    assert all(f != 0 for f in out.values())
+    # slots within range
+    assert all(0 <= s < C.HASH_DIM for (_, s) in out)
+
+
+def test_kfold_assign_partitions_all_docs(spark, sf_dir):
+    from cdc_stream_processor_spark.operators import corpus as C
+    from cdc_stream_processor_spark.sources import batch as B
+    from pyspark.sql import functions as F
+
+    docs = B.load_table(spark, sf_dir, "documents")
+    out = C.kfold_assign(docs)
+    assert out.count() == docs.count()
+    folds = {r.fold for r in out.select("fold").distinct().collect()}
+    assert folds <= set(range(C.KFOLD_K)) and len(folds) == C.KFOLD_K
+    # deterministic across invocations
+    a = {(r.doc_id, r.fold) for r in out.select("doc_id", "fold").collect()}
+    b = {
+        (r.doc_id, r.fold)
+        for r in C.kfold_assign(docs).select("doc_id", "fold").collect()
+    }
+    assert a == b
+
+
+def test_pattern_match_daily_finds_repeated_motif(spark):
+    """Weekly-periodic series: the best historical matches for the last
+    7-day window must be exactly 7-day-multiple shifts back, corr ~ 1."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows, eid = [], 0
+    d0 = 19000
+    for day in range(d0, d0 + 42):
+        for _ in range(10 + (day % 7) * 2):
+            ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+            rows.append((eid, ts)); eid += 1
+    events = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = R.pattern_match_daily(events).collect()
+    # query window starts at d0+35; aligned starts d0, d0+7, ... d0+28
+    aligned = {d0 + 7 * i for i in range(5)}
+    assert {r.start_day for r in out} == aligned
+    assert all(abs(r.corr - 1.0) < 1e-9 for r in out)
