@@ -1522,3 +1522,57 @@ def pattern_match_daily(
     return global_top_k(
         scored, [F.col("corr").desc(), F.col("start_day").asc()], k
     )
+
+
+GAP_BUCKET = 100_000  # ids per bucket: bounds any single window partition
+
+
+def sequence_gap_audit(
+    events: DataFrame, seq_col: str = "event_id", bucket: int = GAP_BUCKET
+) -> DataFrame:
+    """Missing-sequence audit over a monotonically-assigned id column —
+    the CDC completeness check (dropped offsets / lost messages) the
+    reference's at-least-once pipelines assume away: emit one row per
+    gap (gap_start, gap_end, n_missing) where ids jump by more than 1.
+
+    Scale shape — the naive form is a lag() over ONE global sort
+    (single-reducer).  Instead: ids bucket by range (id div bucket);
+    within-bucket gaps come from a lag window PARTITIONED by bucket
+    (each partition ≤ bucket ids); cross-boundary gaps come from the
+    per-bucket (min, max) aggregate — bucket-count-sized — self-joined
+    to the NEXT non-empty bucket.  Empty buckets between two non-empty
+    ones fold into the boundary gap, so coverage is complete; a test
+    proves equality with the naive global-sort form.
+    """
+    ids = events.select(F.col(seq_col).cast("long").alias("id")).distinct()
+    b = ids.withColumn("bkt", F.expr(f"id div {bucket}"))
+    w = Window.partitionBy("bkt").orderBy("id")
+    intra = (
+        b.withColumn("prev", F.lag("id").over(w))
+        .filter(F.col("id") - F.col("prev") > 1)
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("id") - 1).alias("gap_end"),
+        )
+    )
+    spans = b.groupBy("bkt").agg(
+        F.min("id").alias("lo"), F.max("id").alias("hi")
+    )
+    wb = Window.orderBy("bkt")  # bucket-count-sized: tiny by construction
+    inter = (
+        spans.withColumn("prev_hi", F.lag("hi").over(wb))
+        .filter(F.col("lo") - F.col("prev_hi") > 1)
+        .select(
+            (F.col("prev_hi") + 1).alias("gap_start"),
+            (F.col("lo") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        intra.unionByName(inter)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),
+        )
+        .orderBy("gap_start")
+    )

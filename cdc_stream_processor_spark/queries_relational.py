@@ -2131,6 +2131,34 @@ LIMIT {R.PATTERN_TOP_K}
 """
 
 
+# --- CDC sequence-gap audit -------------------------------------------------------
+
+
+def q_sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata id sequences are dense (an audit would prove
+    completeness with 0 rows — a vacuous hash), so the registered query
+    audits a deterministically LOSSY channel: every 97th event dropped.
+    The operator itself is input-agnostic."""
+    ev = B.load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 97 != 0
+    )
+    return R.sequence_gap_audit(ev)
+
+
+SQL_SEQUENCE_GAP_AUDIT = """
+WITH ids AS (
+  SELECT DISTINCT event_id AS id FROM events WHERE event_id % 97 != 0
+), lagged AS (
+  SELECT id, LAG(id) OVER (ORDER BY id) AS prev FROM ids
+)
+SELECT prev + 1 AS gap_start, id - 1 AS gap_end,
+       (id - 1) - (prev + 1) + 1 AS n_missing
+FROM lagged
+WHERE id - prev > 1
+ORDER BY gap_start
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2452,6 +2480,7 @@ QUERIES = {
     "ab_test_zscores": q_ab_test_zscores,
     "expectation_suite": q_expectation_suite,
     "pattern_match_daily": q_pattern_match_daily,
+    "sequence_gap_audit": q_sequence_gap_audit,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2517,6 +2546,7 @@ ORACLES = {
     "ab_test_zscores": SQL_AB_TEST_ZSCORES,
     "expectation_suite": SQL_EXPECTATION_SUITE,
     "pattern_match_daily": SQL_PATTERN_MATCH_DAILY,
+    "sequence_gap_audit": SQL_SEQUENCE_GAP_AUDIT,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

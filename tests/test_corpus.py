@@ -992,3 +992,29 @@ def test_pattern_match_daily_finds_repeated_motif(spark):
     aligned = {d0 + 7 * i for i in range(5)}
     assert {r.start_day for r in out} == aligned
     assert all(abs(r.corr - 1.0) < 1e-9 for r in out)
+
+
+def test_sequence_gap_audit_bucketed_equals_global(spark):
+    """Bucketed intra+inter gap detection must equal the naive global-
+    sort form, including gaps that SPAN bucket boundaries and fully
+    empty buckets in between."""
+    from cdc_stream_processor_spark.operators import relational as R
+
+    ids = (
+        list(range(0, 50))
+        + list(range(70, 120))          # gap 50..69 inside bucket 0 (b=100)
+        + list(range(305, 320))         # gap 120..304 spans buckets 1..3
+        + [990, 1001]                   # gap inside/over boundary
+    )
+    events = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    got = [
+        (r.gap_start, r.gap_end, r.n_missing)
+        for r in R.sequence_gap_audit(events, bucket=100).collect()
+    ]
+    expect = []
+    s = sorted(set(ids))
+    for a, b in zip(s, s[1:]):
+        if b - a > 1:
+            expect.append((a + 1, b - 1, b - a - 1))
+    assert got == expect
+    assert (50, 69, 20) in got and (120, 304, 185) in got
