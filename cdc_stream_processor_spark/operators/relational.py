@@ -1576,3 +1576,132 @@ def sequence_gap_audit(
         )
         .orderBy("gap_start")
     )
+
+
+RANK_BUCKETS = 1024
+
+
+def distributed_rank(
+    df: DataFrame,
+    value: Column,
+    tiebreak: Column,
+    ascending: bool = True,
+    n_buckets: int = RANK_BUCKETS,
+) -> DataFrame:
+    """Exact global 0-based dense row rank over (value, tiebreak) WITHOUT
+    a single-reducer global window: equi-width value-range buckets
+    (bounds from one scalar agg), per-bucket counts folded into
+    cumulative offsets (≤ n_buckets rows, broadcast), rank = bucket
+    offset + within-bucket row_number — the same terasort shape as
+    corpus.global_shuffle, generalized to an arbitrary value column.
+    Appends a `_rank` column.  `tiebreak` must be unique for a total
+    (deterministic, oracle-matchable) order.
+    """
+    v = value.cast("double").alias("_v")
+    base = df.select("*", v, tiebreak.alias("_tb"))
+    bounds = base.agg(
+        F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
+    )
+    span = F.col("_hi") - F.col("_lo") + F.lit(1e-9)
+    raw_bkt = F.floor(
+        (F.col("_v") - F.col("_lo")) * F.lit(float(n_buckets)) / span
+    )
+    bkt = (
+        F.least(F.lit(n_buckets - 1), raw_bkt)
+        if ascending
+        else -F.least(F.lit(n_buckets - 1), raw_bkt)
+    )
+    keyed = base.crossJoin(F.broadcast(bounds)).withColumn("_bkt", bkt)
+    counts = keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = counts.select(
+        "_bkt",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_bkt").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("_n")
+        ).alias("_off"),
+    )
+    order = (
+        [F.col("_v").asc(), F.col("_tb").asc()]
+        if ascending
+        else [F.col("_v").desc(), F.col("_tb").asc()]
+    )
+    in_bucket = Window.partitionBy("_bkt").orderBy(*order)
+    return (
+        keyed.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_rank", F.col("_off") + F.row_number().over(in_bucket) - 1
+        )
+        .drop("_v", "_tb", "_bkt", "_lo", "_hi", "_off")
+    )
+
+
+RFM_TILES = 5
+
+
+def rfm_scores(
+    orders: DataFrame, ts_col: str = "o_orderdate"
+) -> DataFrame:
+    """RFM customer segmentation: quintile scores for Recency (days
+    since last order — LOW is good), Frequency (#orders), Monetary
+    (total spend, decimal-exact), combined as rfm = 100·R + 10·F + M.
+
+    Quintiles come from the EXACT distributed rank (terasort-shaped
+    `distributed_rank`, never a single-reducer global ntile):
+    tile = (rank · 5) div n + 1 with custkey tie-breaks, so the scores
+    are deterministic and the DuckDB oracle reproduces them with a plain
+    ROW_NUMBER — identical integer arithmetic from there.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr(f"max(unix_micros({ts_col})) div {DAY_US}").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    horizon = orders.agg(
+        F.expr(f"max(unix_micros({ts_col})) div {DAY_US}").alias("max_day")
+    )
+    base = per_cust.crossJoin(F.broadcast(horizon)).select(
+        "o_custkey",
+        (F.col("max_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    # customer count rides as a broadcast scalar (lazy — no eager count
+    # at construction); tile arithmetic is INTEGER division (a double
+    # divide could round across a tile boundary differently than the
+    # oracle's //)
+    n_cust = base.agg(F.count(F.lit(1)).alias("_n"))
+
+    def tile(df: DataFrame, col: str, out: str) -> DataFrame:
+        ranked = distributed_rank(
+            df, F.col(col), F.col("o_custkey"), ascending=True
+        )
+        return (
+            ranked.crossJoin(F.broadcast(n_cust))
+            .withColumn(
+                out, F.expr(f"(_rank * {RFM_TILES}) div _n") + F.lit(1)
+            )
+            .drop("_rank", "_n")
+        )
+
+    scored = tile(tile(tile(base, "recency_days", "q_r"), "frequency", "q_f"),
+                  "monetary", "q_m")
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(RFM_TILES + 1) - F.col("q_r")).alias("r_score"),
+        F.col("q_f").alias("f_score"),
+        F.col("q_m").alias("m_score"),
+        (
+            (F.lit(RFM_TILES + 1) - F.col("q_r")) * 100
+            + F.col("q_f") * 10
+            + F.col("q_m")
+        ).alias("rfm"),
+    )

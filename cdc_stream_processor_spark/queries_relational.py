@@ -2159,6 +2159,44 @@ ORDER BY gap_start
 """
 
 
+# --- RFM customer segmentation ---------------------------------------------------
+
+
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rfm_scores(B.load_table(spark, sf_dir, "orders"))
+
+
+SQL_RFM_SCORES = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         epoch_us(MAX(o_orderdate)) // {R.DAY_US} AS last_day,
+         COUNT(*) AS frequency,
+         SUM(o_totalprice::DECIMAL(18,4))::DOUBLE AS monetary
+  FROM orders GROUP BY o_custkey
+), horizon AS (
+  SELECT epoch_us(MAX(o_orderdate)) // {R.DAY_US} AS max_day FROM orders
+), base AS (
+  SELECT o_custkey, max_day - last_day AS recency_days, frequency, monetary
+  FROM per_cust, horizon
+), n AS (SELECT COUNT(*) AS n FROM base), ranked AS (
+  SELECT *,
+    ROW_NUMBER() OVER (ORDER BY recency_days ASC, o_custkey ASC) - 1 AS rk_r,
+    ROW_NUMBER() OVER (ORDER BY frequency ASC, o_custkey ASC) - 1 AS rk_f,
+    ROW_NUMBER() OVER (ORDER BY monetary ASC, o_custkey ASC) - 1 AS rk_m
+  FROM base
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       ({R.RFM_TILES + 1} - ((rk_r * {R.RFM_TILES}) // n + 1))::BIGINT
+         AS r_score,
+       ((rk_f * {R.RFM_TILES}) // n + 1)::BIGINT AS f_score,
+       ((rk_m * {R.RFM_TILES}) // n + 1)::BIGINT AS m_score,
+       (({R.RFM_TILES + 1} - ((rk_r * {R.RFM_TILES}) // n + 1)) * 100
+        + ((rk_f * {R.RFM_TILES}) // n + 1) * 10
+        + ((rk_m * {R.RFM_TILES}) // n + 1))::BIGINT AS rfm
+FROM ranked, n
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2481,6 +2519,7 @@ QUERIES = {
     "expectation_suite": q_expectation_suite,
     "pattern_match_daily": q_pattern_match_daily,
     "sequence_gap_audit": q_sequence_gap_audit,
+    "rfm_scores": q_rfm_scores,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2547,6 +2586,7 @@ ORACLES = {
     "expectation_suite": SQL_EXPECTATION_SUITE,
     "pattern_match_daily": SQL_PATTERN_MATCH_DAILY,
     "sequence_gap_audit": SQL_SEQUENCE_GAP_AUDIT,
+    "rfm_scores": SQL_RFM_SCORES,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

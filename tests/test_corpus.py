@@ -1018,3 +1018,53 @@ def test_sequence_gap_audit_bucketed_equals_global(spark):
             expect.append((a + 1, b - 1, b - a - 1))
     assert got == expect
     assert (50, 69, 20) in got and (120, 304, 185) in got
+
+
+def test_distributed_rank_equals_global_row_number(spark):
+    """The terasort-shaped rank must equal a plain global row_number for
+    arbitrary (skewed, duplicate-valued) data — including all-equal
+    values (degenerate single bucket)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = [(i, float((i * 37) % 11)) for i in range(500)] + [
+        (1000 + i, 3.0) for i in range(50)  # heavy duplicate value
+    ]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r.k: r._rank
+        for r in R.distributed_rank(
+            df, F.col("v"), F.col("k"), n_buckets=8
+        ).collect()
+    }
+    w = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    exp = {
+        r.k: r.rn - 1
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == exp
+    # all-equal degenerate case
+    df2 = spark.createDataFrame([(i, 7.0) for i in range(20)], "k long, v double")
+    got2 = {
+        r.k: r._rank
+        for r in R.distributed_rank(df2, F.col("v"), F.col("k")).collect()
+    }
+    assert got2 == {i: i for i in range(20)}
+
+
+def test_rfm_scores_shape(spark, sf_dir):
+    from cdc_stream_processor_spark.operators import relational as R
+    from cdc_stream_processor_spark.sources import batch as B
+
+    out = R.rfm_scores(B.load_table(spark, sf_dir, "orders")).collect()
+    n = len(out)
+    assert n > 0
+    for r in out:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.rfm == r.r_score * 100 + r.f_score * 10 + r.m_score
+    # quintiles are balanced within rounding
+    from collections import Counter
+    c = Counter(r.m_score for r in out)
+    assert max(c.values()) - min(c.values()) <= 1
