@@ -485,9 +485,10 @@ def q_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: an unpartitioned window funnels all rows through ONE task —
     exact global ntile does not scale past what a single executor can sort.
-    At 100 TB compute the 9 decile cut points with approx_percentile (one
-    distributed pass) and assign buckets with a plain scan-side CASE; this
-    exact form exists for the oracle contract and per-group use."""
+    At 100 TB use `operators.relational.distributed_rank` (terasort-shaped
+    exact rank, see rfm_scores for the registered usage) or approx cut
+    points + a scan-side CASE; this ntile form exists for the oracle
+    contract and per-group use."""
     orders = B.load_table(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     tiled = orders.select(
