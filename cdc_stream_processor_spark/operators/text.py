@@ -839,3 +839,68 @@ def chi2_terms_per_lang(
         rank_col="term_rank",
     )
     return out.select("lang", "term", "chi2", "term_rank")
+
+
+def lang_id_confusion(
+    docs: DataFrame, text_col: str = "text", label_col: str = "lang"
+) -> DataFrame:
+    """Confusion matrix of the n-gram/stopword language heuristic against
+    the labeled `lang` column — the evaluation query for the lang-ID
+    stage (per true language: predicted-language counts and shares).
+
+    share = n / per-language total: integer counts, one correctly-
+    rounded division.  One (label, pred) groupBy — the matrix is
+    |langs|² rows; the per-language totals broadcast back onto it.
+    """
+    pairs = docs.select(
+        F.col(label_col).alias("lang_true"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+    )
+    counts = pairs.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.groupBy("lang_true").agg(
+        F.sum("n_docs").alias("n_total")
+    )
+    return (
+        counts.join(F.broadcast(totals), "lang_true")
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_total").cast("double"))
+            .alias("share"),
+        )
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+def readability_scores(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document with a regex syllable heuristic
+    (vowel groups ≈ syllables — the standard cheap proxy):
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    Map-only; every ratio is one correctly-rounded double division over
+    integer regex counts, so values are engine-exact.  Sentences floor
+    at 1 (fragments still score).
+    """
+    t = F.col(text_col)
+    words = F.greatest(F.lit(1), F.size(TH.tokens(t)))
+    sents = F.greatest(F.lit(1), F.regexp_count(t, F.lit("[.!?]+")))
+    syll = F.greatest(
+        F.lit(1), F.regexp_count(F.lower(t), F.lit("[aeiouy]+"))
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / words.cast("double"))
+    )
+    docs = ensure_parallelism(docs)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+    )

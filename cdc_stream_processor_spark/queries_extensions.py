@@ -870,6 +870,103 @@ FROM scored GROUP BY doc_id
 """
 
 
+# --- lang-ID evaluation + readability + per-source dup rate -------------------
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id_confusion(B.load_table(spark, sf_dir, "documents"))
+
+
+def _lang_confusion_sql() -> str:
+    scores = _lang_scores_sql()
+    best = "greatest(" + ", ".join(scores[lg] for lg in X.LANG_ORDER) + ")"
+    lang_case = "CASE WHEN " + best + " <= 0 THEN 'und' "
+    for lg in X.LANG_ORDER:
+        lang_case += f"WHEN {scores[lg]} = {best} THEN '{lg}' "
+    lang_case += "ELSE 'und' END"
+    return f"""
+WITH pairs AS (
+  SELECT lang AS lang_true, {lang_case} AS lang_pred FROM documents
+), counts AS (
+  SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+  FROM pairs GROUP BY 1, 2
+), totals AS (
+  SELECT lang_true, SUM(n_docs)::BIGINT AS n_total FROM counts GROUP BY 1
+)
+SELECT c.lang_true, c.lang_pred, c.n_docs,
+       c.n_docs::DOUBLE / t.n_total::DOUBLE AS share
+FROM counts c JOIN totals t USING (lang_true)
+ORDER BY lang_true, lang_pred
+"""
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.readability_scores(B.load_table(spark, sf_dir, "documents"))
+
+
+SQL_READABILITY_SCORES = f"""
+SELECT doc_id,
+  greatest(1, len({TH.TOKENS_SQL.format(text="text")})) AS n_words,
+  greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sentences,
+  greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+')))
+    AS n_syllables,
+  ROUND(206.835
+    - 1.015 * (greatest(1, len({TH.TOKENS_SQL.format(text="text")}))::DOUBLE
+               / greatest(1, len(regexp_extract_all(text, '[.!?]+')))::DOUBLE)
+    - 84.6 * (greatest(1, len(regexp_extract_all(lower(text),
+                                                 '[aeiouy]+')))::DOUBLE
+              / greatest(1, len({TH.TOKENS_SQL.format(text="text")}))::DOUBLE),
+    6) AS flesch
+FROM documents
+"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-composition query: MinHash-LSH dedup → per-source duplicate
+    rate (which ingestion sources are flooding the corpus with near-dups)."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    cc = D.connected_components(pairs)
+    dropped = cc.filter(F.col("id") != F.col("rep")).select(
+        F.col("id").alias("doc_id")
+    )
+    flagged = docs.join(
+        dropped.withColumn("is_dup", F.lit(1)), "doc_id", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).cast("long").alias("n_dups"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dups",
+            (F.col("n_dups").cast("double") / F.col("n_docs").cast("double"))
+            .alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dup_rate_by_source_sql() -> str:
+    return (
+        _minhash_pairs_ctes(recursive=True)
+        + _CC_CTES
+        + """
+SELECT d.source, COUNT(*) AS n_docs,
+       SUM(CASE WHEN d.doc_id IN (SELECT id FROM comp WHERE id <> rep)
+                THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+       SUM(CASE WHEN d.doc_id IN (SELECT id FROM comp WHERE id <> rep)
+                THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE AS dup_rate
+FROM documents d
+GROUP BY d.source
+ORDER BY d.source
+"""
+    )
+
+
 # --- typo-pair join (FastSS deletion-neighborhood blocking) -------------------
 
 
@@ -1795,6 +1892,9 @@ QUERIES = {
     "typo_pairs": q_typo_pairs,
     "doc_rarity": q_doc_rarity,
     "bigram_lm_score": q_bigram_lm_score,
+    "lang_id_confusion": q_lang_id_confusion,
+    "readability_scores": q_readability_scores,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -1839,6 +1939,9 @@ ORACLES = {
     "typo_pairs": SQL_TYPO_PAIRS,
     "doc_rarity": SQL_DOC_RARITY,
     "bigram_lm_score": SQL_BIGRAM_LM_SCORE,
+    "lang_id_confusion": _lang_confusion_sql(),
+    "readability_scores": SQL_READABILITY_SCORES,
+    "dup_rate_by_source": _dup_rate_by_source_sql(),
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),

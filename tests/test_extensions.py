@@ -1331,3 +1331,51 @@ def test_mmr_rank_one_equals_top_relevance(spark, sf_dir):
         if r.mmr_rank == 1
     }
     assert mmr1 == top1
+
+
+def test_lang_id_confusion_planted_and_corpus_shape(spark, sf_dir):
+    # planted multilingual docs -> perfect diagonal
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of it", "en"),
+            (2, "el que y la de un los se", "es"),
+            (3, "le et les des une du est", "fr"),
+            (4, "der die und das von zu mit", "de"),
+            (5, "zzz qqq xxx", "zh"),  # no stopwords -> und
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r.lang_true, r.lang_pred): r for r in
+           X.lang_id_confusion(docs).collect()}
+    for lg in ("en", "es", "fr", "de"):
+        assert out[(lg, lg)].share == 1.0
+    assert out[("zh", "und")].share == 1.0
+    # corpus shape: shares sum to 1 per true lang (the synthetic corpus
+    # text is English-like under every label -- the matrix REPORTS that,
+    # predictions land in en/und)
+    rows = X.lang_id_confusion(
+        B.load_table(spark, sf_dir, "documents")
+    ).collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.lang_true, []).append(r)
+    for lang, rs in by_true.items():
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-9
+        assert {r.lang_pred for r in rs} <= set(X.LANG_ORDER) | {"und"}
+
+
+def test_readability_orders_prose_above_wordlist(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "The cat sat. It was happy. We saw it there."),
+            (2, "antidisestablishmentarianism electroencephalographically"
+                " incomprehensibilities floccinaucinihilipilification"),
+        ],
+    )
+    out = {r.doc_id: r for r in X.readability_scores(docs).collect()}
+    # short-sentence short-word prose scores far higher than the
+    # single-"sentence" polysyllabic word list
+    assert out[1].flesch > 80
+    assert out[2].flesch < out[1].flesch - 50
+    assert out[2].n_sentences == 1
