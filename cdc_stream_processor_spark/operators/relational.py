@@ -1705,3 +1705,123 @@ def rfm_scores(
             + F.col("q_m")
         ).alias("rfm"),
     )
+
+
+DYN_GAPS = {"purchase": 3600, "signup": 3600}  # seconds; others default
+DYN_GAP_DEFAULT = 1800
+
+
+def dynamic_sessions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    gaps: dict[str, int] | None = None,
+    default_gap: int = DYN_GAP_DEFAULT,
+) -> DataFrame:
+    """Sessionization with a DYNAMIC inactivity gap: the allowed gap after
+    an event depends on that event's type (a purchase keeps the session
+    alive longer than a view) — the batch twin of Spark's
+    session_window(gap_expression) dynamic-gap form.
+
+    Same island construction as user_sessions (lag + cumulative flag sum,
+    ONE shuffle per user), with the gap looked up from the PREVIOUS
+    event's type: new_session ⇔ ts − prev_ts > gap(prev_type).
+    Integer epoch-second arithmetic throughout.  Returns per-session
+    (user_id, session_id, n_events, start_ts, end_ts).
+    """
+    g = gaps or DYN_GAPS
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col("event_id").asc())
+    gap_expr = F.lit(default_gap)
+    for t, sec in sorted(g.items()):
+        gap_expr = F.when(F.lag(type_col).over(w) == t, F.lit(sec)).otherwise(
+            gap_expr
+        )
+    prev_us = F.lag(us).over(w)
+    new_flag = F.when(
+        prev_us.isNull()
+        | (us - prev_us > gap_expr.cast("long") * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        events.withColumn("_new", new_flag)
+        .withColumn(
+            "session_id",
+            F.sum("_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    return sess.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("start_ts"),
+        F.max(ts_col).alias("end_ts"),
+    )
+
+
+def kendall_tau_types(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Kendall τ-b rank correlation between the daily count series of every
+    event-type pair — the robust (outlier-proof) twin of
+    event_type_correlation's Pearson matrix.
+
+    τ-b is built ENTIRELY from integer pair counts over the
+    calendar-bounded series: concordant C, discordant D, ties-in-x-only
+    Tx, ties-in-y-only Ty over all day pairs (i < j);
+    τ = (C − D) / (√(C+D+Tx) · √(C+D+Ty)).  The only floating ops are
+    two IEEE-exact sqrts, one multiply, one divide — engine-equal.
+    The day-pair join is O(days²) on the AGGREGATE (a decade is ~3.7k
+    days → 7M pairs, executor-trivial); the corpus is touched once.
+    """
+    daily = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day"),
+            F.col("event_type").alias("et"),
+        )
+        .groupBy("day", "et")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .crossJoin(daily.select("et").distinct())
+        .join(daily, ["day", "et"], "left")
+        .select(
+            "day", "et", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+        )
+    )
+    x = spine.select(
+        "day", F.col("et").alias("type_a"), F.col("cnt").alias("xa")
+    )
+    y = spine.select(
+        "day", F.col("et").alias("type_b"), F.col("cnt").alias("xb")
+    )
+    obs = x.join(y, "day").filter(F.col("type_a") < F.col("type_b"))
+    o1 = obs.select(
+        "type_a", "type_b", F.col("day").alias("d1"),
+        F.col("xa").alias("a1"), F.col("xb").alias("b1"),
+    )
+    o2 = obs.select(
+        "type_a", "type_b", F.col("day").alias("d2"),
+        F.col("xa").alias("a2"), F.col("xb").alias("b2"),
+    )
+    pairs = o1.join(o2, ["type_a", "type_b"]).filter(F.col("d1") < F.col("d2"))
+    sx = F.signum((F.col("a2") - F.col("a1")).cast("double"))
+    sy = F.signum((F.col("b2") - F.col("b1")).cast("double"))
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.sum((sx * sy > 0).cast("long")).alias("c"),
+        F.sum((sx * sy < 0).cast("long")).alias("d"),
+        F.sum(((sx == 0) & (sy != 0)).cast("long")).alias("tx"),
+        F.sum(((sx != 0) & (sy == 0)).cast("long")).alias("ty"),
+    )
+    denom = F.sqrt(
+        (F.col("c") + F.col("d") + F.col("tx")).cast("double")
+    ) * F.sqrt((F.col("c") + F.col("d") + F.col("ty")).cast("double"))
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("c").alias("n_concordant"),
+        F.col("d").alias("n_discordant"),
+        F.when(denom != 0.0, (F.col("c") - F.col("d")).cast("double") / denom)
+        .alias("tau_b"),
+    ).orderBy("type_a", "type_b")

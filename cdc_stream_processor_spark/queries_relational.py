@@ -2198,6 +2198,91 @@ FROM ranked, n
 """
 
 
+# --- dynamic-gap sessionization ---------------------------------------------------
+
+
+def q_dynamic_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.dynamic_sessions(B.load_table(spark, sf_dir, "events"))
+
+
+def _dynamic_sessions_sql() -> str:
+    gap_case = f"{R.DYN_GAP_DEFAULT}"
+    for t, sec in sorted(R.DYN_GAPS.items(), reverse=True):
+        gap_case = f"CASE WHEN prev_type = '{t}' THEN {sec} ELSE {gap_case} END"
+    return f"""
+WITH lagged AS (
+  SELECT user_id, ts, event_id,
+         LAG(epoch_us(ts)) OVER w AS prev_us,
+         LAG(event_type) OVER w AS prev_type,
+         epoch_us(ts) AS us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+), flagged AS (
+  SELECT user_id, ts, event_id, us,
+         CASE WHEN prev_us IS NULL
+                OR us - prev_us > ({gap_case})::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS new_flag
+  FROM lagged
+), sess AS (
+  SELECT user_id, ts,
+         (SUM(new_flag) OVER (PARTITION BY user_id
+                              ORDER BY us ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW))::BIGINT AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --- Kendall tau-b rank correlation ----------------------------------------------
+
+
+def q_kendall_tau_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.kendall_tau_types(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_KENDALL_TAU_TYPES = f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {R.DAY_US} AS day, event_type AS et, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT s.day, t.et, COALESCE(d.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT unnest(generate_series(lo, hi)) AS day
+        FROM (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily)) s
+  CROSS JOIN (SELECT DISTINCT et FROM daily) t
+  LEFT JOIN daily d ON s.day = d.day AND t.et = d.et
+), obs AS (
+  SELECT x.day, x.et AS type_a, y.et AS type_b, x.cnt AS xa, y.cnt AS xb
+  FROM spine x JOIN spine y ON x.day = y.day AND x.et < y.et
+), pairs AS (
+  SELECT o1.type_a, o1.type_b,
+         SIGN((o2.xa - o1.xa)::DOUBLE) AS sx,
+         SIGN((o2.xb - o1.xb)::DOUBLE) AS sy
+  FROM obs o1
+  JOIN obs o2 ON o1.type_a = o2.type_a AND o1.type_b = o2.type_b
+             AND o1.day < o2.day
+), agg AS (
+  SELECT type_a, type_b,
+         SUM((sx * sy > 0)::BIGINT)::BIGINT AS c,
+         SUM((sx * sy < 0)::BIGINT)::BIGINT AS d,
+         SUM((sx = 0 AND sy != 0)::BIGINT)::BIGINT AS tx,
+         SUM((sx != 0 AND sy = 0)::BIGINT)::BIGINT AS ty
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, c AS n_concordant, d AS n_discordant,
+       CASE WHEN SQRT((c + d + tx)::DOUBLE) * SQRT((c + d + ty)::DOUBLE)
+                 != 0.0
+            THEN (c - d)::DOUBLE
+                 / (SQRT((c + d + tx)::DOUBLE) * SQRT((c + d + ty)::DOUBLE))
+       END AS tau_b
+FROM agg
+ORDER BY type_a, type_b
+"""
+
+
 # --- shuffle-key skew diagnostic -----------------------------------------------
 
 
@@ -2521,6 +2606,8 @@ QUERIES = {
     "pattern_match_daily": q_pattern_match_daily,
     "sequence_gap_audit": q_sequence_gap_audit,
     "rfm_scores": q_rfm_scores,
+    "dynamic_sessions": q_dynamic_sessions,
+    "kendall_tau_types": q_kendall_tau_types,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2588,6 +2675,8 @@ ORACLES = {
     "pattern_match_daily": SQL_PATTERN_MATCH_DAILY,
     "sequence_gap_audit": SQL_SEQUENCE_GAP_AUDIT,
     "rfm_scores": SQL_RFM_SCORES,
+    "dynamic_sessions": _dynamic_sessions_sql(),
+    "kendall_tau_types": SQL_KENDALL_TAU_TYPES,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

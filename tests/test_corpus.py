@@ -1068,3 +1068,59 @@ def test_rfm_scores_shape(spark, sf_dir):
     from collections import Counter
     c = Counter(r.m_score for r in out)
     assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_dynamic_sessions_gap_depends_on_prev_type(spark):
+    """45-min gap after a purchase (gap 3600) stays one session; the same
+    45-min gap after a view (gap 1800) splits."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+    rows = [
+        # user 1: purchase then 45-min silence -> SAME session
+        (1, t0, 1, "purchase", 0.0, "{}"),
+        (2, t0 + 45 * mins, 1, "view", 0.0, "{}"),
+        # user 2: view then 45-min silence -> NEW session
+        (3, t0, 2, "view", 0.0, "{}"),
+        (4, t0 + 45 * mins, 2, "view", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = R.dynamic_sessions(events).groupBy("user_id").count().collect()
+    n = {r.user_id: r["count"] for r in out}
+    assert n == {1: 1, 2: 2}
+
+
+def test_kendall_tau_planted_monotone_series(spark):
+    """A type proportional to another -> tau +1; anti-phased -> tau -1
+    (exact: integer concordance counts, no interpolation)."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows, eid = [], 0
+    for day in range(15):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+        a = 3 + (day * 7) % 11  # varying, no repeated consecutive? may tie
+        for _ in range(a):
+            rows.append((eid, ts, 1, "up", 0.0, "{}")); eid += 1
+        for _ in range(2 * a):
+            rows.append((eid, ts, 1, "double", 0.0, "{}")); eid += 1
+        for _ in range(30 - a):
+            rows.append((eid, ts, 1, "down", 0.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {(r.type_a, r.type_b): r for r in R.kendall_tau_types(events).collect()}
+    assert out[("double", "up")].tau_b == 1.0
+    assert out[("down", "up")].tau_b == -1.0
+    assert out[("double", "down")].tau_b == -1.0
+    assert out[("double", "up")].n_discordant == 0
