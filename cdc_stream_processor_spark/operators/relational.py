@@ -1825,3 +1825,41 @@ def kendall_tau_types(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.when(denom != 0.0, (F.col("c") - F.col("d")).cast("double") / denom)
         .alias("tau_b"),
     ).orderBy("type_a", "type_b")
+
+
+SEAS_ANOM_K = 3.5  # MAD multiplier (≈3σ-equivalent for normal residuals)
+
+
+def seasonal_anomalies(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Seasonality-aware anomaly flags: decompose the daily series
+    (seasonal_decompose — trend + day-of-week effect removed), then flag
+    days whose residual deviates from the median residual by more than
+    K·MAD — the robust control chart that a plain z-score can't give on
+    strongly weekly data.
+
+    Exactness: residuals are seasonal_decompose's fixed expression; the
+    two medians are exact sorted-middle statistics on the calendar-
+    bounded series (even counts average two values — one add + one
+    divide, engine-equal); the flag compares single-rounded products.
+    Scale: everything past the daily groupBy runs at calendar scale.
+    Returns (day, cnt, residual, dev, is_anomaly) for ALL interior days.
+    """
+    dec = seasonal_decompose(events, ts_col=ts_col)
+    med = dec.agg(F.median("residual").alias("med"))
+    dev = dec.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("residual") - F.col("med"))
+    )
+    mad = dev.agg(F.median("dev").alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "cnt",
+            "residual",
+            "dev",
+            (F.col("dev") > F.lit(SEAS_ANOM_K) * F.col("mad")).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -1769,6 +1769,25 @@ FROM detr d JOIN per_dow p USING (dow)
 """
 
 
+# --- seasonality-aware anomaly flags -------------------------------------------
+
+
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.seasonal_anomalies(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_SEASONAL_ANOMALIES = f"""
+WITH dec AS ({{seasonal}}),
+med AS (SELECT MEDIAN(residual) AS med FROM dec),
+dev AS (
+  SELECT day, cnt, residual, ABS(residual - med) AS dev FROM dec, med
+), mad AS (SELECT MEDIAN(dev) AS mad FROM dev)
+SELECT day, cnt, residual, dev, dev > {R.SEAS_ANOM_K} * mad AS is_anomaly
+FROM dev, mad
+ORDER BY day
+""".format(seasonal=SQL_SEASONAL_DECOMPOSE.strip())
+
+
 # --- daily-series autocorrelation ----------------------------------------------
 
 
@@ -2608,6 +2627,7 @@ QUERIES = {
     "rfm_scores": q_rfm_scores,
     "dynamic_sessions": q_dynamic_sessions,
     "kendall_tau_types": q_kendall_tau_types,
+    "seasonal_anomalies": q_seasonal_anomalies,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2677,6 +2697,7 @@ ORACLES = {
     "rfm_scores": SQL_RFM_SCORES,
     "dynamic_sessions": _dynamic_sessions_sql(),
     "kendall_tau_types": SQL_KENDALL_TAU_TYPES,
+    "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

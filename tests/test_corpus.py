@@ -1124,3 +1124,32 @@ def test_kendall_tau_planted_monotone_series(spark):
     assert out[("down", "up")].tau_b == -1.0
     assert out[("double", "down")].tau_b == -1.0
     assert out[("double", "up")].n_discordant == 0
+
+
+def test_seasonal_anomalies_flags_planted_spike_only(spark):
+    """Clean weekly pattern + one 60-event spike: exactly that day is
+    flagged; every other interior day has residual 0."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows, eid = [], 0
+    d0 = 19000
+    spike_day = d0 + 14
+    for day in range(d0, d0 + 28):
+        n = 10 + day % 7 + (60 if day == spike_day else 0)
+        for _ in range(n):
+            ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+            rows.append((eid, ts)); eid += 1
+    events = spark.createDataFrame(rows, ["event_id", "ts"])
+    out = {r.day: r for r in R.seasonal_anomalies(events).collect()}
+    flagged = {d for d, r in out.items() if r.is_anomaly}
+    # the spike bleeds into (a) the ±3 moving-average trend window and
+    # (b) the seasonal mean of its OWN day-of-week (mean-based seasonal
+    # estimate — every same-dow day inherits a negative residual), so the
+    # flag set contains the spike and stays inside that union
+    assert spike_day in flagged
+    same_dow = {d for d in out if d % 7 == spike_day % 7}
+    assert flagged <= set(range(spike_day - 3, spike_day + 4)) | same_dow
+    # the spike day itself carries the LARGEST absolute residual
+    assert max(out, key=lambda d: abs(out[d].residual)) == spike_day
