@@ -1863,3 +1863,67 @@ def seasonal_anomalies(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+LAG_FROM_TYPE = "signup"
+LAG_TO_TYPE = "purchase"
+
+
+def conversion_lag_quantiles(
+    events: DataFrame,
+    from_type: str = LAG_FROM_TYPE,
+    to_type: str = LAG_TO_TYPE,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Time-to-convert distribution: per user, seconds from the FIRST
+    `from_type` event to the first `to_type` event at-or-after it, then
+    exact interpolated p25/p50/p75/p90 over converting users — the
+    funnel-latency SLA panel.
+
+    Lags are integer seconds (epoch-µs div); exact percentile is a
+    sort-based aggregate over the USER-scale lag table (one row per
+    converting user), with the same interpolation DuckDB's quantile_cont
+    states.  Users who never convert are counted, not quantiled.
+    Returns one row: (n_from, n_converted, p25_s, p50_s, p75_s, p90_s).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    firsts = (
+        events.filter(F.col("event_type").isin(from_type, to_type))
+        .groupBy(user_col)
+        .agg(
+            F.min(F.when(F.col("event_type") == from_type, us)).alias("f_us"),
+            F.min(
+                F.when(F.col("event_type") == to_type, us)
+            ).alias("first_to_us"),
+        )
+        .filter(F.col("f_us").isNotNull())
+    )
+    # first to-event AT OR AFTER the from-event needs a conditional min
+    per_user = (
+        events.filter(F.col("event_type") == to_type)
+        .select(F.col(user_col).alias("u2"), us.alias("t_us"))
+        .join(firsts, F.col("u2") == F.col(user_col))
+        .filter(F.col("t_us") >= F.col("f_us"))
+        .groupBy(user_col)
+        .agg(
+            F.expr("(min(t_us) - first(f_us)) div 1000000").alias("lag_s")
+        )
+    )
+    n_from = firsts.agg(F.count(F.lit(1)).alias("n_from"))
+    pct = F.percentile(
+        "lag_s",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.9)),
+    )
+    agg = per_user.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        pct.alias("p"),
+    )
+    return agg.crossJoin(F.broadcast(n_from)).select(
+        "n_from",
+        "n_converted",
+        F.round(F.col("p").getItem(0), 6).alias("p25_s"),
+        F.round(F.col("p").getItem(1), 6).alias("p50_s"),
+        F.round(F.col("p").getItem(2), 6).alias("p75_s"),
+        F.round(F.col("p").getItem(3), 6).alias("p90_s"),
+    )

@@ -1788,6 +1788,39 @@ ORDER BY day
 """.format(seasonal=SQL_SEASONAL_DECOMPOSE.strip())
 
 
+# --- funnel latency quantiles ---------------------------------------------------
+
+
+def q_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.conversion_lag_quantiles(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_CONVERSION_LAG_QUANTILES = f"""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{R.LAG_FROM_TYPE}'
+                  THEN epoch_us(ts) END) AS f_us
+  FROM events
+  WHERE event_type IN ('{R.LAG_FROM_TYPE}', '{R.LAG_TO_TYPE}')
+  GROUP BY user_id
+  HAVING f_us IS NOT NULL
+), per_user AS (
+  SELECT e.user_id, (MIN(epoch_us(e.ts)) - ANY_VALUE(f.f_us)) // 1000000
+           AS lag_s
+  FROM events e JOIN firsts f USING (user_id)
+  WHERE e.event_type = '{R.LAG_TO_TYPE}' AND epoch_us(e.ts) >= f.f_us
+  GROUP BY e.user_id
+), nf AS (SELECT COUNT(*) AS n_from FROM firsts)
+SELECT n_from, COUNT(*) AS n_converted,
+       ROUND(quantile_cont(lag_s, 0.25), 6) AS p25_s,
+       ROUND(quantile_cont(lag_s, 0.5), 6) AS p50_s,
+       ROUND(quantile_cont(lag_s, 0.75), 6) AS p75_s,
+       ROUND(quantile_cont(lag_s, 0.9), 6) AS p90_s
+FROM per_user, nf
+GROUP BY n_from
+"""
+
+
 # --- daily-series autocorrelation ----------------------------------------------
 
 
@@ -2628,6 +2661,7 @@ QUERIES = {
     "dynamic_sessions": q_dynamic_sessions,
     "kendall_tau_types": q_kendall_tau_types,
     "seasonal_anomalies": q_seasonal_anomalies,
+    "conversion_lag_quantiles": q_conversion_lag_quantiles,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2698,6 +2732,7 @@ ORACLES = {
     "dynamic_sessions": _dynamic_sessions_sql(),
     "kendall_tau_types": SQL_KENDALL_TAU_TYPES,
     "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
+    "conversion_lag_quantiles": SQL_CONVERSION_LAG_QUANTILES,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

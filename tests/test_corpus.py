@@ -1153,3 +1153,33 @@ def test_seasonal_anomalies_flags_planted_spike_only(spark):
     assert flagged <= set(range(spike_day - 3, spike_day + 4)) | same_dow
     # the spike day itself carries the LARGEST absolute residual
     assert max(out, key=lambda d: abs(out[d].residual)) == spike_day
+
+
+def test_conversion_lag_quantiles_hand_computed(spark):
+    """4 signup users, 3 convert with lags 10s/20s/40s (one purchase
+    BEFORE signup must not count); p50 = 20 exactly."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    s = datetime.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "signup", 0.0, "{}"),
+        (2, t0 + 10 * s, 1, "purchase", 0.0, "{}"),
+        (3, t0, 2, "signup", 0.0, "{}"),
+        (4, t0 + 20 * s, 2, "purchase", 0.0, "{}"),
+        (5, t0 - 5 * s, 3, "purchase", 0.0, "{}"),   # pre-signup: ignored
+        (6, t0, 3, "signup", 0.0, "{}"),
+        (7, t0 + 40 * s, 3, "purchase", 0.0, "{}"),
+        (8, t0, 4, "signup", 0.0, "{}"),              # never converts
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = R.conversion_lag_quantiles(events).collect()[0]
+    assert (r.n_from, r.n_converted) == (4, 3)
+    assert r.p50_s == 20.0
+    assert r.p25_s == 15.0 and r.p75_s == 30.0  # linear interpolation
