@@ -911,3 +911,56 @@ def test_progress_recorder_captures_batch_metrics(spark, tmpdirs):
         assert all(r["query_name"] == "metered" for r in m)
     finally:
         spark.streams.removeListener(rec)
+
+
+def test_stream_hopping_counts_match_batch_trending(spark, tmpdirs):
+    """The trending query's aggregation core (hopping-window counts) runs
+    UNCHANGED on a streaming DataFrame: availableNow over the events
+    parquet must produce exactly the batch counts (complete mode — every
+    window's final value), proving the batch twin is the streaming
+    semantics, not an approximation of it."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.sources import batch as B
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev_batch = B.load_table(spark, sf_dir, "events")
+    schema = ev_batch.schema
+    src = f"{tmpdirs}/events_src"
+    ev_batch.write.mode("overwrite").parquet(src)
+
+    def hopping(df):
+        return (
+            df.groupBy(
+                F.window("ts", "2 hours", "1 hour").alias("w"),
+                F.col("event_type"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert stream.isStreaming
+    q = (
+        hopping(stream)
+        .writeStream.format("memory")
+        .queryName("trending_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdirs}/ckpt_trend")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start_us, r.event_type): r.n_events
+        for r in spark.sql("select * from trending_stream").collect()
+    }
+    exp = {
+        (r.window_start_us, r.event_type): r.n_events
+        for r in hopping(ev_batch).collect()
+    }
+    assert got == exp and len(exp) > 0
