@@ -1927,3 +1927,69 @@ def conversion_lag_quantiles(
         F.round(F.col("p").getItem(2), 6).alias("p75_s"),
         F.round(F.col("p").getItem(3), 6).alias("p90_s"),
     )
+
+
+BURST_MIN_GAPS = 5
+BURST_TOP_K = 20
+
+
+def user_burstiness(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    min_gaps: int = BURST_MIN_GAPS,
+    k: int = BURST_TOP_K,
+) -> DataFrame:
+    """Burstiness of each user's event stream (Goh & Barabási '08):
+    B = (σ − μ)/(σ + μ) over inter-event gaps — B→−1 periodic, 0
+    Poisson, →1 bursty.  The behavioral feature separating schedulers
+    and bots (periodic) from humans (bursty).
+
+    Gaps are integer seconds (epoch div); Σg and Σg² accumulate in
+    DECIMAL(38,0); σ = √(n·Σg² − S²)/n and μ = S/n are then fixed trees
+    of correctly-rounded ops (IEEE sqrt), so B is engine-exact.  One
+    shuffle on user (lag window), one partial-agg; top-k is
+    TakeOrderedAndProject.  Users with < min_gaps gaps are excluded
+    (the statistic is noise there).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col("event_id").asc())
+    gaps = (
+        events.withColumn("_prev", F.lag(us).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            user_col,
+            F.expr(f"(unix_micros({ts_col}) - _prev) div 1000000")
+            .cast("decimal(38,0)")
+            .alias("g"),
+        )
+    )
+    agg = (
+        gaps.groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("g").alias("s"),
+            F.sum(F.col("g") * F.col("g")).alias("ss"),
+        )
+        .filter(F.col("n_gaps") >= min_gaps)
+    )
+    n = F.col("n_gaps").cast("decimal(38,0)")
+    mu = F.col("s").cast("double") / F.col("n_gaps").cast("double")
+    sigma = (
+        F.sqrt((n * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+        / F.col("n_gaps").cast("double")
+    )
+    scored = agg.select(
+        user_col,
+        "n_gaps",
+        F.round(mu, 6).alias("mean_gap_s"),
+        F.round(sigma, 6).alias("std_gap_s"),
+        F.when(
+            sigma + mu != 0.0, (sigma - mu) / (sigma + mu)
+        ).alias("burstiness"),
+    )
+    return global_top_k(
+        scored,
+        [F.col("burstiness").desc(), F.col(user_col).asc()],
+        k,
+    )

@@ -1821,6 +1821,46 @@ GROUP BY n_from
 """
 
 
+# --- inter-event burstiness ------------------------------------------------------
+
+
+def q_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.user_burstiness(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_USER_BURSTINESS = f"""
+WITH gaps AS (
+  SELECT user_id,
+         ((epoch_us(ts) - LAG(epoch_us(ts)) OVER w) // 1000000)
+           ::DECIMAL(38,0) AS g
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+), agg AS (
+  SELECT user_id, COUNT(g) AS n_gaps, SUM(g) AS s, SUM(g * g) AS ss
+  FROM gaps WHERE g IS NOT NULL
+  GROUP BY user_id
+  HAVING COUNT(g) >= {R.BURST_MIN_GAPS}
+), scored AS (
+  SELECT user_id, n_gaps,
+         ROUND(s::DOUBLE / n_gaps::DOUBLE, 6) AS mean_gap_s,
+         ROUND(SQRT((n_gaps::DECIMAL(38,0) * ss - s * s)::DOUBLE)
+               / n_gaps::DOUBLE, 6) AS std_gap_s,
+         CASE WHEN SQRT((n_gaps::DECIMAL(38,0) * ss - s * s)::DOUBLE)
+                   / n_gaps::DOUBLE
+                 + s::DOUBLE / n_gaps::DOUBLE != 0.0
+              THEN (SQRT((n_gaps::DECIMAL(38,0) * ss - s * s)::DOUBLE)
+                    / n_gaps::DOUBLE - s::DOUBLE / n_gaps::DOUBLE)
+                 / (SQRT((n_gaps::DECIMAL(38,0) * ss - s * s)::DOUBLE)
+                    / n_gaps::DOUBLE + s::DOUBLE / n_gaps::DOUBLE)
+         END AS burstiness
+  FROM agg
+)
+SELECT * FROM scored
+ORDER BY burstiness DESC, user_id ASC
+LIMIT {R.BURST_TOP_K}
+"""
+
+
 # --- daily-series autocorrelation ----------------------------------------------
 
 
@@ -2662,6 +2702,7 @@ QUERIES = {
     "kendall_tau_types": q_kendall_tau_types,
     "seasonal_anomalies": q_seasonal_anomalies,
     "conversion_lag_quantiles": q_conversion_lag_quantiles,
+    "user_burstiness": q_user_burstiness,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2733,6 +2774,7 @@ ORACLES = {
     "kendall_tau_types": SQL_KENDALL_TAU_TYPES,
     "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
     "conversion_lag_quantiles": SQL_CONVERSION_LAG_QUANTILES,
+    "user_burstiness": SQL_USER_BURSTINESS,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

@@ -1183,3 +1183,30 @@ def test_conversion_lag_quantiles_hand_computed(spark):
     assert (r.n_from, r.n_converted) == (4, 3)
     assert r.p50_s == 20.0
     assert r.p25_s == 15.0 and r.p75_s == 30.0  # linear interpolation
+
+
+def test_user_burstiness_periodic_vs_bursty(spark):
+    """User 1 perfectly periodic (B = -1: sigma 0); user 2 bursty (many
+    tiny gaps + one huge gap -> B near +1). Ranking puts 2 first."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=1)
+    rows, eid = [], 0
+    for i in range(10):  # user 1: every 60s exactly
+        rows.append((eid, t0 + i * 60 * s, 1, "view", 0.0, "{}")); eid += 1
+    burst_times = [0, 1, 2, 3, 4, 5, 100000, 100001, 100002, 100003]
+    for t in burst_times:  # user 2: two tight bursts far apart
+        rows.append((eid, t0 + t * s, 2, "view", 0.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = [r for r in R.user_burstiness(events).collect()]
+    by_user = {r.user_id: r for r in out}
+    assert by_user[1].burstiness == -1.0  # sigma == 0 exactly
+    assert by_user[2].burstiness > 0.8
+    assert out[0].user_id == 2  # bursty ranks first
