@@ -1208,5 +1208,7 @@ def test_user_burstiness_periodic_vs_bursty(spark):
     out = [r for r in R.user_burstiness(events).collect()]
     by_user = {r.user_id: r for r in out}
     assert by_user[1].burstiness == -1.0  # sigma == 0 exactly
-    assert by_user[2].burstiness > 0.8
+    # finite-size bound: max B for n gaps is (sqrt(n-1)-1)/(sqrt(n-1)+1)
+    # = 0.477 at n=9 -- user 2 sits essentially AT the bound
+    assert by_user[2].burstiness > 0.45
     assert out[0].user_id == 2  # bursty ranks first
