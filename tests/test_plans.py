@@ -401,3 +401,42 @@ def test_knn_graph_plan_blocked_kernel_no_driver_collect(spark, sf_dir):
     assert "InPandas" in plan
     assert "LocalTableScan" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_skyline_plan_no_cartesian_no_corpus_window(spark, sf_dir):
+    """The bucket-pruned skyline must not plan a cartesian self-join, and
+    its only unpartitioned windows run AFTER aggregation (bucket/level
+    scale), never on the orders scan directly."""
+    from cdc_stream_processor_spark import queries_relational as QRel
+
+    plan = _plan(QRel.q_skyline_orders(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the broadcasts: bounds row, bucket running-max table, level table
+    assert plan.count("BroadcastExchange") >= 3
+
+
+def test_distributed_rank_no_global_single_partition_sort(spark, sf_dir):
+    """rfm_scores' ranks must come from the bucketed pattern: windows are
+    partitioned by _bkt; the only unpartitioned window input is the
+    ≤1024-row bucket-count aggregate."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.operators import relational as R
+    from cdc_stream_processor_spark.sources import batch as B
+
+    orders = B.load_table(spark, sf_dir, "orders")
+    df = R.distributed_rank(
+        orders, F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    plan = _plan(df)
+    # the per-row window's exchange hashes on the bucket key — a global
+    # rank would instead show Exchange SinglePartition feeding the Sort
+    assert "hashpartitioning(_bkt" in plan
+
+
+def test_sequence_gap_audit_windows_are_bucket_partitioned(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_relational as QRel
+
+    plan = _plan(QRel.q_sequence_gap_audit(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "bkt" in plan  # intra-bucket lag partitions on the bucket key
