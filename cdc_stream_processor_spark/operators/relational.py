@@ -1993,3 +1993,67 @@ def user_burstiness(
         [F.col("burstiness").desc(), F.col(user_col).asc()],
         k,
     )
+
+
+PATH_SCALE = 1_000_000_000
+
+
+def user_path_score(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Behavioral-anomaly score: each user's event-type path scored under
+    the corpus-wide first-order transition model — the event-sequence
+    twin of bigram_lm_score (users whose transition patterns are rare
+    under the global Markov matrix surface for review).
+
+    p(b|a) = c(a,b)/c(a·) over time-ordered within-user transitions;
+    per-transition integer score floor(p·1e9) (one exact product, one
+    correctly-rounded division, floor), per-user mean of integers — no
+    transcendentals, engine-exact.  Two aggregations hang off one
+    user-partitioned lag window; the transition matrix is |types|² rows
+    (broadcast).  Returns (user_id, n_transitions, mean_scaled_p).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(us.asc(), F.col("event_id").asc())
+    trans = (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            user_col,
+            F.col("_prev").alias("t_from"),
+            F.col(type_col).alias("t_to"),
+        )
+    )
+    c_ab = trans.groupBy("t_from", "t_to").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
+    c_a = trans.groupBy("t_from").agg(F.count(F.lit(1)).alias("n_a"))
+    model = c_ab.join(c_a, "t_from").select(
+        "t_from",
+        "t_to",
+        F.floor(
+            F.col("n_ab").cast("double")
+            * F.lit(float(PATH_SCALE))
+            / F.col("n_a").cast("double")
+        ).alias("sp"),
+    )
+    return (
+        trans.join(F.broadcast(model), ["t_from", "t_to"])
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.sum("sp").alias("_s"),
+        )
+        .select(
+            user_col,
+            "n_transitions",
+            (
+                F.col("_s").cast("double")
+                / F.col("n_transitions").cast("double")
+            ).alias("mean_scaled_p"),
+        )
+        .orderBy(user_col)
+    )

@@ -1861,6 +1861,38 @@ LIMIT {R.BURST_TOP_K}
 """
 
 
+# --- behavioral path scoring -----------------------------------------------------
+
+
+def q_user_path_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.user_path_score(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_USER_PATH_SCORE = f"""
+WITH trans AS (
+  SELECT user_id,
+         LAG(event_type) OVER w AS t_from,
+         event_type AS t_to
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+  QUALIFY t_from IS NOT NULL
+), cab AS (
+  SELECT t_from, t_to, COUNT(*) AS n_ab FROM trans GROUP BY 1, 2
+), ca AS (
+  SELECT t_from, COUNT(*) AS n_a FROM trans GROUP BY 1
+), model AS (
+  SELECT cab.t_from, cab.t_to,
+         FLOOR(n_ab::DOUBLE * {float(R.PATH_SCALE)} / n_a::DOUBLE) AS sp
+  FROM cab JOIN ca USING (t_from)
+)
+SELECT t.user_id, COUNT(*) AS n_transitions,
+       SUM(sp)::BIGINT::DOUBLE / COUNT(*)::DOUBLE AS mean_scaled_p
+FROM trans t JOIN model m ON t.t_from = m.t_from AND t.t_to = m.t_to
+GROUP BY t.user_id
+ORDER BY t.user_id
+"""
+
+
 # --- daily-series autocorrelation ----------------------------------------------
 
 
@@ -2703,6 +2735,7 @@ QUERIES = {
     "seasonal_anomalies": q_seasonal_anomalies,
     "conversion_lag_quantiles": q_conversion_lag_quantiles,
     "user_burstiness": q_user_burstiness,
+    "user_path_score": q_user_path_score,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2775,6 +2808,7 @@ ORACLES = {
     "seasonal_anomalies": SQL_SEASONAL_ANOMALIES,
     "conversion_lag_quantiles": SQL_CONVERSION_LAG_QUANTILES,
     "user_burstiness": SQL_USER_BURSTINESS,
+    "user_path_score": SQL_USER_PATH_SCORE,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

@@ -1212,3 +1212,30 @@ def test_user_burstiness_periodic_vs_bursty(spark):
     # = 0.477 at n=9 -- user 2 sits essentially AT the bound
     assert by_user[2].burstiness > 0.45
     assert out[0].user_id == 2  # bursty ranks first
+
+
+def test_user_path_score_flags_rare_transition_user(spark):
+    """Most users alternate a->b; one user does a->c (a rare transition):
+    that user's mean transition probability must be the lowest."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    t0 = datetime.datetime(2024, 1, 1)
+    s = datetime.timedelta(seconds=10)
+    rows, eid = [], 0
+    for uid in range(1, 10):  # 9 conformist users: a -> b
+        rows.append((eid, t0, uid, "a", 0.0, "{}")); eid += 1
+        rows.append((eid, t0 + s, uid, "b", 0.0, "{}")); eid += 1
+    rows.append((eid, t0, 99, "a", 0.0, "{}")); eid += 1
+    rows.append((eid, t0 + s, 99, "c", 0.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.user_id: r for r in R.user_path_score(events).collect()}
+    # p(b|a) = 9/10, p(c|a) = 1/10 -> exact scaled integers
+    assert out[1].mean_scaled_p == float(int(0.9 * 1e9))
+    assert out[99].mean_scaled_p == float(int(0.1 * 1e9))
+    assert min(out.values(), key=lambda r: r.mean_scaled_p).user_id == 99
