@@ -2057,3 +2057,64 @@ def user_path_score(
         )
         .orderBy(user_col)
     )
+
+
+def seasonal_decompose_by_group(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-group additive decomposition of each group's daily count
+    series — seasonal_decompose with every stage PARTITIONED by the
+    group key, which is the form that actually scales: with G groups the
+    windows shard G-ways (the global variant's unpartitioned window is
+    fine only because one series is calendar-bounded; a per-entity
+    decomposition over millions of entities NEEDS the partitioned
+    shape).  Identical integer-numerator arithmetic per group.
+    Returns (group, day, cnt, trend, seasonal, residual).
+    """
+    period, half = SEASON_PERIOD, TREND_HALF
+    g = F.col(group_col).alias("grp")
+    daily = (
+        events.select(
+            g, F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day")
+        )
+        .groupBy("grp", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = (
+        daily.groupBy("grp")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select("grp", F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(daily, ["grp", "day"], "left")
+        .select(
+            "grp",
+            "day",
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy("day").rowsBetween(-half, half)
+    full = (
+        spine.withColumn("sum_w", F.sum("cnt").over(w))
+        .withColumn("cw", F.count(F.lit(1)).over(w))
+        .filter(F.col("cw") == period)
+    )
+    detr = full.withColumn(
+        "detr_num", F.lit(period) * F.col("cnt") - F.col("sum_w")
+    ).withColumn("dow", F.pmod(F.col("day"), F.lit(period)))
+    per_dow = detr.groupBy("grp", "dow").agg(
+        F.sum("detr_num").alias("s_num"), F.count(F.lit(1)).alias("n_dow")
+    )
+    out = detr.join(per_dow, ["grp", "dow"])
+    trend = F.col("sum_w").cast("double") / F.lit(float(period))
+    seasonal = F.col("s_num").cast("double") / (
+        F.lit(period) * F.col("n_dow")
+    ).cast("double")
+    return out.select(
+        F.col("grp").alias(group_col),
+        "day",
+        "cnt",
+        trend.alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("cnt") - trend - seasonal).alias("residual"),
+    ).orderBy(group_col, "day")

@@ -1893,6 +1893,52 @@ ORDER BY t.user_id
 """
 
 
+# --- per-group seasonal decomposition --------------------------------------------
+
+
+def q_seasonal_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.seasonal_decompose_by_group(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_SEASONAL_BY_TYPE = f"""
+WITH daily AS (
+  SELECT event_type AS grp, epoch_us(ts) // {R.DAY_US} AS day,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT s.grp, s.day, COALESCE(d.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT grp, unnest(generate_series(lo, hi)) AS day
+        FROM (SELECT grp, MIN(day) AS lo, MAX(day) AS hi
+              FROM daily GROUP BY grp)) s
+  LEFT JOIN daily d ON s.grp = d.grp AND s.day = d.day
+), win AS (
+  SELECT grp, day, cnt,
+         SUM(cnt) OVER w::BIGINT AS sum_w,
+         COUNT(*) OVER w AS cw
+  FROM spine
+  WINDOW w AS (PARTITION BY grp ORDER BY day
+               ROWS BETWEEN {R.TREND_HALF} PRECEDING
+                        AND {R.TREND_HALF} FOLLOWING)
+), detr AS (
+  SELECT grp, day, cnt, sum_w,
+         {R.SEASON_PERIOD} * cnt - sum_w AS detr_num,
+         day % {R.SEASON_PERIOD} AS dow
+  FROM win WHERE cw = {R.SEASON_PERIOD}
+), per_dow AS (
+  SELECT grp, dow, SUM(detr_num)::BIGINT AS s_num, COUNT(*) AS n_dow
+  FROM detr GROUP BY grp, dow
+)
+SELECT d.grp AS event_type, d.day, d.cnt,
+       d.sum_w::DOUBLE / {float(R.SEASON_PERIOD)} AS trend,
+       p.s_num::DOUBLE / ({R.SEASON_PERIOD} * p.n_dow)::DOUBLE AS seasonal,
+       d.cnt - d.sum_w::DOUBLE / {float(R.SEASON_PERIOD)}
+             - p.s_num::DOUBLE / ({R.SEASON_PERIOD} * p.n_dow)::DOUBLE
+         AS residual
+FROM detr d JOIN per_dow p ON d.grp = p.grp AND d.dow = p.dow
+ORDER BY event_type, day
+"""
+
+
 # --- daily-series autocorrelation ----------------------------------------------
 
 
@@ -2736,6 +2782,7 @@ QUERIES = {
     "conversion_lag_quantiles": q_conversion_lag_quantiles,
     "user_burstiness": q_user_burstiness,
     "user_path_score": q_user_path_score,
+    "seasonal_by_type": q_seasonal_by_type,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2809,6 +2856,7 @@ ORACLES = {
     "conversion_lag_quantiles": SQL_CONVERSION_LAG_QUANTILES,
     "user_burstiness": SQL_USER_BURSTINESS,
     "user_path_score": SQL_USER_PATH_SCORE,
+    "seasonal_by_type": SQL_SEASONAL_BY_TYPE,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

@@ -1239,3 +1239,32 @@ def test_user_path_score_flags_rare_transition_user(spark):
     assert out[1].mean_scaled_p == float(int(0.9 * 1e9))
     assert out[99].mean_scaled_p == float(int(0.1 * 1e9))
     assert min(out.values(), key=lambda r: r.mean_scaled_p).user_id == 99
+
+
+def test_seasonal_by_group_matches_global_on_single_group(spark):
+    """With one group, the grouped decomposition must equal the global
+    one bit-for-bit (same integer-numerator arithmetic, now partitioned)."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows, eid = [], 0
+    d0 = 19000
+    for day in range(d0, d0 + 28):
+        for _ in range(10 + day % 7):
+            ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+            rows.append((eid, ts, 1, "only", 0.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    grouped = {
+        r.day: (r.cnt, r.trend, r.seasonal, r.residual)
+        for r in R.seasonal_decompose_by_group(events).collect()
+    }
+    global_ = {
+        r.day: (r.cnt, r.trend, r.seasonal, r.residual)
+        for r in R.seasonal_decompose(events).collect()
+    }
+    assert grouped == global_ and len(grouped) == 22
