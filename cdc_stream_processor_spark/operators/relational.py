@@ -2118,3 +2118,76 @@ def seasonal_decompose_by_group(
         seasonal.alias("seasonal"),
         (F.col("cnt") - trend - seasonal).alias("residual"),
     ).orderBy(group_col, "day")
+
+
+BACKTEST_MIN_TRAIN = 6  # months of history before the first forecast
+
+
+def forecast_backtest(
+    orders: DataFrame,
+    ts_col: str = "o_orderdate",
+    min_train: int = BACKTEST_MIN_TRAIN,
+) -> DataFrame:
+    """Rolling-origin backtest of a linear (OLS) monthly-revenue
+    forecast: for every month m with ≥ min_train months of history, fit
+    slope/intercept on months < m via prefix moments, predict m, and
+    report the absolute percentage error — the evaluation harness that
+    turns a forecast into a monitored model.
+
+    Exactness: x = month index (integer), y = monthly revenue in
+    DECIMAL(18,4); prefix sums Σx, Σy, Σxy, Σx², n come from cumulative
+    windows over the MONTH-scale table in decimal (order-free).  The
+    OLS terms and APE are then a fixed tree of correctly-rounded double
+    ops, identical in the oracle.  Degenerate fits (zero x-variance)
+    can't occur (x is 0..n−1).
+
+    Scale: one corpus shuffle to monthly revenue; every window after
+    runs on the months table.  Returns
+    (month_idx, actual, predicted, ape) ordered by month.
+    """
+    # revenue carried as INTEGER ten-thousandths (decimal(38,0)) so every
+    # moment is an exact integer — mixed-scale decimal(38,s) products
+    # would hit Spark's precision clamp (silent scale reduction) and
+    # diverge from DuckDB's decimal typing
+    monthly = (
+        orders.select(
+            (F.year(ts_col) * 12 + F.month(ts_col) - 1)
+            .cast("long")
+            .alias("mi"),
+            (F.col("o_totalprice").cast("decimal(18,4)") * 10000)
+            .cast("decimal(38,0)")
+            .alias("ys"),
+        )
+        .groupBy("mi")
+        .agg(F.sum("ys").alias("ys"))
+    )
+    w0 = Window.orderBy("mi")
+    idx = monthly.withColumn(
+        "x", (F.row_number().over(w0) - 1).cast("decimal(38,0)")
+    )
+    wc = w0.rowsBetween(Window.unboundedPreceding, -1)  # strictly prior
+    pre = (
+        idx.withColumn("n", F.count(F.lit(1)).over(wc).cast("decimal(38,0)"))
+        .withColumn("sx", F.sum("x").over(wc))
+        .withColumn("sy", F.sum("ys").over(wc))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("ys")).over(wc))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(wc))
+        .filter(F.col("n") >= min_train)
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    pred_s = intercept + slope * F.col("x").cast("double")
+    ys_d = F.col("ys").cast("double")
+    return pre.select(
+        F.col("mi").alias("month_idx"),
+        (ys_d / F.lit(10000.0)).alias("actual"),
+        F.round(pred_s / F.lit(10000.0), 4).alias("predicted"),
+        F.round(F.abs(ys_d - pred_s) / ys_d, 6).alias("ape"),
+    ).orderBy("month_idx")

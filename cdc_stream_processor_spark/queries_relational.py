@@ -1939,6 +1939,56 @@ ORDER BY event_type, day
 """
 
 
+# --- rolling-origin forecast backtest --------------------------------------------
+
+
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.forecast_backtest(B.load_table(spark, sf_dir, "orders"))
+
+
+SQL_FORECAST_BACKTEST = f"""
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) * 12
+          + EXTRACT(month FROM o_orderdate) - 1)::BIGINT AS mi,
+         SUM((o_totalprice::DECIMAL(18,4) * 10000)::DECIMAL(38,0))
+           ::DECIMAL(38,0) AS ys
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT mi, ys,
+         (ROW_NUMBER() OVER (ORDER BY mi) - 1)::DECIMAL(38,0) AS x
+  FROM monthly
+), pre AS (
+  SELECT mi, ys, x,
+         COUNT(*) OVER w::DECIMAL(38,0) AS n,
+         SUM(x) OVER w AS sx,
+         SUM(ys) OVER w AS sy,
+         SUM(x * ys) OVER w AS sxy,
+         SUM(x * x) OVER w AS sxx
+  FROM idx
+  WINDOW w AS (ORDER BY mi
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT mi AS month_idx,
+       ys::DOUBLE / 10000.0 AS actual,
+       ROUND(((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                             / (n * sxx - sx * sx)::DOUBLE) * sx::DOUBLE)
+              / n::DOUBLE
+              + ((n * sxy - sx * sy)::DOUBLE
+                 / (n * sxx - sx * sx)::DOUBLE) * x::DOUBLE)
+             / 10000.0, 4) AS predicted,
+       ROUND(ABS(ys::DOUBLE
+                 - ((sy::DOUBLE - ((n * sxy - sx * sy)::DOUBLE
+                                   / (n * sxx - sx * sx)::DOUBLE)
+                     * sx::DOUBLE) / n::DOUBLE
+                    + ((n * sxy - sx * sy)::DOUBLE
+                       / (n * sxx - sx * sx)::DOUBLE) * x::DOUBLE))
+             / ys::DOUBLE, 6) AS ape
+FROM pre
+WHERE n >= {R.BACKTEST_MIN_TRAIN}
+ORDER BY month_idx
+"""
+
+
 # --- daily-series autocorrelation ----------------------------------------------
 
 
@@ -2783,6 +2833,7 @@ QUERIES = {
     "user_burstiness": q_user_burstiness,
     "user_path_score": q_user_path_score,
     "seasonal_by_type": q_seasonal_by_type,
+    "forecast_backtest": q_forecast_backtest,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2857,6 +2908,7 @@ ORACLES = {
     "user_burstiness": SQL_USER_BURSTINESS,
     "user_path_score": SQL_USER_PATH_SCORE,
     "seasonal_by_type": SQL_SEASONAL_BY_TYPE,
+    "forecast_backtest": SQL_FORECAST_BACKTEST,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

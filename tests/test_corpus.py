@@ -1268,3 +1268,30 @@ def test_seasonal_by_group_matches_global_on_single_group(spark):
         for r in R.seasonal_decompose(events).collect()
     }
     assert grouped == global_ and len(grouped) == 22
+
+
+def test_forecast_backtest_perfect_on_linear_series(spark):
+    """Monthly revenue exactly linear in the month index: every rolling-
+    origin prediction is exact (ape == 0) once min_train months exist."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows, ok = [], 0
+    for m in range(12):
+        # revenue for month m: (1000 + 100*m), one order carries it all
+        rows.append(
+            (ok, 1, "O", 1000.0 + 100.0 * m,
+             datetime.datetime(2024, 1 + m % 12, 15), "1-URGENT")
+        )
+        ok += 1
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    out = R.forecast_backtest(orders).collect()
+    assert len(out) == 12 - R.BACKTEST_MIN_TRAIN
+    for r in out:
+        assert r.ape == 0.0 and r.predicted == r.actual
