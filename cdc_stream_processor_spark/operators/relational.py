@@ -1687,6 +1687,11 @@ def rfm_scores(
                 out, F.expr(f"(_rank * {RFM_TILES}) div _n") + F.lit(1)
             )
             .drop("_rank", "_n")
+            # each tile references its input 2× (bounds agg + keyed rows);
+            # chained un-checkpointed, the customer aggregate re-plans
+            # 2³ times — the checkpoint keeps the per-tile plan flat and
+            # is customer-table-sized
+            .localCheckpoint()
         )
 
     scored = tile(tile(tile(base, "recency_days", "q_r"), "frequency", "q_f"),
