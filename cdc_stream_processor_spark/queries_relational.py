@@ -1475,6 +1475,88 @@ FROM events e JOIN bounds b USING (event_type)
 """
 
 
+# --- join-cardinality audit -----------------------------------------------------
+
+
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-introspection report per FK edge: child/parent row
+    counts, distinct key counts each side, the textbook cardinality
+    estimate |L|·|R| / max(ndv_L, ndv_R), and the ACTUAL join output
+    size — the drift between estimate and actual is what mis-plans
+    joins at 100 TB.  Every number is one distributed aggregate; the
+    estimate arithmetic is exact integers + one rounded division."""
+    li = B.load_table(spark, sf_dir, "lineitem")
+    orders = B.load_table(spark, sf_dir, "orders")
+    cust = B.load_table(spark, sf_dir, "customer")
+
+    def edge(
+        name: str, child: DataFrame, ck: str, parent: DataFrame, pk: str
+    ) -> DataFrame:
+        cstats = child.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.countDistinct(ck).alias("ndv_child"),
+        )
+        pstats = parent.agg(
+            F.count(F.lit(1)).alias("n_parent"),
+            F.countDistinct(pk).alias("ndv_parent"),
+        )
+        actual = (
+            child.select(F.col(ck).alias("k"))
+            .join(parent.select(F.col(pk).alias("k")), "k")
+            .agg(F.count(F.lit(1)).alias("n_actual"))
+        )
+        return (
+            cstats.crossJoin(pstats)
+            .crossJoin(actual)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "ndv_child",
+                "n_parent",
+                "ndv_parent",
+                (
+                    (F.col("n_child") * F.col("n_parent")).cast("double")
+                    / F.greatest("ndv_child", "ndv_parent").cast("double")
+                ).alias("est_rows"),
+                "n_actual",
+            )
+        )
+
+    return edge(
+        "lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"
+    ).unionByName(
+        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey")
+    )
+
+
+SQL_JOIN_CARDINALITY_AUDIT = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem)::BIGINT AS n_child,
+       (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem)::BIGINT AS ndv_child,
+       (SELECT COUNT(*) FROM orders)::BIGINT AS n_parent,
+       (SELECT COUNT(DISTINCT o_orderkey) FROM orders)::BIGINT AS ndv_parent,
+       ((SELECT COUNT(*) FROM lineitem) * (SELECT COUNT(*) FROM orders))
+         ::DOUBLE
+         / GREATEST((SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+                    (SELECT COUNT(DISTINCT o_orderkey) FROM orders))::DOUBLE
+         AS est_rows,
+       (SELECT COUNT(*) FROM lineitem l JOIN orders o
+          ON l.l_orderkey = o.o_orderkey)::BIGINT AS n_actual
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders)::BIGINT,
+       (SELECT COUNT(DISTINCT o_custkey) FROM orders)::BIGINT,
+       (SELECT COUNT(*) FROM customer)::BIGINT,
+       (SELECT COUNT(DISTINCT c_custkey) FROM customer)::BIGINT,
+       ((SELECT COUNT(*) FROM orders) * (SELECT COUNT(*) FROM customer))
+         ::DOUBLE
+         / GREATEST((SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                    (SELECT COUNT(DISTINCT c_custkey) FROM customer))::DOUBLE,
+       (SELECT COUNT(*) FROM orders o JOIN customer c
+          ON o.o_custkey = c.c_custkey)::BIGINT
+"""
+
+
 # --- referential-integrity audit ----------------------------------------------
 
 
@@ -2834,6 +2916,7 @@ QUERIES = {
     "user_path_score": q_user_path_score,
     "seasonal_by_type": q_seasonal_by_type,
     "forecast_backtest": q_forecast_backtest,
+    "join_cardinality_audit": q_join_cardinality_audit,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2909,6 +2992,7 @@ ORACLES = {
     "user_path_score": SQL_USER_PATH_SCORE,
     "seasonal_by_type": SQL_SEASONAL_BY_TYPE,
     "forecast_backtest": SQL_FORECAST_BACKTEST,
+    "join_cardinality_audit": SQL_JOIN_CARDINALITY_AUDIT,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,
