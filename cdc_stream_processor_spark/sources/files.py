@@ -79,3 +79,14 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, bad
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC batch source — Spark-native columnar alternate to parquet;
+    schema from file metadata, predicate pushdown + column pruning apply
+    the same as parquet (the scan node advertises PushedFilters)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)

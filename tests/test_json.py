@@ -54,3 +54,26 @@ def test_jsonl_and_csv_sources_quarantine_corrupt_rows(spark, tmp_path):
     cclean, cbad = FS.split_corrupt(cdf)
     assert {(r["doc_id"], r["n"]) for r in cclean.collect()} == {(1, 10), (3, 30)}
     assert cbad.count() == 1
+
+
+def test_orc_source_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source parity: roundtrip preserves values, and a filtered read
+    pushes the predicate into the ORC scan."""
+    from cdc_stream_processor_spark.sources import batch as B
+    from cdc_stream_processor_spark.sources import files as FS
+
+    ev = B.load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_orc")
+    FS.write_orc(ev, path)
+    back = FS.read_orc(spark, path)
+    assert back.count() == ev.count()
+    a = sorted(r.event_id for r in ev.select("event_id").collect())
+    b = sorted(r.event_id for r in back.select("event_id").collect())
+    assert a == b
+    plan = (
+        back.filter("event_id < 100")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "LessThan(event_id,100)" in plan
