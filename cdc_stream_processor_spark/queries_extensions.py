@@ -967,6 +967,69 @@ ORDER BY d.source
     )
 
 
+# --- near-dup cluster-size histogram + embedding outliers ----------------------
+
+
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of near-dup clusters (how pathological is the
+    duplication: many pairs vs few mega-clusters) — the triage view over
+    the CC output."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD)
+    cc = D.connected_components(pairs)
+    sizes = cc.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _dup_cluster_sizes_sql() -> str:
+    return (
+        _minhash_pairs_ctes(recursive=True)
+        + _CC_CTES
+        + """
+SELECT cluster_size, COUNT(*) AS n_clusters FROM (
+  SELECT rep, COUNT(*) AS cluster_size FROM comp GROUP BY rep)
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+    )
+
+
+EMB_OUTLIER_K = 5
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the k members FARTHEST (lowest
+    cosine) from their own label centroid — the mislabeled-example / OOD
+    triage list. Reuses the exact integer-grid centroids and the
+    fold-cosine, so the ranking is oracle-reproducible."""
+    from cdc_stream_processor_spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    cents = S.embedding_centroids(emb, group_col="label", vec_col="embedding")
+    scored = emb.join(
+        F.broadcast(cents.withColumnRenamed("centroid", "cv")), "label"
+    ).select(
+        "label",
+        "vec_id",
+        F.round(
+            S.cosine(S.as_double(F.col("embedding")), F.col("cv")), 6
+        ).alias("centroid_sim"),
+    )
+    return top_k_per_group(
+        scored,
+        ["label"],
+        [F.col("centroid_sim").asc(), F.col("vec_id").asc()],
+        EMB_OUTLIER_K,
+        rank_col="rank",
+    ).select("label", "vec_id", "centroid_sim", "rank")
+
+
 # --- typo-pair join (FastSS deletion-neighborhood blocking) -------------------
 
 
@@ -1016,6 +1079,30 @@ SELECT label, n_vecs,
        list_transform(sv, s -> s / (n_vecs * {S.CENTROID_SCALE})::DOUBLE)
          AS centroid
 FROM asm
+"""
+
+
+def _embedding_outliers_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(v.v, c.centroid), p -> p[1] * p[2])"
+    )
+    nv = _FOLD_SUM.format(arr="list_transform(v.v, x -> x * x)")
+    nc = _FOLD_SUM.format(arr="list_transform(c.centroid, x -> x * x)")
+    return f"""
+WITH cents AS ({SQL_EMBEDDING_CENTROIDS}),
+v AS (
+  SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), scored AS (
+  SELECT v.label, v.vec_id,
+         ROUND(({dot}) / (sqrt({nv}) * sqrt({nc})), 6) AS centroid_sim
+  FROM v JOIN cents c USING (label)
+)
+SELECT label, vec_id, centroid_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+            ORDER BY centroid_sim ASC, vec_id ASC) AS rank
+  FROM scored)
+WHERE rank <= {EMB_OUTLIER_K}
 """
 
 
@@ -1895,6 +1982,8 @@ QUERIES = {
     "lang_id_confusion": q_lang_id_confusion,
     "readability_scores": q_readability_scores,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "dup_cluster_sizes": q_dup_cluster_sizes,
+    "embedding_outliers": q_embedding_outliers,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_dedup_kept": q_minhash_dedup_kept,
@@ -1942,6 +2031,8 @@ ORACLES = {
     "lang_id_confusion": _lang_confusion_sql(),
     "readability_scores": SQL_READABILITY_SCORES,
     "dup_rate_by_source": _dup_rate_by_source_sql(),
+    "dup_cluster_sizes": _dup_cluster_sizes_sql(),
+    "embedding_outliers": _embedding_outliers_sql(),
     "minhash_lsh_pairs": _minhash_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "minhash_dedup_kept": _minhash_dedup_kept_sql(),
