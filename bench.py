@@ -55,7 +55,12 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in entrymod.queries().items():
+    # NAME order, not registry order: the registry rotates per round (the
+    # correctness-window ordering), and a changing run order changes each
+    # query's GC/codegen-cache neighborhood — measured ±2× swings on
+    # latency-bound queries. Sorted order keeps round-over-round timings
+    # comparable.
+    for name, fn in sorted(entrymod.queries().items()):
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
