@@ -2196,3 +2196,92 @@ def forecast_backtest(
         F.round(pred_s / F.lit(10000.0), 4).alias("predicted"),
         F.round(F.abs(ys_d - pred_s) / ys_d, 6).alias("ape"),
     ).orderBy("month_idx")
+
+
+def dau_mau_stickiness(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """DAU/MAU stickiness per month: mean daily-active-users across the
+    month's days divided by monthly-active-users — the classic product
+    engagement ratio.  All counts integer; mean-DAU = Σdau/n_days (one
+    division) and stickiness = mean_dau/mau (one division) — exact.
+    One shuffle to (day, user) distinct; the month rollups run on
+    aggregate-scale tables.  Returns (month_idx, n_days, mau, mean_dau,
+    stickiness)."""
+    day = F.expr(f"unix_micros({ts_col}) div {DAY_US}")
+    du = events.select(
+        day.alias("day"), F.col("user_id").alias("u")
+    ).distinct()
+    dm = du.withColumn("month_idx", F.expr(f"day div 30"))
+    dau = dm.groupBy("month_idx", "day").agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    per_month_days = dau.groupBy("month_idx").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("dau").alias("dau_sum"),
+    )
+    mau = dm.select("month_idx", "u").distinct().groupBy("month_idx").agg(
+        F.count(F.lit(1)).alias("mau")
+    )
+    return (
+        per_month_days.join(mau, "month_idx")
+        .select(
+            "month_idx",
+            "n_days",
+            "mau",
+            (
+                F.col("dau_sum").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("mean_dau"),
+            (
+                F.col("dau_sum").cast("double")
+                / F.col("n_days").cast("double")
+                / F.col("mau").cast("double")
+            ).alias("stickiness"),
+        )
+        .orderBy("month_idx")
+    )
+
+
+POWER_USER_PCT = 10  # "top decile" concentration
+
+
+def power_user_share(
+    events: DataFrame, user_col: str = "user_id", pct: int = POWER_USER_PCT
+) -> DataFrame:
+    """Pareto concentration: the share of all events produced by the top
+    pct% most-active users — the skew number behind both product ('whales')
+    and shuffle-planning (hot keys) decisions.
+
+    Users rank by event count via the terasort-shaped distributed_rank
+    (ties to user id); the top-k cut is k = (n_users·pct) div 100 with
+    integer arithmetic; shares are integer sums + one division.
+    Returns one row (n_users, n_top, top_events, total_events, share)."""
+    per_user = events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_ev")
+    )
+    ranked = distributed_rank(
+        per_user, F.col("n_ev"), F.col(user_col), ascending=False
+    )
+    totals = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_ev").alias("total_events"),
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("_rank") < F.expr(f"(n_users * {pct}) div 100")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.sum("n_ev").alias("top_events"),
+        )
+    )
+    return totals.crossJoin(top).select(
+        "n_users",
+        "n_top",
+        "top_events",
+        "total_events",
+        (
+            F.col("top_events").cast("double")
+            / F.col("total_events").cast("double")
+        ).alias("share"),
+    )

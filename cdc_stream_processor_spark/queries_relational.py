@@ -1557,6 +1557,60 @@ SELECT 'orders.o_custkey->customer',
 """
 
 
+# --- DAU/MAU stickiness + power-user concentration --------------------------------
+
+
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.dau_mau_stickiness(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_DAU_MAU_STICKINESS = f"""
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // {R.DAY_US} AS day, user_id AS u
+  FROM events
+), dm AS (
+  SELECT day, u, day // 30 AS month_idx FROM du
+), dau AS (
+  SELECT month_idx, day, COUNT(*) AS dau FROM dm GROUP BY 1, 2
+), pmd AS (
+  SELECT month_idx, COUNT(*) AS n_days, SUM(dau)::BIGINT AS dau_sum
+  FROM dau GROUP BY 1
+), mau AS (
+  SELECT month_idx, COUNT(*) AS mau
+  FROM (SELECT DISTINCT month_idx, u FROM dm) GROUP BY 1
+)
+SELECT p.month_idx, p.n_days, m.mau,
+       p.dau_sum::DOUBLE / p.n_days::DOUBLE AS mean_dau,
+       p.dau_sum::DOUBLE / p.n_days::DOUBLE / m.mau::DOUBLE AS stickiness
+FROM pmd p JOIN mau m USING (month_idx)
+ORDER BY month_idx
+"""
+
+
+def q_power_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.power_user_share(B.load_table(spark, sf_dir, "events"))
+
+
+SQL_POWER_USER_SHARE = f"""
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY user_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_ev DESC, user_id ASC) - 1 AS rk
+  FROM per_user
+), totals AS (
+  SELECT COUNT(*) AS n_users, SUM(n_ev)::BIGINT AS total_events
+  FROM per_user
+), top AS (
+  SELECT COUNT(*) AS n_top, SUM(n_ev)::BIGINT AS top_events
+  FROM ranked, totals
+  WHERE rk < (n_users * {R.POWER_USER_PCT}) // 100
+)
+SELECT n_users, n_top, top_events, total_events,
+       top_events::DOUBLE / total_events::DOUBLE AS share
+FROM totals, top
+"""
+
+
 # --- referential-integrity audit ----------------------------------------------
 
 
@@ -2917,6 +2971,8 @@ QUERIES = {
     "seasonal_by_type": q_seasonal_by_type,
     "forecast_backtest": q_forecast_backtest,
     "join_cardinality_audit": q_join_cardinality_audit,
+    "dau_mau_stickiness": q_dau_mau_stickiness,
+    "power_user_share": q_power_user_share,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -2993,6 +3049,8 @@ ORACLES = {
     "seasonal_by_type": SQL_SEASONAL_BY_TYPE,
     "forecast_backtest": SQL_FORECAST_BACKTEST,
     "join_cardinality_audit": SQL_JOIN_CARDINALITY_AUDIT,
+    "dau_mau_stickiness": SQL_DAU_MAU_STICKINESS,
+    "power_user_share": SQL_POWER_USER_SHARE,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,

@@ -1295,3 +1295,33 @@ def test_forecast_backtest_perfect_on_linear_series(spark):
     assert len(out) == 12 - R.BACKTEST_MIN_TRAIN
     for r in out:
         assert r.ape == 0.0 and r.predicted == r.actual
+
+
+def test_power_user_share_hand_computed(spark):
+    """20 users: top-2 (10%) have 50+40 of 200 events -> share 0.45."""
+    import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    counts = [50, 40] + [110 // 18 + (1 if i < 110 % 18 else 0) for i in range(18)]
+    for uid, n in enumerate(counts, start=1):
+        for _ in range(n):
+            rows.append((eid, ts, uid)); eid += 1
+    events = spark.createDataFrame(rows, ["event_id", "ts", "user_id"])
+    r = R.power_user_share(events).collect()[0]
+    assert (r.n_users, r.n_top) == (20, 2)
+    assert r.top_events == 90 and r.total_events == sum(counts)
+    assert r.share == 90 / sum(counts)
+
+
+def test_dau_mau_stickiness_bounds(spark, sf_dir):
+    from cdc_stream_processor_spark.operators import relational as R
+    from cdc_stream_processor_spark.sources import batch as B
+
+    out = R.dau_mau_stickiness(B.load_table(spark, sf_dir, "events")).collect()
+    assert out
+    for r in out:
+        assert 0.0 < r.stickiness <= 1.0
+        assert r.mean_dau <= r.mau
