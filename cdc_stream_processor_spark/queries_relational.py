@@ -1611,6 +1611,58 @@ FROM totals, top
 """
 
 
+# --- month-over-month revenue growth ---------------------------------------------
+
+
+def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with MoM and YoY growth — the standard reporting
+    rollup: decimal-exact monthly sums, lag(1)/lag(12) on the month-scale
+    table, growth = (cur − prev)/prev as single-rounded divisions (NULL
+    where the lag has no row).  Lags are ROW-based (both engines): exact
+    month alignment assumes the dense orders calendar this data has —
+    spine-fill first if months can be absent."""
+    orders = B.load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("month_idx")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.orderBy("month_idx")
+    prev1 = F.lag("revenue", 1).over(w)
+    prev12 = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        "month_idx",
+        "revenue",
+        F.round((F.col("revenue") - prev1) / prev1, 6).alias("mom_growth"),
+        F.round((F.col("revenue") - prev12) / prev12, 6).alias("yoy_growth"),
+    ).orderBy("month_idx")
+
+
+SQL_REVENUE_MOM_GROWTH = """
+WITH monthly AS (
+  SELECT (EXTRACT(year FROM o_orderdate) * 12
+          + EXTRACT(month FROM o_orderdate) - 1)::BIGINT AS month_idx,
+         SUM(o_totalprice::DECIMAL(18,4))::DOUBLE AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month_idx, revenue,
+       ROUND((revenue - LAG(revenue, 1) OVER w)
+             / LAG(revenue, 1) OVER w, 6) AS mom_growth,
+       ROUND((revenue - LAG(revenue, 12) OVER w)
+             / LAG(revenue, 12) OVER w, 6) AS yoy_growth
+FROM monthly
+WINDOW w AS (ORDER BY month_idx)
+ORDER BY month_idx
+"""
+
+
 # --- referential-integrity audit ----------------------------------------------
 
 
@@ -2973,6 +3025,7 @@ QUERIES = {
     "join_cardinality_audit": q_join_cardinality_audit,
     "dau_mau_stickiness": q_dau_mau_stickiness,
     "power_user_share": q_power_user_share,
+    "revenue_mom_growth": q_revenue_mom_growth,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -3051,6 +3104,7 @@ ORACLES = {
     "join_cardinality_audit": SQL_JOIN_CARDINALITY_AUDIT,
     "dau_mau_stickiness": SQL_DAU_MAU_STICKINESS,
     "power_user_share": SQL_POWER_USER_SHARE,
+    "revenue_mom_growth": SQL_REVENUE_MOM_GROWTH,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,
