@@ -2285,3 +2285,57 @@ def power_user_share(
             / F.col("total_events").cast("double")
         ).alias("share"),
     )
+
+
+def ltv_cohort_curve(orders: DataFrame, ts_col: str = "o_orderdate") -> DataFrame:
+    """Customer-lifetime-value curve per acquisition cohort: customers
+    cohort by their FIRST order month; revenue accumulates per
+    (cohort, months-since-first) and normalizes by cohort size —
+    the LTV panel behind payback-period decisions.
+
+    Decimal-exact revenue sums; the cumulative window is PARTITIONED by
+    cohort (shards with the cohort count); ltv = cum_rev/cohort_size is
+    one rounded division.  Two shuffles: custkey (first-order month),
+    then (cohort, month).  Returns
+    (cohort_month, months_since, n_customers, cum_revenue, ltv).
+    """
+    mi = (F.year(ts_col) * 12 + F.month(ts_col) - 1).cast("long")
+    with_m = orders.select(
+        "o_custkey",
+        mi.alias("mi"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("rev"),
+    )
+    firsts = with_m.groupBy("o_custkey").agg(F.min("mi").alias("m0"))
+    sized = firsts.groupBy("m0").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    joined = with_m.join(firsts, "o_custkey").select(
+        F.col("m0").alias("cohort_month"),
+        (F.col("mi") - F.col("m0")).alias("months_since"),
+        "rev",
+    )
+    per_cell = joined.groupBy("cohort_month", "months_since").agg(
+        F.sum("rev").alias("rev_m")
+    )
+    w = Window.partitionBy("cohort_month").orderBy("months_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_cell.withColumn("cum_rev", F.sum("rev_m").over(w))
+        .join(
+            F.broadcast(sized.withColumnRenamed("m0", "cohort_month")),
+            "cohort_month",
+        )
+        .select(
+            "cohort_month",
+            "months_since",
+            "n_customers",
+            F.col("cum_rev").cast("double").alias("cum_revenue"),
+            F.round(
+                F.col("cum_rev").cast("double")
+                / F.col("n_customers").cast("double"),
+                6,
+            ).alias("ltv"),
+        )
+        .orderBy("cohort_month", "months_since")
+    )

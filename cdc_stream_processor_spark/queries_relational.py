@@ -1663,6 +1663,44 @@ ORDER BY month_idx
 """
 
 
+# --- LTV cohort curve -------------------------------------------------------------
+
+
+def q_ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.ltv_cohort_curve(B.load_table(spark, sf_dir, "orders"))
+
+
+SQL_LTV_COHORT_CURVE = """
+WITH with_m AS (
+  SELECT o_custkey,
+         (EXTRACT(year FROM o_orderdate) * 12
+          + EXTRACT(month FROM o_orderdate) - 1)::BIGINT AS mi,
+         o_totalprice::DECIMAL(18,4) AS rev
+  FROM orders
+), firsts AS (
+  SELECT o_custkey, MIN(mi) AS m0 FROM with_m GROUP BY o_custkey
+), sized AS (
+  SELECT m0 AS cohort_month, COUNT(*) AS n_customers FROM firsts GROUP BY 1
+), per_cell AS (
+  SELECT f.m0 AS cohort_month, w.mi - f.m0 AS months_since,
+         SUM(w.rev) AS rev_m
+  FROM with_m w JOIN firsts f USING (o_custkey)
+  GROUP BY 1, 2
+), cum AS (
+  SELECT cohort_month, months_since,
+         SUM(rev_m) OVER (PARTITION BY cohort_month ORDER BY months_since
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_rev
+  FROM per_cell
+)
+SELECT c.cohort_month, c.months_since, s.n_customers,
+       c.cum_rev::DOUBLE AS cum_revenue,
+       ROUND(c.cum_rev::DOUBLE / s.n_customers::DOUBLE, 6) AS ltv
+FROM cum c JOIN sized s USING (cohort_month)
+ORDER BY cohort_month, months_since
+"""
+
+
 # --- referential-integrity audit ----------------------------------------------
 
 
@@ -3026,6 +3064,7 @@ QUERIES = {
     "dau_mau_stickiness": q_dau_mau_stickiness,
     "power_user_share": q_power_user_share,
     "revenue_mom_growth": q_revenue_mom_growth,
+    "ltv_cohort_curve": q_ltv_cohort_curve,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -3105,6 +3144,7 @@ ORACLES = {
     "dau_mau_stickiness": SQL_DAU_MAU_STICKINESS,
     "power_user_share": SQL_POWER_USER_SHARE,
     "revenue_mom_growth": SQL_REVENUE_MOM_GROWTH,
+    "ltv_cohort_curve": SQL_LTV_COHORT_CURVE,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,
