@@ -964,3 +964,54 @@ def test_stream_hopping_counts_match_batch_trending(spark, tmpdirs):
         for r in hopping(ev_batch).collect()
     }
     assert got == exp and len(exp) > 0
+
+
+def test_stream_dynamic_gap_session_window(spark, tmpdirs):
+    """session_window with a per-row GAP EXPRESSION on a stream — the
+    streaming twin of operators.relational.dynamic_sessions: a 45-min
+    silence after a purchase (1h gap) stays one session; the same
+    silence after a view (30min gap) closes it. availableNow + complete
+    checkpointed run, asserted on the final session rows."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    mins = datetime.timedelta(minutes=1)
+    rows = [
+        (1, t0, 1, "purchase"),
+        (2, t0 + 45 * mins, 1, "view"),
+        (3, t0, 2, "view"),
+        (4, t0 + 45 * mins, 2, "view"),
+    ]
+    src = f"{tmpdirs}/dyn_src"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.parquet(src)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("1 hour")
+    ).otherwise(F.lit("30 minutes"))
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dyn_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{tmpdirs}/ckpt_dyn")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {}
+    for r in spark.sql("select * from dyn_sessions").collect():
+        got.setdefault(r.user_id, []).append(r.n_events)
+    # user 1: one 2-event session (purchase's 1h gap spans the silence);
+    # user 2: two 1-event sessions (view's 30min gap doesn't)
+    assert sorted(got[1]) == [2]
+    assert sorted(got[2]) == [1, 1]
