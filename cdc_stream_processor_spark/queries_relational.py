@@ -1701,6 +1701,45 @@ ORDER BY cohort_month, months_since
 """
 
 
+# --- basket-size distribution -----------------------------------------------------
+
+
+def q_basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order basket sizes (distinct parts per order) with
+    each size's share of total revenue — two integer-keyed aggregations
+    plus decimal-exact revenue; the scan is touched once."""
+    li = B.load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_partkey").alias("basket_size"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).cast("decimal(18,4)")
+        ).alias("rev"),
+    )
+    return (
+        per_order.groupBy("basket_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+        .orderBy("basket_size")
+    )
+
+
+SQL_BASKET_SIZE_DISTRIBUTION = """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_partkey) AS basket_size,
+         SUM(ROUND(l_extendedprice * (1 - l_discount), 4)::DECIMAL(18,4))
+           AS rev
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT basket_size, COUNT(*) AS n_orders, SUM(rev)::DOUBLE AS revenue
+FROM per_order GROUP BY basket_size
+ORDER BY basket_size
+"""
+
+
 # --- referential-integrity audit ----------------------------------------------
 
 
@@ -3065,6 +3104,7 @@ QUERIES = {
     "power_user_share": q_power_user_share,
     "revenue_mom_growth": q_revenue_mom_growth,
     "ltv_cohort_curve": q_ltv_cohort_curve,
+    "basket_size_distribution": q_basket_size_distribution,
     "event_type_correlation": q_event_type_correlation,
     "rolling_median_daily": q_rolling_median_daily,
     "user_event_paths": q_user_event_paths,
@@ -3145,6 +3185,7 @@ ORACLES = {
     "power_user_share": SQL_POWER_USER_SHARE,
     "revenue_mom_growth": SQL_REVENUE_MOM_GROWTH,
     "ltv_cohort_curve": SQL_LTV_COHORT_CURVE,
+    "basket_size_distribution": SQL_BASKET_SIZE_DISTRIBUTION,
     "event_type_correlation": SQL_EVENT_TYPE_CORRELATION,
     "rolling_median_daily": SQL_ROLLING_MEDIAN_DAILY,
     "user_event_paths": SQL_USER_EVENT_PATHS,
