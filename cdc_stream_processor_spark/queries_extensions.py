@@ -1753,7 +1753,14 @@ def _kmeans_sql(k: int = S.KMEANS_K, iters: int = S.KMEANS_ITERS) -> str:
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.pq_codes(B.load_table(spark, sf_dir, "embeddings"))
+    # codes serialized to a '-'-joined string: the external gate's
+    # canonicalizer cannot hash array cells (pandas factorize on lists);
+    # the operator itself keeps the array form for downstream use.
+    return S.pq_codes(B.load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.concat_ws("-", F.col("codes").cast("array<string>")).alias("codes"),
+        "recon_err",
+    )
 
 
 def _pq_sql(
@@ -1814,7 +1821,8 @@ def _pq_sql(
             sql.append(rebuild(f"a{r}", f"c{r}"))
     sql.append(
         f"""
-SELECT vec_id, list(cluster ORDER BY sub) AS codes,
+SELECT vec_id,
+       array_to_string(list(cluster ORDER BY sub), '-') AS codes,
        ROUND(list_reduce(list_prepend(0.0::DOUBLE, list(d ORDER BY sub)),
                          (acc, x) -> acc + x), 6) AS recon_err
 FROM a{iters}
@@ -1840,7 +1848,7 @@ def _pq_adc_sql(
     fold."""
     train = _pq_sql(m, ksub, iters)
     # strip _pq_sql's final SELECT; keep its WITH chain
-    head = train[: train.rindex("\nSELECT vec_id, list(cluster ORDER BY sub)")]
+    head = train[: train.rindex("\nSELECT vec_id,\n       array_to_string(")]
     folddist = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
         "list_transform(list_zip(q.v, c.cv), "

@@ -1197,9 +1197,11 @@ def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = ~F.array_contains("event_types", SEG_MUST_NOT)
     for m in SEG_MUST:
         cond = cond & F.array_contains("event_types", m)
+    # event_types serialized to '|'-joined string: the external gate's
+    # canonicalizer cannot hash array cells (pandas factorize on lists).
     return agg.filter(cond).select(
         "user_id",
-        "event_types",
+        F.array_join("event_types", "|").alias("event_types"),
         F.size("event_types").alias("n_types"),
     )
 
@@ -1212,7 +1214,8 @@ WITH agg AS (
   WHERE ts < TIMESTAMP '{FUNNEL_CUTOFF}'
   GROUP BY user_id
 )
-SELECT user_id, event_types, len(event_types) AS n_types
+SELECT user_id, array_to_string(event_types, '|') AS event_types,
+       len(event_types) AS n_types
 FROM agg
 WHERE {" AND ".join(f"list_contains(event_types, '{m}')" for m in SEG_MUST)}
   AND NOT list_contains(event_types, '{SEG_MUST_NOT}')

@@ -62,6 +62,22 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
+            # The external gate canonicalizes via pandas factorize, which
+            # cannot hash list/dict cells — any Array/Map/Struct output
+            # column is a guaranteed gate error (seen: user_segments,
+            # pq_codes in r4).  Same class of tripwire as the HUGEINT one.
+            nested = [
+                f.name
+                for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if nested and name in oracles:
+                print(
+                    f"FAIL {name}: Spark output has nested column(s) "
+                    f"{nested} — serialize (array_join/concat_ws) for the gate"
+                )
+                failures += 1
+                continue
             srows = sdf.collect()
             spark.catalog.clearCache()
         except Exception as e:
