@@ -1123,6 +1123,11 @@ def hashed_features(
     (doc_id, slot, feat) sparse rows (dense assembly is a caller-side
     pivot; sparse is the scale-correct shape at dim ≫ active slots).
     """
+    if dim <= 0 or dim & (dim - 1):
+        raise ValueError(
+            f"hashed_features: dim must be a power of two, got {dim} "
+            "(sign bit uses floor(h/dim), exact only for dyadic divisors)"
+        )
     from cdc_stream_processor_spark.functions import texthash as TH
 
     toks = docs.select(

@@ -504,7 +504,11 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "jaccard")
 
 
-CC_SMALL_GRAPH_EDGES = 1_000_000  # ≈16 MB of (long, long) rows on the driver
+# Probe cap for the driver union-find fast path.  The probe collects via
+# Arrow (toPandas), so 1M edges cost two int64 numpy columns ≈16 MB of
+# driver heap — NOT 1M pyspark Row objects (that was the old path, whose
+# real cost was ~100-300 MB of Python object headers).
+CC_SMALL_GRAPH_EDGES = 1_000_000
 
 
 def connected_components(
@@ -541,11 +545,20 @@ def connected_components(
     semantics, no order dependence), so oracle checks hold on either path.
     """
     if small_graph_limit:
+        # promoted id type: let Spark's own coercion pick the common type
+        # of a_col and b_col (they can differ, e.g. int vs long sides)
+        id_type = (
+            pairs.select(F.coalesce(F.col(a_col), F.col(b_col)).alias("_t"))
+            .schema[0]
+            .dataType
+        )
         probe = pairs.select(
-            F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+            F.col(a_col).cast(id_type).alias("src"),
+            F.col(b_col).cast(id_type).alias("dst"),
         ).limit(small_graph_limit + 1)
-        rows = probe.collect()
-        if len(rows) <= small_graph_limit:
+        # Arrow collect: two numpy columns, no per-row Row objects
+        pdf = probe.toPandas()
+        if len(pdf) <= small_graph_limit:
             parent: dict[int, int] = {}
 
             def find(x: int) -> int:
@@ -556,8 +569,7 @@ def connected_components(
                     parent[x], x = r, parent[x]
                 return r
 
-            for row in rows:
-                a, b = row[0], row[1]
+            for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
                 parent.setdefault(a, a)
                 parent.setdefault(b, b)
                 ra, rb = find(a), find(b)
@@ -565,10 +577,16 @@ def connected_components(
                     # union by MIN id so rep is the component minimum
                     lo, hi = (ra, rb) if ra < rb else (rb, ra)
                     parent[hi] = lo
-            out = [(x, find(x)) for x in parent]
+            import pandas as pd
+
             from pyspark.sql.types import StructField, StructType
 
-            id_type = pairs.schema[a_col].dataType
+            out = pd.DataFrame(
+                {
+                    "id": list(parent),
+                    "rep": [find(x) for x in parent],
+                }
+            )
             return pairs.sparkSession.createDataFrame(
                 out,
                 StructType(

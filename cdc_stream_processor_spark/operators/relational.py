@@ -1596,9 +1596,16 @@ def distributed_rank(
     corpus.global_shuffle, generalized to an arbitrary value column.
     Appends a `_rank` column.  `tiebreak` must be unique for a total
     (deterministic, oracle-matchable) order.
+
+    The double cast is used ONLY for bucket assignment (where collisions
+    merely co-locate rows); within-bucket ordering uses the ORIGINAL
+    value column, so decimal/long values beyond 53 bits of double
+    precision still rank in true value order.  (Cast-to-double is
+    monotonic, so bucket boundaries stay consistent with the exact
+    order.)
     """
     v = value.cast("double").alias("_v")
-    base = df.select("*", v, tiebreak.alias("_tb"))
+    base = df.select("*", v, value.alias("_vx"), tiebreak.alias("_tb"))
     bounds = base.agg(
         F.min("_v").alias("_lo"), F.max("_v").alias("_hi")
     )
@@ -1625,9 +1632,9 @@ def distributed_rank(
         ).alias("_off"),
     )
     order = (
-        [F.col("_v").asc(), F.col("_tb").asc()]
+        [F.col("_vx").asc(), F.col("_tb").asc()]
         if ascending
-        else [F.col("_v").desc(), F.col("_tb").asc()]
+        else [F.col("_vx").desc(), F.col("_tb").asc()]
     )
     in_bucket = Window.partitionBy("_bkt").orderBy(*order)
     return (
@@ -1635,7 +1642,7 @@ def distributed_rank(
         .withColumn(
             "_rank", F.col("_off") + F.row_number().over(in_bucket) - 1
         )
-        .drop("_v", "_tb", "_bkt", "_lo", "_hi", "_off")
+        .drop("_v", "_vx", "_tb", "_bkt", "_lo", "_hi", "_off")
     )
 
 

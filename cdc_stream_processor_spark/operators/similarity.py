@@ -1674,6 +1674,10 @@ def mmr_rerank(
         # planning, not compute). localCheckpoint materializes the ≤
         # k·|Q|-row accumulator eagerly, keeping every round's plan flat
         picked = picked.unionByName(pick_r).localCheckpoint()
+    # every round's result is already materialized by localCheckpoint, so
+    # the two persisted intermediates are dead weight after the loop
+    cands.unpersist()
+    pair.unpersist()
     return picked.select(
         "query_id",
         F.col("sel").alias("neighbor_id"),
