@@ -305,21 +305,47 @@ def strip_confluent_framing(value_col: str = "value") -> F.Column:
 
 def envelopes_from_avro(
     raw: DataFrame,
-    avro_schema_json: str,
+    avro_schema_json: str | None = None,
     value_col: str = "value",
     confluent_framed: bool = False,
+    registry=None,
+    spark_envelope_schema=None,
 ) -> DataFrame:
     """F1 — Avro bytes → envelope struct via from_avro (SURVEY.md §2.2).
 
     The reference consumes Confluent-framed Avro through Schema Registry
     (AvroSerdes.java:35-58); ``confluent_framed=True`` strips the 5-byte
-    magic+schema-id header before decoding (the registry lookup itself is
-    out of scope — pass the writer schema JSON explicitly). Requires the
-    spark-avro package on the session classpath; raises a clear error
-    otherwise. Without the jar, use the tested pure-Python twin
-    ``sources.avro_codec.envelopes_from_avro_py`` (Arrow-batched decoder of
-    the same wire format, identical downstream semantics).
+    magic+schema-id header before decoding.  Two schema-resolution modes:
+
+    - explicit writer schema: pass ``avro_schema_json`` (JVM ``from_avro``
+      path; requires the spark-avro package on the classpath, raises a
+      clear error otherwise).  Without the jar, the tested pure-Python
+      twin ``sources.avro_codec.envelopes_from_avro_py`` decodes the same
+      wire format with identical downstream semantics.
+    - registry resolution: pass ``registry=`` (a
+      ``sources.schema_registry.SchemaRegistry`` — Dict- or HTTP-backed)
+      plus ``spark_envelope_schema``; the writer schema is then resolved
+      PER RECORD from each frame's Confluent schema id, matching the
+      reference's AvroSerdes exactly — no hand-passed schema JSON.
     """
+    if registry is not None:
+        if spark_envelope_schema is None:
+            raise ValueError(
+                "registry mode needs spark_envelope_schema (the typed "
+                "envelope StructType to parse decoded records into)"
+            )
+        from cdc_stream_processor_spark.sources.schema_registry import (
+            envelopes_from_avro_registry,
+        )
+
+        return envelopes_from_avro_registry(
+            raw, registry, spark_envelope_schema, value_col
+        )
+    if avro_schema_json is None:
+        raise ValueError(
+            "pass either avro_schema_json (explicit writer schema) or "
+            "registry= (Confluent schema-id resolution)"
+        )
     try:
         from pyspark.sql.avro.functions import from_avro
     except ImportError as e:  # pragma: no cover

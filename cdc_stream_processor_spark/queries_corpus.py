@@ -584,7 +584,17 @@ SELECT doc_id, source, n_chars, src_rank FROM (
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = B.load_table(spark, sf_dir, "documents")
-    return C.inverted_index(docs)
+    # postings serialized to a ','-joined string: the external gate's
+    # canonicalizer cannot hash array cells; integers join identically on
+    # both engines.  The operator keeps the array form for downstream use.
+    return C.inverted_index(docs).select(
+        "term",
+        "df",
+        F.concat_ws(",", F.col("postings").cast("array<string>")).alias(
+            "postings"
+        ),
+        "term_rank",
+    )
 
 
 def _inverted_index_sql() -> str:
@@ -594,7 +604,8 @@ WITH terms AS (
   SELECT doc_id, unnest(list_distinct({toks})) AS term FROM documents
 ), agg AS (
   SELECT term, COUNT(*)::BIGINT AS df,
-         (list_sort(list(doc_id)))[1:{C.INDEX_MAX_POSTINGS}] AS postings
+         array_to_string((list_sort(list(doc_id)))[1:{C.INDEX_MAX_POSTINGS}],
+                         ',') AS postings
   FROM terms GROUP BY term
 )
 SELECT term, df, postings, term_rank FROM (
@@ -715,7 +726,14 @@ FROM (
 
 def q_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = B.load_table(spark, sf_dir, "documents")
-    return C.tokenize_ids(docs)
+    # ids preview serialized to a ','-joined string for the gate (see
+    # q_inverted_index); the operator keeps the array form downstream
+    return C.tokenize_ids(docs).select(
+        "doc_id",
+        "n_tokens",
+        "oov_count",
+        F.concat_ws(",", F.col("ids").cast("array<string>")).alias("ids"),
+    )
 
 
 def _tokenize_ids_sql() -> str:
@@ -739,7 +757,9 @@ WITH d AS (
 SELECT doc_id,
        COUNT(*)::BIGINT AS n_tokens,
        SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS oov_count,
-       list(tid ORDER BY p) FILTER (WHERE p <= {C.IDS_PREVIEW}) AS ids
+       array_to_string(
+         list(tid ORDER BY p) FILTER (WHERE p <= {C.IDS_PREVIEW}), ',')
+         AS ids
 FROM mapped
 GROUP BY doc_id
 """

@@ -1059,7 +1059,15 @@ FROM uni a JOIN uni b
 
 
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.embedding_centroids(B.load_table(spark, sf_dir, "embeddings"))
+    # registered (gate-facing) form is EXPLODED (label, n_vecs, d, c) rows:
+    # the external gate's canonicalizer cannot hash array cells, and doubles
+    # survive the value hash only as raw doubles, never re-formatted strings.
+    # The operator keeps the array form for downstream composition
+    # (centroid_pair_sim, embedding_outliers consume it directly).
+    cents = S.embedding_centroids(B.load_table(spark, sf_dir, "embeddings"))
+    return cents.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("d", "c")
+    )
 
 
 SQL_EMBEDDING_CENTROIDS = f"""
@@ -1078,6 +1086,26 @@ WITH e AS (
 SELECT label, n_vecs,
        list_transform(sv, s -> s / (n_vecs * {S.CENTROID_SCALE})::DOUBLE)
          AS centroid
+FROM asm
+"""
+
+# gate twin of SQL_EMBEDDING_CENTROIDS in exploded row form (0-based d,
+# matching Spark's posexplode position)
+SQL_EMBEDDING_CENTROIDS_ROWS = f"""
+WITH e AS (
+  SELECT label,
+         g.i AS d,
+         trunc(embedding[g.i]::DOUBLE * {S.CENTROID_SCALE})::BIGINT AS xi
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+), pd AS (
+  SELECT label, d, SUM(xi) AS s, COUNT(*) AS n FROM e GROUP BY 1, 2
+), asm AS (
+  SELECT label, d, s,
+         MAX(n) OVER (PARTITION BY label)::BIGINT AS n_vecs
+  FROM pd
+)
+SELECT label, n_vecs, (d - 1)::BIGINT AS d,
+       s::DOUBLE / (n_vecs * {S.CENTROID_SCALE})::DOUBLE AS c
 FROM asm
 """
 
@@ -1356,9 +1384,11 @@ def q_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = B.load_table(spark, sf_dir, "documents")
     out = I.batch_inference(docs)
+    # gate-facing form is EXPLODED (doc_id, j, e, sq_norm) rows — see
+    # q_embedding_centroids for why arrays can't reach the gate
     return out.select(
         "doc_id",
-        "embedding",
+        F.posexplode("embedding").alias("j", "e"),
         F.round(
             F.aggregate(
                 "embedding", F.lit(0.0), lambda a, x: a + x * x
@@ -1384,11 +1414,11 @@ WITH hs AS (
                         j -> {comp}) AS embedding
   FROM hs
 )
-SELECT doc_id, embedding,
+SELECT doc_id, (g.i - 1)::BIGINT AS j, embedding[g.i] AS e,
        ROUND(list_reduce(list_prepend(0.0::DOUBLE,
                list_transform(embedding, x -> x * x)),
              (a, x) -> a + x), 6) AS sq_norm
-FROM emb
+FROM emb, unnest(generate_series(1, len(embedding))) AS g(i)
 """
 
 
@@ -1667,7 +1697,11 @@ GROUP BY vertex
 
 
 def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.rp_project(B.load_table(spark, sf_dir, "embeddings"))
+    # gate-facing form is EXPLODED (vec_id, j, proj) rows — see
+    # q_embedding_centroids for why arrays can't reach the gate
+    return S.rp_project(B.load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", F.posexplode("proj").alias("j", "proj")
+    )
 
 
 def _rp_project_sql() -> str:
@@ -1685,10 +1719,8 @@ WITH e AS (
   SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS v
   FROM embeddings
 )
-SELECT vec_id,
-       list_transform(generate_series(0, {S.RP_DIMS - 1}),
-                      j -> {fold} / {float(S.RP_DIMS) ** 0.5}) AS proj
-FROM e
+SELECT vec_id, j::BIGINT AS j, {fold} / {float(S.RP_DIMS) ** 0.5} AS proj
+FROM e, (SELECT unnest(generate_series(0, {S.RP_DIMS - 1})) AS j) s
 """
 
 
@@ -2031,7 +2063,7 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "incremental_dedup": _incremental_dedup_sql(),
     "bigram_lift_topk": SQL_BIGRAM_LIFT,
-    "embedding_centroids": SQL_EMBEDDING_CENTROIDS,
+    "embedding_centroids": SQL_EMBEDDING_CENTROIDS_ROWS,
     "centroid_assign": _centroid_assign_sql(),
     "typo_pairs": SQL_TYPO_PAIRS,
     "doc_rarity": SQL_DOC_RARITY,

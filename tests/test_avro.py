@@ -202,3 +202,92 @@ def test_envelopes_from_avro_jvm_matches_python_codec(spark):
         AC.envelopes_from_avro_py(raw, schema_json, schemas.TRANSACTION_ENVELOPE)
     ).collect()
     assert [tuple(r) for r in got_jvm] == [tuple(r) for r in got_py]
+
+
+# --- Schema Registry resolution (reference AvroSerdes.java:35-44) -------------
+
+
+def test_subject_name_topic_name_strategy():
+    from cdc_stream_processor_spark.sources import schema_registry as SR
+
+    assert SR.subject_name("bankdb.transactions") == "bankdb.transactions-value"
+    assert SR.subject_name("bankdb.transactions", is_key=True) == (
+        "bankdb.transactions-key"
+    )
+
+
+def test_extract_schema_id_and_guards():
+    from cdc_stream_processor_spark.sources import schema_registry as SR
+
+    framed = AC.encode_record(
+        ENVELOPE_SCHEMA, _envelope(_image()), confluent_schema_id=99
+    )
+    assert SR.extract_schema_id(framed) == 99
+    with pytest.raises(ValueError):
+        SR.extract_schema_id(b"\x01\x00\x00\x00\x07rest")  # wrong magic
+    with pytest.raises(ValueError):
+        SR.extract_schema_id(b"\x00\x00")  # too short
+
+
+def test_dict_registry_lookup_and_miss():
+    from cdc_stream_processor_spark.sources import schema_registry as SR
+
+    reg = SR.DictSchemaRegistry({7: json.dumps(ENVELOPE_SCHEMA)})
+    assert json.loads(reg.get_schema(7)) == ENVELOPE_SCHEMA
+    with pytest.raises(LookupError, match="schema id 8"):
+        reg.get_schema(8)
+
+
+def test_http_registry_pickles_without_cache():
+    import pickle
+
+    from cdc_stream_processor_spark.sources import schema_registry as SR
+
+    reg = SR.HttpSchemaRegistry("http://registry:8081/")
+    reg._cache[1] = "cached"
+    clone = pickle.loads(pickle.dumps(reg))
+    assert clone.base_url == "http://registry:8081"
+    assert clone._cache == {}  # executors start cold, refetch once per id
+
+
+def test_envelopes_from_avro_registry_end_to_end(spark):
+    """Framed fixtures round-trip through envelopes_from_avro(registry=...)
+    with NO hand-passed writer schema: ids resolve per record (two distinct
+    ids in one batch), an unknown id and a corrupt frame both degrade to
+    dropped null envelopes (F2 log-and-continue)."""
+    from cdc_stream_processor_spark.sources import schema_registry as SR
+
+    reg = SR.DictSchemaRegistry(
+        {7: json.dumps(ENVELOPE_SCHEMA), 8: json.dumps(ENVELOPE_SCHEMA)}
+    )
+    rows = [
+        AC.encode_record(
+            ENVELOPE_SCHEMA, _envelope(_image(1.0, 600_000.0)),
+            confluent_schema_id=7,
+        ),
+        AC.encode_record(
+            ENVELOPE_SCHEMA, _envelope(_image(2.0, 700_000.0)),
+            confluent_schema_id=8,
+        ),
+        AC.encode_record(  # id 9 not registered → dropped
+            ENVELOPE_SCHEMA, _envelope(_image(3.0)), confluent_schema_id=9
+        ),
+        b"\x00\x00\x00\x00\x07\x01\x02 not avro",  # corrupt → dropped
+    ]
+    raw = spark.createDataFrame([(bytearray(b),) for b in rows], "value binary")
+    envs = cdc.envelopes_from_avro(
+        raw, registry=reg, spark_envelope_schema=schemas.TRANSACTION_ENVELOPE
+    )
+    out = cdc.parse_transactions(envs).collect()
+    assert sorted((r.transaction_id, r.amount) for r in out) == [
+        (1, 600_000.0),
+        (2, 700_000.0),
+    ]
+
+
+def test_envelopes_from_avro_requires_schema_or_registry(spark):
+    raw = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
+    with pytest.raises(ValueError, match="avro_schema_json"):
+        cdc.envelopes_from_avro(raw)
+    with pytest.raises(ValueError, match="spark_envelope_schema"):
+        cdc.envelopes_from_avro(raw, registry=object())
