@@ -1389,6 +1389,27 @@ def _pq_subvectors(
     )
 
 
+# Process-level memo for PQ training: `pq_codes` and `pq_adc_topk` train
+# the IDENTICAL codebooks on the identical corpus, so within one process
+# (bench, a notebook session) the second caller reuses the first's
+# localCheckpointed assignment instead of re-running the Lloyd rounds.
+# Training is fully deterministic (seeded init, grid-snapped means), so a
+# memo hit is bit-identical to a retrain.  Keyed by the exprId-normalized
+# analyzed plan of the input + the training params + the session id (a
+# checkpointed RDD dies with its session); bounded FIFO, 4 entries.
+_PQ_TRAIN_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_PQ_TRAIN_MEMO_MAX = 4
+
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    """Analyzed-plan string with exprIds (#NNN) stripped — stable across
+    re-derivations of the same logical query."""
+    import re as _re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return _re.sub(r"#\d+", "#", plan)
+
+
 def _pq_train(
     vecs: DataFrame,
     m: int,
@@ -1400,6 +1421,18 @@ def _pq_train(
     """Shared PQ trainer: returns (final assignment (vec_id, sub, v,
     cluster, d), the centroid table the final assignment was scored
     against (sub, cluster, cv))."""
+    key = (
+        vecs.sparkSession.sparkContext.applicationId,
+        _plan_fingerprint(vecs),
+        m,
+        ksub,
+        iters,
+        id_col,
+        vec_col,
+    )
+    hit = _PQ_TRAIN_MEMO.get(key)
+    if hit is not None:
+        return hit
     v = _pq_subvectors(vecs, m, id_col, vec_col)
     from pyspark.sql.window import Window
 
@@ -1417,6 +1450,13 @@ def _pq_train(
     for _ in range(iters - 1):
         cents = _pq_rebuild(assigned)
         assigned = _pq_assign(v, cents)
+    # materialize once so every downstream consumer (and every memo hit)
+    # starts from the trained tables, not a replay of the Lloyd rounds
+    assigned = assigned.localCheckpoint()
+    cents = cents.localCheckpoint()
+    while len(_PQ_TRAIN_MEMO) >= _PQ_TRAIN_MEMO_MAX:
+        _PQ_TRAIN_MEMO.pop(next(iter(_PQ_TRAIN_MEMO)))
+    _PQ_TRAIN_MEMO[key] = (assigned, cents)
     return assigned, cents
 
 
