@@ -1646,6 +1646,78 @@ def distributed_rank(
     )
 
 
+RANGE_RANK_SMALL = 2_000_000  # single-task sort of ≤2M skinny rows: sub-second
+
+
+def range_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_parts: int | None = None,
+    small_limit: int = RANGE_RANK_SMALL,
+) -> DataFrame:
+    """Exact global 1-based row rank over ``order_cols`` for SKEWED keys —
+    the terasort shape with SAMPLED range boundaries instead of
+    `distributed_rank`'s equi-width value buckets (which collapse on
+    Zipf-distributed values: a df-frequency column puts half the rows in
+    bucket 0).  ``repartitionByRange`` reservoir-samples balanced
+    boundaries; rank = partition offset (≤ n_parts rows, broadcast) +
+    within-partition row_number — no single-reducer global window.
+
+    The range-partitioned input is persisted: boundary sampling is not
+    guaranteed identical across re-evaluations, and the offsets branch
+    and the rank branch MUST see the same partition assignment.  (Output
+    VALUES are deterministic regardless of where the sampled boundaries
+    land — offsets are computed from actual per-partition counts — the
+    persist only pins the two branches to one assignment.)  On a real
+    cluster size n_parts so each range fits one task; the persist spills
+    to disk past memory, the same materialization a terasort pays.
+
+    Appends `_rank`.  ``order_cols`` must form a unique total order for a
+    deterministic (oracle-matchable) result.
+
+    Regime switch (the `connected_components` pattern): inputs probed at
+    ≤ ``small_limit`` rows (early-exit `limit(n+1).count()`) take one
+    partition-less window — at aggregate scale a single-task sort of ≤2M
+    skinny rows beats the range machinery's ~4 extra jobs of fixed
+    latency.  Both regimes emit identical ranks (same unique total
+    order), so oracle checks hold on either path; pass ``small_limit=0``
+    to force the distributed regime.
+    """
+    if small_limit and df.limit(small_limit + 1).count() <= small_limit:
+        w_small = Window.orderBy(*order_cols)
+        return df.withColumn("_rank", F.row_number().over(w_small))
+    n = int(
+        n_parts
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    offsets = (
+        parted.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            (
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                )
+                - F.col("_n")
+            ).alias("_off"),
+        )
+    )
+    in_part = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", F.col("_off") + F.row_number().over(in_part))
+        .drop("_pid", "_off")
+    )
+
+
 RFM_TILES = 5
 
 

@@ -573,22 +573,32 @@ def doc_rarity(
     Exactness: ranks and rank-sums are integers; the mean is one
     correctly-rounded double division — engine-equal by construction.
     Plan: token explode → (doc, term) tf groupBy → broadcast join against
-    the vocabulary rank table → per-doc partial-agg sum."""
+    the vocabulary rank table → per-doc partial-agg sum.  The vocabulary
+    rank itself is the SAMPLED range-partitioned exact rank
+    (`range_rank`), never a partition-less dense_rank window: the rank
+    key (df DESC, term ASC) is unique per term, so row rank EQUALS
+    dense_rank, and df frequencies are Zipf-skewed — sampled boundaries
+    stay balanced where equi-width value buckets would collapse.  The
+    broadcast of the rank table holds to ~10M-term vocabularies; past
+    that, drop the hint and let AQE pick the join side."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(TH.tokens(F.col(text_col))).alias("term"),
     )
+    # persisted: range_rank's boundary-sampling pass and its shuffle pass
+    # both read the input, and dfreq is a full distinct+agg over the token
+    # explosion — cache the aggregate, not the explosion
     dfreq = (
-        toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        toks.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .persist()
     )
-    from pyspark.sql.window import Window
+    from cdc_stream_processor_spark.operators.relational import range_rank
 
-    ranked = dfreq.select(
-        "term",
-        F.dense_rank()
-        .over(Window.orderBy(F.col("df").desc(), F.col("term").asc()))
-        .alias("rank"),
-    )
+    ranked = range_rank(
+        dfreq, [F.col("df").desc(), F.col("term").asc()]
+    ).select("term", F.col("_rank").cast("int").alias("rank"))
     return (
         toks.join(F.broadcast(ranked), "term")
         .groupBy("doc_id")

@@ -1325,3 +1325,31 @@ def test_dau_mau_stickiness_bounds(spark, sf_dir):
     for r in out:
         assert 0.0 < r.stickiness <= 1.0
         assert r.mean_dau <= r.mau
+
+
+def test_range_rank_regimes_equal_on_skewed_keys(spark):
+    """Zipf-skewed value column (half the rows share value 1, the
+    distributed_rank killer): the small-probe window regime and the
+    forced range-partitioned regime produce identical exact ranks."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = [(i, 1 if i % 2 == 0 else i % 97 + 2) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    order = [F.col("v").desc(), F.col("k").asc()]
+    small = {
+        r.k: r._rank for r in R.range_rank(df, order).collect()
+    }
+    dist = {
+        r.k: r._rank
+        for r in R.range_rank(df, order, small_limit=0).collect()
+    }
+    assert small == dist
+    expected = {
+        k: i + 1
+        for i, (k, _) in enumerate(
+            sorted(rows, key=lambda t: (-t[1], t[0]))
+        )
+    }
+    assert small == expected
