@@ -288,11 +288,22 @@ def test_registry_plan_hygiene_no_rowwise_python(spark, sf_dir):
     import __spark_entry__ as entry
 
     offenders = []
+    nested = []
     for name, fn in entry.queries().items():
-        plan = _plan(fn(spark, sf_dir))
-        if "BatchEvalPython" in plan:
+        df = fn(spark, sf_dir)
+        if "BatchEvalPython" in _plan(df):
             offenders.append(name)
+        # the external gate's canonicalizer cannot hash Array/Map/Struct
+        # cells (pandas factorize TypeError — the r4 user_segments /
+        # pq_codes reds): registered outputs must be flat (serialize ints
+        # with array_join/concat_ws, explode double vectors to rows)
+        if any(
+            f.dataType.typeName() in ("array", "map", "struct")
+            for f in df.schema.fields
+        ):
+            nested.append(name)
     assert offenders == []
+    assert nested == []
 
 
 def test_registry_every_query_has_an_oracle():
