@@ -1697,30 +1697,44 @@ GROUP BY vertex
 
 
 def q_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # gate-facing form is EXPLODED (vec_id, j, proj) rows — see
-    # q_embedding_centroids for why arrays can't reach the gate
+    # gate-facing form is WIDE (vec_id, p0..p15) — arrays can't reach the
+    # gate (see q_embedding_centroids), and posexplode of a per-row
+    # lambda-transform array RE-EVALUATES the projection per emitted
+    # position (measured 6.5 s vs 1.0 s at sf0.1); element_at instead
+    # simplifies to one lambda evaluation per column
+    # (SimplifyExtractValueOps), keeping the plan map-only at array cost.
     return S.rp_project(B.load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", F.posexplode("proj").alias("j", "proj")
+        "vec_id",
+        *[
+            F.element_at("proj", j + 1).alias(f"p{j}")
+            for j in range(S.RP_DIMS)
+        ],
     )
 
 
 def _rp_project_sql() -> str:
-    sign = (
-        f"(CASE WHEN (((i - 1) * {S.RP_DIMS} + j) * {S.RP_A} + {S.RP_B})"
-        f" % {S.RP_P} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
-    )
-    fold = (
-        "list_reduce(list_prepend(0.0::DOUBLE, "
-        f"list_transform(generate_series(1, len(v)), i -> v[i] * {sign})), "
-        "(acc, x) -> acc + x)"
+    def fold(j: int) -> str:
+        sign = (
+            f"(CASE WHEN (((i - 1) * {S.RP_DIMS} + {j}) * {S.RP_A} "
+            f"+ {S.RP_B}) % {S.RP_P} % 2 = 1 THEN 1.0 ELSE -1.0 END)"
+        )
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, len(v)), i -> v[i] * {sign})), "
+            "(acc, x) -> acc + x)"
+        )
+
+    cols = ",\n       ".join(
+        f"{fold(j)} / {float(S.RP_DIMS) ** 0.5} AS p{j}"
+        for j in range(S.RP_DIMS)
     )
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS v
   FROM embeddings
 )
-SELECT vec_id, j::BIGINT AS j, {fold} / {float(S.RP_DIMS) ** 0.5} AS proj
-FROM e, (SELECT unnest(generate_series(0, {S.RP_DIMS - 1})) AS j) s
+SELECT vec_id, {cols}
+FROM e
 """
 
 
