@@ -1,0 +1,54 @@
+"""Process-level memo for DETERMINISTIC derived DataFrames.
+
+Several registered queries share an expensive deterministic sub-result on
+the identical input (PQ training feeds both `pq_codes` and `pq_adc_topk`;
+the LSH near-dup pair table feeds both `embedding_near_dup_pairs` and
+`embedding_near_dup`).  Within one process (a bench run, a notebook
+session) the second caller should reuse the first's materialization
+instead of recomputing — a memo hit is bit-identical to a recompute
+because every memoized builder is deterministic by the engine's oracle
+contract.
+
+Keys combine the Spark application id (a localCheckpointed RDD dies with
+its session), the exprId-normalized analyzed plan of each input (stable
+across re-derivations of the same logical query, distinct across
+different filters/paths), and the operator parameters.  Entries are
+localCheckpointed (eager, lineage-free) and the store is a small bounded
+FIFO — this is a latency cache for repeated in-process calls, not a
+table cache.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+_MEMO: dict[tuple, tuple[DataFrame, ...]] = {}
+_MEMO_MAX = 8
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Analyzed-plan string with exprIds (#NNN) stripped — stable across
+    re-derivations of the same logical query."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return re.sub(r"#\d+", "#", plan)
+
+
+def df_memo(
+    key: tuple,
+    builder: Callable[[], tuple[DataFrame, ...]],
+) -> tuple[DataFrame, ...]:
+    """Return the memoized (localCheckpointed) DataFrames for ``key``,
+    building and materializing them on first call.  ``builder`` must be
+    deterministic; it returns a tuple of DataFrames that are checkpointed
+    as the memo value."""
+    hit = _MEMO.get(key)
+    if hit is not None:
+        return hit
+    out = tuple(df.localCheckpoint() for df in builder())
+    while len(_MEMO) >= _MEMO_MAX:
+        _MEMO.pop(next(iter(_MEMO)))
+    _MEMO[key] = out
+    return out

@@ -261,7 +261,52 @@ def lsh_near_dup_pairs(
     thresholds) into a verify join. Hot buckets are sub-chunked to
     ``block_size`` rows (chunk-combo self-join, same pattern as
     cosine_pairs), so per-task memory stays O(block_size·d) at any
-    corpus size; n_planes remains the candidate-volume knob."""
+    corpus size; n_planes remains the candidate-volume knob.
+
+    Memoized per process (operators.memo): the pair table is the shared
+    sub-result of `embedding_near_dup_pairs` AND `embedding_near_dup`
+    (keep-first dedup), deterministic by the kernel's bit-parity
+    contract, and output-scale (≥-threshold pairs only) — the cheapest
+    thing in the operator to pin."""
+    import numpy as np
+
+    from cdc_stream_processor_spark.operators.memo import (
+        df_memo,
+        plan_fingerprint,
+    )
+
+    key = (
+        "lsh_near_dup_pairs",
+        vecs.sparkSession.sparkContext.applicationId,
+        plan_fingerprint(vecs),
+        threshold,
+        dim,
+        id_col,
+        vec_col,
+        n_planes,
+        n_tables,
+        block_size,
+    )
+
+    def build() -> tuple[DataFrame, ...]:
+        return (_lsh_near_dup_pairs_impl(
+            vecs, threshold, dim, id_col, vec_col, n_planes, n_tables,
+            block_size,
+        ),)
+
+    return df_memo(key, build)[0]
+
+
+def _lsh_near_dup_pairs_impl(
+    vecs: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    block_size: int,
+) -> DataFrame:
     import numpy as np
 
     n = vecs.count()
@@ -1389,27 +1434,6 @@ def _pq_subvectors(
     )
 
 
-# Process-level memo for PQ training: `pq_codes` and `pq_adc_topk` train
-# the IDENTICAL codebooks on the identical corpus, so within one process
-# (bench, a notebook session) the second caller reuses the first's
-# localCheckpointed assignment instead of re-running the Lloyd rounds.
-# Training is fully deterministic (seeded init, grid-snapped means), so a
-# memo hit is bit-identical to a retrain.  Keyed by the exprId-normalized
-# analyzed plan of the input + the training params + the session id (a
-# checkpointed RDD dies with its session); bounded FIFO, 4 entries.
-_PQ_TRAIN_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
-_PQ_TRAIN_MEMO_MAX = 4
-
-
-def _plan_fingerprint(df: DataFrame) -> str:
-    """Analyzed-plan string with exprIds (#NNN) stripped — stable across
-    re-derivations of the same logical query."""
-    import re as _re
-
-    plan = df._jdf.queryExecution().analyzed().toString()
-    return _re.sub(r"#\d+", "#", plan)
-
-
 def _pq_train(
     vecs: DataFrame,
     m: int,
@@ -1420,43 +1444,49 @@ def _pq_train(
 ) -> tuple[DataFrame, DataFrame]:
     """Shared PQ trainer: returns (final assignment (vec_id, sub, v,
     cluster, d), the centroid table the final assignment was scored
-    against (sub, cluster, cv))."""
+    against (sub, cluster, cv)).
+
+    Memoized per process (operators.memo): `pq_codes` and `pq_adc_topk`
+    train IDENTICAL codebooks on the identical corpus, and training is
+    fully deterministic (seeded init, grid-snapped means), so a memo hit
+    is bit-identical to a retrain."""
+    from cdc_stream_processor_spark.operators.memo import (
+        df_memo,
+        plan_fingerprint,
+    )
+
     key = (
+        "pq_train",
         vecs.sparkSession.sparkContext.applicationId,
-        _plan_fingerprint(vecs),
+        plan_fingerprint(vecs),
         m,
         ksub,
         iters,
         id_col,
         vec_col,
     )
-    hit = _PQ_TRAIN_MEMO.get(key)
-    if hit is not None:
-        return hit
-    v = _pq_subvectors(vecs, m, id_col, vec_col)
-    from pyspark.sql.window import Window
 
-    w = Window.partitionBy("sub").orderBy("vec_id")
-    cents = (
-        v.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= ksub)
-        .select(
-            "sub",
-            (F.col("rn") - 1).cast("long").alias("cluster"),
-            F.col("v").alias("cv"),
+    def build() -> tuple[DataFrame, DataFrame]:
+        v = _pq_subvectors(vecs, m, id_col, vec_col)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("sub").orderBy("vec_id")
+        cents = (
+            v.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= ksub)
+            .select(
+                "sub",
+                (F.col("rn") - 1).cast("long").alias("cluster"),
+                F.col("v").alias("cv"),
+            )
         )
-    )
-    assigned = _pq_assign(v, cents)
-    for _ in range(iters - 1):
-        cents = _pq_rebuild(assigned)
         assigned = _pq_assign(v, cents)
-    # materialize once so every downstream consumer (and every memo hit)
-    # starts from the trained tables, not a replay of the Lloyd rounds
-    assigned = assigned.localCheckpoint()
-    cents = cents.localCheckpoint()
-    while len(_PQ_TRAIN_MEMO) >= _PQ_TRAIN_MEMO_MAX:
-        _PQ_TRAIN_MEMO.pop(next(iter(_PQ_TRAIN_MEMO)))
-    _PQ_TRAIN_MEMO[key] = (assigned, cents)
+        for _ in range(iters - 1):
+            cents = _pq_rebuild(assigned)
+            assigned = _pq_assign(v, cents)
+        return assigned, cents
+
+    assigned, cents = df_memo(key, build)
     return assigned, cents
 
 
