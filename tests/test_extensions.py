@@ -1379,3 +1379,42 @@ def test_readability_orders_prose_above_wordlist(spark):
     assert out[1].flesch > 80
     assert out[2].flesch < out[1].flesch - 50
     assert out[2].n_sentences == 1
+
+
+def test_df_memo_distinguishes_inputs_params_and_hits(spark):
+    """The process-level memo must NEVER false-hit: different input plans
+    (different filters) and different params build separately; the same
+    (input, params) returns the identical checkpointed result."""
+    import pyspark.sql.functions as F
+
+    from cdc_stream_processor_spark.operators import memo as M
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    a, b = base.filter(F.col("id") < 50), base.filter(F.col("id") >= 50)
+    assert M.plan_fingerprint(a) != M.plan_fingerprint(b)
+    # same logical query re-derived → same fingerprint despite new exprIds
+    a2 = base.filter(F.col("id") < 50)
+    assert M.plan_fingerprint(a) == M.plan_fingerprint(a2)
+
+    calls = []
+
+    def make(df, tag):
+        def build():
+            calls.append(tag)
+            return (df.groupBy("v").count(),)
+
+        return build
+
+    app = spark.sparkContext.applicationId
+    ka = ("t", app, M.plan_fingerprint(a), 1)
+    kb = ("t", app, M.plan_fingerprint(b), 1)
+    ka2 = ("t", app, M.plan_fingerprint(a), 2)  # same input, other param
+    ra = M.df_memo(ka, make(a, "a"))[0]
+    rb = M.df_memo(kb, make(b, "b"))[0]
+    ra_hit = M.df_memo(ka, make(a, "a-again"))[0]
+    M.df_memo(ka2, make(a, "a-p2"))
+    assert calls == ["a", "b", "a-p2"]  # hit did not rebuild
+    assert ra is ra_hit
+    assert {r.v for r in ra.collect()} == {r.v for r in rb.collect()}
