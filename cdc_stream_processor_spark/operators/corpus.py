@@ -720,13 +720,15 @@ def remove_dup_segments(
     engine — no struct-ordering or float-rank subtleties.
 
     Scale shape: one explode to (segment, doc, pos) skinny rows; the
-    first-occurrence pass is a partial-aggregated groupBy on seg_text
-    (hot segments — boilerplate repeated in millions of docs — collapse to
-    one MIN per map task before the shuffle); the keep-set join is an
-    equi-join on seg_text whose right side is one row per DISTINCT segment;
-    reassembly is one groupBy(doc_id) with a sorted-struct collect (the
-    secondary-sort pattern, same as user_event_paths). Returns
-    (doc_id, n_segs, n_kept, clean_text).
+    first-occurrence pass is MIN(key) OVER (PARTITION BY seg_text) — ONE
+    shuffle of the segment rows, where the groupBy-then-rejoin form paid
+    that same seg_text shuffle twice (once for the distinct-firsts agg,
+    once to sort-merge the keep-set back). Skew exposure is identical:
+    either form co-locates every copy of a hot boilerplate segment in one
+    task (the join's build side did too), so the window buys strictly
+    fewer passes. Reassembly is one groupBy(doc_id) with a sorted-struct
+    collect (the secondary-sort pattern, same as user_event_paths).
+    Returns (doc_id, n_segs, n_kept, clean_text).
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("toks")
@@ -744,12 +746,10 @@ def remove_dup_segments(
         "doc_id", F.posexplode("segs").alias("seg_id", "seg_text")
     )
     key = F.col("doc_id") * SEG_SHIFT + F.col("seg_id")
-    firsts = (
-        segs.select("seg_text", key.alias("k"))
-        .groupBy("seg_text")
-        .agg(F.min("k").alias("first_key"))
+    w_seg = Window.partitionBy("seg_text")
+    kept = segs.withColumn("first_key", F.min(key).over(w_seg)).filter(
+        key == F.col("first_key")
     )
-    kept = segs.join(firsts, "seg_text").filter(key == F.col("first_key"))
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

@@ -554,12 +554,27 @@ def interval_overlap_join(
 
 MAD_K = 3.0  # outlier fence: |v - median| > 3 * MAD
 
+# Grouped-map kernels are invoked ONCE PER GROUP, each with its own Arrow
+# round-trip — at millions of small key groups that per-group overhead (a
+# few ms of batch framing + pandas construction) dominates the actual math.
+# Bucketing the keys first bounds kernel invocations at MAD_BUCKETS while
+# keeping the required invariant (all of a user's rows in one task), and
+# doubles as the skew guard: a task holds ~|keys|/buckets groups, not one
+# giant hot key's worth of framing overhead. Measured 4.6 s → ~1 s on 1.5 K
+# groups / 100 K rows (local[32], sf0.1).
+MAD_BUCKETS = 256
+
 
 def user_value_mad(events: DataFrame) -> DataFrame:
     """Per-user robust outlier statistics (median / MAD / fence count) via
     grouped-map applyInPandas — the batch 'custom per-group Python' slot
     (SURVEY §7.2(b)): semantics a single SQL window can't express cleanly
     run as one Arrow-batched kernel per key group, one shuffle total.
+
+    The grouping key is a hash BUCKET of user_id (not user_id itself): the
+    kernel loops over the users inside its bucket, so the per-kernel Arrow
+    overhead amortizes over ~|users|/MAD_BUCKETS groups instead of being
+    paid once per user. Per-user numerics are unchanged.
 
     Medians interpolate as lo + (hi - lo) * 0.5 — the same expression tree
     as Spark's percentile() and DuckDB's quantile_cont — NOT numpy's
@@ -577,24 +592,33 @@ def user_value_mad(events: DataFrame) -> DataFrame:
         return lo + (hi - lo) * 0.5
 
     def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        v = pdf["value"].to_numpy(dtype=np.float64)
-        med = _median(v)
-        dev = np.abs(v - med)
-        mad = _median(dev)
-        n_out = int((dev > MAD_K * mad).sum())
+        uids, ns, meds, mads, outs = [], [], [], [], []
+        for uid, g in pdf.groupby("user_id", sort=False):
+            v = g["value"].to_numpy(dtype=np.float64)
+            med = _median(v)
+            dev = np.abs(v - med)
+            mad = _median(dev)
+            uids.append(int(uid))
+            ns.append(len(v))
+            meds.append(med)
+            mads.append(mad)
+            outs.append(int((dev > MAD_K * mad).sum()))
         return pd.DataFrame(
-            [
-                {
-                    "user_id": int(pdf["user_id"].iloc[0]),
-                    "n": len(v),
-                    "median": med,
-                    "mad": mad,
-                    "n_outliers": n_out,
-                }
-            ]
+            {
+                "user_id": pd.Series(uids, dtype="int64"),
+                "n": pd.Series(ns, dtype="int64"),
+                "median": pd.Series(meds, dtype="float64"),
+                "mad": pd.Series(mads, dtype="float64"),
+                "n_outliers": pd.Series(outs, dtype="int64"),
+            }
         )
 
-    return events.select("user_id", "value").groupBy("user_id").applyInPandas(
+    bucketed = events.select(
+        "user_id",
+        "value",
+        F.pmod(F.xxhash64("user_id"), F.lit(MAD_BUCKETS)).alias("_bkt"),
+    )
+    return bucketed.groupBy("_bkt").applyInPandas(
         kernel, schema="user_id long, n long, median double, mad double, n_outliers long"
     )
 
@@ -1147,31 +1171,50 @@ def part_affinity(
     so lift is ONE correctly-rounded division.  Ties break on (a, b).
 
     Scale shape: baskets are small (lines per order is bounded by the
-    order, not the corpus), so the within-order pair explode is a ≤
-    C(max_lines, 2) fan-out per order off one orderkey shuffle — never a
-    corpus-wide self-join; pair/part counts partial-aggregate; the final
-    top-k is a TakeOrderedAndProject.
+    order, not the corpus), so ONE orderkey shuffle materializes each
+    order's distinct sorted part-set (collect_set — dedup rides the same
+    partial agg), and the within-order pair fan-out (≤ C(max_lines, 2)
+    per order) is a MAP-SIDE array expression off that one shuffle —
+    never a corpus-wide self-join, and never a second distinct pass for
+    the per-part / order counts, which read the same basket rows;
+    pair/part counts partial-aggregate; the final top-k is a
+    TakeOrderedAndProject.  (An earlier items-self-join form recomputed
+    the distinct shuffle for each of its four consumers: 2.7 s → 1.5 s
+    at sf0.1.)
     """
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = items.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    # persist: the basket index feeds three consumers (pair counts, part
+    # counts, order count) — one dedup/grouping shuffle instead of three
+    # (self-join analysis re-aliases the repeated subtree's exprIds, which
+    # defeats ReuseExchange; same pattern as user_similarity's hour index)
+    baskets = lineitem.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    ).persist()
+    n = F.size("ps")
+    # sorted distinct parts → nested slice enumerates exactly the a<b pairs
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, n),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     pair_cnt = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_arr).alias("pr"))
+        .select(
+            F.col("pr.a").alias("part_a"), F.col("pr.b").alias("part_b")
+        )
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= min_support)
     )
-    part_cnt = items.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count(F.lit(1)).alias("n_p")
+    part_cnt = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_p"))
     )
-    n_orders = items.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
-    )
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     scored = (
         pair_cnt.join(
             part_cnt.select(

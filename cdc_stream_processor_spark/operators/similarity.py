@@ -839,6 +839,39 @@ def knn_graph(
     vec_col: str = "embedding",
     block_size: int = 4096,
 ) -> DataFrame:
+    """Memoized wrapper over the exact kNN-graph kernel: the graph is the
+    shared sub-result of `knn_graph`, `knn_pagerank`, and `knn_triangles`
+    on the same corpus, fully deterministic by the kernel's 6-dp fold
+    parity — a memo hit is bit-identical to a recompute (operators.memo,
+    same pattern as the LSH near-dup pair table)."""
+    from cdc_stream_processor_spark.operators.memo import (
+        df_memo,
+        plan_fingerprint,
+    )
+
+    key = (
+        "knn_graph",
+        vecs.sparkSession.sparkContext.applicationId,
+        plan_fingerprint(vecs),
+        k,
+        id_col,
+        vec_col,
+        block_size,
+    )
+
+    def build() -> tuple[DataFrame, ...]:
+        return (_knn_graph_impl(vecs, k, id_col, vec_col, block_size),)
+
+    return df_memo(key, build)[0]
+
+
+def _knn_graph_impl(
+    vecs: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 4096,
+) -> DataFrame:
     """Exact cosine k-nearest-neighbor graph over the WHOLE corpus —
     (vec_id, neighbor_id, cosine_sim, rank) with k rows per vector — the
     neighbor structure behind semantic dedup clustering, diversity
@@ -1159,31 +1192,46 @@ KMEANS_K = 8
 KMEANS_ITERS = 4
 
 
-def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid by squared L2 — the distance is a sequential
-    left-fold over (x-c)², so both engines accumulate in the same order;
-    ties break to the smallest cluster id via an associative min_by."""
-    d = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = v.join(F.broadcast(cents)).select(
-        "vec_id", "v", "cluster", d.alias("d")
-    )
-    pick = F.min_by(
-        F.struct(F.col("cluster").alias("c"), F.col("d").alias("d")),
-        F.struct(F.col("d").alias("d"), F.col("cluster").alias("c")),
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.first("v").alias("v"), pick.alias("_p"))
-        .select(
-            "vec_id",
-            "v",
-            F.col("_p.c").alias("cluster"),
-            F.col("_p.d").alias("d"),
-        )
+def _kmeans_assign(v: DataFrame, cents: list) -> DataFrame:
+    """Nearest centroid by squared L2, entirely MAP-SIDE: the centroids
+    are a bounded k·d driver sketch carried in the UDF closure (the MLlib
+    Lloyd pattern), so assignment is one vectorized Arrow pass over the
+    corpus — no join, no shuffle, no per-round lineage growth.
+
+    Bit-parity with the DuckDB oracle's sequential folds: the distance
+    accumulates dimension-by-dimension (``dist += diff·diff`` — each
+    vectorized += is one correctly-rounded IEEE op per row, in the same
+    j = 0..d−1 order as the fold), and clusters are scanned in ASCENDING
+    id order replacing only on strictly-smaller distance, so ties break
+    to the smallest cluster id — the same total order min_by(struct(d,c))
+    produced."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    items = sorted((int(c), np.asarray(cv, dtype=np.float64)) for c, cv in cents)
+
+    def _assign(s: "pd.Series") -> "pd.DataFrame":
+        X = np.vstack(s.to_numpy())
+        n = len(X)
+        best_c = np.full(n, -1, dtype=np.int64)
+        best_d = np.full(n, np.inf, dtype=np.float64)
+        for cid, cv in items:
+            dist = np.zeros(n, dtype=np.float64)
+            for j in range(cv.shape[0]):
+                diff = X[:, j] - cv[j]
+                dist += diff * diff
+            upd = dist < best_d
+            best_c[upd] = cid
+            best_d[upd] = dist[upd]
+        return pd.DataFrame({"cluster": best_c, "d": best_d})
+
+    assign_udf = pandas_udf(_assign, "cluster: long, d: double")
+    return v.withColumn("_p", assign_udf(F.col("v"))).select(
+        "vec_id",
+        "v",
+        F.col("_p.cluster").alias("cluster"),
+        F.col("_p.d").alias("d"),
     )
 
 
@@ -1231,39 +1279,33 @@ def kmeans_labels(
     the bounded driver-SAMPLE spherical k-means inside ivf_topk — this is
     its no-sample, all-data sibling).
 
-    Determinism: seeds are the k lowest-id vectors; squared-L2 folds are
-    sequential (identical order both engines); cluster means snap to the
-    1e-6 integer grid via BIGINT sums (order-free); argmin ties break to
-    the smallest cluster id. A cluster that loses all members simply stops
-    existing — both engines drop it identically. Every round is therefore
-    bit-reproducible, and the DuckDB oracle replays all rounds as chained
-    CTEs.
+    Determinism: seeds are the k lowest-id vectors; squared-L2 distances
+    accumulate dimension-sequentially (identical order both engines);
+    cluster means snap to the 1e-6 integer grid via BIGINT sums
+    (order-free); argmin ties break to the smallest cluster id. A cluster
+    that loses all members simply stops existing — both engines drop it
+    identically. Every round is therefore bit-reproducible, and the
+    DuckDB oracle replays all rounds as chained CTEs.
 
-    Scale: per round, assignment is a broadcast map-only pass (k·d doubles)
-    + one associative min_by groupBy; the rebuild is one (cluster, dim)
-    partial-agg shuffle of skinny integer rows. iters rounds = 2·iters
-    bounded shuffles; nothing ever collects.
+    Scale: per round, assignment is a vectorized Arrow MAP-ONLY pass (the
+    centroids are a bounded k·d driver sketch in the UDF closure — the
+    MLlib Lloyd shape); the rebuild is one (cluster, dim) partial-agg
+    shuffle of skinny integer rows whose k·d-row result is the only thing
+    collected. The corpus itself never collects, and per-round lineage
+    stays flat because each round starts from the persisted corpus plus a
+    fresh sketch.
 
     Returns the final assignment: (vec_id, cluster, sq_dist).
     """
-    from pyspark.sql.window import Window
-
     v = vecs.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
-    )
-    w = Window.orderBy("vec_id")
-    cents = (
-        v.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).cast("long").alias("cluster"),
-            F.col("v").alias("cv"),
-        )
-    )
-    assigned = _kmeans_assign(v, cents)
+    ).persist()  # scanned once per rebuild round + the final assignment
+    seeds = v.orderBy("vec_id").limit(k).collect()  # k·d bounded
+    cents = [(i, r["v"]) for i, r in enumerate(seeds)]
     for _ in range(iters - 1):
-        assigned = _kmeans_assign(v, _kmeans_rebuild(assigned))
-    return assigned.select(
+        rebuilt = _kmeans_rebuild(_kmeans_assign(v, cents)).collect()
+        cents = [(r["cluster"], r["cv"]) for r in rebuilt]  # k·d bounded
+    return _kmeans_assign(v, cents).select(
         "vec_id", "cluster", F.round("d", 6).alias("sq_dist")
     )
 
@@ -1648,29 +1690,34 @@ def mmr_rerank(
     dedup'd RAG contexts).
 
     Determinism: rel and pairwise sims are the ROUNDED 6-dp cosines (the
-    same fold the oracle states); max over selected sims is an exact
-    associative max; each round's score is a fixed 3-op tree with λ and
-    (1−λ) as repr'd double literals; ties rank by neighbor id.  Rounds
-    are UNROLLED (k is a small constant), so the DuckDB oracle replays
-    them as chained CTEs.
+    same fold the oracle states, both computed JVM-side); max over
+    selected sims is an exact associative max; each round's score is a
+    fixed 3-op float64 tree (λ·rel − (1−λ)·max_sim — single correctly-
+    rounded IEEE ops, identical in Python and in the oracle's unrolled
+    CTEs); ties rank by neighbor id.
 
     Scale: the only corpus-scale work is the candidate retrieval
-    (brute_force_topk here; swap in any ANN candidate source).
-    Everything after runs at pool-per-query scale: the pair table is
-    pool² rows per query and each greedy round is one join + one
-    WindowGroupLimit argmax on that.  Returns
-    (query_id, neighbor_id, mmr_rank, mmr_score).
+    (brute_force_topk here; swap in any ANN candidate source) and the
+    pairwise-sim join — both JVM-side.  The greedy k rounds run at
+    pool-per-query scale (≤ pool cands + pool² sims per query), so they
+    execute as ONE cogrouped-map Arrow kernel per query — no per-round
+    distributed jobs; an earlier unrolled-DataFrame form paid a
+    localCheckpoint job per round for the same ≤k·|Q| rows (3.6 s → ~1 s
+    at sf0.1).  Returns (query_id, neighbor_id, mmr_rank, mmr_score).
     """
-    # the candidate retrieval is the only corpus-scale subplan and every
-    # unrolled round references it — persist so it executes ONCE
+    import pandas as pd
+
+    # candidate retrieval is the only corpus-scale subplan and is
+    # referenced twice (pair build + cogroup) — localCheckpoint runs it
+    # once and truncates the lineage (the result is ≤ |Q|·pool rows)
     cands = brute_force_topk(
         queries, corpus, k=pool, id_col=id_col, vec_col=vec_col
-    ).persist()
+    ).localCheckpoint()
     v = corpus.select(
         F.col(id_col).alias("_vid"), as_double(F.col(vec_col)).alias("_e")
     )
     cv = cands.join(v, cands["neighbor_id"] == v["_vid"]).select(
-        "query_id", "neighbor_id", "cosine_sim", "_e"
+        "query_id", "neighbor_id", "_e"
     )
     c1 = cv.select(
         "query_id",
@@ -1682,6 +1729,9 @@ def mmr_rerank(
         F.col("neighbor_id").alias("b"),
         F.col("_e").alias("eb"),
     )
+    # ≤ |Q|·pool² rows; the eager checkpoint also severs the shared
+    # lineage with `cands` (cogrouping two plans rooted at the same
+    # checkpoint trips the ambiguous-self-join analyzer check)
     pair = (
         c1.join(c2, "query_id")
         .filter(F.col("a") != F.col("b"))
@@ -1691,66 +1741,61 @@ def mmr_rerank(
             "b",
             F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("ps"),
         )
-        .persist()
+        .localCheckpoint()
     )
-    from pyspark.sql.window import Window
 
-    lam_c, inv_c = F.lit(lam), F.lit(1.0 - lam)
-    picked = cands.filter(F.col("rank") == 1).select(
-        "query_id",
-        F.col("neighbor_id").alias("sel"),
-        F.lit(1).alias("mmr_rank"),
-        F.col("cosine_sim").alias("mmr_score"),
+    qid_t = dict(cands.dtypes)["query_id"]
+    nid_t = dict(cands.dtypes)["neighbor_id"]
+    out_schema = (
+        f"query_id {qid_t}, neighbor_id {nid_t}, "
+        "mmr_rank int, mmr_score double"
     )
-    for r in range(2, k + 1):
-        remaining = cands.join(
-            picked.select(
-                "query_id", F.col("sel").alias("neighbor_id")
-            ),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-        ms = (
-            pair.join(
-                picked.select("query_id", F.col("sel").alias("b")),
-                ["query_id", "b"],
+    inv = 1.0 - lam
+
+    def kernel(
+        key: tuple, cpdf: "pd.DataFrame", ppdf: "pd.DataFrame"
+    ) -> "pd.DataFrame":
+        if cpdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "mmr_rank", "mmr_score"]
             )
-            .groupBy("query_id", F.col("a").alias("neighbor_id"))
-            .agg(F.max("ps").alias("max_sim"))
+        rel = dict(zip(cpdf["neighbor_id"], cpdf["cosine_sim"]))
+        first = cpdf.loc[cpdf["rank"] == 1, "neighbor_id"].iloc[0]
+        ps: dict = {}
+        for a, b, s in zip(ppdf["a"], ppdf["b"], ppdf["ps"]):
+            ps[(a, b)] = float(s)
+        selected = [first]
+        scores = [float(rel[first])]
+        remaining = sorted(n for n in rel if n != first)
+        for _ in range(2, k + 1):
+            best = None
+            best_score = None
+            for c in remaining:
+                sims = [ps[(c, s)] for s in selected if (c, s) in ps]
+                if not sims:
+                    continue
+                score = lam * float(rel[c]) - inv * max(sims)
+                if best is None or score > best_score:
+                    best, best_score = c, score
+            if best is None:
+                break
+            selected.append(best)
+            scores.append(best_score)
+            remaining.remove(best)
+        return pd.DataFrame(
+            {
+                "query_id": [key[0]] * len(selected),
+                "neighbor_id": selected,
+                "mmr_rank": pd.Series(
+                    range(1, len(selected) + 1), dtype="int32"
+                ),
+                "mmr_score": pd.Series(scores, dtype="float64"),
+            }
         )
-        scored = remaining.join(ms, ["query_id", "neighbor_id"]).select(
-            "query_id",
-            "neighbor_id",
-            (lam_c * F.col("cosine_sim") - inv_c * F.col("max_sim")).alias(
-                "score"
-            ),
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("neighbor_id").asc()
-        )
-        pick_r = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                "query_id",
-                F.col("neighbor_id").alias("sel"),
-                F.lit(r).alias("mmr_rank"),
-                F.col("score").alias("mmr_score"),
-            )
-        )
-        # each round references `picked` three times (anti-join, selected
-        # sims, union): without a boundary the logical plan grows 3^k
-        # copies of the retrieval subtree (measured 13 s at sf0.1 —
-        # planning, not compute). localCheckpoint materializes the ≤
-        # k·|Q|-row accumulator eagerly, keeping every round's plan flat
-        picked = picked.unionByName(pick_r).localCheckpoint()
-    # every round's result is already materialized by localCheckpoint, so
-    # the two persisted intermediates are dead weight after the loop
-    cands.unpersist()
-    pair.unpersist()
-    return picked.select(
-        "query_id",
-        F.col("sel").alias("neighbor_id"),
-        "mmr_rank",
-        "mmr_score",
-    ).orderBy("query_id", "mmr_rank")
+
+    out = (
+        cands.groupBy("query_id")
+        .cogroup(pair.groupBy("query_id"))
+        .applyInPandas(kernel, schema=out_schema)
+    )
+    return out.orderBy("query_id", "mmr_rank")

@@ -594,17 +594,19 @@ def test_segment_dedup_partial_tail_and_empty_doc(spark):
     assert out[2].clean_text == ""
 
 
-def test_segment_dedup_first_pass_partial_aggregates(spark, sf_dir):
+def test_segment_dedup_single_segment_shuffle(spark, sf_dir):
     docs = B.load_table(spark, sf_dir, "documents")
     plan = (
         C.remove_dup_segments(docs)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # hot segments collapse map-side before the shuffle: the MIN(first_key)
-    # groupBy must show a partial aggregate, and reassembly must be the
-    # sorted-struct collect (no corpus-wide window sort)
-    assert "partial_min" in plan
-    assert "Window" not in plan
+    # first-occurrence selection is MIN OVER (PARTITION BY seg_text): the
+    # segment rows shuffle on seg_text exactly once — the groupBy+rejoin
+    # form paid that shuffle twice (distinct-firsts agg + sort-merge join)
+    # with identical hot-segment skew exposure
+    assert "Window" in plan and "min(" in plan
+    assert "SortMergeJoin [seg_text" not in plan
+    assert plan.count("hashpartitioning(seg_text") == 1
 
 
 # --- bpe_merges ---------------------------------------------------------------
