@@ -50,6 +50,41 @@ def _vectorized_signatures(
     k: int = 3,
     with_minhash: bool = True,
 ) -> DataFrame:
+    """Memoized wrapper: the shingle/minhash signature table is the shared
+    first stage of the whole near-dup family (MinHash-LSH, n-gram Jaccard,
+    containment, Bloom/exact decontamination) on the same corpus —
+    deterministic by the kernel's bit-parity contract, so a process-level
+    memo hit (operators.memo) is identical to a recompute."""
+    from cdc_stream_processor_spark.operators.memo import (
+        df_memo,
+        plan_fingerprint,
+    )
+
+    key = (
+        "vectorized_signatures",
+        docs.sparkSession.sparkContext.applicationId,
+        plan_fingerprint(docs),
+        text_col,
+        id_col,
+        k,
+        with_minhash,
+    )
+
+    def build() -> tuple[DataFrame, ...]:
+        return (
+            _vectorized_signatures_impl(docs, text_col, id_col, k, with_minhash),
+        )
+
+    return df_memo(key, build)[0]
+
+
+def _vectorized_signatures_impl(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    with_minhash: bool = True,
+) -> DataFrame:
     """(doc_id, hs[, mh]) via one Arrow-batched mapInPandas pass — numpy
     twins of the Catalyst folds (functions.fasthash), bit-identical values.
     Docs with no shingles are dropped (as the fold path's size>0 filter)."""

@@ -31,9 +31,14 @@ _MEMO_MAX = 8
 
 def plan_fingerprint(df: DataFrame) -> str:
     """Analyzed-plan string with exprIds (#NNN) stripped — stable across
-    re-derivations of the same logical query."""
+    re-derivations of the same logical query — combined with the
+    canonicalized-plan semanticHash.  The hash matters for LocalRelation
+    inputs (createDataFrame): their plan STRING shows only the output
+    schema, so two different literal datasets of the same shape would
+    otherwise collide; semanticHash covers the relation's data."""
     plan = df._jdf.queryExecution().analyzed().toString()
-    return re.sub(r"#\d+", "#", plan)
+    stripped = re.sub(r"#\d+", "#", plan)
+    return f"{stripped}|sh={df.semanticHash()}"
 
 
 def df_memo(
