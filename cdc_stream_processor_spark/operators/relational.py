@@ -1630,6 +1630,7 @@ def distributed_rank(
     tiebreak: Column,
     ascending: bool = True,
     n_buckets: int = RANK_BUCKETS,
+    small_limit: int | None = None,
 ) -> DataFrame:
     """Exact global 0-based dense row rank over (value, tiebreak) WITHOUT
     a single-reducer global window: equi-width value-range buckets
@@ -1646,7 +1647,25 @@ def distributed_rank(
     precision still rank in true value order.  (Cast-to-double is
     monotonic, so bucket boundaries stay consistent with the exact
     order.)
+
+    Regime switch (same as ``range_rank``): inputs probed at ≤
+    ``small_limit`` rows (default ``RANGE_RANK_SMALL``; early-exit
+    ``limit(n+1).count()``) take one partition-less window — at
+    aggregate scale (a customer table feeding quintiles) a single-task
+    sort beats the bucket machinery's extra jobs of fixed latency.  Both
+    regimes emit identical ranks (same unique total order); pass
+    ``small_limit=0`` to force the distributed regime.
     """
+    if small_limit is None:
+        small_limit = RANGE_RANK_SMALL
+    if small_limit and df.limit(small_limit + 1).count() <= small_limit:
+        order = (
+            [value.asc(), tiebreak.asc()]
+            if ascending
+            else [value.desc(), tiebreak.asc()]
+        )
+        w_small = Window.orderBy(*order)
+        return df.withColumn("_rank", F.row_number().over(w_small) - 1)
     v = value.cast("double").alias("_v")
     base = df.select("*", v, value.alias("_vx"), tiebreak.alias("_tb"))
     bounds = base.agg(
@@ -1793,31 +1812,56 @@ def rfm_scores(
         "frequency",
         "monetary",
     )
-    # customer count rides as a broadcast scalar (lazy — no eager count
-    # at construction); tile arithmetic is INTEGER division (a double
-    # divide could round across a tile boundary differently than the
-    # oracle's //)
-    n_cust = base.agg(F.count(F.lit(1)).alias("_n"))
-
-    def tile(df: DataFrame, col: str, out: str) -> DataFrame:
-        ranked = distributed_rank(
-            df, F.col(col), F.col("o_custkey"), ascending=True
-        )
-        return (
-            ranked.crossJoin(F.broadcast(n_cust))
-            .withColumn(
-                out, F.expr(f"(_rank * {RFM_TILES}) div _n") + F.lit(1)
+    # Regime switch (the range_rank pattern): the customer aggregate is
+    # usually orders-of-magnitude smaller than orders — probed at ≤2M
+    # rows, all three quintiles come from three partition-less windows in
+    # ONE plan and one job (probe count doubles as the exact n), instead
+    # of three checkpointed distributed-rank tiles. Tile arithmetic is
+    # INTEGER division either way (a double divide could round across a
+    # tile boundary differently than the oracle's //); both regimes emit
+    # identical scores.
+    probe = base.limit(RANGE_RANK_SMALL + 1).count()
+    if probe <= RANGE_RANK_SMALL:
+        n = probe
+        scored = base
+        for colname, out in [
+            ("recency_days", "q_r"),
+            ("frequency", "q_f"),
+            ("monetary", "q_m"),
+        ]:
+            w = Window.orderBy(
+                F.col(colname).asc(), F.col("o_custkey").asc()
             )
-            .drop("_rank", "_n")
-            # each tile references its input 2× (bounds agg + keyed rows);
-            # chained un-checkpointed, the customer aggregate re-plans
-            # 2³ times — the checkpoint keeps the per-tile plan flat and
-            # is customer-table-sized
-            .localCheckpoint()
-        )
+            scored = scored.withColumn("_rn", F.row_number().over(w)).withColumn(
+                out, F.expr(f"((_rn - 1) * {RFM_TILES}) div {n} + 1")
+            ).drop("_rn")
+    else:
+        # customer count rides as a broadcast scalar (lazy — no eager
+        # count at construction)
+        n_cust = base.agg(F.count(F.lit(1)).alias("_n"))
 
-    scored = tile(tile(tile(base, "recency_days", "q_r"), "frequency", "q_f"),
-                  "monetary", "q_m")
+        def tile(df: DataFrame, col: str, out: str) -> DataFrame:
+            ranked = distributed_rank(
+                df, F.col(col), F.col("o_custkey"), ascending=True,
+                small_limit=0,
+            )
+            return (
+                ranked.crossJoin(F.broadcast(n_cust))
+                .withColumn(
+                    out, F.expr(f"(_rank * {RFM_TILES}) div _n") + F.lit(1)
+                )
+                .drop("_rank", "_n")
+                # each tile references its input 2× (bounds agg + keyed
+                # rows); chained un-checkpointed, the customer aggregate
+                # re-plans 2³ times — the checkpoint keeps the per-tile
+                # plan flat and is customer-table-sized
+                .localCheckpoint()
+            )
+
+        scored = tile(
+            tile(tile(base, "recency_days", "q_r"), "frequency", "q_f"),
+            "monetary", "q_m",
+        )
     return scored.select(
         "o_custkey",
         "recency_days",

@@ -443,13 +443,22 @@ def test_distributed_rank_no_global_single_partition_sort(spark, sf_dir):
     from cdc_stream_processor_spark.sources import batch as B
 
     orders = B.load_table(spark, sf_dir, "orders")
+    # force the distributed regime: the probed small-input path takes one
+    # partition-less window by design (the range_rank regime switch)
     df = R.distributed_rank(
-        orders, F.col("o_totalprice"), F.col("o_orderkey")
+        orders, F.col("o_totalprice"), F.col("o_orderkey"), small_limit=0
     )
     plan = _plan(df)
     # the per-row window's exchange hashes on the bucket key — a global
     # rank would instead show Exchange SinglePartition feeding the Sort
     assert "hashpartitioning(_bkt" in plan
+    # regime equality: the probed small path emits identical ranks
+    small = R.distributed_rank(
+        orders, F.col("o_totalprice"), F.col("o_orderkey")
+    )
+    a = {r["o_orderkey"]: r["_rank"] for r in df.select("o_orderkey", "_rank").collect()}
+    b = {r["o_orderkey"]: r["_rank"] for r in small.select("o_orderkey", "_rank").collect()}
+    assert a == b
 
 
 def test_sequence_gap_audit_windows_are_bucket_partitioned(spark, sf_dir):
