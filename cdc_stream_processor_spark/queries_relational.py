@@ -1859,10 +1859,13 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-user session pairs whose [start,end] intervals overlap —
     interval-overlap join binned to 6h epochs so it runs as a hash
     equi-join (never a nested-loop range scan; asserted on the plan)."""
+    # persist: both self-join sides read the same sessionization (a
+    # per-user window shuffle) — one materialization instead of two
     s = (
         R.sessionize(B.load_table(spark, sf_dir, "events"))
         .filter(F.col("start_us") < CONC_CUTOFF_US)
         .select("user_id", "session_id", "start_us", "end_us")
+        .persist()
     )
     a = s.select(
         F.col("user_id").alias("user_a"),
