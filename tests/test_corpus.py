@@ -1355,3 +1355,44 @@ def test_range_rank_regimes_equal_on_skewed_keys(spark):
         )
     }
     assert small == expected
+
+
+def test_distributed_rank_regimes_equal_on_edge_shapes(spark):
+    """The probed small-input window regime (new) and the forced bucketed
+    regime produce identical 0-based ranks on the bucket-stressing
+    shapes: heavy value ties, negative values, and an all-equal column
+    (span collapses to the 1e-9 epsilon → every row lands in bucket 0)."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    shapes = {
+        "ties": [(i, i % 7) for i in range(500)],
+        "negatives": [(i, -(i % 13) * 3 + 5) for i in range(500)],
+        "all_equal": [(i, 42) for i in range(500)],
+    }
+    for name, rows in shapes.items():
+        df = spark.createDataFrame(rows, ["k", "v"])
+        for asc in (True, False):
+            small = {
+                r.k: r._rank
+                for r in R.distributed_rank(
+                    df, F.col("v"), F.col("k"), ascending=asc
+                ).collect()
+            }
+            dist = {
+                r.k: r._rank
+                for r in R.distributed_rank(
+                    df, F.col("v"), F.col("k"), ascending=asc,
+                    small_limit=0,
+                ).collect()
+            }
+            assert small == dist, (name, asc)
+            sign = 1 if asc else -1
+            expected = {
+                k: i
+                for i, (k, _) in enumerate(
+                    sorted(rows, key=lambda t: (sign * t[1], t[0]))
+                )
+            }
+            assert small == expected, (name, asc)
