@@ -320,12 +320,18 @@ def tfidf_top_terms(
     role as a broadcast literal, not a data collect).
     """
     n_docs = docs.count()
+    # persist: the (doc, term) counts feed BOTH the df aggregate and the
+    # score join (exprId re-aliasing defeats ReuseExchange on the repeated
+    # subtree) — one tokenize+count pass instead of two; spills past
+    # memory at corpus scale, the same materialization either consumer
+    # would have paid
     tf = (
         ensure_parallelism(docs)
         .select(F.col(id_col).alias("doc_id"),
                 F.explode(TH.tokens(F.col(text_col))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(dfreq, "term").select(
@@ -520,6 +526,9 @@ def bigram_lm_score(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("t")
     ).filter(F.size("t") >= 2)
+    # persist: the exploded bigram relation feeds THREE consumers (both
+    # count aggregates + the final score join) — one tokenize+explode
+    # pass instead of three (exprId re-aliasing defeats ReuseExchange)
     bg = toks.select(
         "doc_id",
         F.explode(
@@ -528,7 +537,7 @@ def bigram_lm_score(
                 " i -> struct(t[i-2] AS w1, t[i-1] AS w2))"
             )
         ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    ).select("doc_id", "b.w1", "b.w2").persist()
     c_ab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
     c_a = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
     vocab = docs.select(
