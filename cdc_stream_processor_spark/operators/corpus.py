@@ -348,9 +348,11 @@ def remove_boilerplate_tokens(
     regroup reconstruction. Returns (doc_id, n_tokens_before,
     n_tokens_removed, clean_text).
     """
+    # persist: token arrays feed the df aggregate AND the map-only
+    # rewrite pass — one tokenize instead of two
     toks = docs.select(
         F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("toks")
-    )
+    ).persist()
     dfreq = (
         toks.select(F.explode(F.array_distinct("toks")).alias("tok"))
         .groupBy("tok")
@@ -730,9 +732,12 @@ def remove_dup_segments(
     collect (the secondary-sort pattern, same as user_event_paths).
     Returns (doc_id, n_segs, n_kept, clean_text).
     """
+    # persist: the token arrays feed both the segment explode and the
+    # per-doc n_segs spine (exprId re-aliasing defeats ReuseExchange) —
+    # one regex tokenize pass instead of two
     toks = docs.select(
         F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("toks")
-    )
+    ).persist()
     n_seg = F.ceil(F.size("toks") / F.lit(float(seg_tokens))).cast("long")
     seg_array = F.when(F.size("toks") > 0, F.transform(
         F.sequence(F.lit(0).cast("long"), n_seg - 1),
