@@ -112,9 +112,11 @@ def key_skew_profile(
     engine-exact."""
     from cdc_stream_processor_spark.operators.relational import global_top_k
 
+    # persist: the key-count aggregate feeds its own (n_keys, total) stat
+    # AND the ratio projection — one count shuffle instead of two
     counts = df.groupBy(F.col(key_col).alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
-    )
+    ).persist()
     totals = counts.agg(
         F.count(F.lit(1)).alias("n_keys"), F.sum("cnt").alias("total")
     )

@@ -146,9 +146,11 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = B.load_table(spark, sf_dir, "lineitem")
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    # persist: per_part feeds its own global (total, n_parts) stat AND the
+    # threshold filter — one lineitem aggregate instead of two
     per_part = li.groupBy("l_partkey").agg(
         F.sum(rev.cast("decimal(18,4)")).alias("rev_dec")
-    )
+    ).persist()
     total = per_part.agg(
         F.sum("rev_dec").alias("total_dec"),
         F.count(F.lit(1)).alias("n_parts"),
@@ -283,6 +285,8 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(F.sum(rev.cast("decimal(18,4)")).alias("rev_dec"))
+        # persist: the view feeds its own max AND the equality filter
+        .persist()
     )
     mx = revenue.agg(F.max("rev_dec").alias("max_dec"))
     return (
