@@ -783,6 +783,23 @@ SEASON_PERIOD = 7  # weekly seasonality on the daily series
 TREND_HALF = 3  # centered 7-day moving-average trend
 
 
+def _calendar_spine(daily: DataFrame) -> DataFrame:
+    """Gap-free calendar spine from a (day, cnt) daily aggregate: explode
+    the [min, max] day range, left-join the observed counts, zero-fill.
+    PERSISTED — every series operator that builds a spine consumes it from
+    several branches (windows, medians, bounds), and uncached each branch
+    re-runs the events scan + daily aggregate; the cached relation is
+    calendar-scale (one skinny row per day)."""
+    return (
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
+        .join(daily, "day", "left")
+        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+        .persist()
+    )
+
+
+
 def seasonal_decompose(
     events: DataFrame, ts_col: str = "ts"
 ) -> DataFrame:
@@ -813,12 +830,7 @@ def seasonal_decompose(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    spine = (
-        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
-        .join(daily, "day", "left")
-        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
-    )
+    spine = _calendar_spine(daily)
     w = Window.orderBy("day").rowsBetween(-half, half)
     full = (
         spine.withColumn("sum_w", F.sum("cnt").over(w))
@@ -872,12 +884,7 @@ def acf_daily(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    spine = (
-        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
-        .join(daily, "day", "left")
-        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
-    )
+    spine = _calendar_spine(daily)
     tot = spine.agg(
         F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
     )
@@ -945,12 +952,7 @@ def cusum_changepoint(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    spine = (
-        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
-        .join(daily, "day", "left")
-        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
-    )
+    spine = _calendar_spine(daily)
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     pref = spine.select(
         "day",
@@ -1126,12 +1128,7 @@ def rolling_median_daily(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    spine = (
-        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
-        .join(daily, "day", "left")
-        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
-    )
+    spine = _calendar_spine(daily)
     width = 2 * half + 1
     exploded = spine.select(
         F.explode(
@@ -1506,12 +1503,7 @@ def pattern_match_daily(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    spine = (
-        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
-        .select(F.explode(F.sequence("lo", "hi")).alias("day"))
-        .join(daily, "day", "left")
-        .select("day", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
-    )
+    spine = _calendar_spine(daily)
     # windows: start day s covers offsets 0..w-1
     win = spine.select(
         F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("off"),
@@ -2015,7 +2007,10 @@ def seasonal_anomalies(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     Scale: everything past the daily groupBy runs at calendar scale.
     Returns (day, cnt, residual, dev, is_anomaly) for ALL interior days.
     """
-    dec = seasonal_decompose(events, ts_col=ts_col)
+    # persist: the decomposition feeds the median, the MAD, and the final
+    # projection — one events scan + daily aggregate instead of three
+    # (the cached relation is calendar-scale: one row per day)
+    dec = seasonal_decompose(events, ts_col=ts_col).persist()
     med = dec.agg(F.median("residual").alias("med"))
     dev = dec.crossJoin(F.broadcast(med)).withColumn(
         "dev", F.abs(F.col("residual") - F.col("med"))
