@@ -1072,7 +1072,10 @@ def event_type_correlation(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .select(
             "day", "et", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
         )
-    )
+    
+        # persisted: the typed spine references `daily` three times and
+        # feeds multiple downstream branches; calendar×type scale
+    ).persist()
     x = spine.select(
         "day",
         F.col("et").alias("type_a"),
@@ -1952,7 +1955,10 @@ def kendall_tau_types(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .select(
             "day", "et", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
         )
-    )
+    
+        # persisted: the typed spine references `daily` three times and
+        # feeds multiple downstream branches; calendar×type scale
+    ).persist()
     x = spine.select(
         "day", F.col("et").alias("type_a"), F.col("cnt").alias("xa")
     )
@@ -2258,7 +2264,9 @@ def seasonal_decompose_by_group(
             "day",
             F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
         )
-    )
+    
+        # persisted: same multi-branch reuse, calendar×group scale
+    ).persist()
     w = Window.partitionBy("grp").orderBy("day").rowsBetween(-half, half)
     full = (
         spine.withColumn("sum_w", F.sum("cnt").over(w))
