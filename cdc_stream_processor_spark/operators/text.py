@@ -379,9 +379,10 @@ def bigram_lift_topk(
     bigram counts, one for unigram counts, both joined back via broadcast
     (vocabulary-sized), TakeOrderedAndProject for the global top-k.
     """
+    # persist: token arrays feed the bigram explode AND the unigram counts
     toks = docs.select(
         F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("toks")
-    )
+    ).persist()
     bigrams = toks.select(
         F.explode(
             F.expr(
@@ -391,10 +392,13 @@ def bigram_lift_topk(
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     bg_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    # persist: the unigram table feeds the totals scalar and both
+    # broadcast join sides
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_w"))
+        .persist()
     )
     totals = uni.agg(
         F.sum("n_w").alias("n_tokens"),
