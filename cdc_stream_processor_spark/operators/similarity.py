@@ -812,10 +812,14 @@ def centroid_assign(
     c = centroids.select(
         F.col(label_col).alias("_cl"), as_double(F.col(centroid_col)).alias("cv")
     )
+    # Arrow kernel, not the interpreted HOF fold: BLAS cosine with
+    # sequential re-fold of rounding-boundary rows (same bit-parity
+    # contract as brute_force_topk); the 6-dp round stays JVM-side
+    cos = _cosine_pandas_udf()
     scored = v.join(F.broadcast(c)).select(
         id_col,
         "_cl",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("sim"),
+        F.round(cos(F.col("v"), F.col("cv")), 6).alias("sim"),
     )
     pick = F.max_by(
         F.struct(F.col("_cl").alias("l"), F.col("sim").alias("s")),
