@@ -1735,7 +1735,10 @@ def mmr_rerank(
     )
     # ≤ |Q|·pool² rows; the eager checkpoint also severs the shared
     # lineage with `cands` (cogrouping two plans rooted at the same
-    # checkpoint trips the ambiguous-self-join analyzer check)
+    # checkpoint trips the ambiguous-self-join analyzer check).
+    # Pair sims go through the Arrow cosine kernel (bit-parity re-fold),
+    # not the interpreted HOF fold.
+    cos_k = _cosine_pandas_udf()
     pair = (
         c1.join(c2, "query_id")
         .filter(F.col("a") != F.col("b"))
@@ -1743,7 +1746,7 @@ def mmr_rerank(
             "query_id",
             "a",
             "b",
-            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("ps"),
+            F.round(cos_k(F.col("ea"), F.col("eb")), 6).alias("ps"),
         )
         .localCheckpoint()
     )
