@@ -1318,6 +1318,25 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     assert mmr[0] in (1, 2) and mmr[1] == 3
 
 
+def test_mmr_rerank_pool_smaller_than_k_stops_early(spark):
+    """Corpus of 3 vectors, k=5: each query has only 2 candidates
+    (self excluded), so the greedy kernel must emit exactly 2 ranks per
+    query and stop — no padding, no crash on the exhausted pool."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 0")
+    out = sorted(
+        S.mmr_rerank(q, emb, k=5, pool=5).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.mmr_rank for r in out] == [1, 2]
+    assert {r.neighbor_id for r in out} == {1, 2}
+
+
 def test_mmr_rank_one_equals_top_relevance(spark, sf_dir):
     emb = B.load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
