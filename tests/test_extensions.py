@@ -1088,6 +1088,24 @@ def test_kmeans_separates_planted_clusters(spark):
     assert out[0] != out[3]
 
 
+def test_kmeans_empty_cluster_drops_and_survivors_keep_ids(spark):
+    """Seeds are the 2 lowest-id vectors; ids 0 and 1 carry IDENTICAL
+    vectors, so every point's distances to the two seeds tie and break to
+    the smaller cluster id — cluster 1 receives no members in round 1 and
+    must drop out (no renumber, no crash), leaving every point in
+    cluster 0."""
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    pts = [
+        (0, [1.0, 1.0]), (1, [1.0, 1.0]),
+        (2, [2.0, 2.0]), (3, [5.0, 5.0]),
+    ]
+    emb = spark.createDataFrame(pts, ["vec_id", "embedding"])
+    out = {r.vec_id: r.cluster for r in S.kmeans_labels(emb, k=2, iters=3).collect()}
+    assert len(out) == 4
+    assert set(out.values()) == {0}  # cluster 1 emptied and dropped
+
+
 def test_kmeans_is_partitioning_invariant(spark, sf_dir):
     from cdc_stream_processor_spark.operators import similarity as S
 
