@@ -1396,3 +1396,49 @@ def test_distributed_rank_regimes_equal_on_edge_shapes(spark):
                 )
             }
             assert small == expected, (name, asc)
+
+
+def test_user_value_mad_hand_computed(spark):
+    """Bucketed grouped-map MAD against hand arithmetic: u1 has median 2.5
+    (even-count interpolation lo + (hi-lo)/2), MAD 1.0, and exactly one
+    value past the 3-MAD fence; a single-value user has MAD 0 and no
+    outliers (0 > 0 is false)."""
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = [(1, 1.0), (1, 2.0), (1, 3.0), (1, 100.0), (2, 5.0)]
+    ev = spark.createDataFrame(rows, "user_id long, value double")
+    out = {r.user_id: r for r in R.user_value_mad(ev).collect()}
+    u1, u2 = out[1], out[2]
+    assert (u1.n, u1.median, u1.mad, u1.n_outliers) == (4, 2.5, 1.0, 1)
+    assert (u2.n, u2.median, u2.mad, u2.n_outliers) == (1, 5.0, 0.0, 0)
+
+
+def test_profile_table_hand_computed_and_approx_path(spark):
+    """Split exact-distinct profile against hand-counted stats, including
+    null handling in every statistic; the approx (single-pass, no Expand)
+    path returns the same rows with sketch-estimated distinct counts."""
+    from cdc_stream_processor_spark.operators.profiling import profile_table
+
+    rows = [
+        (1, 10.0, "a"),
+        (2, None, "b"),
+        (3, 10.0, None),
+        (4, 30.0, "a"),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    out = {r["column"]: r for r in profile_table(df, ["v"], ["s"]).collect()}
+    assert set(out) == {"v", "s"}
+    v, s = out["v"], out["s"]
+    assert (v.n_rows, v.n_nulls, v.n_distinct) == (4, 1, 2)
+    assert (v.min_num, v.max_num, v.sum_num) == (10.0, 30.0, 50.0)
+    assert (v.min_str, v.max_str) == (None, None)
+    assert (s.n_rows, s.n_nulls, s.n_distinct) == (4, 1, 2)
+    assert (s.min_str, s.max_str) == ("a", "b")
+    assert s.min_num is None and s.sum_num is None
+    approx = {
+        r["column"]: r
+        for r in profile_table(df, ["v"], ["s"], exact_distinct=False).collect()
+    }
+    assert set(approx) == {"v", "s"}
+    # HLL on tiny exact-cardinality inputs is exact
+    assert approx["v"].n_distinct == 2 and approx["s"].n_distinct == 2
