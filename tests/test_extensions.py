@@ -1455,3 +1455,54 @@ def test_df_memo_distinguishes_inputs_params_and_hits(spark):
     assert calls == ["a", "b", "a-p2"]  # hit did not rebuild
     assert ra is ra_hit
     assert {r.v for r in ra.collect()} == {r.v for r in rb.collect()}
+
+
+def test_top_k_per_group_tie_break_and_plan(spark):
+    """The per-group top-k primitive: deterministic tie-break through the
+    unique order column, exact k cutoff, and the WindowGroupLimit rank
+    pushdown in the plan (no full per-group sort surviving past k)."""
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = [
+        ("g1", 1, 10), ("g1", 2, 10), ("g1", 3, 5),
+        ("g2", 4, 7),
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, score long")
+    out = R.top_k_per_group(
+        df, ["g"], [F.col("score").desc(), F.col("id").asc()], 2
+    )
+    got = sorted((r.g, r.rn, r.id) for r in out.collect())
+    # score tie at 10 breaks to the smaller id
+    assert got == [("g1", 1, 1), ("g1", 2, 2), ("g2", 1, 4)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_global_top_k_is_take_ordered(spark):
+    from cdc_stream_processor_spark.operators import relational as R
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 17).alias("v"))
+    out = R.global_top_k(df, [F.col("v").desc(), F.col("id").asc()], 3)
+    assert [(r.v, r.id) for r in out.collect()] == [(16, 16), (16, 33), (16, 50)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_key_skew_profile_hand_computed(spark):
+    """Exact skew ratios: key counts (6, 2, 2) over 10 rows and 3 keys give
+    ratios cnt*3/10 — 1.8 for the hot key, 0.6 for the uniform ones; top-k
+    ordering is (cnt desc, key asc)."""
+    from cdc_stream_processor_spark.operators.profiling import key_skew_profile
+
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    out = [(r.key, r.cnt, r.skew_ratio) for r in key_skew_profile(df, "k", top_k=2).collect()]
+    assert out == [("a", 6, 1.8), ("b", 2, 0.6)]
+
+
+def test_probe_masks_hamming_neighborhood(spark):
+    from cdc_stream_processor_spark.operators import similarity as Ssim
+
+    assert Ssim.probe_masks(3, 0) == [0]
+    assert Ssim.probe_masks(3, 1) == [0, 1, 2, 4]
+    assert sorted(Ssim.probe_masks(3, 2)) == [0, 1, 2, 3, 4, 5, 6]
