@@ -2474,7 +2474,9 @@ def ltv_cohort_curve(orders: DataFrame, ts_col: str = "o_orderdate") -> DataFram
         mi.alias("mi"),
         F.col("o_totalprice").cast("decimal(18,4)").alias("rev"),
     )
-    firsts = with_m.groupBy("o_custkey").agg(F.min("mi").alias("m0"))
+    # persist: the first-order table feeds cohort sizing AND the revenue
+    # join — one custkey shuffle instead of two
+    firsts = with_m.groupBy("o_custkey").agg(F.min("mi").alias("m0")).persist()
     sized = firsts.groupBy("m0").agg(
         F.count(F.lit(1)).alias("n_customers")
     )

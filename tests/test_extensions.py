@@ -1506,3 +1506,34 @@ def test_probe_masks_hamming_neighborhood(spark):
     assert Ssim.probe_masks(3, 0) == [0]
     assert Ssim.probe_masks(3, 1) == [0, 1, 2, 4]
     assert sorted(Ssim.probe_masks(3, 2)) == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_ltv_cohort_curve_hand_computed(spark):
+    """Two customers acquired in 2024-01 (cohort size 2), one in 2024-02:
+    cohort-1 revenue accumulates 100 -> 100+50+30, so its LTV curve is
+    50.0 then 90.0; the single-customer cohort reads its own totals."""
+    import datetime as dt
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows = [
+        (1, dt.date(2024, 1, 5), 100.0),
+        (2, dt.date(2024, 1, 20), 0.0),
+        (1, dt.date(2024, 2, 1), 50.0),
+        (2, dt.date(2024, 2, 10), 30.0),
+        (3, dt.date(2024, 2, 15), 7.0),
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double"
+    )
+    out = {
+        (r.cohort_month, r.months_since): r
+        for r in R.ltv_cohort_curve(orders).collect()
+    }
+    m_jan = 2024 * 12 + 0
+    c10 = out[(m_jan, 0)]
+    assert (c10.n_customers, c10.cum_revenue, c10.ltv) == (2, 100.0, 50.0)
+    c11 = out[(m_jan, 1)]
+    assert (c11.n_customers, c11.cum_revenue, c11.ltv) == (2, 180.0, 90.0)
+    c20 = out[(m_jan + 1, 0)]
+    assert (c20.n_customers, c20.cum_revenue, c20.ltv) == (1, 7.0, 7.0)
+    assert len(out) == 3
