@@ -682,10 +682,12 @@ def value_histogram(
     Scale: two shuffles on the group key (extent agg, bin counts), both
     partial-aggregated map-side; the spine join runs at aggregate scale.
     """
+    # persist: the group-scale extent table feeds the bin join AND the
+    # dense spine — cached, the corpus is scanned once for extents
     ext = events.groupBy(group_col).agg(
         F.min(F.col(value_col).cast("double")).alias("lo"),
         F.max(F.col(value_col).cast("double")).alias("hi"),
-    )
+    ).persist()
     binned = (
         events.join(F.broadcast(ext), group_col)
         .select(
@@ -2424,9 +2426,11 @@ def power_user_share(
     (ties to user id); the top-k cut is k = (n_users·pct) div 100 with
     integer arithmetic; shares are integer sums + one division.
     Returns one row (n_users, n_top, top_events, total_events, share)."""
+    # persist: the per-user counts feed the rank (plus its size probe) AND
+    # the totals scalar — one events shuffle instead of three
     per_user = events.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n_ev")
-    )
+    ).persist()
     ranked = distributed_rank(
         per_user, F.col("n_ev"), F.col(user_col), ascending=False
     )
