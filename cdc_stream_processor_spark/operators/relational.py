@@ -2072,6 +2072,9 @@ def conversion_lag_quantiles(
             ).alias("first_to_us"),
         )
         .filter(F.col("f_us").isNotNull())
+        # persist: feeds the at-or-after join AND the n_from scalar —
+        # one events shuffle instead of two
+        .persist()
     )
     # first to-event AT OR AFTER the from-event needs a conditional min
     per_user = (
@@ -2192,6 +2195,8 @@ def user_path_score(
     """
     us = F.unix_micros(F.col(ts_col))
     w = Window.partitionBy(user_col).orderBy(us.asc(), F.col("event_id").asc())
+    # persist: the lag-window transition table feeds both model counts AND
+    # the scoring join — one per-user window shuffle instead of three
     trans = (
         events.withColumn("_prev", F.lag(type_col).over(w))
         .filter(F.col("_prev").isNotNull())
@@ -2200,6 +2205,7 @@ def user_path_score(
             F.col("_prev").alias("t_from"),
             F.col(type_col).alias("t_to"),
         )
+        .persist()
     )
     c_ab = trans.groupBy("t_from", "t_to").agg(
         F.count(F.lit(1)).alias("n_ab")

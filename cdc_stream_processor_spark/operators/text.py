@@ -816,10 +816,12 @@ def chi2_terms_per_lang(
     """
     from cdc_stream_processor_spark.operators.relational import top_k_per_group
 
+    # persist: the tokenized presence pairs feed two of the three count
+    # aggregations — one tokenize+explode pass instead of two
     terms = docs.select(
         F.col(lang_col).alias("lang"),
         F.explode(F.array_distinct(TH.tokens(F.col(text_col)))).alias("term"),
-    )
+    ).persist()
     tl = terms.groupBy("term", "lang").agg(F.count(F.lit(1)).alias("a"))
     lang_tot = docs.groupBy(F.col(lang_col).alias("lang")).agg(
         F.count(F.lit(1)).alias("nl")
