@@ -1442,3 +1442,24 @@ def test_profile_table_hand_computed_and_approx_path(spark):
     assert set(approx) == {"v", "s"}
     # HLL on tiny exact-cardinality inputs is exact
     assert approx["v"].n_distinct == 2 and approx["s"].n_distinct == 2
+
+
+def test_doc_rarity_hand_computed(spark):
+    """Vocabulary df ranks (df desc, term asc): 'common' df=3 -> rank 1,
+    'mid' df=2 -> rank 2, 'rare'/'unique' df=1 -> ranks 3, 4 (term asc).
+    Each doc's mean rank is its token ranks averaged with repeats."""
+    from cdc_stream_processor_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common mid"),
+            (2, "common mid rare"),
+            (3, "common unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.doc_rarity(docs).collect()}
+    # ranks: common=1, mid=2, rare=3, unique=4
+    assert (out[1].n_tokens, out[1].mean_rarity_rank) == (3, (1 + 1 + 2) / 3)
+    assert (out[2].n_tokens, out[2].mean_rarity_rank) == (3, (1 + 2 + 3) / 3)
+    assert (out[3].n_tokens, out[3].mean_rarity_rank) == (2, (1 + 4) / 2)
