@@ -1463,3 +1463,65 @@ def test_doc_rarity_hand_computed(spark):
     assert (out[1].n_tokens, out[1].mean_rarity_rank) == (3, (1 + 1 + 2) / 3)
     assert (out[2].n_tokens, out[2].mean_rarity_rank) == (3, (1 + 2 + 3) / 3)
     assert (out[3].n_tokens, out[3].mean_rarity_rank) == (2, (1 + 4) / 2)
+
+
+def test_order_value_gini_hand_computed(spark, tmp_path):
+    """Gini of amounts [1,2,3] in one priority group:
+    G = 2*(1*1+2*2+3*3)/(3*6) - 4/3 = 14/9 - 12/9 = 2/9; a uniform group
+    ([5,5]) scores the exact two-point value 2*15/(2*10)-3/2 = 0."""
+    import datetime as dt
+
+    from cdc_stream_processor_spark import queries_relational as QR
+
+    rows = [
+        (1, "A", 1.0, dt.date(2024, 1, 1)),
+        (2, "A", 2.0, dt.date(2024, 1, 2)),
+        (3, "A", 3.0, dt.date(2024, 1, 3)),
+        (4, "B", 5.0, dt.date(2024, 1, 4)),
+        (5, "B", 5.0, dt.date(2024, 1, 5)),
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_totalprice double,"
+        " o_orderdate date",
+    )
+    orders.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        r.orderpriority: r
+        for r in QR.q_order_value_gini(spark, str(tmp_path)).collect()
+    }
+    a, b = out["A"], out["B"]
+    assert (a.n, a.total) == (3, 6.0)
+    assert abs(a.gini - 2.0 / 9.0) < 1e-15
+    assert (b.n, b.total, b.gini) == (2, 10.0, 0.0)
+
+
+def test_benford_digits_hand_computed(spark, tmp_path):
+    """First-digit counts per event type: values 19, 120, 1.5 all lead
+    with 1; 95 leads with 9 — leading-digit extraction must ignore
+    magnitude and decimal position; zero/negative values are excluded."""
+    import datetime as dt
+
+    from cdc_stream_processor_spark import queries_relational as QR
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 7, "view", 19.0, ts),
+        (2, 7, "view", 120.0, ts),
+        (3, 7, "view", 1.5, ts),
+        (4, 7, "view", 95.0, ts),
+        (5, 7, "view", -3.0, ts),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    )
+    events.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        (r.event_type, r.digit): r
+        for r in QR.q_benford_digits(spark, str(tmp_path)).collect()
+    }
+    assert out[("view", 1)].n == 3 and out[("view", 1)].frac == 0.75
+    assert out[("view", 9)].n == 1 and out[("view", 9)].frac == 0.25
+    assert len(out) == 2  # the negative value never enters
