@@ -1525,3 +1525,31 @@ def test_benford_digits_hand_computed(spark, tmp_path):
     assert out[("view", 1)].n == 3 and out[("view", 1)].frac == 0.75
     assert out[("view", 9)].n == 1 and out[("view", 9)].frac == 0.25
     assert len(out) == 2  # the negative value never enters
+
+
+def test_winsorize_values_hand_computed(spark, tmp_path):
+    """Eleven values 0..100 in one group: p5/p95 interpolate to 5 and 95
+    (positions 0.5 and 9.5 on the sorted 0,1,..,9,100 ladder would differ —
+    use 0..10 scaled by 10 so p5 = 5.0, p95 = 95.0 exactly); the outliers
+    clip to the band edges and only they flag was_clipped."""
+    import datetime as dt
+
+    from cdc_stream_processor_spark import queries_relational as QR
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, 7, "view", float(i * 10), ts) for i in range(11)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    )
+    events.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.event_id: r for r in QR.q_winsorize_values(spark, str(tmp_path)).collect()}
+    assert len(out) == 11
+    # p5 over 0..100 step 10 interpolates at position 0.5 -> 5.0; p95 -> 95.0
+    assert (out[0].clipped, out[0].was_clipped) == (5.0, True)
+    assert (out[10].clipped, out[10].was_clipped) == (95.0, True)
+    for i in range(1, 10):
+        assert (out[i].clipped, out[i].was_clipped) == (float(i * 10), False)
