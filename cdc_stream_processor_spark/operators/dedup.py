@@ -587,10 +587,18 @@ def connected_components(
             .schema[0]
             .dataType
         )
-        probe = pairs.select(
-            F.col(a_col).cast(id_type).alias("src"),
-            F.col(b_col).cast(id_type).alias("dst"),
-        ).limit(small_graph_limit + 1)
+        probe = (
+            pairs.select(
+                F.col(a_col).cast(id_type).alias("src"),
+                F.col(b_col).cast(id_type).alias("dst"),
+            )
+            # a null endpoint is not a node; dropping BEFORE toPandas also
+            # keeps the Arrow columns int64 — a nullable long WITH nulls
+            # coerces to float64, turning ids > 2^53 into silently-wrong
+            # union-find keys and nulls into NaN
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .limit(small_graph_limit + 1)
+        )
         # Arrow collect: two numpy columns, no per-row Row objects
         pdf = probe.toPandas()
         if len(pdf) <= small_graph_limit:
@@ -631,7 +639,9 @@ def connected_components(
                     ]
                 ),
             )
-    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    e = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     edges = (
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .dropDuplicates(["src", "dst"])

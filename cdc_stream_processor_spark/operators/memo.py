@@ -48,12 +48,25 @@ def df_memo(
     """Return the memoized (localCheckpointed) DataFrames for ``key``,
     building and materializing them on first call.  ``builder`` must be
     deterministic; it returns a tuple of DataFrames that are checkpointed
-    as the memo value."""
+    as the memo value.
+
+    Staleness hazard: the fingerprint covers the logical plan, NOT the
+    bytes on disk — if the files under a fingerprinted path are
+    OVERWRITTEN within the same process, a memo hit returns the old
+    materialization.  Callers that rewrite inputs in-process must use a
+    fresh session (app id is part of the key) or avoid the memo.
+    """
     hit = _MEMO.get(key)
     if hit is not None:
         return hit
     out = tuple(df.localCheckpoint() for df in builder())
     while len(_MEMO) >= _MEMO_MAX:
-        _MEMO.pop(next(iter(_MEMO)))
+        evicted = _MEMO.pop(next(iter(_MEMO)))  # FIFO (dicts are insertion-ordered)
+        for df in evicted:
+            # free the checkpointed blocks now instead of waiting for GC
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — blocks are gone anyway
     _MEMO[key] = out
     return out

@@ -1662,7 +1662,12 @@ def distributed_rank(
             else [value.desc(), tiebreak.asc()]
         )
         w_small = Window.orderBy(*order)
-        return df.withColumn("_rank", F.row_number().over(w_small) - 1)
+        # cast to long so both regimes emit the SAME schema (the
+        # distributed path's sum(offset)+row_number is LongType) —
+        # otherwise a scale-factor change flips downstream schemas
+        return df.withColumn(
+            "_rank", (F.row_number().over(w_small) - 1).cast("long")
+        )
     v = value.cast("double").alias("_v")
     base = df.select("*", v, value.alias("_vx"), tiebreak.alias("_tb"))
     bounds = base.agg(
@@ -1744,7 +1749,11 @@ def range_rank(
     """
     if small_limit and df.limit(small_limit + 1).count() <= small_limit:
         w_small = Window.orderBy(*order_cols)
-        return df.withColumn("_rank", F.row_number().over(w_small))
+        # cast to long: the distributed path emits LongType (_off sum +
+        # row_number), so the small path must match for schema stability
+        return df.withColumn(
+            "_rank", F.row_number().over(w_small).cast("long")
+        )
     n = int(
         n_parts
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")

@@ -127,6 +127,13 @@ def envelopes_from_avro_registry(
     log-and-continue), and the plan works identically on batch and
     streaming inputs.  Parsed writer schemas are cached per executor
     process (keyed by id), so resolution is one dict probe per value.
+
+    Only DATA-shaped failures take the corrupt-drop path (bad framing,
+    id missing from the registry, malformed Avro/JSON); infrastructure
+    failures (registry unreachable, HTTP 5xx — ``OSError``/``URLError``)
+    PROPAGATE so the task fails and Spark retries, matching the
+    reference's AvroSerdes, which lets resolver failures bubble rather
+    than silently dropping valid records.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -149,7 +156,14 @@ def envelopes_from_avro_registry(
                         schema, frame[CONFLUENT_HEADER_LEN:]
                     )
                     out.append(json.dumps(rec))
-                except Exception:  # corrupt / unknown id → null envelope
+                except (
+                    ValueError,  # bad framing / malformed Avro / bad schema JSON
+                    LookupError,  # id absent from offline registry
+                    TypeError,  # null / non-bytes value cell
+                    struct.error,  # truncated Avro primitive
+                    IndexError,  # varint runs off the buffer
+                ):  # data-shaped corruption → null envelope; infra errors
+                    # (OSError/URLError from HttpSchemaRegistry) propagate
                     out.append(None)
             yield pd.DataFrame({"_json": pd.Series(out, dtype="object")})
 

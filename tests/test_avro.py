@@ -285,6 +285,30 @@ def test_envelopes_from_avro_registry_end_to_end(spark):
     ]
 
 
+def test_registry_infra_failure_propagates(spark):
+    """A registry whose resolver dies with an IO error (registry down,
+    HTTP 5xx) must FAIL the task — not silently drop every record as
+    corrupt.  Only data-shaped errors (bad framing, unknown id, bad Avro)
+    take the null-envelope drop path; the reference AvroSerdes likewise
+    propagates resolver failures (AvroSerdes.java:35-44)."""
+    from cdc_stream_processor_spark.sources import schema_registry as SR
+
+    class DownRegistry:
+        def get_schema(self, schema_id: int) -> str:
+            raise OSError("connection refused: registry unreachable")
+
+    good = AC.encode_record(
+        ENVELOPE_SCHEMA, _envelope(_image(1.0, 600_000.0)),
+        confluent_schema_id=7,
+    )
+    raw = spark.createDataFrame([(bytearray(good),)], "value binary")
+    envs = SR.envelopes_from_avro_registry(
+        raw, DownRegistry(), schemas.TRANSACTION_ENVELOPE
+    )
+    with pytest.raises(Exception, match="registry unreachable"):
+        envs.collect()
+
+
 def test_envelopes_from_avro_requires_schema_or_registry(spark):
     raw = spark.createDataFrame([(bytearray(b"x"),)], "value binary")
     with pytest.raises(ValueError, match="avro_schema_json"):
