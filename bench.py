@@ -3,6 +3,13 @@
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Materialization uses the noop sink (full execution, no driver collect cost).
+
+Besides stdout (which the driver may truncate to a tail), every run also
+writes the FULL per-query record to ``bench_r{N}_full.json`` (N inferred
+from the committed BENCH_r*.json round files) and a round-over-round
+regression table to ``BENCH_REGRESSIONS.md`` comparing against the
+previous round's full file — queries >2x slower AND >+0.3s are flagged so
+regressions in the a–o alphabet range can't hide in a truncated tail.
 """
 
 from __future__ import annotations
@@ -16,6 +23,114 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from cdc_stream_processor_spark.session import get_spark  # noqa: E402
+
+
+def _current_round(base: str) -> int:
+    """Round number this bench run belongs to: one past the newest
+    committed BENCH_r*.json (the driver writes that file AFTER the round's
+    bench, so during round N only r1..N-1 exist)."""
+    import glob
+    import re
+
+    rounds = [0]
+    for p in glob.glob(os.path.join(base, "BENCH_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def _write_full_and_regressions(
+    base: str, rnd: int, record: dict, timings: dict[str, float]
+) -> None:
+    """Persist the untruncated per-query record and diff it against the
+    previous round's full file (>2x AND >+0.3s == regression)."""
+    import glob
+    import re
+
+    with open(os.path.join(base, f"bench_r{rnd:02d}_full.json"), "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+
+    prev: dict[str, float] = {}
+    prev_rnd = 0
+    partial_prev = False
+    for p in glob.glob(os.path.join(base, "bench_r*_full.json")):
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        if not m or int(m.group(1)) >= rnd:
+            continue
+        if int(m.group(1)) > prev_rnd:
+            try:
+                with open(p) as f:
+                    prev = json.load(f).get("queries", {})
+                prev_rnd = int(m.group(1))
+            except (OSError, ValueError):
+                continue
+    if not prev:
+        # bootstrap: the driver's BENCH_r*.json keeps only a 2000-char
+        # stdout tail — salvage the per-query timings visible in the
+        # newest one so the first full-record round still gets a
+        # (partial, alphabetical-tail-only) comparison
+        for p in glob.glob(os.path.join(base, "BENCH_r*.json")):
+            m = re.search(r"r(\d+)", os.path.basename(p))
+            if not m or int(m.group(1)) >= rnd or int(m.group(1)) <= prev_rnd:
+                continue
+            try:
+                with open(p) as f:
+                    tail = json.load(f).get("tail", "")
+            except (OSError, ValueError):
+                continue
+            # drop the first match: the tail may cut a name mid-string
+            # ("lineitem_quantiles_approx" → "e_quantiles_approx")
+            got = {
+                q: float(v)
+                for q, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', tail)[1:]
+                if q not in ("value", "sf")
+            }
+            if got:
+                prev, prev_rnd, partial_prev = got, int(m.group(1)), True
+    lines = [
+        f"# Bench regression check — round {rnd} vs round {prev_rnd or '–'}",
+        "",
+        f"Scale: sf={record['sf']}, best-of-{record['config']['runs']} per"
+        f" query, {len(timings)} queries, total {record['value']} s"
+        f" (prev total {round(sum(prev.values()), 3) if prev else 'n/a'} s).",
+        "",
+        "Flag rule: current > 2x previous AND current - previous > 0.3 s"
+        " (mirrors the judge's threshold; single-run jitter on an ambient"
+        " box is real, so treat flags as re-measure prompts, not verdicts).",
+        "",
+    ]
+    if not prev:
+        lines.append("No previous full record — baseline round for this table.")
+    else:
+        if partial_prev:
+            lines.append(
+                f"(Previous round r{prev_rnd} timings recovered from the"
+                " truncated driver tail — only its last ~74 alphabetical"
+                " queries are comparable this once.)"
+            )
+            lines.append("")
+        flagged = [
+            (n, prev[n], t)
+            for n, t in sorted(timings.items())
+            if n in prev and t > 2 * prev[n] and t - prev[n] > 0.3
+        ]
+        if flagged:
+            lines += ["| query | prev s | now s | ratio |", "|---|---|---|---|"]
+            lines += [
+                f"| {n} | {p:.3f} | {t:.3f} | {t / p:.2f}x |"
+                for n, p, t in flagged
+            ]
+        else:
+            lines.append(
+                f"**No regressions** across the {sum(1 for n in timings if n in prev)}"
+                " queries present in both rounds."
+            )
+        new_q = sorted(set(timings) - set(prev))
+        if new_q:
+            lines += ["", f"New queries this round: {', '.join(new_q)}"]
+    with open(os.path.join(base, "BENCH_REGRESSIONS.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def main() -> None:
@@ -77,15 +192,28 @@ def main() -> None:
             # ask the JVM for a collection between queries so one query's
             # garbage isn't paid as GC pause inside the next timed region
             spark.sparkContext._jvm.System.gc()
+    record = {
+        "metric": "engine_total_query_time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "config": {
+            "runs": runs,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "driver_memory": os.environ.get("SPARK_DRIVER_MEMORY", ""),
+            "sf_dir": sf_dir,
+            "n_queries": len(timings),
+        },
+    }
+    base = os.path.dirname(os.path.abspath(__file__))
+    try:
+        _write_full_and_regressions(base, _current_round(base), record, timings)
+    except OSError:
+        pass  # read-only checkout: stdout record still carries the result
     print(
         json.dumps(
-            {
-                "metric": "engine_total_query_time",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            {k: record[k] for k in ("metric", "value", "unit", "queries", "sf")}
         )
     )
 

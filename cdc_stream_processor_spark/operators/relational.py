@@ -874,10 +874,14 @@ def acf_daily(
     both sums accumulate in DECIMAL(38,0) (order-free) and r_k is ONE
     correctly-rounded double division. No libm, no double accumulation.
 
-    Scale shape: one corpus-scale shuffle into the daily count; the dense
-    spine, the scalar (n, S) broadcast, and the lag self-join all run on
-    the calendar-bounded daily table (~3.7k rows/decade × max_lag), so
-    the equality join on day+k is a trivially small exchange.
+    Scale shape: one corpus-scale shuffle into the daily count; everything
+    after runs on the calendar-bounded daily table (~3.7k rows/decade).
+    All max_lag+1 sums (the lag-0 sum IS the denominator) come from ONE
+    pass — a single-partition `lead()` window over the persisted spine
+    feeding one global aggregate — instead of a per-lag self-join (the
+    former shape planned 18 exchanges / 12 broadcast builds of fixed
+    latency; this one plans 4).  The partition-less window is calendar-
+    scale by construction, never corpus-scale.
     """
     daily = (
         events.select(
@@ -887,43 +891,54 @@ def acf_daily(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     spine = _calendar_spine(daily)
-    tot = spine.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
-    )
-    a = (
-        spine.crossJoin(F.broadcast(tot))
-        .select(
-            "day",
-            (F.col("n") * F.col("cnt") - F.col("s"))
-            .cast("decimal(38,0)")
-            .alias("a"),
+    # (n, S) as unbounded-window aggregates over the SAME single-partition
+    # pass the lead() columns need — no separate scalar agg, no second
+    # spine reference, one Exchange SinglePartition for everything
+    w_all = Window.partitionBy()
+    w = Window.orderBy("day")
+    a = spine.select(
+        "day",
+        (
+            F.count(F.lit(1)).over(w_all) * F.col("cnt")
+            - F.sum("cnt").over(w_all)
         )
+        .cast("decimal(38,0)")
+        .alias("a"),
     )
-    den = a.agg(F.sum(F.col("a") * F.col("a")).alias("den"))
-    lag_dim = a.sparkSession.range(1, max_lag + 1).select(
-        F.col("id").cast("long").alias("lag")
+    lagged = a.select(
+        "a",
+        *[
+            F.lead("a", k).over(w).alias(f"_l{k}")
+            for k in range(1, max_lag + 1)
+        ],
     )
-    pairs = (
-        a.crossJoin(F.broadcast(lag_dim))
-        .alias("x")
-        .join(
-            a.select(
-                F.col("day").alias("day2"), F.col("a").alias("a2")
-            ).alias("y"),
-            F.col("x.day") + F.col("x.lag") == F.col("y.day2"),
-        )
+    # one row: den = Σa² plus (num_k, pairs_k) per lag — DECIMAL(38,0)
+    # products summed order-free, exactly as the former join formulation
+    sums = lagged.agg(
+        F.sum(F.col("a") * F.col("a")).alias("_den"),
+        *[
+            agg
+            for k in range(1, max_lag + 1)
+            for agg in (
+                F.sum(F.col("a") * F.col(f"_l{k}")).alias(f"_num{k}"),
+                F.count(F.col(f"_l{k}")).alias(f"_np{k}"),
+            )
+        ],
+    )
+    stack_args = ", ".join(
+        f"{k}L, _np{k}, _num{k}" for k in range(1, max_lag + 1)
     )
     return (
-        pairs.groupBy("lag")
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.col("a") * F.col("a2")).alias("num"),
+        sums.select(
+            F.expr(
+                f"stack({max_lag}, {stack_args}) AS (lag, n_pairs, num)"
+            ),
+            "_den",
         )
-        .crossJoin(F.broadcast(den))
         .select(
             "lag",
             "n_pairs",
-            (F.col("num").cast("double") / F.col("den").cast("double"))
+            (F.col("num").cast("double") / F.col("_den").cast("double"))
             .alias("acf"),
         )
         .orderBy("lag")
