@@ -307,6 +307,75 @@ def balance_notifications(txns: DataFrame) -> DataFrame:
 # --- query lifecycle ---------------------------------------------------------
 
 
+def stream_changelog_enrich(
+    txns: DataFrame,
+    accounts_cdl: DataFrame,
+    txn_time: str = "event_time",
+    acct_time: str = "updated_at",
+    key: str = "account_id",
+    lookback: str = "1 HOUR",
+    watermark: str = "30 minutes",
+    acct_cols: list[str] | None = None,
+) -> DataFrame:
+    """J1's stream–STREAM twin: enrich each transaction with the LATEST
+    account-changelog version as of the transaction's event time
+    (reference ABBankTopology.java:233-240 joins the txn KStream against
+    the accounts KTABLE — a changelog materialization — at processing
+    time; this is the event-time-deterministic re-expression).
+
+    Shape: watermarked interval join (account version must fall in
+    ``[txn_time - lookback, txn_time]``) → append-mode group-by on the
+    full transaction row → ``max_by(account_struct, version_time)``, so
+    among all joined versions the latest one at-or-before the txn wins.
+    Chained stateful operators (join → agg) require append mode; the
+    enriched row is emitted once, when the watermark passes the txn's
+    event time.
+
+    Semantics delta vs the reference (documented in SURVEY §2.10): Kafka
+    Streams enriches with whatever account version the table holds at
+    PROCESSING time — replay order changes results; here a late account
+    update arriving within the watermark still RE-ENRICHES the pending
+    transaction (the max_by group absorbs it before emission), and
+    replays are deterministic. The per-batch stream–static form
+    (``high_value_notifications``) remains the low-latency
+    processing-time twin. Join state is watermark-bounded on both sides;
+    the lookback bound lets Spark evict account versions, so state is
+    O(active interval), never changelog-history-sized.
+    """
+    acct_payload = acct_cols or [
+        c for c in accounts_cdl.columns if c not in (key, acct_time)
+    ]
+    t = txns.withWatermark(txn_time, watermark)
+    a = accounts_cdl.withWatermark(acct_time, watermark).select(
+        F.col(key).alias("_ak"),
+        F.col(acct_time).alias("_at"),
+        *[F.col(c) for c in acct_payload],
+    )
+    joined = t.join(
+        a,
+        (F.col(key) == F.col("_ak"))
+        & (F.col("_at") <= F.col(txn_time))
+        & (
+            F.col("_at")
+            >= F.col(txn_time) - F.expr(f"INTERVAL {lookback}")
+        ),
+        "inner",
+    )
+    # latest version wins: max_by orders by the version struct's leading
+    # _at field; ties on _at resolve by the remaining payload fields
+    # (give accounts_cdl a monotonic seq column as acct_time to avoid ties)
+    best = joined.groupBy(*[F.col(c) for c in txns.columns]).agg(
+        F.max_by(
+            F.struct(
+                F.col("_at").alias(acct_time),
+                *[F.col(c) for c in acct_payload],
+            ),
+            F.col("_at"),
+        ).alias("_acct")
+    )
+    return best.select(*txns.columns, "_acct.*")
+
+
 def start_pipeline(
     df: DataFrame,
     name: str,

@@ -731,6 +731,94 @@ def test_stream_stream_interval_join_with_watermarks(spark, tmpdirs):
     assert sorted(r.order_id for r in out) == [1, 3]
 
 
+def test_stream_changelog_join_late_account_update_re_enriches(
+    spark, tmpdirs
+):
+    """J1's stream-stream changelog twin (ABBankTopology.java:233-240):
+    each txn is enriched with the LATEST account version as of its event
+    time. Run 1 processes the txns plus account v1; run 2 delivers a LATE
+    account v2 (version time before the txn, arrival after) while the
+    watermark is still open — the pending enrichment must absorb v2 and
+    emit the v2 balance once the watermark closes, proving late changelog
+    rows re-enrich instead of being lost (delta vs the reference's
+    processing-time KTable join, see SURVEY §2.10)."""
+    from pyspark.sql import functions as F
+
+    txn_src = f"{tmpdirs}/cl_txn"
+    acct_src = f"{tmpdirs}/cl_acct"
+    ckpt = f"{tmpdirs}/cl_ckpt"
+    base = 1_700_000_000
+
+    def txn_stream():
+        return (
+            spark.readStream.schema("txn_id long, account_id long, epoch long")
+            .parquet(txn_src)
+            .withColumn("event_time", F.timestamp_seconds("epoch"))
+            .drop("epoch")
+        )
+
+    def acct_stream():
+        return (
+            spark.readStream.schema(
+                "account_id long, v_epoch long, balance double"
+            )
+            .parquet(acct_src)
+            .withColumn("updated_at", F.timestamp_seconds("v_epoch"))
+            .drop("v_epoch")
+        )
+
+    out_dir = f"{tmpdirs}/cl_out"
+
+    def run():
+        enriched = SP.stream_changelog_enrich(
+            txn_stream(), acct_stream(), watermark="30 minutes"
+        )
+        q = SP.start_pipeline(
+            enriched, "cl_sink", ckpt, output_mode="append",
+            sink_format="parquet", sink_options={"path": out_dir},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(out_dir)
+        except Exception:  # sink dir not created until first emission
+            return spark.range(0).select(
+                F.lit(None).cast("long").alias("txn_id")
+            )
+
+    # run 1: two txns at t=2000; acct 7 v1 (t=1500, bal 100) and acct 8
+    # v1 (t=1900, bal 50). Watermark (2000 - 1800s) stays before the txn
+    # times, so nothing is finalized yet.
+    spark.createDataFrame(
+        [(1, 7, base + 2000), (2, 8, base + 2000)],
+        "txn_id long, account_id long, epoch long",
+    ).write.mode("append").parquet(txn_src)
+    spark.createDataFrame(
+        [(7, base + 1500, 100.0), (8, base + 1900, 50.0)],
+        "account_id long, v_epoch long, balance double",
+    ).write.mode("append").parquet(acct_src)
+    assert run().count() == 0
+
+    # run 2: LATE account 7 v2 — version time t=1800 (before the txn,
+    # after v1) arriving a whole run later, within the 30-min watermark —
+    # plus far-future rows on both streams to push the watermark past the
+    # txn event times and close the pending groups.
+    spark.createDataFrame(
+        [(7, base + 1800, 999.0), (99, base + 100_000, 1.0)],
+        "account_id long, v_epoch long, balance double",
+    ).write.mode("append").parquet(acct_src)
+    spark.createDataFrame(
+        [(9, 99, base + 100_000)],
+        "txn_id long, account_id long, epoch long",
+    ).write.mode("append").parquet(txn_src)
+    out = {r.txn_id: r for r in run().collect()}
+
+    assert set(out) == {1, 2}  # future dummy txn not finalized
+    assert out[1].balance == 999.0  # late v2 won over v1 (1800 > 1500)
+    assert out[2].balance == 50.0
+    assert out[1].updated_at.timestamp() == base + 1800
+
+
 def test_max_files_per_trigger_paces_backlog(spark, tmpdirs):
     """Source rate limiting: a 6-file backlog with maxFilesPerTrigger=2
     must drain in 3 paced micro-batches (backpressure knob for replaying
