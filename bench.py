@@ -126,9 +126,18 @@ def _write_full_and_regressions(
                 f"**No regressions** across the {sum(1 for n in timings if n in prev)}"
                 " queries present in both rounds."
             )
-        new_q = sorted(set(timings) - set(prev))
-        if new_q:
-            lines += ["", f"New queries this round: {', '.join(new_q)}"]
+        if partial_prev:
+            lines += [
+                "",
+                f"{len(set(timings) - set(prev))} queries fell outside the"
+                " recovered tail and have no previous timing; the full"
+                " record written this round makes every query comparable"
+                " from the next round on.",
+            ]
+        else:
+            new_q = sorted(set(timings) - set(prev))
+            if new_q:
+                lines += ["", f"New queries this round: {', '.join(new_q)}"]
     with open(os.path.join(base, "BENCH_REGRESSIONS.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
 

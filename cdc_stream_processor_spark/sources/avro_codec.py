@@ -229,7 +229,12 @@ def envelopes_from_avro_py(
                 try:
                     rec = decode_record(schema, bytes(v)[offset:])
                     out.append(json.dumps(rec))
-                except Exception:  # corrupt frame → null envelope downstream
+                except (
+                    ValueError,  # malformed Avro / bad utf-8
+                    TypeError,  # null / non-bytes value cell
+                    struct.error,  # truncated primitive
+                    IndexError,  # varint runs off the buffer
+                ):  # data-shaped corruption → null envelope downstream
                     out.append(None)
             yield pd.DataFrame({"_json": pd.Series(out, dtype="object")})
 
