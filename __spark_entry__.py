@@ -35,6 +35,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # with no manual list to maintain.
 
 
+# Queries whose implementation changed AFTER their last green verdict:
+# treated as never-green so the next driver window re-verifies the NEW
+# code path (a stale green would otherwise certify code it never ran).
+# Remove a name once a fresh green lands.
+_FORCE_RECHECK = {
+    "acf_daily",  # r7: replanned r6 (18→3 exchanges) + edge guards; last green r4
+}
+
+
 def _rotation_order(names: list[str]) -> list[str]:
     import glob
     import json
@@ -66,6 +75,8 @@ def _rotation_order(names: list[str]) -> list[str]:
             )
             if green:
                 last_green[name] = max(last_green.get(name, -1), rnd)
+    for name in _FORCE_RECHECK:
+        last_green.pop(name, None)
     idx = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (last_green.get(n, -1), idx[n]))
 

@@ -61,12 +61,13 @@ def df_memo(
         return hit
     out = tuple(df.localCheckpoint() for df in builder())
     while len(_MEMO) >= _MEMO_MAX:
-        evicted = _MEMO.pop(next(iter(_MEMO)))  # FIFO (dicts are insertion-ordered)
-        for df in evicted:
-            # free the checkpointed blocks now instead of waiting for GC
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # session already stopped — blocks are gone anyway
+        # Eviction drops the store's reference only; the checkpointed
+        # blocks are freed by the JVM's ContextCleaner once the RDD is
+        # garbage-collected.  Dataset.unpersist() would be a no-op here
+        # (it routes through the CacheManager, which never registered a
+        # localCheckpoint), and force-unpersisting the underlying RDD
+        # would corrupt still-held caller references whose lineage the
+        # checkpoint truncated — so GC is the only safe release path.
+        _MEMO.pop(next(iter(_MEMO)))  # FIFO (dicts are insertion-ordered)
     _MEMO[key] = out
     return out

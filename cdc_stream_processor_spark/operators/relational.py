@@ -882,7 +882,14 @@ def acf_daily(
     former shape planned 18 exchanges / 12 broadcast builds of fixed
     latency; this one plans 4).  The partition-less window is calendar-
     scale by construction, never corpus-scale.
+
+    Edge guards: ``max_lag`` must be >= 1 (``stack(0, ...)`` is a SQL
+    syntax error), and empty input returns ZERO rows (the global agg's
+    all-null row is filtered on the null denominator) — matching the
+    pre-r6 per-lag-join formulation.
     """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     daily = (
         events.select(
             F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day")
@@ -935,6 +942,7 @@ def acf_daily(
             ),
             "_den",
         )
+        .where(F.col("_den").isNotNull())
         .select(
             "lag",
             "n_pairs",

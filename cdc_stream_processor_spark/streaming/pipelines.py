@@ -316,6 +316,8 @@ def stream_changelog_enrich(
     lookback: str = "1 HOUR",
     watermark: str = "30 minutes",
     acct_cols: list[str] | None = None,
+    how: str = "inner",
+    na_fill: str | None = None,
 ) -> DataFrame:
     """J1's stream–STREAM twin: enrich each transaction with the LATEST
     account-changelog version as of the transaction's event time
@@ -325,11 +327,30 @@ def stream_changelog_enrich(
 
     Shape: watermarked interval join (account version must fall in
     ``[txn_time - lookback, txn_time]``) → append-mode group-by on the
-    full transaction row → ``max_by(account_struct, version_time)``, so
-    among all joined versions the latest one at-or-before the txn wins.
+    full transaction row → ``max_by(version_struct, version_struct)``, so
+    among all joined versions the latest one at-or-before the txn wins
+    (whole-struct ordering makes equal-``acct_time`` ties deterministic).
     Chained stateful operators (join → agg) require append mode; the
     enriched row is emitted once, when the watermark passes the txn's
     event time.
+
+    ``how`` selects the reference-parity join type:
+
+    - ``"inner"`` (default): only enriched transactions emit. NOTE two
+      documented drops: (1) a txn whose account has NO changelog version
+      inside ``[txn_time - lookback, txn_time]`` never emits — the
+      reference KTable join would enrich with the latest version
+      regardless of age, so pick ``lookback`` >= the max realistic
+      version staleness, or use ``how="left_outer"``; (2) the group-by
+      runs on the full txn row, so byte-identical duplicate transaction
+      rows collapse to ONE output row — feed unique rows (the CDC
+      envelope's txn id makes rows unique in practice).
+    - ``"left_outer"``: the reference's null-tolerant J1
+      (ABBankTopology.java:233-240) — an unmatched transaction emits at
+      watermark close with null account fields; ``na_fill`` (e.g.
+      ``"N/A"``, ABBankTopology.java:252-253) fills string-typed account
+      columns on those rows (and any legitimately-null string field of a
+      matched version, exactly like the reference's builder).
 
     Semantics delta vs the reference (documented in SURVEY §2.10): Kafka
     Streams enriches with whatever account version the table holds at
@@ -342,6 +363,8 @@ def stream_changelog_enrich(
     the lookback bound lets Spark evict account versions, so state is
     O(active interval), never changelog-history-sized.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     acct_payload = acct_cols or [
         c for c in accounts_cdl.columns if c not in (key, acct_time)
     ]
@@ -359,21 +382,38 @@ def stream_changelog_enrich(
             F.col("_at")
             >= F.col(txn_time) - F.expr(f"INTERVAL {lookback}")
         ),
-        "inner",
+        how,
     )
-    # latest version wins: max_by orders by the version struct's leading
-    # _at field; ties on _at resolve by the remaining payload fields
-    # (give accounts_cdl a monotonic seq column as acct_time to avoid ties)
+    # latest version wins: max_by orders by the WHOLE version struct —
+    # struct comparison is lexicographic on (_at, payload...), so two
+    # versions with equal updated_at still resolve deterministically by
+    # their payload fields instead of by arrival order
+    version = F.struct(
+        F.col("_at").alias(acct_time),
+        *[F.col(c) for c in acct_payload],
+    )
     best = joined.groupBy(*[F.col(c) for c in txns.columns]).agg(
-        F.max_by(
-            F.struct(
-                F.col("_at").alias(acct_time),
-                *[F.col(c) for c in acct_payload],
-            ),
-            F.col("_at"),
-        ).alias("_acct")
+        F.max_by(version, version).alias("_acct")
     )
-    return best.select(*txns.columns, "_acct.*")
+    # an unmatched left-outer group is exactly one null-padded row, whose
+    # version struct (all-null fields) sorts below every real version —
+    # max_by returns it only when no real version exists
+    out = best.select(*txns.columns, "_acct.*")
+    if how == "left_outer" and na_fill is not None:
+        str_cols = {
+            f.name for f in accounts_cdl.schema.fields
+            if f.dataType.typeName() == "string" and f.name in acct_payload
+        }
+        out = out.select(
+            *txns.columns,
+            *[
+                F.coalesce(F.col(c), F.lit(na_fill)).alias(c)
+                if c in str_cols
+                else F.col(c)
+                for c in [acct_time, *acct_payload]
+            ],
+        )
+    return out
 
 
 def start_pipeline(

@@ -713,6 +713,19 @@ def test_acf_daily_finds_planted_weekly_period(spark):
             assert acf[k].acf < acf[7].acf - 0.5
 
 
+def test_acf_daily_edge_guards(spark):
+    """max_lag=0 would be a stack() SQL syntax error → ValueError; empty
+    input returns ZERO rows (not max_lag null-acf rows)."""
+    import pytest as _pytest
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    empty = spark.createDataFrame([], "event_id long, ts timestamp")
+    with _pytest.raises(ValueError, match="max_lag"):
+        R.acf_daily(empty, max_lag=0)
+    assert R.acf_daily(empty).count() == 0
+
+
 def test_cusum_changepoint_finds_planted_step(spark):
     """40 flat days at 5/day then 40 at 15/day: the max-|CUSUM| day must be
     the step boundary (the last day of the low regime)."""

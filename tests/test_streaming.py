@@ -819,6 +819,87 @@ def test_stream_changelog_join_late_account_update_re_enriches(
     assert out[1].updated_at.timestamp() == base + 1800
 
 
+def test_stream_changelog_left_outer_emits_unmatched_txn_with_na(
+    spark, tmpdirs
+):
+    """The reference's J1 is a null-tolerant LEFT join
+    (ABBankTopology.java:233-240) with an "N/A" fallback (:252-253): a
+    transaction whose account has NO changelog version inside the
+    lookback must still emit — with null account fields, string columns
+    filled "N/A" — once the watermark passes its event time. The inner
+    form documents this drop; ``how="left_outer"`` closes it."""
+    from pyspark.sql import functions as F
+
+    txn_src = f"{tmpdirs}/lo_txn"
+    acct_src = f"{tmpdirs}/lo_acct"
+    ckpt = f"{tmpdirs}/lo_ckpt"
+    out_dir = f"{tmpdirs}/lo_out"
+    base = 1_700_000_000
+
+    def run():
+        txns = (
+            spark.readStream.schema("txn_id long, account_id long, epoch long")
+            .parquet(txn_src)
+            .withColumn("event_time", F.timestamp_seconds("epoch"))
+            .drop("epoch")
+        )
+        accts = (
+            spark.readStream.schema(
+                "account_id long, v_epoch long, balance double,"
+                " acct_name string"
+            )
+            .parquet(acct_src)
+            .withColumn("updated_at", F.timestamp_seconds("v_epoch"))
+            .drop("v_epoch")
+        )
+        enriched = SP.stream_changelog_enrich(
+            txns, accts, watermark="30 minutes",
+            how="left_outer", na_fill="N/A",
+        )
+        q = SP.start_pipeline(
+            enriched, "lo_sink", ckpt, output_mode="append",
+            sink_format="parquet", sink_options={"path": out_dir},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        try:
+            return spark.read.parquet(out_dir)
+        except Exception:  # sink dir not created until first emission
+            return spark.range(0).select(
+                F.lit(None).cast("long").alias("txn_id")
+            )
+
+    # run 1: txn 1 → account 7 (version exists in lookback), txn 2 →
+    # account 42 (NO changelog version at all).
+    spark.createDataFrame(
+        [(1, 7, base + 2000), (2, 42, base + 2000)],
+        "txn_id long, account_id long, epoch long",
+    ).write.mode("append").parquet(txn_src)
+    spark.createDataFrame(
+        [(7, base + 1500, 100.0, "alice")],
+        "account_id long, v_epoch long, balance double, acct_name string",
+    ).write.mode("append").parquet(acct_src)
+    run()
+
+    # run 2: far-future rows on both streams push the watermark past the
+    # txn event times, closing both the matched and the UNMATCHED group.
+    spark.createDataFrame(
+        [(99, base + 100_000, 1.0, "zz")],
+        "account_id long, v_epoch long, balance double, acct_name string",
+    ).write.mode("append").parquet(acct_src)
+    spark.createDataFrame(
+        [(9, 99, base + 100_000)],
+        "txn_id long, account_id long, epoch long",
+    ).write.mode("append").parquet(txn_src)
+    out = {r.txn_id: r for r in run().collect()}
+
+    assert set(out) == {1, 2}
+    assert out[1].balance == 100.0 and out[1].acct_name == "alice"
+    assert out[2].balance is None  # unmatched: numeric stays null
+    assert out[2].acct_name == "N/A"  # string fallback, ref :252-253
+    assert out[2].updated_at is None
+
+
 def test_max_files_per_trigger_paces_backlog(spark, tmpdirs):
     """Source rate limiting: a 6-file backlog with maxFilesPerTrigger=2
     must drain in 3 paced micro-batches (backpressure knob for replaying

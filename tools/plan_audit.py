@@ -14,11 +14,17 @@ Catalyst physical plan (pre-execution, AQE initial plan):
 - risk flags: CartesianProduct / BroadcastNestedLoopJoin on non-trivial
   inputs (one-row scalar broadcasts are expected and common).
 
-Usage: python tools/plan_audit.py [sf_dir] [out_md]
+Usage: python tools/plan_audit.py [sf_dir] [--out PLANS.md]
+
+The output path is flag-only (--out) — a positional second argument once
+let a transposed call silently overwrite the committed PLANS.md with an
+error-filled table; and if more than 5% of queries error during the
+audit, nothing is written at all (the run is presumed misconfigured).
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import re
 import sys
@@ -93,11 +99,28 @@ def audit_plan(plan: str) -> dict[str, object]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "PLANS.md",
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "sf_dir", nargs="?", default="/root/testdata/sf0.01",
+        help="testdata scale-factor dir (default sf0.01)",
     )
+    ap.add_argument(
+        "--out", default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PLANS.md",
+        ),
+        help="output markdown path (flag-only on purpose)",
+    )
+    ap.add_argument(
+        "--max-error-frac", type=float, default=0.05,
+        help="abort without writing if more than this fraction of "
+             "queries error (default 0.05)",
+    )
+    ns = ap.parse_args()
+    sf_dir, out_md = ns.sf_dir, ns.out
+    if not os.path.isdir(sf_dir):
+        print(f"ERROR: sf_dir {sf_dir!r} is not a directory", file=sys.stderr)
+        return 2
     spark = get_spark("plan-audit")
     rows = []
     failures = 0
@@ -111,6 +134,14 @@ def main() -> int:
             continue
         rows.append((name, audit_plan(plan)))
         spark.catalog.clearCache()
+    if rows and failures > ns.max_error_frac * len(rows):
+        print(
+            f"ABORT: {failures}/{len(rows)} queries errored "
+            f"(> {ns.max_error_frac:.0%}) — presuming a misconfigured "
+            f"run; NOT writing {out_md}",
+            file=sys.stderr,
+        )
+        return 2
     rows.sort(key=lambda kv: kv[0])
     lines = [
         "# PLANS — physical-plan audit of the registered surface",
