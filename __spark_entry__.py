@@ -110,6 +110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         full.update(QT.QUERIES)
     except ImportError:
         pass
+    try:
+        from cdc_stream_processor_spark import queries_curation as QU
+
+        full.update(QU.QUERIES)
+    except ImportError:
+        pass
     return {name: full[name] for name in _rotation_order(list(full))}
 
 
@@ -140,6 +146,12 @@ def oracle_sql() -> dict[str, str]:
         from cdc_stream_processor_spark import queries_tpch as QT
 
         out.update(QT.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from cdc_stream_processor_spark import queries_curation as QU
+
+        out.update(QU.ORACLES)
     except ImportError:
         pass
     return out

@@ -1172,3 +1172,87 @@ def kfold_assign(
 
     h = TH.char_polyhash(F.col(id_col).cast("string"))
     return docs.withColumn("fold", F.pmod(h, F.lit(k)).cast("int"))
+
+
+# --- shingle novelty (corpus growth / diminishing-returns curve) --------------
+
+NOVELTY_BUCKET = 50  # docs per acquisition bucket in novelty_curve
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document novelty: of a document's distinct word k-grams, the
+    fraction FIRST INTRODUCED by it under doc_id acquisition order (its
+    shingle's corpus-wide min doc_id is itself).  The standard "is new
+    data still adding information?" curation signal.  Documents with
+    fewer than k tokens have no shingles and emit no row.
+
+    Returns (doc_id, n_shingles, n_novel, novelty_ppm) with novelty_ppm
+    the exact integer floor(n_novel·1e6 / n_shingles).
+
+    Plan: distinct-shingle explode → min(doc_id) per shingle (one
+    combinable shuffle) → per-doc count agg (second shuffle).  The
+    first-occurrence table is shingle-vocabulary-sized; no join back to
+    the corpus is needed because the explode carries doc_id."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.shingles(F.col(text_col), k)).alias("g"),
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("n_novel * 1000000L div n_shingles").alias("novelty_ppm"),
+        )
+    )
+
+
+def novelty_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bucket: int = NOVELTY_BUCKET,
+) -> DataFrame:
+    """Corpus growth curve: bucket documents by acquisition order
+    (doc_id div bucket) and count how many distinct word k-grams each
+    bucket introduces first — the diminishing-returns view of continued
+    collection.  Returns (bucket, n_first_seen, cum_first_seen).
+
+    Plan: shingle explode → min(doc_id) per shingle → bucket groupBy.
+    The cumulative window is partition-less but runs on the BUCKET table
+    (corpus_size / bucket rows — aggregate scale, see SCALE.md)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(TH.shingles(F.col(text_col), k)).alias("g"),
+    )
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = (
+        first.select(
+            F.expr(f"first_doc div {bucket}").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_first_seen"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_first_seen",
+        F.sum("n_first_seen").over(w).alias("cum_first_seen"),
+    )

@@ -929,3 +929,217 @@ def readability_scores(
         syll.alias("n_syllables"),
         F.round(flesch, 6).alias("flesch"),
     )
+
+
+# --- trigram language models --------------------------------------------------
+
+TRIGRAM_SCALE = 1_000_000_000
+BACKOFF_NUM = 4  # stupid backoff alpha = 0.4 as the integer ratio 4/10
+BACKOFF_DEN = 10
+
+
+def _ngram_explode(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """(doc_id, w1..wn) — one row per n-gram occurrence (positional, not
+    distinct). Shared explode shape for the LM operators."""
+    fields = ", ".join(f"t[i-{n - j}] AS w{j + 1}" for j in range(n))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= n)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence({n}, size(t)), i -> struct({fields}))")
+        ).alias("g"),
+    ).select("doc_id", "g.*")
+
+
+def trigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Closed-corpus add-one TRIGRAM LM fluency score — the n=3 extension
+    of ``bigram_lm_score``'s integer framework: per document, the mean of
+    floor(1e9 · (c(w1w2w3)+1) / (ctx(w1w2)+V)), where ctx(w1w2) counts
+    (w1,w2) occurrences AS TRIGRAM CONTEXTS (positions with a
+    continuation) and V is the unigram vocabulary size.
+
+    Exactness chain identical to the bigram form: (c+1)·1e9 exact below
+    2^53, ONE correctly-rounded double division, floor; all sums/counts
+    integer.  Plan: trigram explode persisted once feeding three
+    consumers (trigram counts, context counts, score join); V is a
+    one-row broadcast; final per-doc sum is one partial-agg shuffle."""
+    tg = _ngram_explode(docs, text_col, id_col, 3).persist()
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx = tg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = docs.select(
+        F.explode(TH.tokens(F.col(text_col))).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+    scaled_p = F.floor(
+        (F.col("c3") + 1).cast("double")
+        * F.lit(float(TRIGRAM_SCALE))
+        / (F.col("c2") + F.col("v")).cast("double")
+    )
+    return (
+        tg.join(c3, ["w1", "w2", "w3"])
+        .join(ctx, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", scaled_p.alias("sp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("sp").alias("sp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            (
+                F.col("sp_sum").cast("double")
+                / F.col("n_trigrams").cast("double")
+            ).alias("mean_scaled_p"),
+        )
+    )
+
+
+def stupid_backoff_score(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stupid-backoff trigram scoring (Brants et al., *Large Language
+    Models in Machine Translation*, EMNLP'07) of held-out documents
+    against counts from a TRAIN corpus — the cross-corpus form where
+    backoff actually fires (scoring a corpus with its own counts never
+    backs off: every observed trigram has count >= 1).
+
+    Integer-scaled score per eval trigram (SCALE = 1e9, alpha = 0.4 as
+    exact integer ops floor(4·s/10)):
+
+      s3 = floor(c123·SCALE / c12)            if trigram seen in train
+      s2 = floor(0.4·floor(c23·SCALE / c2))   elif bigram seen
+      s1 = floor(0.4·floor(0.4·floor(c3·SCALE / N)))  elif unigram seen
+      0                                       otherwise
+
+    where c12/c2 are train bigram/unigram occurrence counts and N the
+    train token total.  Every step is an exact double division below
+    2^53 + floor, or pure integer multiply/divide — engine-identical.
+
+    Plan: three left joins of the eval trigram table against train count
+    tables (shuffle joins; AQE broadcasts the small sides at small SF), a
+    one-row N broadcast, one per-doc agg shuffle.  Returns (doc_id,
+    n_trigrams, n_backoff, mean_scaled_s): n_backoff counts trigrams
+    that fell below the full-trigram match."""
+    tr3 = _ngram_explode(train_docs, text_col, id_col, 3)
+    tr2 = _ngram_explode(train_docs, text_col, id_col, 2)
+    tr1 = train_docs.select(
+        F.explode(TH.tokens(F.col(text_col))).alias("w1")
+    )
+    c123 = tr3.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    c12 = tr2.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = tr1.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    n_tot = tr1.agg(F.count(F.lit(1)).alias("n_tot"))
+
+    ev = _ngram_explode(eval_docs, text_col, id_col, 3)
+    scale = F.lit(float(TRIGRAM_SCALE))
+    s3 = F.floor(F.col("c123").cast("double") * scale / F.col("c12").cast("double"))
+    s2 = F.floor(F.col("c23").cast("double") * scale / F.col("c2").cast("double"))
+    s1 = F.floor(F.col("c3").cast("double") * scale / F.col("n_tot").cast("double"))
+    back1 = F.floor(F.lit(BACKOFF_NUM) * s2 / F.lit(BACKOFF_DEN))
+    back2 = F.floor(
+        F.lit(BACKOFF_NUM)
+        * F.floor(F.lit(BACKOFF_NUM) * s1 / F.lit(BACKOFF_DEN))
+        / F.lit(BACKOFF_DEN)
+    )
+    score = (
+        F.when(F.col("c123").isNotNull(), s3)
+        .when(F.col("c23").isNotNull(), back1)
+        .when(F.col("c3").isNotNull(), back2)
+        .otherwise(F.lit(0))
+    )
+    return (
+        ev.join(c123, ["w1", "w2", "w3"], "left")
+        .join(
+            c12.select(
+                F.col("w1").alias("_j1"), F.col("w2").alias("_j2"), "c12"
+            ),
+            (F.col("w1") == F.col("_j1")) & (F.col("w2") == F.col("_j2")),
+            "left",
+        )
+        .drop("_j1", "_j2")
+        .join(
+            c12.select(
+                F.col("w1").alias("_k2"),
+                F.col("w2").alias("_k3"),
+                F.col("c12").alias("c23"),
+            ),
+            (F.col("w2") == F.col("_k2")) & (F.col("w3") == F.col("_k3")),
+            "left",
+        )
+        .drop("_k2", "_k3")
+        .join(
+            c1.select(F.col("w1").alias("_m2"), F.col("c1").alias("c2")),
+            F.col("w2") == F.col("_m2"),
+            "left",
+        )
+        .drop("_m2")
+        .join(
+            c1.select(F.col("w1").alias("_m3"), F.col("c1").alias("c3")),
+            F.col("w3") == F.col("_m3"),
+            "left",
+        )
+        .drop("_m3")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            score.alias("s"),
+            F.col("c123").isNull().cast("long").alias("backed"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("backed").alias("n_backoff"),
+            F.sum("s").alias("s_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_backoff",
+            (
+                F.col("s_sum").cast("double")
+                / F.col("n_trigrams").cast("double")
+            ).alias("mean_scaled_s"),
+        )
+    )
+
+
+def ttr_by_source(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Type-token ratio per source — the corpus-QA vocabulary-diversity
+    signal (low TTR → templated/boilerplate-heavy source).  ttr_ppm is
+    the exact integer floor(n_types·1e6 / n_tokens); sources with zero
+    tokens emit no row (no tokens to measure).
+
+    Plan: token explode → per-(source, term) partial count → exact
+    distinct-per-group via two-phase agg — two shuffles, both combinable
+    map-side; output is source-cardinality-sized."""
+    toks = docs.select(
+        "source", F.explode(TH.tokens(F.col(text_col))).alias("term")
+    )
+    per_term = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_term.groupBy("source")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.expr("n_types * 1000000L div n_tokens").alias("ttr_ppm"),
+        )
+    )
