@@ -1197,10 +1197,21 @@ def shingle_novelty(
     Plan: distinct-shingle explode → min(doc_id) per shingle (one
     combinable shuffle) → per-doc count agg (second shuffle).  The
     first-occurrence table is shingle-vocabulary-sized; no join back to
-    the corpus is needed because the explode carries doc_id."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(TH.shingles(F.col(text_col), k)).alias("g"),
+    the corpus is needed because the explode carries doc_id.
+
+    ensure_parallelism matters here: the shingle build is an interpreted
+    higher-order lambda per token — on a single-file scan it would run
+    one-threaded (measured 20 s → sub-second at sf0.1).  The explode is
+    persisted because BOTH consumers (first-occurrence agg + the join
+    back) branch from it in parallel and the lambda pass dominates
+    (A/B at sf0.1: 2.5 s lazy → 1.2 s persisted, best-of-2)."""
+    sh = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(TH.shingles(F.col(text_col), k)).alias("g"),
+        )
+        .persist()
     )
     first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
@@ -1236,7 +1247,7 @@ def novelty_curve(
     Plan: shingle explode → min(doc_id) per shingle → bucket groupBy.
     The cumulative window is partition-less but runs on the BUCKET table
     (corpus_size / bucket rows — aggregate scale, see SCALE.md)."""
-    sh = docs.select(
+    sh = ensure_parallelism(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(TH.shingles(F.col(text_col), k)).alias("g"),
     )

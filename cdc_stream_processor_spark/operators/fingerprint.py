@@ -267,10 +267,15 @@ def winnowing_overlap_pairs(
     O(df²) candidate pairs; the cutoff bounds per-key fanout exactly like
     the hot-shingle cutoff in ``text.containment_pairs``).  Never an
     all-pairs product; one shuffle for the index, one for the pair agg."""
+    # persist: the distinct fingerprint table feeds THREE parallel
+    # consumers (the df filter + both join sides) and contains the Arrow
+    # kernel + a shuffle — without it, exprId re-aliasing defeats
+    # ReuseExchange and the winnowing kernel runs 4× (audited: arrow=4→1)
     fp = (
         winnowing_fingerprints(docs, text_col, id_col)
         .select("doc_id", "h")
         .distinct()
+        .persist()
     )
     cold = (
         fp.groupBy("h")

@@ -416,6 +416,59 @@ def stream_changelog_enrich(
     return out
 
 
+def stream_corpus_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch corpus-ingest gate
+    (``queries_curation.q_quality_pipeline_keep``): exact dedup on
+    arrival + Gopher quality flags, over a document STREAM — the shape a
+    continuously-ingesting training-data pipeline runs.
+
+    Stages (mirroring the batch reason precedence):
+      1. exact dedup on ``dedup.normalized_text`` — streaming keeps the
+         FIRST ARRIVAL per normalized text (the batch twin keeps min
+         doc_id; identical when arrival order is id order). With
+         ``event_time`` set, state is watermark-bounded via
+         ``dropDuplicatesWithinWatermark``; without it, plain
+         ``dropDuplicates`` holds state for every distinct text seen —
+         fine for bounded replays, unbounded for true 24/7 ingest (pass
+         an event-time column in production).
+      2. Gopher quality flags (map-only — ``text.gopher_quality``'s
+         column expressions work unchanged on a streaming frame).
+
+    Returns the deduped stream with (doc_id, reason, keep) plus the
+    gopher columns: route ``keep`` to the train sink and ``~keep`` to
+    the reject/DLQ sink (duplicate arrivals are dropped in-stage, like
+    every streaming ingest dedup). Append-mode friendly: no aggregation,
+    so rows emit in the arriving micro-batch."""
+    from cdc_stream_processor_spark.operators.dedup import normalized_text
+    from cdc_stream_processor_spark.operators.text import gopher_quality
+
+    dedup_keys = ["_nt"]
+    staged = docs.withColumn("_nt", normalized_text(F.col(text_col)))
+    if event_time is not None:
+        staged = staged.withWatermark(event_time, watermark)
+        deduped = staged.dropDuplicatesWithinWatermark(dedup_keys)
+    else:
+        deduped = staged.dropDuplicates(dedup_keys)
+    gq = gopher_quality(deduped.drop("_nt"), text_col, id_col)
+    reason = (
+        F.when(~F.col("ok_word_count"), F.lit("word_count"))
+        .when(~F.col("ok_mean_word_len"), F.lit("mean_word_len"))
+        .when(~F.col("ok_symbol_ratio"), F.lit("symbol_ratio"))
+        .when(~F.col("ok_alpha_words"), F.lit("alpha_ratio"))
+        .when(~F.col("ok_stopwords"), F.lit("stopwords"))
+        .otherwise(F.lit("keep"))
+    )
+    return gq.withColumn("reason", reason).withColumn(
+        "keep", F.col("reason") == "keep"
+    )
+
+
 def start_pipeline(
     df: DataFrame,
     name: str,

@@ -388,6 +388,10 @@ def test_registry_rotation_prioritizes_unverified_queries():
                 and rec.get("hash_match") in (True, None)
             ):
                 greens[name] = max(greens.get(name, -1), rnd)
+    # queries rewritten after their last green are force-rechecked: the
+    # rotation treats them as never-green until a fresh verdict lands
+    for name in entry._FORCE_RECHECK:
+        greens.pop(name, None)
     ranks = [greens.get(n, -1) for n in names]
     assert ranks == sorted(ranks)  # never-green (-1) first, then ascending
 

@@ -900,6 +900,56 @@ def test_stream_changelog_left_outer_emits_unmatched_txn_with_na(
     assert out[2].updated_at is None
 
 
+def test_stream_corpus_gate_dedup_and_quality(spark, tmpdirs):
+    """Streaming corpus-ingest gate twin of quality_pipeline_keep: first
+    arrival survives dedup (checkpointed ACROSS runs), whitespace-variant
+    duplicates are dropped, quality rejects carry the batch twin's reason
+    codes, and good docs pass."""
+    from pyspark.sql import functions as F
+
+    src = f"{tmpdirs}/cg_src"
+    ckpt = f"{tmpdirs}/cg_ckpt"
+    out_dir = f"{tmpdirs}/cg_out"
+
+    good = (
+        "the cat and the dog walked to a market that was busy and "
+        "loud with many people buying fresh fruit and warm bread today"
+    )
+    short = "too few words here"
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            src
+        )
+        gated = SP.stream_corpus_gate(stream)
+        q = SP.start_pipeline(
+            gated.select("doc_id", "reason", "keep"),
+            "cg_sink", ckpt, output_mode="append",
+            sink_format="parquet", sink_options={"path": out_dir},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    spark.createDataFrame(
+        [(1, good), (2, "  " + good + "  "), (3, short)],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out1 = {r.doc_id: r for r in run().collect()}
+    assert set(out1) == {1, 3}  # doc 2 is a whitespace-variant duplicate
+    assert out1[1].keep and out1[1].reason == "keep"
+    assert not out1[3].keep and out1[3].reason == "word_count"
+
+    # run 2: cross-RUN duplicate of doc 1 plus one genuinely new doc —
+    # the checkpointed dedup state must still drop the duplicate
+    spark.createDataFrame(
+        [(4, good), (5, good + " extra unique tail words")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    out2 = {r.doc_id: r for r in run().collect()}
+    assert set(out2) == {1, 3, 5}  # doc 4 deduped against run-1 state
+
+
 def test_max_files_per_trigger_paces_backlog(spark, tmpdirs):
     """Source rate limiting: a 6-file backlog with maxFilesPerTrigger=2
     must drain in 3 paced micro-batches (backpressure knob for replaying
