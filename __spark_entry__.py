@@ -116,6 +116,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         full.update(QU.QUERIES)
     except ImportError:
         pass
+    try:
+        from cdc_stream_processor_spark import queries_retrieval as QV
+
+        full.update(QV.QUERIES)
+    except ImportError:
+        pass
     return {name: full[name] for name in _rotation_order(list(full))}
 
 
@@ -152,6 +158,12 @@ def oracle_sql() -> dict[str, str]:
         from cdc_stream_processor_spark import queries_curation as QU
 
         out.update(QU.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from cdc_stream_processor_spark import queries_retrieval as QV
+
+        out.update(QV.ORACLES)
     except ImportError:
         pass
     return out
