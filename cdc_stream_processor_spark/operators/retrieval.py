@@ -350,6 +350,44 @@ def zipf_slope_by_source(
     )
 
 
+# --- reciprocal-rank fusion (hybrid retrieval) --------------------------------
+
+RRF_K0 = 60  # the canonical RRF dampening constant (Cormack et al., SIGIR'09)
+RRF_SCALE = 1_000_000  # contribution = RRF_SCALE div (RRF_K0 + rank): exact ints
+
+
+def rrf_fuse(ranked_lists: list[DataFrame], id_col: str = "doc_id") -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists — the standard
+    hybrid-search combiner (lexical BM25 + dense ANN in a RAG stack):
+      rrf(d) = sum_lists floor(RRF_SCALE / (RRF_K0 + rank_list(d)))
+    computed with INTEGER division, so the fused score is engine-exact
+    (the classical 1/(60+r) scaled by 1e6 and floored).
+
+    Each input must have (id_col, rank) with rank 1 = best.  Documents
+    absent from a list contribute nothing for it (the RRF convention).
+
+    Plan shape: each list is already top-k (tiny); the fusion is a union
+    + one groupBy over <= N*k rows — driver-independent and broadcastable
+    anywhere downstream.
+    """
+    contrib = F.expr(f"{RRF_SCALE} div ({RRF_K0} + rank)")
+    tagged = [
+        df.select(F.col(id_col).alias("id"), contrib.alias("c"))
+        for df in ranked_lists
+    ]
+    un = tagged[0]
+    for t in tagged[1:]:
+        un = un.unionByName(t)
+    return (
+        un.groupBy("id")
+        .agg(
+            F.sum("c").alias("rrf_score_scaled"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+        .select(F.col("id").alias(id_col), "rrf_score_scaled", "n_lists")
+    )
+
+
 # --- KMV distinct sketch ------------------------------------------------------
 
 

@@ -13,6 +13,7 @@ driver's value-hash compare is bit-exact.  All DuckDB SUMs are cast
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from cdc_stream_processor_spark.functions import texthash as TH
 from cdc_stream_processor_spark.operators import retrieval as R
@@ -35,7 +36,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
-SQL_BM25_TOPK = f"""
+# CTE chain shared by the bm25_topk oracle and the rrf_fusion oracle's
+# lexical leg (identical text = identical arithmetic).
+_BM25_CTES = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKS}) AS token FROM documents
 ), dl AS (
@@ -62,11 +65,77 @@ WITH toks AS (
   JOIN dft d USING (token)
   JOIN dl USING (doc_id)
   CROSS JOIN stats s
+), bm25 AS (
+  SELECT doc_id, SUM(c)::BIGINT AS score_scaled, COUNT(*) AS n_terms_matched
+  FROM contrib GROUP BY doc_id
+  ORDER BY score_scaled DESC, doc_id ASC LIMIT {BM25_K}
 )
-SELECT doc_id, SUM(c)::BIGINT AS score_scaled, COUNT(*) AS n_terms_matched
-FROM contrib GROUP BY doc_id
-ORDER BY score_scaled DESC, doc_id ASC LIMIT {BM25_K}
 """
+
+SQL_BM25_TOPK = (
+    _BM25_CTES + "SELECT doc_id, score_scaled, n_terms_matched FROM bm25"
+)
+
+
+RRF_QUERY_VEC = 0  # the dense leg's query vector (vec_id 0 always exists;
+# the similarity family's QUERY_STRIDE=50 query set already depends on it)
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: RRF-fuse the BM25 lexical top-20 (documents) with
+    the dense cosine top-20 for query vector 0 (embeddings; the tables are
+    the parallel corpus — embedding i encodes document i)."""
+    from pyspark.sql import Window
+
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    docs = B.load_table(spark, sf_dir, "documents")
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    lex = R.bm25_topk(docs, BM25_TERMS, k=BM25_K)
+    # rank the k-row lexical list (global window at aggregate scale: k rows)
+    w = Window.orderBy(F.col("score_scaled").desc(), F.col("doc_id").asc())
+    lex_ranked = lex.select("doc_id", F.row_number().over(w).alias("rank"))
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC)
+    dense = S.brute_force_topk(q, emb, k=BM25_K).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return R.rrf_fuse([lex_ranked, dense])
+
+
+_FOLD = "list_reduce(list_prepend(0.0::DOUBLE, {arr}), (acc, x) -> acc + x)"
+_DOT = _FOLD.format(arr="list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])")
+_NQ = _FOLD.format(arr="list_transform(q.e, x -> x * x)")
+_NC = _FOLD.format(arr="list_transform(c.e, x -> x * x)")
+
+SQL_RRF_FUSION = (
+    _BM25_CTES
+    + f"""
+, lexr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (
+    ORDER BY score_scaled DESC, doc_id ASC) AS rank
+  FROM bm25
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), dscored AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND({_DOT} / (sqrt({_NQ}) * sqrt({_NC})), 6) AS cosine_sim
+  FROM (SELECT * FROM v WHERE vec_id = {RRF_QUERY_VEC}) q, v c
+  WHERE q.vec_id != c.vec_id
+), dense AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (
+      ORDER BY cosine_sim DESC, doc_id ASC) AS rank
+    FROM dscored
+  ) WHERE rank <= {BM25_K}
+), unioned AS (
+  SELECT doc_id, {R.RRF_SCALE} // ({R.RRF_K0} + rank) AS c FROM lexr
+  UNION ALL
+  SELECT doc_id, {R.RRF_SCALE} // ({R.RRF_K0} + rank) AS c FROM dense
+)
+SELECT doc_id, SUM(c)::BIGINT AS rrf_score_scaled, COUNT(*) AS n_lists
+FROM unioned GROUP BY doc_id
+"""
+)
 
 
 def q_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,6 +276,7 @@ FROM exact e JOIN kth k USING (source)
 
 QUERIES = {
     "bm25_topk": q_bm25_topk,
+    "rrf_fusion": q_rrf_fusion,
     "df_spectrum": q_df_spectrum,
     "token_diversity": q_token_diversity,
     "hellinger_source_drift": q_hellinger_source_drift,
@@ -216,6 +286,7 @@ QUERIES = {
 
 ORACLES = {
     "bm25_topk": SQL_BM25_TOPK,
+    "rrf_fusion": SQL_RRF_FUSION,
     "df_spectrum": SQL_DF_SPECTRUM,
     "token_diversity": SQL_TOKEN_DIVERSITY,
     "hellinger_source_drift": SQL_HELLINGER_SOURCE_DRIFT,

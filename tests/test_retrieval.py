@@ -72,6 +72,30 @@ def test_bm25_tf_saturation_beats_linear(spark):
     assert out[2] > out[1] and out[2] < 4 * out[1]
 
 
+# --- RRF fusion ---------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_computed(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank long")
+    out = {
+        r["doc_id"]: (r["rrf_score_scaled"], r["n_lists"])
+        for r in R.rrf_fuse([a, b]).collect()
+    }
+    c1, c2 = R.RRF_SCALE // 61, R.RRF_SCALE // 62
+    assert out == {1: (c1, 1), 2: (c2 + c1, 2), 3: (c2, 1)}
+
+
+def test_rrf_fusion_registered_query(spark, sf_dir):
+    from cdc_stream_processor_spark.queries_retrieval import q_rrf_fusion
+
+    rows = q_rrf_fusion(spark, sf_dir).collect()
+    assert rows, "fusion must produce at least the lexical top-k"
+    # every doc in at most 2 lists; scores positive; some doc made both lists
+    assert all(1 <= r["n_lists"] <= 2 for r in rows)
+    assert all(r["rrf_score_scaled"] > 0 for r in rows)
+
+
 # --- df spectrum --------------------------------------------------------------
 
 
