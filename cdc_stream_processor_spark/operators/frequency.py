@@ -111,3 +111,76 @@ def stratified_sample(
         k=k,
         rank_col="sample_rank",
     ).select("doc_id", "stratum", "sample_key", "sample_rank")
+
+
+# --- sharded Misra-Gries summary (batch twin of streaming.sketch) -------------
+
+MG_SUMMARY_K = 8  # counters per shard
+MG_SUMMARY_SHARDS = 4
+
+
+def md5_shard(key, n_shards: int):
+    """Deterministic shard id in [0, n_shards) from the first 8 md5 hex
+    chars — reproducible in DuckDB as ('0x'||substr(md5(k),1,8))::UBIGINT
+    % n (same trick as retrieval.kmv_distinct_tokens), unlike xxhash64
+    which DuckDB lacks."""
+    return (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards)
+    )
+
+
+def misra_gries_summary(
+    keys_df: DataFrame,
+    key_col: str = "key",
+    k: int = MG_SUMMARY_K,
+    n_shards: int = MG_SUMMARY_SHARDS,
+) -> DataFrame:
+    """Sharded Misra-Gries frequency summary with the VALUE-deterministic
+    trim rule: per shard, threshold t = the (k+1)-th largest count (with
+    multiplicity; 0 when the shard has ≤ k distinct keys), keep keys with
+    c > t at estimate c - t.  Output: (shard, key, est_count, n_shard,
+    err_bound=t); the MG guarantee is  true_c - est_count ∈ [0, t]  for
+    kept keys and  true_c ≤ t  for dropped ones.
+
+    Membership is decided by VALUE comparison (c > t), never by a key
+    tie-break, so the summary is engine-exact — boundary ties all drop,
+    which may keep fewer than k keys (still a valid MG summary).
+
+    This is the one-merge batch twin of ``streaming.sketch.
+    misra_gries_stream`` (single-batch streaming output equals this
+    exactly — tested); at 100 TB the summary's per-shard state is k
+    counters regardless of key cardinality, and this batch form shuffles
+    only the (shard, key) count table, with the (k+1)-th-largest lookup
+    as a WindowGroupLimit over ≤ distinct-keys rows.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        keys_df.select(
+            F.col(key_col).alias("key"),
+            md5_shard(F.col(key_col), n_shards).alias("shard"),
+        )
+        .groupBy("shard", "key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("c").desc(), F.col("key").asc())
+    thr = (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == k + 1)
+        .select("shard", F.col("c").alias("t"))
+    )
+    n_shard = counts.groupBy("shard").agg(F.sum("c").alias("n_shard"))
+    return (
+        counts.join(F.broadcast(thr), "shard", "left")
+        .fillna({"t": 0})
+        .filter(F.col("c") > F.col("t"))
+        .join(F.broadcast(n_shard), "shard")
+        .select(
+            "shard",
+            "key",
+            (F.col("c") - F.col("t")).alias("est_count"),
+            "n_shard",
+            F.col("t").alias("err_bound"),
+        )
+    )

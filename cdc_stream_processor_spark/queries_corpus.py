@@ -391,6 +391,47 @@ SELECT c.tok, c.cnt FROM c, t WHERE c.cnt * {FR.HH_K} > t.n
 """
 
 
+# --- sharded Misra-Gries summary (value-deterministic trim) -------------------
+
+
+def q_misra_gries_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = B.load_table(spark, sf_dir, "documents").select(
+        F.explode(TH.tokens(F.col("text"))).alias("tok")
+    )
+    return FR.misra_gries_summary(toks, key_col="tok")
+
+
+# Trim rule restated: per md5-shard, t = the (k+1)-th largest count (with
+# multiplicity; 0 when ≤ k distinct), keep c > t at estimate c - t. The
+# (k+1)-th largest VALUE is ROW_NUMBER-independent of key tie order.
+SQL_MISRA_GRIES_SUMMARY = f"""
+WITH toks AS (
+  SELECT unnest({TH.TOKENS_SQL.format(text="text")}) AS key FROM documents
+), counts AS (
+  SELECT ('0x' || substr(md5(key), 1, 8))::UBIGINT::BIGINT
+           % {FR.MG_SUMMARY_SHARDS} AS shard,
+         key, COUNT(*) AS c
+  FROM toks GROUP BY 1, key
+), thr AS (
+  SELECT shard, c AS t FROM (
+    SELECT shard, c, ROW_NUMBER() OVER (PARTITION BY shard
+             ORDER BY c DESC, key ASC) AS r
+    FROM counts
+  ) WHERE r = {FR.MG_SUMMARY_K} + 1
+), ns AS (
+  SELECT shard, SUM(c)::BIGINT AS n_shard FROM counts GROUP BY shard
+)
+SELECT counts.shard, key,
+       (c - COALESCE(t, 0))::BIGINT AS est_count,
+       n_shard,
+       COALESCE(t, 0)::BIGINT AS err_bound
+FROM counts
+LEFT JOIN thr USING (shard)
+JOIN ns USING (shard)
+WHERE c > COALESCE(t, 0)
+"""
+
+
 # --- grouped top-k frequent tokens --------------------------------------------
 
 TOP_TOKENS_K = 5
@@ -852,6 +893,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "temperature_sample": q_temperature_sample,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "misra_gries_summary": q_misra_gries_summary,
     "stratified_sample": q_stratified_sample,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -879,6 +921,7 @@ ORACLES = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTERS,
+    "misra_gries_summary": SQL_MISRA_GRIES_SUMMARY,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "corpus_prep_pipeline": SQL_CORPUS_PREP_PIPELINE,

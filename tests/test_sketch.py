@@ -1,0 +1,152 @@
+"""Tests for the sharded Misra-Gries summary: the pure merge kernel, the
+batch twin == single-batch streaming parity, and the checkpointed
+streaming guarantee across runs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from cdc_stream_processor_spark.operators import frequency as FR
+from cdc_stream_processor_spark.streaming import sketch as SK
+from cdc_stream_processor_spark.streaming import pipelines as SP
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    return str(tmp_path)
+
+
+def _shard(key: str, n: int = FR.MG_SUMMARY_SHARDS) -> int:
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n
+
+
+# --- merge kernel -------------------------------------------------------------
+
+
+def test_mg_merge_hand_computed():
+    # combined: a5 b3 c2 d1, k=2 -> t = vals[2] = 2 -> keep a3 b1
+    cur, t = SK.mg_merge({"a": 3, "b": 3}, {"a": 2, "c": 2, "d": 1}, k=2)
+    assert t == 2 and cur == {"a": 3, "b": 1}
+    # no trim when <= k keys
+    cur, t = SK.mg_merge({}, {"x": 4, "y": 1}, k=2)
+    assert t == 0 and cur == {"x": 4, "y": 1}
+    # boundary ties all drop (value-deterministic membership)
+    cur, t = SK.mg_merge({}, {"a": 2, "b": 2, "c": 2}, k=2)
+    assert t == 2 and cur == {}
+
+
+def test_mg_merge_error_bound_invariant():
+    """Folding random batches: est undercounts by at most the summed
+    trims, and absent keys have true count <= summed trims."""
+    import random
+
+    rnd = random.Random(7)
+    true: dict[str, int] = {}
+    cur: dict[str, int] = {}
+    trims = 0
+    for _ in range(30):
+        batch: dict[str, int] = {}
+        for _ in range(rnd.randint(1, 40)):
+            key = f"k{rnd.randint(0, 15)}"
+            batch[key] = batch.get(key, 0) + 1
+            true[key] = true.get(key, 0) + 1
+        cur, t = SK.mg_merge(cur, batch, k=4)
+        trims += t
+    for key, c in true.items():
+        est = cur.get(key, 0)
+        assert 0 <= c - est <= trims, (key, c, est, trims)
+
+
+# --- batch twin parity --------------------------------------------------------
+
+
+def test_stream_kernel_equals_batch_twin_on_one_batch(spark):
+    rows = [("hot",)] * 30 + [(f"u{i}",) for i in range(40)] * 2
+    df = spark.createDataFrame(rows, "key string")
+    batch = {
+        (r.shard, r.key): (r.est_count, r.n_shard, r.err_bound)
+        for r in FR.misra_gries_summary(df, key_col="key").collect()
+    }
+    sk_rows = SK.misra_gries_stream(df, key_col="key").collect()
+    streamed = {
+        (r.shard, r.key): (r.est_count, r.n_shard, r.err_bound)
+        for r in sk_rows
+        if r.key is not None
+    }
+    assert batch and streamed == batch
+    # one null-key sentinel per shard carries (n_shard, err_bound)
+    sentinels = [r for r in sk_rows if r.key is None]
+    assert len(sentinels) == len({r.shard for r in sk_rows})
+
+
+# --- checkpointed streaming guarantee -----------------------------------------
+
+
+def test_mg_stream_guarantee_across_checkpointed_runs(spark, tmpdirs):
+    """Two availableNow runs with maxFilesPerTrigger=1 (so trims fire on
+    real multi-batch merges): the final per-shard snapshot (max emit_seq)
+    must satisfy the MG bound against the exact counts of ALL rows from
+    both runs — proving both the sketch math and checkpoint recovery."""
+    src = f"{tmpdirs}/mg_src"
+    ckpt = f"{tmpdirs}/mg_ckpt"
+    out_dir = f"{tmpdirs}/mg_out"
+
+    def run():
+        stream = spark.readStream.schema("key string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = SP.start_pipeline(
+            SK.misra_gries_stream(stream, key_col="key", k=3),
+            "mg_sink", ckpt, output_mode="append",
+            sink_format="parquet", sink_options={"path": out_dir},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    all_rows: list[str] = []
+
+    def write_file(keys: list[str]):
+        all_rows.extend(keys)
+        spark.createDataFrame(
+            [(k,) for k in keys], "key string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    # run 1: two files -> two micro-batches per shard
+    write_file(["hot"] * 20 + [f"a{i}" for i in range(12)])
+    write_file(["hot"] * 15 + ["warm"] * 8 + [f"b{i}" for i in range(12)])
+    run()
+
+    # run 2 (fresh query, same checkpoint): state must carry over
+    write_file(["hot"] * 10 + ["warm"] * 9 + [f"c{i}" for i in range(12)])
+    sink = run().collect()
+
+    # final snapshot per shard = rows at that shard's max emit_seq; the
+    # null-key sentinel guarantees every shard's newest (n_shard, bound)
+    # is in the sink even when a trim emptied the summary
+    latest_seq: dict[int, int] = {}
+    for r in sink:
+        latest_seq[r.shard] = max(latest_seq.get(r.shard, 0), r.emit_seq)
+    latest = [r for r in sink if r.emit_seq == latest_seq[r.shard]]
+    snap = {(r.shard, r.key): r for r in latest if r.key is not None}
+    meta = {r.shard: r for r in latest if r.key is None}
+    assert set(meta) == {0, 1, 2, 3}  # every shard has a final sentinel
+
+    truth = pd.Series(all_rows).value_counts()
+    true_by_shard: dict[int, int] = {}
+    for key, c in truth.items():
+        true_by_shard[_shard(key)] = true_by_shard.get(_shard(key), 0) + int(c)
+
+    bounds = {s: r.err_bound for s, r in meta.items()}
+    for key, c in truth.items():
+        s = _shard(key)
+        est = snap[(s, key)].est_count if (s, key) in snap else 0
+        assert 0 <= c - est <= bounds.get(s, 0), (key, c, est, bounds)
+    # n_shard reflects BOTH runs' rows (checkpoint recovery, no recount)
+    for s, r in meta.items():
+        assert r.n_shard == true_by_shard[s]
+    # the heavy key must be present in its shard's summary
+    assert (_shard("hot"), "hot") in snap
