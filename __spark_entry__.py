@@ -122,6 +122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         full.update(QV.QUERIES)
     except ImportError:
         pass
+    try:
+        from cdc_stream_processor_spark import queries_linkage as QL
+
+        full.update(QL.QUERIES)
+    except ImportError:
+        pass
     return {name: full[name] for name in _rotation_order(list(full))}
 
 
@@ -164,6 +170,12 @@ def oracle_sql() -> dict[str, str]:
         from cdc_stream_processor_spark import queries_retrieval as QV
 
         out.update(QV.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from cdc_stream_processor_spark import queries_linkage as QL
+
+        out.update(QL.ORACLES)
     except ImportError:
         pass
     return out
