@@ -2552,3 +2552,105 @@ def ltv_cohort_curve(orders: DataFrame, ts_col: str = "o_orderdate") -> DataFram
         )
         .orderBy("cohort_month", "months_since")
     )
+
+
+# --- bootstrap confidence interval (deterministic LCG resampling) -------------
+
+BOOT_B = 200  # resamples
+# a fourth spectral-test-good LCG, distinct from corpus.SPLIT/SHUFFLE and
+# frequency.STRAT so the resampling is independent of every other
+# deterministic randomization in the repo
+BOOT_A = 630_360_016
+BOOT_C = 211_324_863
+BOOT_P = 2_147_483_647
+
+
+def bootstrap_ci_daily_revenue(
+    orders: DataFrame, n_boot: int = BOOT_B
+) -> DataFrame:
+    """Nonparametric bootstrap CI for MEAN DAILY REVENUE, with a fully
+    deterministic resampler (Efron's bootstrap with the RNG replaced by
+    an integer LCG, so the oracle replays every draw):
+
+      1. daily revenue per o_orderdate, summed in DECIMAL(18,4) (exact,
+         order-independent); days indexed 0..n-1 by date order;
+      2. draw t ∈ [0, B·n): resample b = t div n takes day
+         (t·A + C) mod P mod n — B resamples of n draws each;
+      3. resample mean = (decimal sum of drawn days) / n, ONE double
+         division; the CI is the pair of ORDER STATISTICS of the B means
+         at ranks ceil(0.05·B) / ceil(0.95·B) (no interpolation —
+         selection is engine-exact, ties break on b).
+
+    Output (one row): n_days, n_boot, mean_daily_revenue, ci_lo, ci_hi.
+
+    Scale shape: the daily table is calendar-scale (≤ tens of thousands
+    of rows at ANY corpus size), so the generated B·n draw table and the
+    broadcast join against the indexed days are aggregate-scale by
+    construction — the only corpus-scale work is the first groupBy
+    (one shuffle with map-side partials). The B-row rank window is a
+    global window at aggregate scale (gwin-legitimate).
+    """
+    daily = orders.groupBy("o_orderdate").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    )
+    w_idx = Window.orderBy("o_orderdate")
+    indexed = daily.select(
+        (F.row_number().over(w_idx) - 1).alias("day_idx"), "rev"
+    )
+    nrow = daily.agg(F.count(F.lit(1)).alias("n"))
+    draws = nrow.select(
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_boot) * F.col("n") - 1)
+        ).alias("t"),
+        "n",
+    ).select(
+        # integer division (NOT double-div + cast: DuckDB's ::BIGINT cast
+        # rounds half-even, Spark's truncates — `div`/`//` agree exactly)
+        F.expr("t div n").alias("b"),
+        ((F.col("t") * BOOT_A + BOOT_C) % BOOT_P % F.col("n")).alias("sel"),
+        "n",
+    )
+    means = (
+        draws.join(F.broadcast(indexed), F.col("sel") == F.col("day_idx"))
+        .groupBy("b", "n")
+        .agg(F.sum("rev").alias("rsum"))
+        .select(
+            "b",
+            (F.col("rsum").cast("double") / F.col("n").cast("double")).alias(
+                "rmean"
+            ),
+        )
+    )
+    lo_rank = -(-5 * n_boot // 100)   # ceil(0.05 * B)
+    hi_rank = -(-95 * n_boot // 100)  # ceil(0.95 * B)
+    w_rank = Window.orderBy(F.col("rmean").asc(), F.col("b").asc())
+    ranked = means.select("rmean", F.row_number().over(w_rank).alias("r"))
+    ci = (
+        ranked.filter(F.col("r").isin([lo_rank, hi_rank]))
+        .groupBy()
+        .agg(
+            F.min(F.when(F.col("r") == lo_rank, F.col("rmean"))).alias(
+                "ci_lo"
+            ),
+            F.min(F.when(F.col("r") == hi_rank, F.col("rmean"))).alias(
+                "ci_hi"
+            ),
+        )
+    )
+    obs = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (
+            F.sum("rev").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_daily_revenue"),
+    )
+    return (
+        obs.crossJoin(F.broadcast(ci))
+        .select(
+            "n_days",
+            F.lit(n_boot).cast("long").alias("n_boot"),
+            "mean_daily_revenue",
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -101,11 +101,17 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     )
+    # persist: the tiny (terms x matching docs) tf relation feeds TWO
+    # parallel consumers (the df-per-term aggregate and the score join)
+    # and sits above the corpus-scale explode+filter+shuffle — one
+    # tokenize pass instead of two (repo persist criterion: parallel
+    # consumers AND a shuffle/UDF in the shared subtree)
     tf = (
         _doc_tokens(docs, text_col, id_col)
         .filter(F.col("token").isin(terms))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 

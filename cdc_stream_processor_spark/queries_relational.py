@@ -3054,6 +3054,43 @@ WHERE l_quantity < (
 """
 
 
+def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-LCG bootstrap CI for mean daily revenue (see
+    operators.relational.bootstrap_ci_daily_revenue)."""
+    return R.bootstrap_ci_daily_revenue(B.load_table(spark, sf_dir, "orders"))
+
+
+SQL_BOOTSTRAP_CI_REVENUE = f"""
+WITH daily AS (
+  SELECT o_orderdate, SUM(o_totalprice::DECIMAL(18,4)) AS rev
+  FROM orders GROUP BY o_orderdate
+), indexed AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) - 1 AS day_idx, rev
+  FROM daily
+), nn AS (
+  SELECT COUNT(*) AS n FROM daily
+), draws AS (
+  SELECT t // n AS b,
+         (t * {R.BOOT_A} + {R.BOOT_C}) % {R.BOOT_P} % n AS sel, n
+  FROM nn, unnest(generate_series(0, {R.BOOT_B} * n - 1)) AS u(t)
+), means AS (
+  SELECT b, SUM(rev)::DOUBLE / n::DOUBLE AS rmean
+  FROM draws JOIN indexed ON sel = day_idx
+  GROUP BY b, n
+), ranked AS (
+  SELECT rmean, ROW_NUMBER() OVER (ORDER BY rmean ASC, b ASC) AS r
+  FROM means
+)
+SELECT
+  (SELECT COUNT(*) FROM daily) AS n_days,
+  {R.BOOT_B}::BIGINT AS n_boot,
+  (SELECT SUM(rev)::DOUBLE / COUNT(*)::DOUBLE FROM daily)
+    AS mean_daily_revenue,
+  (SELECT rmean FROM ranked WHERE r = {-(-5 * R.BOOT_B // 100)}) AS ci_lo,
+  (SELECT rmean FROM ranked WHERE r = {-(-95 * R.BOOT_B // 100)}) AS ci_hi
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "user_sessions": q_user_sessions,
@@ -3093,6 +3130,7 @@ QUERIES = {
     "part_affinity": q_part_affinity,
     "survival_curve": q_survival_curve,
     "ab_test_zscores": q_ab_test_zscores,
+    "bootstrap_ci_revenue": q_bootstrap_ci_revenue,
     "expectation_suite": q_expectation_suite,
     "pattern_match_daily": q_pattern_match_daily,
     "sequence_gap_audit": q_sequence_gap_audit,
@@ -3174,6 +3212,7 @@ ORACLES = {
     "part_affinity": SQL_PART_AFFINITY,
     "survival_curve": SQL_SURVIVAL_CURVE,
     "ab_test_zscores": SQL_AB_TEST_ZSCORES,
+    "bootstrap_ci_revenue": SQL_BOOTSTRAP_CI_REVENUE,
     "expectation_suite": SQL_EXPECTATION_SUITE,
     "pattern_match_daily": SQL_PATTERN_MATCH_DAILY,
     "sequence_gap_audit": SQL_SEQUENCE_GAP_AUDIT,
