@@ -136,3 +136,77 @@ def triangle_counts(
     return corners.groupBy("vertex").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.
+    2007) made deterministic: labels start as node ids; each round every
+    node adopts the most frequent label among its neighbors PLUS ITS OWN
+    current label (the self-vote damps the classic synchronous-LPA
+    oscillation on bipartite pieces — a bare edge pair otherwise swaps
+    labels forever), ties broken by the SMALLEST label; fixed round
+    count (asynchronous/random-order LPA is not replayable — the
+    synchronous min-tie variant is, and a DuckDB oracle unrolls the same
+    rounds).
+
+    Distinct from connected components (operators.dedup): CC merges
+    everything reachable; LPA lets dense regions keep distinct labels
+    across sparse cuts, which is the community signal.
+
+    Per round: one join of the |V|-row label vector onto the symmetrized
+    edge list + two integer aggregations (max count, then min label among
+    the argmax set — membership decided by value comparison, the same
+    tie discipline as the MG trim). Edge list is persisted: it is reused
+    every round above its symmetrize+distinct shuffle.
+
+    Returns (node, community) after n_rounds.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(
+            edges.select(
+                F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(n_rounds):
+        votes = e.join(
+            labels.select(
+                F.col("node").alias("_n"), F.col("label").alias("nb_label")
+            ),
+            F.col("dst") == F.col("_n"),
+        ).select("src", "nb_label").unionByName(
+            labels.select(
+                F.col("node").alias("src"), F.col("label").alias("nb_label")
+            )
+        )
+        counts = votes.groupBy("src", "nb_label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        mx = counts.groupBy("src").agg(F.max("c").alias("mc"))
+        labels = (
+            counts.join(mx, "src")
+            .filter(F.col("c") == F.col("mc"))
+            .groupBy("src")
+            .agg(F.min("nb_label").alias("label"))
+            .select(F.col("src").alias("node"), "label")
+            # the accumulator is referenced TWICE per round (neighbor join
+            # + self-vote union) — without truncation the lineage doubles
+            # per round and re-executes the whole chain 2^rounds times
+            # (measured 10.7 s -> ~2 s at sf0.1); localCheckpoint per
+            # round is the repo-standard cure for the k^rounds plan trap
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("label").alias("community"))

@@ -1332,6 +1332,65 @@ FROM {prev}
 """
 
 
+# --- label-propagation communities over the kNN graph ------------------------
+
+LPA_ROUNDS = 3
+
+
+def q_knn_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-tie label propagation over the symmetrized exact
+    kNN graph (operators.graph.label_propagation) — deterministic, so the
+    DuckDB oracle unrolls the same rounds."""
+    from cdc_stream_processor_spark.operators.graph import label_propagation
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=KNN_K, block_size=512).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return label_propagation(edges, n_rounds=LPA_ROUNDS)
+
+
+def _knn_communities_sql() -> str:
+    knn_full = _knn_graph_sql().strip().removeprefix("WITH")
+    knn = knn_full[: knn_full.rindex("SELECT vec_id, neighbor_id, cosine_sim, rank")]
+    rounds = []
+    prev = "l0"
+    for t in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""c{t} AS (
+  SELECT node, label, COUNT(*) AS c FROM (
+    SELECT e.src AS node, l.label FROM e JOIN {prev} l ON e.dst = l.node
+    UNION ALL SELECT node, label FROM {prev}
+  ) GROUP BY node, label
+), m{t} AS (
+  SELECT node, MAX(c) AS mc FROM c{t} GROUP BY node
+), l{t} AS (
+  SELECT c.node, MIN(c.label) AS label
+  FROM c{t} c JOIN m{t} m ON c.node = m.node AND c.c = m.mc
+  GROUP BY c.node
+)""")
+        prev = f"l{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""
+WITH {knn}
+, knn_e AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM knn_e UNION ALL SELECT dst, src FROM knn_e
+  )
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e
+),
+{rounds_sql}
+SELECT node, label AS community FROM {prev}
+"""
+
+
 # --- duplicated-substring spans ----------------------------------------------
 
 
@@ -2060,6 +2119,7 @@ QUERIES = {
     "knn_graph": q_knn_graph,
     "embedding_gram": q_embedding_gram,
     "knn_pagerank": q_knn_pagerank,
+    "knn_communities": q_knn_communities,
     "dup_spans": q_dup_spans,
     "batch_inference_embed": q_batch_inference,
     "centroid_pair_sim": q_centroid_pair_sim,
@@ -2109,6 +2169,7 @@ ORACLES = {
     "knn_graph": _knn_graph_sql(),
     "embedding_gram": _embedding_gram_sql(),
     "knn_pagerank": _knn_pagerank_sql(),
+    "knn_communities": _knn_communities_sql(),
     "dup_spans": _dup_spans_sql(),
     "batch_inference_embed": _batch_inference_sql(),
     "centroid_pair_sim": _centroid_pair_sim_sql(),

@@ -1537,3 +1537,28 @@ def test_ltv_cohort_curve_hand_computed(spark):
     c20 = out[(m_jan + 1, 0)]
     assert (c20.n_customers, c20.cum_revenue, c20.ltv) == (1, 7.0, 7.0)
     assert len(out) == 3
+
+
+def test_label_propagation_two_triangles_bridge(spark):
+    """Two triangles joined by one bridge edge: LPA keeps them as two
+    communities (CC would merge them) — hand-simulated sync min-tie
+    self-vote rounds: after 3 rounds {1,2,3} -> 1 and {4,5,6} -> 4."""
+    from cdc_stream_processor_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r.node: r.community for r in label_propagation(edges, n_rounds=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+def test_label_propagation_directed_input_symmetrized(spark):
+    """One directed edge still propagates both ways (symmetrize), and
+    the self-vote prevents the 2-cycle label swap: both endpoints
+    converge to the min id."""
+    from cdc_stream_processor_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(9, 2)], "src long, dst long")
+    got = {r.node: r.community for r in label_propagation(edges, n_rounds=2).collect()}
+    assert got == {2: 2, 9: 2}
