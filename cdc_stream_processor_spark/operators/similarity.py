@@ -1806,3 +1806,67 @@ def mmr_rerank(
         .applyInPandas(kernel, schema=out_schema)
     )
     return out.orderBy("query_id", "mmr_rank")
+
+
+def hard_negative_topk(
+    vecs: DataFrame,
+    k: int = 5,
+    query_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k NEAREST neighbors with a DIFFERENT label — the
+    negatives that sit closest to the decision boundary, which is what a
+    triplet/InfoNCE sampler wants (random negatives are mostly easy and
+    carry no gradient signal).
+
+    Same exact-cosine machinery as brute_force_topk (BLAS einsum with
+    rounding-boundary re-fold, ROUND(·,6), ties on neighbor id), with the
+    label-mismatch predicate applied BEFORE scoring so same-label pairs
+    never enter the ranking. Queries = every query_stride-th id (the
+    similarity family's standard query set).
+
+    Scale shape: the query set broadcasts over the corpus (queries are a
+    1/query_stride sample); per-group top-k is TakeOrdered-style heap
+    pruning via WindowGroupLimit. For all-vectors-as-queries use the
+    blocked knn_graph kernel and post-filter labels — this operator is
+    the query-sample form.
+    """
+    from cdc_stream_processor_spark.operators.relational import (
+        top_k_per_group,
+    )
+
+    q = vecs.filter(F.col(id_col) % query_stride == 0).select(
+        F.col(id_col).alias("query_id"),
+        as_double(F.col(vec_col)).alias("qv"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = ensure_parallelism(vecs).select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+        F.col(label_col).alias("n_label"),
+    )
+    cos = _cosine_pandas_udf()
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_label") != F.col("n_label"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            F.col("n_label").alias("neg_label"),
+            F.round(cos(F.col("qv"), F.col("cv")), 6).alias("cosine_sim"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select(
+        "query_id", "q_label", "neighbor_id", "neg_label", "cosine_sim", "rank"
+    )

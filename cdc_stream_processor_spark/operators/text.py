@@ -1143,3 +1143,56 @@ def ttr_by_source(
             F.expr("n_types * 1000000L div n_tokens").alias("ttr_ppm"),
         )
     )
+
+
+CAL_BINS = 10
+
+
+def lm_quality_calibration(
+    docs: DataFrame,
+    n_bins: int = CAL_BINS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Calibration table for the LM fluency signal against the Gopher
+    rule gate: bin documents into n_bins equal-width buckets of
+    bigram-LM mean scaled probability, and report each bin's Gopher
+    keep-rate — the "does the cheap statistical score agree with the
+    rule-based gate, and where do they disagree" audit run before
+    trusting either as a corpus filter.
+
+    Bin assignment is VALUE-based (floor(score / (max+1) · n_bins)), not
+    rank-based: map-only after a one-row max broadcast, so no
+    corpus-scale rank window (the decile-by-rank formulation would need
+    `range_rank` at 100 TB). Per-bin keep_rate is one double division of
+    integer counts; score extremes are min/max selections — no double
+    accumulation anywhere. Covers scoreable docs (>= 2 tokens, the
+    bigram-LM domain).
+    """
+    lm = bigram_lm_score(docs, text_col, id_col)
+    gq = gopher_quality(docs, text_col, id_col).select("doc_id", "keep")
+    mx = lm.agg(F.max("mean_scaled_p").alias("mx"))
+    binned = (
+        lm.join(gq, "doc_id")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                (F.col("mean_scaled_p") / (F.col("mx") + F.lit(1.0)))
+                * F.lit(float(n_bins))
+            )
+            .cast("long")
+            .alias("lm_bin"),
+            "mean_scaled_p",
+            "keep",
+        )
+    )
+    return binned.groupBy("lm_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        (
+            F.sum(F.col("keep").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("keep_rate"),
+        F.min("mean_scaled_p").alias("score_min"),
+        F.max("mean_scaled_p").alias("score_max"),
+    )

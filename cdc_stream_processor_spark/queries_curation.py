@@ -538,8 +538,43 @@ FROM (
 """
 
 
+def q_lm_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM score bins vs Gopher keep-rate calibration
+    (operators.text.lm_quality_calibration)."""
+    return T.lm_quality_calibration(B.load_table(spark, sf_dir, "documents"))
+
+
+def _lm_calibration_sql() -> str:
+    from cdc_stream_processor_spark.queries_corpus import _gopher_sql
+    from cdc_stream_processor_spark.queries_extensions import (
+        SQL_BIGRAM_LM_SCORE,
+    )
+
+    return f"""
+WITH lm AS (
+  SELECT * FROM ({SQL_BIGRAM_LM_SCORE})
+), gq AS (
+  SELECT doc_id, keep FROM ({_gopher_sql()})
+), mx AS (
+  SELECT MAX(mean_scaled_p) AS mx FROM lm
+), binned AS (
+  SELECT FLOOR((lm.mean_scaled_p / (mx.mx + 1.0)) * {float(T.CAL_BINS)}
+         )::BIGINT AS lm_bin,
+         lm.mean_scaled_p, gq.keep
+  FROM lm JOIN gq USING (doc_id) CROSS JOIN mx
+)
+SELECT lm_bin, COUNT(*) AS n_docs,
+       SUM(keep::BIGINT)::BIGINT AS n_keep,
+       SUM(keep::BIGINT)::BIGINT::DOUBLE / COUNT(*)::DOUBLE AS keep_rate,
+       MIN(mean_scaled_p) AS score_min,
+       MAX(mean_scaled_p) AS score_max
+FROM binned GROUP BY lm_bin
+"""
+
+
 QUERIES = {
     "lrs_dup_scale": q_lrs_dup_scale,
+    "lm_quality_calibration": q_lm_quality_calibration,
     "lrs_by_source": q_lrs_by_source,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnowing_overlap_pairs": q_winnowing_overlap_pairs,
@@ -555,6 +590,7 @@ QUERIES = {
 
 ORACLES = {
     "lrs_dup_scale": SQL_LRS_DUP_SCALE,
+    "lm_quality_calibration": _lm_calibration_sql(),
     "lrs_by_source": SQL_LRS_BY_SOURCE,
     "winnowing_fingerprints": SQL_WINNOWING_FINGERPRINTS,
     "winnowing_overlap_pairs": SQL_WINNOWING_OVERLAP_PAIRS,

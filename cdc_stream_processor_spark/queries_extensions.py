@@ -1332,6 +1332,43 @@ FROM {prev}
 """
 
 
+# --- hard-negative mining (contrastive training negatives) --------------------
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query vector, the TOPK nearest neighbors with a DIFFERENT
+    label (operators.similarity.hard_negative_topk)."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    return S.hard_negative_topk(emb, k=TOPK, query_stride=QUERY_STRIDE)
+
+
+def _hard_negatives_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(q.e, c.e), p -> p[1] * p[2])"
+    )
+    nq = _FOLD_SUM.format(arr="list_transform(q.e, x -> x * x)")
+    nc = _FOLD_SUM.format(arr="list_transform(c.e, x -> x * x)")
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+), q AS (
+  SELECT * FROM v WHERE vec_id % {QUERY_STRIDE} = 0
+), scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         c.vec_id AS neighbor_id, c.label AS neg_label,
+         ROUND({dot} / (sqrt({nq}) * sqrt({nc})), 6) AS cosine_sim
+  FROM q, v c
+  WHERE q.label != c.label
+)
+SELECT query_id, q_label, neighbor_id, neg_label, cosine_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOPK}
+"""
+
+
 # --- label-propagation communities over the kNN graph ------------------------
 
 LPA_ROUNDS = 3
@@ -2120,6 +2157,7 @@ QUERIES = {
     "embedding_gram": q_embedding_gram,
     "knn_pagerank": q_knn_pagerank,
     "knn_communities": q_knn_communities,
+    "hard_negatives": q_hard_negatives,
     "dup_spans": q_dup_spans,
     "batch_inference_embed": q_batch_inference,
     "centroid_pair_sim": q_centroid_pair_sim,
@@ -2170,6 +2208,7 @@ ORACLES = {
     "embedding_gram": _embedding_gram_sql(),
     "knn_pagerank": _knn_pagerank_sql(),
     "knn_communities": _knn_communities_sql(),
+    "hard_negatives": _hard_negatives_sql(),
     "dup_spans": _dup_spans_sql(),
     "batch_inference_embed": _batch_inference_sql(),
     "centroid_pair_sim": _centroid_pair_sim_sql(),

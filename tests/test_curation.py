@@ -332,3 +332,28 @@ def test_pack_efficiency_planted(spark):
     assert eff.n_packs == 2  # 80 tokens / 64 capacity
     assert eff.fill_ppm == 625_000
     assert eff.n_straddles == 1
+
+
+def test_lm_quality_calibration_invariants(spark, sf_dir):
+    """Bins lie in [0, CAL_BINS); every scoreable doc is counted exactly
+    once; keep_rate is the exact count ratio; score ranges nest inside
+    their bin's half-open interval ordering."""
+    from cdc_stream_processor_spark.sources import batch as B
+
+    docs = B.load_table(spark, sf_dir, "documents")
+    out = sorted(
+        T.lm_quality_calibration(docs).collect(), key=lambda r: r.lm_bin
+    )
+    assert out and all(0 <= r.lm_bin < T.CAL_BINS for r in out)
+    n_scoreable = (
+        T.bigram_lm_score(docs).join(
+            T.gopher_quality(docs).select("doc_id"), "doc_id"
+        )
+    ).count()
+    assert sum(r.n_docs for r in out) == n_scoreable
+    for r in out:
+        assert r.keep_rate == r.n_keep / r.n_docs
+        assert r.score_min <= r.score_max
+    # bins are value-ordered: each bin's max stays below the next bin's min
+    for a, b in zip(out, out[1:]):
+        assert a.score_max < b.score_min

@@ -1562,3 +1562,28 @@ def test_label_propagation_directed_input_symmetrized(spark):
     edges = spark.createDataFrame([(9, 2)], "src long, dst long")
     got = {r.node: r.community for r in label_propagation(edges, n_rounds=2).collect()}
     assert got == {2: 2, 9: 2}
+
+
+def test_hard_negative_topk_excludes_same_label(spark):
+    """The globally nearest neighbor shares the query's label and must be
+    excluded; ranking covers only different-label vectors."""
+    from cdc_stream_processor_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 7),      # query (vec_id % 50 == 0)
+        (1, [0.99, 0.01], 7),    # nearest overall, SAME label -> excluded
+        (2, [0.9, 0.1], 8),
+        (3, [0.0, 1.0], 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_topk(df, k=2, query_stride=50).collect()
+    assert [(r.query_id, r.neighbor_id, r.rank) for r in out] == [
+        (0, 2, 1),
+        (0, 3, 2),
+    ]
+    assert all(r.q_label == 7 and r.neg_label == 8 for r in out)
+    assert out[0].cosine_sim > out[1].cosine_sim
