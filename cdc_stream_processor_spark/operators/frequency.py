@@ -184,3 +184,110 @@ def misra_gries_summary(
             F.col("t").alias("err_bound"),
         )
     )
+
+
+# --- count-min sketch (point-frequency estimates) -----------------------------
+
+CMS_DEPTH = 3
+CMS_WIDTH = 1024
+
+
+def _cms_col(key, row: int, width: int):
+    """Row-salted md5 hash to a CMS column in [0, width) — the row index
+    prefixes the key so the CMS_DEPTH hash functions are independent;
+    identical in DuckDB via ('0x'||substr(md5(i||k),1,8))::UBIGINT % w."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(str(row)), key)), 1, 8), 16, 10
+        ).cast("long")
+        % F.lit(width)
+    )
+
+
+def cms_build(
+    keys_df: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan '05) over a key stream:
+    depth x width integer counters, cell (i, h_i(key)) += 1 per
+    occurrence. Returns the non-zero cells (row, col, c) — the sketch is
+    a FIXED-SIZE summary (depth*width counters) whatever the key
+    cardinality, and cells merge by integer addition across partitions,
+    shards, or days (the mergeable-summary property, same family as the
+    KMV and Misra-Gries operators).
+
+    Plan: one explode of depth projections per key occurrence -> one
+    (row, col) groupBy with map-side partials; the shuffle carries at
+    most depth*width distinct cells regardless of corpus size.
+    """
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_col(F.col(key_col), i, width).alias("col"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        keys_df.select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_point_estimates(
+    keys_df: DataFrame,
+    probe_terms: list[str],
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """CMS point-frequency queries next to the exact counts, so the
+    one-sided error is visible: est(t) = min_i cell(i, h_i(t)) >= true(t),
+    with E[est - true] <= e/width * N per the CMS guarantee.
+
+    Output: (term, est_count, true_count, overestimate). An absent term
+    reports the pure collision mass (true_count 0).
+    """
+    sketch = cms_build(keys_df, key_col, depth, width)
+    spark = keys_df.sparkSession
+    probes = spark.createDataFrame(
+        [(t,) for t in probe_terms], f"term string"
+    ).select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_col(F.col("term"), i, width).alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select("term", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .fillna({"c": 0})
+        .groupBy("term")
+        .agg(F.min("c").alias("est_count"))
+    )
+    true_c = (
+        keys_df.filter(F.col(key_col).isin(probe_terms))
+        .groupBy(F.col(key_col).alias("term"))
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    return (
+        est.join(F.broadcast(true_c), "term", "left")
+        .fillna({"tc": 0})
+        .select(
+            "term",
+            "est_count",
+            F.col("tc").alias("true_count"),
+            (F.col("est_count") - F.col("tc")).alias("overestimate"),
+        )
+    )

@@ -391,6 +391,52 @@ SELECT c.tok, c.cnt FROM c, t WHERE c.cnt * {FR.HH_K} > t.n
 """
 
 
+# --- count-min sketch point estimates -----------------------------------------
+
+# probe set: common corpus terms + one guaranteed-absent key (true 0 ->
+# the estimate shows pure collision mass, pinning the one-sided error)
+CMS_PROBES = ["spark", "join", "window", "vector", "stream", "zz_absent_key"]
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = B.load_table(spark, sf_dir, "documents").select(
+        F.explode(TH.tokens(F.col("text"))).alias("tok")
+    )
+    return FR.cms_point_estimates(toks, CMS_PROBES, key_col="tok")
+
+
+def _cms_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    probes_sql = ", ".join(f"'{t}'" for t in CMS_PROBES)
+    salts = ", ".join(str(i) for i in range(FR.CMS_DEPTH))
+    h = (
+        "('0x' || substr(md5(r.i::VARCHAR || {k}), 1, 8))::UBIGINT::BIGINT"
+        f" % {FR.CMS_WIDTH}"
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({toks}) AS key FROM documents
+), cells AS (
+  SELECT r.i AS row, {h.format(k="key")} AS col, COUNT(*) AS c
+  FROM toks, unnest([{salts}]) AS r(i)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT t.term, r.i AS row, {h.format(k="t.term")} AS col
+  FROM (SELECT unnest([{probes_sql}]) AS term) t, unnest([{salts}]) AS r(i)
+), est AS (
+  SELECT term, MIN(COALESCE(c, 0))::BIGINT AS est_count
+  FROM probes LEFT JOIN cells USING (row, col) GROUP BY term
+), tc AS (
+  SELECT key AS term, COUNT(*) AS tc FROM toks
+  WHERE key IN ({probes_sql}) GROUP BY key
+)
+SELECT est.term, est.est_count,
+       COALESCE(tc.tc, 0)::BIGINT AS true_count,
+       (est.est_count - COALESCE(tc.tc, 0))::BIGINT AS overestimate
+FROM est LEFT JOIN tc USING (term)
+"""
+
+
 # --- sharded Misra-Gries summary (value-deterministic trim) -------------------
 
 
@@ -894,6 +940,7 @@ QUERIES = {
     "temperature_sample": q_temperature_sample,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "misra_gries_summary": q_misra_gries_summary,
+    "cms_token_counts": q_cms_token_counts,
     "stratified_sample": q_stratified_sample,
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "corpus_prep_pipeline": q_corpus_prep_pipeline,
@@ -922,6 +969,7 @@ ORACLES = {
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTERS,
     "misra_gries_summary": SQL_MISRA_GRIES_SUMMARY,
+    "cms_token_counts": _cms_sql(),
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "corpus_prep_pipeline": SQL_CORPUS_PREP_PIPELINE,

@@ -150,3 +150,53 @@ def test_mg_stream_guarantee_across_checkpointed_runs(spark, tmpdirs):
         assert r.n_shard == true_by_shard[s]
     # the heavy key must be present in its shard's summary
     assert (_shard("hot"), "hot") in snap
+
+
+# --- count-min sketch ---------------------------------------------------------
+
+
+def test_cms_exact_when_no_collisions(spark):
+    rows = [("a",)] * 5 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "key string")
+    out = {
+        r.term: r
+        for r in FR.cms_point_estimates(df, ["a", "b", "c", "nope"]).collect()
+    }
+    # width 1024, 3 keys: collisions effectively impossible per row salt
+    assert (out["a"].est_count, out["a"].true_count) == (5, 5)
+    assert (out["b"].est_count, out["b"].true_count) == (3, 3)
+    assert (out["c"].est_count, out["c"].true_count) == (1, 1)
+    assert out["nope"].true_count == 0 and out["nope"].est_count >= 0
+    assert all(r.overestimate == r.est_count - r.true_count for r in out.values())
+
+
+def test_cms_one_sided_error_under_forced_collisions(spark):
+    """width=2 forces heavy collisions: the CMS estimate must NEVER
+    undercount (one-sided error), for present and absent probes alike."""
+    import collections
+
+    keys = [f"k{i % 7}" for i in range(200)]
+    true = collections.Counter(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    probes = [f"k{i}" for i in range(9)]  # k7, k8 absent
+    out = FR.cms_point_estimates(df, probes, width=2).collect()
+    assert len(out) == 9
+    for r in out:
+        assert r.est_count >= true.get(r.term, 0), r
+        assert r.true_count == true.get(r.term, 0)
+
+
+def test_cms_cells_merge_by_addition(spark):
+    """Sketch of A+B equals cell-wise sum of sketch(A) and sketch(B) —
+    the mergeable-summary property that makes CMS shard/day-combinable."""
+    a = spark.createDataFrame([("x",)] * 4 + [("y",)] * 2, "key string")
+    b = spark.createDataFrame([("x",)] * 1 + [("z",)] * 3, "key string")
+    both = a.union(b)
+    cells = lambda df: {
+        (r.row, r.col): r.c for r in FR.cms_build(df).collect()
+    }
+    ca, cb, cab = cells(a), cells(b), cells(both)
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cab
