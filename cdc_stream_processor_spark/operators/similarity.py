@@ -1870,3 +1870,64 @@ def hard_negative_topk(
     ).select(
         "query_id", "q_label", "neighbor_id", "neg_label", "cosine_sim", "rank"
     )
+
+
+def kcenter_centers(
+    vecs: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact greedy k-center (Gonzalez 1985) in cosine space: seed with
+    the smallest id, then k-1 times add the point FARTHEST from its
+    nearest chosen center (= smallest max-cosine; ties on ascending id).
+    The 2-approximation coreset/diverse-exemplar selector —
+    ``diversity_sample``'s docstring names this sequential greedy as the
+    thing its cluster stratification surrogates; this is the exact form
+    for small k (each round is one distributed pass + a ONE-ROW argmin
+    probe — k bounded driver rows total, the same bounded-scalar-probe
+    class as the IVF centroid train sample).
+
+    Per round: the running per-point max-cosine updates incrementally
+    against only the newest center (greatest(prev, cos_new)) — one
+    crossJoin with a broadcast 1-row center + Arrow cosine kernel; the
+    accumulator localCheckpoints per round (linear lineage, no k^rounds
+    blowup). Already-chosen ids are excluded from candidacy.
+
+    Returns (rank, vec_id, sel_maxcos): sel_maxcos is the candidate's
+    max-cosine to the prior centers at selection time (NULL for the
+    seed); 1 - sel_maxcos is the coverage radius achieved so far.
+    """
+    spark = vecs.sparkSession
+    pts = vecs.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    cos = _cosine_pandas_udf()
+    seed = pts.orderBy("vec_id").limit(1).collect()[0]
+    chosen: list[tuple[int, int, float | None]] = [(0, seed.vec_id, None)]
+    last_vec = seed.v
+    cur = pts.withColumn("maxc", F.lit(-2.0))
+    for r in range(1, k):
+        qv = F.array(*[F.lit(float(x)) for x in last_vec])
+        cur = cur.select(
+            "vec_id",
+            "v",
+            F.greatest(
+                F.col("maxc"), F.round(cos(F.col("v"), qv), 6)
+            ).alias("maxc"),
+        ).localCheckpoint(eager=True)
+        cand = (
+            cur.filter(~F.col("vec_id").isin([c[1] for c in chosen]))
+            .orderBy(F.col("maxc").asc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not cand:
+            break
+        row = cand[0]
+        chosen.append((r, row.vec_id, row.maxc))
+        last_vec = row.v if hasattr(row, "v") else None
+    return spark.createDataFrame(
+        [(r, i, m) for r, i, m in chosen],
+        "rank long, vec_id long, sel_maxcos double",
+    )

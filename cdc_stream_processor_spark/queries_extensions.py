@@ -1369,6 +1369,67 @@ SELECT query_id, q_label, neighbor_id, neg_label, cosine_sim, rank FROM (
 """
 
 
+# --- exact greedy k-center coreset selection ----------------------------------
+
+KCENTER_K = 5
+
+
+def q_kcenter_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gonzalez greedy k-center exemplars over the embeddings
+    (operators.similarity.kcenter_centers)."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    return S.kcenter_centers(emb, k=KCENTER_K)
+
+
+def _kcenter_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(p.e, q.e), x -> x[1] * x[2])"
+    )
+    np_ = _FOLD_SUM.format(arr="list_transform(p.e, x -> x * x)")
+    nq_ = _FOLD_SUM.format(arr="list_transform(q.e, x -> x * x)")
+    cos = f"ROUND({dot} / (sqrt({np_}) * sqrt({nq_})), 6)"
+    ctes = [
+        "v AS (\n  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+        " AS e FROM embeddings\n)",
+        "c0 AS (SELECT MIN(vec_id) AS id FROM v)",
+    ]
+    prev_s = None
+    for r in range(1, KCENTER_K):
+        exclude = " UNION ALL ".join(
+            f"SELECT id FROM c{i}" for i in range(r)
+        )
+        if prev_s is None:
+            ctes.append(
+                f"""s{r} AS (
+  SELECT p.vec_id, p.e, {cos} AS maxc
+  FROM v p JOIN v q ON q.vec_id = (SELECT id FROM c0)
+)"""
+            )
+        else:
+            ctes.append(
+                f"""s{r} AS (
+  SELECT p.vec_id, p.e, GREATEST(p.maxc, {cos}) AS maxc
+  FROM {prev_s} p JOIN v q ON q.vec_id = (SELECT id FROM c{r - 1})
+)"""
+            )
+        ctes.append(
+            f"""c{r} AS (
+  SELECT vec_id AS id, maxc FROM s{r}
+  WHERE vec_id NOT IN ({exclude})
+  ORDER BY maxc ASC, vec_id ASC LIMIT 1
+)"""
+        )
+        prev_s = f"s{r}"
+    selects = [
+        "SELECT 0::BIGINT AS rank, (SELECT id FROM c0) AS vec_id,"
+        " NULL::DOUBLE AS sel_maxcos"
+    ] + [
+        f"SELECT {r}::BIGINT, id, maxc FROM c{r}"
+        for r in range(1, KCENTER_K)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 # --- label-propagation communities over the kNN graph ------------------------
 
 LPA_ROUNDS = 3
@@ -2158,6 +2219,7 @@ QUERIES = {
     "knn_pagerank": q_knn_pagerank,
     "knn_communities": q_knn_communities,
     "hard_negatives": q_hard_negatives,
+    "kcenter_sample": q_kcenter_sample,
     "dup_spans": q_dup_spans,
     "batch_inference_embed": q_batch_inference,
     "centroid_pair_sim": q_centroid_pair_sim,
@@ -2209,6 +2271,7 @@ ORACLES = {
     "knn_pagerank": _knn_pagerank_sql(),
     "knn_communities": _knn_communities_sql(),
     "hard_negatives": _hard_negatives_sql(),
+    "kcenter_sample": _kcenter_sql(),
     "dup_spans": _dup_spans_sql(),
     "batch_inference_embed": _batch_inference_sql(),
     "centroid_pair_sim": _centroid_pair_sim_sql(),

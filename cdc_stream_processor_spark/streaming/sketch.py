@@ -178,3 +178,43 @@ def misra_gries_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_stream(
+    df: DataFrame,
+    key_col: str = "key",
+    depth: int | None = None,
+    width: int | None = None,
+) -> DataFrame:
+    """Streaming count-min sketch: the (row, col) cell counters of
+    ``operators.frequency.cms_build`` maintained as a running streaming
+    aggregation — Spark's agg state IS the sketch (depth·width bounded
+    keys, so the state is fixed-size without watermark eviction; this is
+    the rare unbounded-lifetime streaming agg that is legitimately
+    state-bounded by construction). Update mode emits changed cells per
+    micro-batch; the latest value per (row, col) is the live sketch, and
+    point estimates are min-over-rows exactly as in the batch twin
+    (single-batch parity + cross-run checkpoint recovery are tested).
+    """
+    from cdc_stream_processor_spark.operators.frequency import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_col,
+    )
+
+    d = depth if depth is not None else CMS_DEPTH
+    w = width if width is not None else CMS_WIDTH
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                _cms_col(F.col(key_col), i, w).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

@@ -1587,3 +1587,37 @@ def test_hard_negative_topk_excludes_same_label(spark):
     ]
     assert all(r.q_label == 7 and r.neg_label == 8 for r in out)
     assert out[0].cosine_sim > out[1].cosine_sim
+
+
+def test_kcenter_greedy_hand_computed(spark):
+    """4 points on the unit circle-ish: seed = min id; each round adds
+    the point with smallest max-cosine to the chosen set (farthest)."""
+    from cdc_stream_processor_spark.operators.similarity import (
+        kcenter_centers,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.045]),   # near-duplicate of 1
+        (3, [0.0, 1.0]),       # orthogonal to 1
+        (4, [-1.0, 0.0]),      # opposite of 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.rank: r for r in kcenter_centers(df, k=3).collect()}
+    assert out[0].vec_id == 1 and out[0].sel_maxcos is None
+    # round 1: maxcos to {1}: p2~0.999, p3=0.0, p4=-1.0 -> pick 4
+    assert out[1].vec_id == 4 and out[1].sel_maxcos == -1.0
+    # round 2: maxcos to {1,4}: p2~0.999, p3=max(0,0)=0 -> pick 3
+    assert out[2].vec_id == 3 and out[2].sel_maxcos == 0.0
+
+
+def test_kcenter_fewer_points_than_k(spark):
+    from cdc_stream_processor_spark.operators.similarity import (
+        kcenter_centers,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = kcenter_centers(df, k=5).collect()
+    assert [r.vec_id for r in out] == [1, 2]  # stops when ids exhaust

@@ -200,3 +200,70 @@ def test_cms_cells_merge_by_addition(spark):
     for k, v in cb.items():
         merged[k] = merged.get(k, 0) + v
     assert merged == cab
+
+
+def test_cms_stream_parity_and_checkpoint_recovery(spark, tmpdirs):
+    """Streaming CMS (running agg in update mode): after draining all
+    files the latest cell values equal the batch sketch of every row
+    seen so far — including across a checkpointed restart."""
+    src = f"{tmpdirs}/cms_src"
+    ckpt = f"{tmpdirs}/cms_ckpt"
+
+    def run(name):
+        stream = spark.readStream.schema("key string").parquet(src)
+        q = SP.start_pipeline(
+            SK.cms_stream(stream, key_col="key"),
+            name, ckpt.replace("cms_ckpt", "cms_ckpt_fixed"),
+            output_mode="update", sink_format="memory",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        # memory sink in update mode appends changed rows per batch;
+        # latest value per cell = the running counter
+        rows = spark.sql(f"select * from {name}").collect()
+        return rows
+
+    all_keys = []
+
+    def write_file(keys):
+        all_keys.extend(keys)
+        spark.createDataFrame(
+            [(k,) for k in keys], "key string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_file(["x"] * 4 + ["y"] * 2 + ["z"])
+    rows1 = {(r.row, r.col): r.c for r in run("cms_m1")}
+    batch1 = {
+        (r.row, r.col): r.c
+        for r in FR.cms_build(
+            spark.createDataFrame([(k,) for k in all_keys], "key string")
+        ).collect()
+    }
+    assert rows1 == batch1
+
+    # second run, same checkpoint: counters must ACCUMULATE, not reset
+    write_file(["x"] * 3 + ["w"] * 5)
+    rows2_all = run("cms_m2")
+    # take the latest emission: memory sink truncates per query name, but
+    # update mode can emit a cell twice across batches - keep max (counts
+    # are monotone)
+    rows2: dict = {}
+    for r in rows2_all:
+        k = (r.row, r.col)
+        rows2[k] = max(rows2.get(k, 0), r.c)
+    batch2 = {
+        (r.row, r.col): r.c
+        for r in FR.cms_build(
+            spark.createDataFrame([(k,) for k in all_keys], "key string")
+        ).collect()
+    }
+    # run 2's sink only holds cells CHANGED in run 2; every one of those
+    # must match the full batch sketch (proving state carried over)
+    assert rows2 and all(batch2[k] == v for k, v in rows2.items())
+    # the 'w' cells are new in run 2 and must be present
+    import hashlib
+    w_cells = {
+        (i, int(hashlib.md5(f"{i}w".encode()).hexdigest()[:8], 16) % FR.CMS_WIDTH)
+        for i in range(FR.CMS_DEPTH)
+    }
+    assert w_cells <= set(rows2)
