@@ -211,3 +211,46 @@ def sample_frames(
 
     vids = media.filter(F.col("kind") == "video").select("media_id", "payload")
     return vids.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """Aspect-preserving (letterbox-fit) image resize plan over the
+    binary media column — the missing member of the decode /
+    feature-extract / RESIZE / frame-sample quartet. The source dims are
+    the stub decode's sha256-derived values (`_stub_decode_image`), and
+    because those are hex-digit arithmetic they are computed here as
+    PURE CATALYST COLUMN EXPRESSIONS — no Python at all: this op is
+    map-only, zero-shuffle, whole-stage-codegen'd, demonstrating that
+    multimodal METADATA transforms (dims, scale factors, crop/resize
+    geometry) belong JVM-side even when pixel work is Arrow-side.
+
+    scale = min(target_w/w, target_h/h); out dims floor(side * scale)
+    (each a single correctly-rounded IEEE op, oracle-identical). The
+    "resized payload" is represented by its deterministic identity
+    sha256(payload || ':WxH') — a real deployment swaps that column for
+    the actual resampled bytes inside the same plan shape.
+    """
+    imgs = media.filter(F.col("kind") == "image")
+    hhex = F.sha2(F.col("payload"), 256)
+
+    def hb(p1: int):
+        return F.conv(F.substring(hhex, p1, 2), 16, 10).cast("long")
+
+    w = (F.lit(64) + hb(1) % 192).cast("long")
+    h = (F.lit(64) + hb(3) % 192).cast("long")
+    scale = F.least(
+        F.lit(float(target_w)) / w.cast("double"),
+        F.lit(float(target_h)) / h.cast("double"),
+    )
+    tag = F.lit(f":{target_w}x{target_h}".encode())
+    return imgs.select(
+        "media_id",
+        w.alias("src_w"),
+        h.alias("src_h"),
+        scale.alias("scale"),
+        F.floor(w.cast("double") * scale).cast("long").alias("out_w"),
+        F.floor(h.cast("double") * scale).cast("long").alias("out_h"),
+        F.sha2(F.concat(F.col("payload"), tag), 256).alias("resized_sha"),
+    )

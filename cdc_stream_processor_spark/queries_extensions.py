@@ -1369,6 +1369,44 @@ SELECT query_id, q_label, neighbor_id, neg_label, cosine_sim, rank FROM (
 """
 
 
+# --- multimodal resize plan ---------------------------------------------------
+
+RESIZE_W = 224
+RESIZE_H = 224
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Letterbox-fit resize plan for image media (pure Catalyst columns —
+    see operators.multimodal.resize_images)."""
+    media = M.media_from_documents(B.load_table(spark, sf_dir, "documents"))
+    return M.resize_images(media, RESIZE_W, RESIZE_H)
+
+
+def _resize_sql() -> str:
+    b0 = _HEXB.format(p1=1, p2=2)
+    b1 = _HEXB.format(p1=3, p2=4)
+    return f"""
+WITH img AS (
+  SELECT doc_id AS media_id, text, sha256(text) AS h
+  FROM documents WHERE doc_id % 4 NOT IN (0, 1)
+), dims AS (
+  SELECT media_id, text,
+         (64 + {b0} % 192)::BIGINT AS src_w,
+         (64 + {b1} % 192)::BIGINT AS src_h
+  FROM img
+), sc AS (
+  SELECT *, LEAST({float(RESIZE_W)} / src_w::DOUBLE,
+                  {float(RESIZE_H)} / src_h::DOUBLE) AS scale
+  FROM dims
+)
+SELECT media_id, src_w, src_h, scale,
+       FLOOR(src_w::DOUBLE * scale)::BIGINT AS out_w,
+       FLOOR(src_h::DOUBLE * scale)::BIGINT AS out_h,
+       sha256(text || ':{RESIZE_W}x{RESIZE_H}') AS resized_sha
+FROM sc
+"""
+
+
 # --- exact greedy k-center coreset selection ----------------------------------
 
 KCENTER_K = 5
@@ -2207,6 +2245,7 @@ QUERIES = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_image_features": q_multimodal_image_features,
+    "multimodal_resize": q_multimodal_resize,
     "multimodal_audio_features": q_multimodal_audio_features,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "text_profile": q_text_profile,
@@ -2259,6 +2298,7 @@ ORACLES = {
     "embedding_near_dup_pairs": _near_dup_pairs_sql(),
     "embedding_near_dup": _near_dup_keep_sql(),
     "multimodal_image_features": _image_features_sql(),
+    "multimodal_resize": _resize_sql(),
     "multimodal_audio_features": _audio_features_sql(),
     "multimodal_frame_sample": _frame_sample_sql(),
     "text_profile": _text_profile_sql(),

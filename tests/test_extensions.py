@@ -1621,3 +1621,34 @@ def test_kcenter_fewer_points_than_k(spark):
     )
     out = kcenter_centers(df, k=5).collect()
     assert [r.vec_id for r in out] == [1, 2]  # stops when ids exhaust
+
+
+def test_resize_images_letterbox_math(spark):
+    """Resize plan: dims replay the stub decode from sha256 bytes; out
+    dims are floor(side * min-scale) and fit inside the target box; the
+    resized identity is sha256(payload || ':WxH')."""
+    import hashlib as _hl
+
+    from cdc_stream_processor_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    payloads = [b"alpha", b"a much longer binary payload \x00\x01"]
+    media = spark.createDataFrame(
+        [(i, "image", p) for i, p in enumerate(payloads)]
+        + [(99, "audio", b"skip-me")],
+        "media_id long, kind string, payload binary",
+    )
+    out = {r.media_id: r for r in resize_images(media, 224, 224).collect()}
+    assert set(out) == {0, 1}  # non-images filtered
+    for i, p in enumerate(payloads):
+        d = _hl.sha256(p).digest()
+        w, h = 64 + d[0] % 192, 64 + d[1] % 192
+        r = out[i]
+        assert (r.src_w, r.src_h) == (w, h)
+        scale = min(224.0 / w, 224.0 / h)
+        assert r.scale == scale
+        import math
+        assert (r.out_w, r.out_h) == (math.floor(w * scale), math.floor(h * scale))
+        assert r.out_w <= 224 and r.out_h <= 224 and max(r.out_w, r.out_h) >= 223
+        assert r.resized_sha == _hl.sha256(p + b":224x224").hexdigest()
