@@ -471,3 +471,65 @@ def test_sequence_gap_audit_windows_are_bucket_partitioned(spark, sf_dir):
     plan = _plan(QRel.q_sequence_gap_audit(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "bkt" in plan  # intra-bucket lag partitions on the bucket key
+
+
+# --- round-7 session-2 families ----------------------------------------------
+
+
+def test_bm25_filters_terms_before_shuffle_and_heap_topk(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_retrieval as QV
+
+    plan = _plan(QV.q_bm25_topk(spark, sf_dir))
+    # global top-k is a streaming heap, not Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    # term stats come back as broadcasts, never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    # the query-term filter sits below the tf aggregation (In-filter on
+    # the exploded token), so the corpus-scale shuffle carries only
+    # matching (doc, term) rows
+    assert "token IN" in plan or "token#" in plan and " IN (" in plan
+
+
+def test_kmv_rank_compiles_to_window_group_limit(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_retrieval as QV
+
+    plan = _plan(QV.q_kmv_distinct_tokens(spark, sf_dir))
+    # rank <= k pushes a WindowGroupLimit below the sort: partitions
+    # retain k rows each, no full per-source sorted materialization
+    assert "WindowGroupLimit" in plan
+
+
+def test_er_pairs_join_on_block_key_no_nested_loop(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_linkage as QL
+
+    plan = _plan(QL.q_er_match_pairs(spark, sf_dir))
+    # the pair join is an equi-join on the blocking key (hash-joinable);
+    # a cartesian/nested-loop pair enumeration must never appear
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_misra_gries_summary_partial_aggs(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_corpus as QC
+
+    plan = _plan(QC.q_misra_gries_summary(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cms_shuffle_is_cell_bounded_partial_agged(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_corpus as QC
+
+    plan = _plan(QC.q_cms_token_counts(spark, sf_dir))
+    # the (row, col) count agg carries map-side partials so the shuffle
+    # is bounded by depth*width cells per task, not token volume
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_multimodal_resize_is_shuffle_free_codegen(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_extensions as QE
+
+    df = QE.q_multimodal_resize(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # map-only, zero shuffle
+    df.collect()
+    assert "*(1)" in _plan(df)  # whole-stage codegen, no Python stage
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
