@@ -1267,3 +1267,94 @@ def novelty_curve(
         "n_first_seen",
         F.sum("n_first_seen").over(w).alias("cum_first_seen"),
     )
+
+
+# --- greedy max-coverage (facility-location) selection ------------------------
+
+
+def max_coverage_sample(
+    docs: DataFrame,
+    k: int = 5,
+    gram: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact lazy-free greedy max-coverage selection (the classic
+    (1 - 1/e)-approximate submodular maximizer, Nemhauser et al. 1978):
+    pick k documents that together cover the most distinct coverage
+    units — tokens (gram=1) or word gram-shingles (gram>1) — one argmax
+    per round.  This is the set-cover member of the coreset
+    family — ``kcenter_centers`` optimizes geometric diversity in
+    embedding space; this optimizes vocabulary coverage in token space
+    (the facility-location objective with unit token weights).
+
+    Per round: one corpus-scale pass — a broadcast LEFT ANTI join of the
+    (doc, token) table against the covered-token set (bounded by
+    k · max-tokens-per-doc, the same bounded-driver-sketch class as the
+    Bloom decontaminator's word list), a map-side-combined count per doc,
+    and a ONE-ROW argmax probe (gain desc, doc_id asc).  The (doc, token)
+    table is built once and persisted across the k rounds.  Documents
+    whose remaining gain is zero drop out of candidacy (greedy halts
+    early when the corpus is exhausted, matching the oracle's empty CTE
+    leg).
+
+    Returns (rank, doc_id, gain, covered_total): gain is the number of
+    newly covered tokens at selection time; covered_total the cumulative
+    distinct-token coverage after the pick.
+
+    100 TB: k shuffles total (one count-by-doc per round, map-side
+    partials), zero corpus-scale collects; the anti join never shuffles
+    the corpus side.
+    """
+    spark = docs.sparkSession
+    units = (
+        TH.shingles(F.col(text_col), gram)
+        if gram > 1
+        else F.array_distinct(TH.tokens(F.col(text_col)))
+    )
+    dt = (
+        ensure_parallelism(docs)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(units).alias("tok"),
+        )
+        .persist()
+    )
+    try:
+        chosen: list[tuple[int, int, int, int]] = []
+        covered: set[str] = set()
+        for r in range(k):
+            cand = dt
+            if covered:
+                cov_df = spark.createDataFrame(
+                    [(t,) for t in sorted(covered)], "tok string"
+                )
+                cand = cand.join(F.broadcast(cov_df), "tok", "left_anti")
+            if chosen:
+                cand = cand.filter(
+                    ~F.col("doc_id").isin([c[1] for c in chosen])
+                )
+            top = (
+                cand.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("gain"))
+                .orderBy(F.col("gain").desc(), F.col("doc_id").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            sel_id, sel_gain = top[0].doc_id, top[0].gain
+            new_toks = [
+                row.tok
+                for row in cand.filter(F.col("doc_id") == sel_id)
+                .select("tok")
+                .collect()
+            ]
+            covered.update(new_toks)
+            chosen.append((r, sel_id, sel_gain, len(covered)))
+        return spark.createDataFrame(
+            chosen,
+            "rank long, doc_id long, gain long, covered_total long",
+        )
+    finally:
+        dt.unpersist()

@@ -572,7 +572,70 @@ FROM binned GROUP BY lm_bin
 """
 
 
+# --- greedy max-coverage (facility-location) selection ------------------------
+
+COVERAGE_K = 5
+COVERAGE_GRAM = 2  # unigram universe is 31 tokens in the synthetic docs —
+#                    2-gram shingles (~900 units) keep the greedy non-trivial
+
+
+def q_coverage_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy max-coverage doc selection over distinct word 2-gram
+    shingles (operators.corpus.max_coverage_sample); the oracle unrolls
+    the same k argmax rounds as chained CTEs (the kcenter_sample
+    technique)."""
+    return C.max_coverage_sample(
+        B.load_table(spark, sf_dir, "documents"),
+        k=COVERAGE_K,
+        gram=COVERAGE_GRAM,
+    )
+
+
+def _coverage_sql() -> str:
+    sh = TH.SHINGLES_SQL("toks", COVERAGE_GRAM)
+    ctes = [
+        f"dtt AS (\n  SELECT doc_id, {_TOKS} AS toks FROM documents\n)",
+        f"dt AS (\n  SELECT doc_id, unnest({sh}) AS tok FROM dtt\n)",
+    ]
+    for r in range(COVERAGE_K):
+        conds = []
+        if r:
+            conds.append(f"tok NOT IN (SELECT tok FROM cov{r - 1})")
+            excl = " UNION ALL ".join(
+                f"SELECT doc_id FROM c{i}" for i in range(r)
+            )
+            conds.append(f"doc_id NOT IN ({excl})")
+        where = (" WHERE " + " AND ".join(conds)) if conds else ""
+        ctes.append(
+            f"g{r} AS (SELECT doc_id, count(*)::BIGINT AS gain FROM dt"
+            f"{where} GROUP BY doc_id)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT doc_id, gain FROM g{r}"
+            " ORDER BY gain DESC, doc_id ASC LIMIT 1)"
+        )
+        if r == 0:
+            ctes.append(
+                "cov0 AS (SELECT DISTINCT tok FROM dt"
+                " WHERE doc_id = (SELECT doc_id FROM c0))"
+            )
+        else:
+            ctes.append(
+                f"cov{r} AS (SELECT tok FROM cov{r - 1} UNION"
+                f" SELECT tok FROM dt"
+                f" WHERE doc_id = (SELECT doc_id FROM c{r}))"
+            )
+    legs = [
+        f"SELECT {r}::BIGINT AS rank, doc_id, gain,"
+        f" (SELECT count(*)::BIGINT FROM cov{r}) AS covered_total"
+        f" FROM c{r}"
+        for r in range(COVERAGE_K)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
+
+
 QUERIES = {
+    "coverage_sample": q_coverage_sample,
     "lrs_dup_scale": q_lrs_dup_scale,
     "lm_quality_calibration": q_lm_quality_calibration,
     "lrs_by_source": q_lrs_by_source,
@@ -589,6 +652,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "coverage_sample": _coverage_sql(),
     "lrs_dup_scale": SQL_LRS_DUP_SCALE,
     "lm_quality_calibration": _lm_calibration_sql(),
     "lrs_by_source": SQL_LRS_BY_SOURCE,

@@ -357,3 +357,44 @@ def test_lm_quality_calibration_invariants(spark, sf_dir):
     # bins are value-ordered: each bin's max stays below the next bin's min
     for a, b in zip(out, out[1:]):
         assert a.score_max < b.score_min
+
+
+# --- greedy max-coverage selection --------------------------------------------
+
+
+def test_max_coverage_greedy_hand_computed(spark):
+    """Planted universe where greedy is forced through a known order:
+    doc 1 covers {a b c d} (gain 4); docs 2 ({e g}) and 3 ({e f}) then
+    tie at residual gain 2 and doc 2 wins on ascending doc_id; doc 3
+    ({f}) and doc 10 ({f}) tie at gain 1 and doc 3 wins; doc 4 (subset
+    of doc 1) and doc 10 (exhausted) never gain and are dropped."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "a e g"),
+            (3, "e f a"),
+            (4, "b c"),
+            (10, "e f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = C.max_coverage_sample(docs, k=5, gram=1).collect()
+    assert [(r.rank, r.doc_id, r.gain, r.covered_total) for r in out] == [
+        (0, 1, 4, 4),
+        (1, 2, 2, 6),
+        (2, 3, 1, 7),
+    ]
+
+
+def test_max_coverage_gram2_shingle_units(spark):
+    """gram=2 covers word bigrams: 'a b c' has units {'a b','b c'};
+    a doc with the same unigrams in different order covers new units."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a")],
+        "doc_id long, text string",
+    )
+    out = C.max_coverage_sample(docs, k=2, gram=2).collect()
+    assert [(r.rank, r.doc_id, r.gain, r.covered_total) for r in out] == [
+        (0, 1, 2, 2),
+        (1, 2, 2, 4),
+    ]
