@@ -28,7 +28,8 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -290,4 +291,94 @@ def cms_point_estimates(
             F.col("tc").alias("true_count"),
             (F.col("est_count") - F.col("tc")).alias("overestimate"),
         )
+    )
+
+
+# --- mergeable fixed-bin histogram quantile sketch ----------------------------
+
+HIST_BINS = 64
+HIST_QS = (50, 90, 99)  # integer percentiles
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_cents: Column | None = None,
+    bins: int = HIST_BINS,
+    qs: tuple[int, ...] = HIST_QS,
+) -> DataFrame:
+    """Single-pass mergeable quantile estimation via a fixed-bin integer
+    histogram — the bounded-state member of the quantile family
+    (``order_price_quantiles`` is the exact two-shuffle rank form;
+    ``order_price_quantiles_approx`` is Spark's built-in KLL/GK).  This
+    is the t-digest/druid-histogram shape: per-partition bin counts are
+    the sketch, and MERGE = ADD — Spark's map-side partial aggregation
+    literally performs the sketch merge, so the shuffle carries at most
+    `bins` cells per task regardless of input volume.
+
+    All arithmetic is integer (cents, `div` floor division) so the
+    DuckDB oracle is bit-exact: bin width = (max-min) div bins + 1,
+    bin = (v-min) div width, target rank t = ceil(q·n/100) =
+    (q·n+99) div 100, and the within-bin position interpolates
+    UNIFORMLY at integer resolution: est = lo + bin·width +
+    ((t - cum_before - 1)·width) div cnt.  The estimate's one-sided
+    error is bounded by the emitted `bin_width_cents` (the sketch
+    resolution), made visible per row like the CMS overestimate column.
+
+    100 TB: two passes (1-row min/max/count broadcast, then the
+    binned count) — both map-side-combined; the quantile selection
+    runs on ≤ `bins` rows (aggregate scale, single-partition window
+    legitimate per SCALE.md).
+    """
+    cents = (
+        value_cents
+        if value_cents is not None
+        else F.col("o_totalprice") * F.lit(100)
+    ).cast("long")
+    vals = df.select(cents.alias("cents"))
+    stats = vals.agg(
+        F.min("cents").alias("mn"),
+        F.max("cents").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "mn",
+        "mx",
+        "n",
+        F.expr(f"(mx - mn) div {bins} + 1").alias("width"),
+    )
+    hist = (
+        vals.crossJoin(F.broadcast(stats))
+        .select(F.expr("(cents - mn) div width").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hc = hist.select("bin", "cnt", F.sum("cnt").over(w).alias("cum"))
+    q = df.sparkSession.createDataFrame(
+        [(int(p),) for p in qs], "q_pct long"
+    )
+    tgt = q.crossJoin(F.broadcast(stats)).select(
+        "q_pct",
+        F.expr("(q_pct * n + 99) div 100").alias("tgt"),
+        "n",
+        "width",
+        "mn",
+    )
+    return (
+        tgt.join(
+            hc,
+            (F.col("cum") >= F.col("tgt"))
+            & (F.col("cum") - F.col("cnt") < F.col("tgt")),
+        )
+        .select(
+            "q_pct",
+            F.col("n").alias("n_rows"),
+            "bin",
+            F.expr(
+                "mn + bin * width + ((tgt - (cum - cnt) - 1) * width) div cnt"
+            ).alias("est_cents"),
+            F.col("width").alias("bin_width_cents"),
+        )
+        .orderBy("q_pct")
     )

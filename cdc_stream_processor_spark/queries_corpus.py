@@ -437,6 +437,37 @@ FROM est LEFT JOIN tc USING (term)
 """
 
 
+# --- mergeable fixed-bin histogram quantile sketch ----------------------------
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state quantile estimation over order prices
+    (operators.frequency.histogram_quantiles): bin counts are the
+    sketch, map-side partial aggregation is the merge."""
+    return FR.histogram_quantiles(B.load_table(spark, sf_dir, "orders"))
+
+
+SQL_SKETCH_QUANTILES = f"""
+WITH c AS (SELECT trunc(o_totalprice * 100)::BIGINT AS cents FROM orders),
+st AS (SELECT min(cents) AS mn, max(cents) AS mx, count(*)::BIGINT AS n FROM c),
+w AS (SELECT mn, mx, n, ((mx - mn) // {FR.HIST_BINS} + 1)::BIGINT AS width FROM st),
+h AS (
+  SELECT ((cents - mn) // width)::BIGINT AS bin, count(*)::BIGINT AS cnt
+  FROM c, w GROUP BY 1
+),
+hc AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT AS cum FROM h),
+t AS (
+  SELECT q_pct, ((q_pct * n + 99) // 100)::BIGINT AS tgt, n, width, mn
+  FROM (SELECT unnest([{", ".join(str(q) for q in FR.HIST_QS)}])::BIGINT AS q_pct), w
+)
+SELECT q_pct, n AS n_rows, bin,
+       (mn + bin * width + ((tgt - (cum - cnt) - 1) * width) // cnt)::BIGINT
+         AS est_cents,
+       width AS bin_width_cents
+FROM t JOIN hc ON cum >= tgt AND cum - cnt < tgt
+"""
+
+
 # --- sharded Misra-Gries summary (value-deterministic trim) -------------------
 
 
@@ -939,6 +970,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "temperature_sample": q_temperature_sample,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "sketch_quantiles": q_sketch_quantiles,
     "misra_gries_summary": q_misra_gries_summary,
     "cms_token_counts": q_cms_token_counts,
     "stratified_sample": q_stratified_sample,
@@ -968,6 +1000,7 @@ ORACLES = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTERS,
+    "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "misra_gries_summary": SQL_MISRA_GRIES_SUMMARY,
     "cms_token_counts": _cms_sql(),
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

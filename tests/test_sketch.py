@@ -267,3 +267,42 @@ def test_cms_stream_parity_and_checkpoint_recovery(spark, tmpdirs):
         for i in range(FR.CMS_DEPTH)
     }
     assert w_cells <= set(rows2)
+
+
+# --- histogram quantile sketch -------------------------------------------------
+
+
+def test_histogram_quantiles_hand_computed(spark):
+    """n=10 values 100..1000 cents, bins=4 → width=(900 div 4)+1=226;
+    bins carry counts [3,2,2,3] (cum 3,5,7,10). Targets: q50→rank 5 in
+    bin1 → 100+226+((5-3-1)*226 div 2)=439; q90→rank 9 in bin3 →
+    100+678+((9-7-1)*226 div 3)=853; q99→rank 10 in bin3 → 928."""
+    from cdc_stream_processor_spark.operators import frequency as FR
+
+    df = spark.createDataFrame(
+        [(float(d),) for d in range(1, 11)], "o_totalprice double"
+    )
+    out = FR.histogram_quantiles(df, bins=4, qs=(50, 90, 99)).collect()
+    got = [(r.q_pct, r.n_rows, r.bin, r.est_cents, r.bin_width_cents) for r in out]
+    assert got == [
+        (50, 10, 1, 439, 226),
+        (90, 10, 3, 853, 226),
+        (99, 10, 3, 928, 226),
+    ]
+
+
+def test_histogram_quantiles_error_bounded_by_width(spark):
+    """The sketch estimate is within one bin width of the exact quantile
+    (the advertised one-sided resolution bound)."""
+    import random
+
+    from cdc_stream_processor_spark.operators import frequency as FR
+
+    rnd = random.Random(7)
+    vals = [round(rnd.uniform(1, 500), 2) for _ in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "o_totalprice double")
+    out = {r.q_pct: r for r in FR.histogram_quantiles(df).collect()}
+    cents = sorted(int(v * 100) for v in vals)
+    for q, r in out.items():
+        exact = cents[max(0, -(-q * len(cents) // 100) - 1)]
+        assert abs(r.est_cents - exact) <= r.bin_width_cents, (q, r, exact)
