@@ -2216,7 +2216,72 @@ ORDER BY query_id, mmr_rank
     return "".join(parts)
 
 
+# --- JSONL serde round-trip with DLQ routing ----------------------------------
+
+DLQ_MOD = 37  # doc_id % 37 == 0 lines are mangled into malformed JSON
+
+
+def q_jsonl_dlq_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end JSONL ingest-with-quarantine audit over the serde the
+    file loaders use (sources.files: PERMISSIVE + _corrupt_record): every
+    document is serialized to a JSON line, a deterministic subset
+    (doc_id % DLQ_MOD == 0) is mangled into malformed JSON, and the
+    parse routes bad lines to the quarantine column instead of failing.
+    Returns the per-source ingest report (clean count, DLQ count, and
+    the clean payload's n_chars sum proving lossless round-trip).  The
+    oracle knows the corrupt set by construction, so the DLQ routing
+    itself is what's verified.
+
+    100 TB: pure map (serialize + parse + classify) feeding one
+    aggregate-scale groupBy — no joins, one shuffle with map-side
+    partials."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        "source",
+        F.when(
+            F.col("doc_id") % DLQ_MOD == 0,
+            F.concat(F.lit('{"broken'), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.to_json(F.struct("doc_id", "text", "lang", "n_chars"))
+        )
+        .alias("line"),
+    )
+    parsed = lines.select(
+        "source",
+        F.from_json(
+            "line",
+            "doc_id long, text string, lang string, n_chars long,"
+            " _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r"),
+    )
+    is_bad = F.col("r._corrupt_record").isNotNull()
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.when(~is_bad, 1)).alias("n_clean"),
+            F.count(F.when(is_bad, 1)).alias("n_dlq"),
+            F.coalesce(
+                F.sum(F.when(~is_bad, F.col("r.n_chars"))), F.lit(0)
+            ).alias("clean_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_JSONL_DLQ_INGEST = f"""
+SELECT source,
+       count(*) FILTER (WHERE doc_id % {DLQ_MOD} <> 0)::BIGINT AS n_clean,
+       count(*) FILTER (WHERE doc_id % {DLQ_MOD} = 0)::BIGINT AS n_dlq,
+       COALESCE(sum(n_chars) FILTER (WHERE doc_id % {DLQ_MOD} <> 0), 0)::BIGINT
+         AS clean_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "jsonl_dlq_ingest": q_jsonl_dlq_ingest,
     "dedup_exact": q_dedup_exact,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
@@ -2273,6 +2338,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "jsonl_dlq_ingest": SQL_JSONL_DLQ_INGEST,
     "dedup_exact": SQL_DEDUP_EXACT,
     "incremental_dedup": _incremental_dedup_sql(),
     "bigram_lift_topk": SQL_BIGRAM_LIFT,

@@ -81,6 +81,33 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean, bad
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_jsonl``: a file-source readStream over a
+    JSONL directory with the same PERMISSIVE + _corrupt_record contract,
+    so a continuously-landing corpus drop ingests with the identical
+    quarantine semantics as the batch loader (route the corrupt half to
+    a DLQ sink inside foreachBatch via ``split_corrupt`` — unlike the
+    batch path, no cache is needed there because foreachBatch hands a
+    materializable micro-batch frame).
+
+    File sources need an explicit schema anyway (no streaming inference),
+    which the loaders here already require; maxFilesPerTrigger bounds
+    per-micro-batch work for backfill directories."""
+    reader = (
+        spark.readStream.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
 def read_orc(spark, path: str) -> DataFrame:
     """ORC batch source — Spark-native columnar alternate to parquet;
     schema from file metadata, predicate pushdown + column pruning apply

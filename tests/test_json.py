@@ -77,3 +77,50 @@ def test_orc_source_roundtrip_with_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "LessThan(event_id,100)" in plan
+
+
+def test_jsonl_stream_ingest_routes_dlq_across_batches(spark, tmp_path):
+    """Streaming file-source twin of read_jsonl: two landing drops, each
+    with a corrupt line; foreachBatch splits clean/DLQ per micro-batch
+    and a second availableNow run after the second drop picks up ONLY
+    the new file (checkpointed file tracking — no reprocessing)."""
+    from cdc_stream_processor_spark.sources import files as FS
+
+    indir = tmp_path / "landing"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    clean_rows: list[tuple] = []
+    dlq_rows: list[str] = []
+
+    def sink(batch_df, _bid):
+        clean, bad = FS.split_corrupt(batch_df)
+        clean_rows.extend(
+            (r["doc_id"], r["text"]) for r in clean.collect()
+        )
+        dlq_rows.extend(r[0] for r in bad.collect())
+
+    def run_once():
+        q = (
+            FS.read_jsonl_stream(
+                spark, str(indir), "doc_id long, text string"
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (indir / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\nBROKEN-A\n'
+    )
+    run_once()
+    assert clean_rows == [(1, "alpha")]
+    assert dlq_rows == ["BROKEN-A"]
+
+    (indir / "b.jsonl").write_text(
+        '{"doc_id": 2, "text": "beta"}\nBROKEN-B\n'
+    )
+    run_once()
+    assert sorted(clean_rows) == [(1, "alpha"), (2, "beta")]
+    assert sorted(dlq_rows) == ["BROKEN-A", "BROKEN-B"]
