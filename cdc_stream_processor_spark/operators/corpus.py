@@ -1358,3 +1358,122 @@ def max_coverage_sample(
         )
     finally:
         dt.unpersist()
+
+
+# --- greedy longest-match subword segmentation ---------------------------------
+
+PIECE_MIN = 2   # shortest learned piece (single chars are the implicit floor)
+PIECE_MAX = 4   # longest learned piece
+SUBWORD_V = 32  # learned-vocabulary size (top-V substrings by corpus freq)
+
+
+def subword_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    v: int = SUBWORD_V,
+    pmin: int = PIECE_MIN,
+    pmax: int = PIECE_MAX,
+) -> DataFrame:
+    """Learn a subword-piece vocabulary: the top-`v` substrings of length
+    [pmin, pmax] by total corpus occurrence count (ties on piece text
+    ascending) — the WordPiece/unigram-LM tokenizer-TRAINING analog of
+    ``bpe_merges``, counted exactly in one plan instead of iteratively
+    merged.
+
+    Shuffle discipline (100 TB): the corpus-scale pass is ONE word-count
+    shuffle (same as build_vocab); the substring explode then runs at
+    VOCABULARY scale — distinct words × O(len·(pmax-pmin+1)) candidate
+    pieces — and the top-v is a TakeOrdered heap, never a global sort.
+
+    Returns (piece, freq) — at most `v` rows.
+    """
+    words = (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # (start, len) pairs kept only when the piece fits entirely inside the
+    # word — substring() would otherwise silently truncate at the word end
+    # and alias a shorter piece.
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.transform(
+                    F.sequence(F.lit(pmin), F.lit(pmax)),
+                    lambda l: F.struct(i.alias("i"), l.alias("l")),
+                ),
+            )
+        ),
+        lambda s: s["i"] + s["l"] - F.lit(1) <= F.length("word"),
+    )
+    pieces = words.select(
+        F.explode(
+            F.transform(pairs, lambda s: F.col("word").substr(s["i"], s["l"]))
+        ).alias("piece"),
+        "freq",
+    )
+    return (
+        pieces.groupBy("piece")
+        .agg(F.sum("freq").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(v)
+    )
+
+
+def subword_segment(
+    docs: DataFrame,
+    text_col: str = "text",
+    v: int = SUBWORD_V,
+    pmin: int = PIECE_MIN,
+    pmax: int = PIECE_MAX,
+) -> DataFrame:
+    """Greedy longest-match-first subword segmentation (the WordPiece
+    inference rule) of every distinct corpus word against the learned
+    ``subword_vocab``: at each position take the longest vocabulary piece
+    that matches, falling back to the single character.  Deterministic —
+    vocabulary, match order, and tie-breaks are all total orders — so the
+    DuckDB oracle replays it exactly (best-step table + recursive walk).
+
+    Plan shape: segmentation runs at VOCABULARY scale over the distinct-
+    word table with the v-piece vocabulary held in the kernel closure
+    (bounded driver sketch, v rows — the CMS/IVF class). The kernel is an
+    Arrow-batched ``mapInPandas`` pass: per-word sequential scanning is
+    genuinely imperative, the documented Pandas-UDF slot. Applying the
+    segmentation corpus-wide is then a broadcast map join on `word` —
+    the corpus itself never shuffles.
+
+    Returns (word, freq, n_pieces, seg) with `seg` the space-joined
+    pieces.
+    """
+    vocab = frozenset(
+        r.piece for r in subword_vocab(docs, text_col, v, pmin, pmax).collect()
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            segs: list[str] = []
+            ns: list[int] = []
+            for w in pdf["word"]:
+                pos, parts = 0, []
+                while pos < len(w):
+                    for ln in range(min(pmax, len(w) - pos), pmin - 1, -1):
+                        if w[pos : pos + ln] in vocab:
+                            parts.append(w[pos : pos + ln])
+                            pos += ln
+                            break
+                    else:
+                        parts.append(w[pos])
+                        pos += 1
+                segs.append(" ".join(parts))
+                ns.append(len(parts))
+            yield pdf.assign(n_pieces=ns, seg=segs)
+
+    words = (
+        docs.select(F.explode(TH.tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.mapInPandas(
+        kernel, "word string, freq long, n_pieces long, seg string"
+    )

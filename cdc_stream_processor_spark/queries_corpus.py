@@ -437,6 +437,66 @@ FROM est LEFT JOIN tc USING (term)
 """
 
 
+# --- greedy longest-match subword segmentation ---------------------------------
+
+
+def q_subword_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy segmentation of every distinct word against
+    the learned top-V substring vocabulary
+    (operators.corpus.subword_segment); the oracle replays the greedy
+    walk via a best-step table + recursive CTE."""
+    return C.subword_segment(B.load_table(spark, sf_dir, "documents"))
+
+
+def _subword_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    return f"""
+WITH RECURSIVE wf AS (
+  SELECT tok AS word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest({toks}) AS tok FROM documents) GROUP BY tok
+),
+posl AS (
+  SELECT word, freq, unnest(generate_series(1, length(word))) AS i FROM wf
+),
+cand AS (
+  SELECT substr(word, i, l) AS piece, freq
+  FROM (SELECT word, freq, i,
+               unnest(generate_series({C.PIECE_MIN}, {C.PIECE_MAX})) AS l
+        FROM posl)
+  WHERE i + l - 1 <= length(word)
+),
+vocab AS (
+  SELECT piece, sum(freq)::BIGINT AS freq FROM cand GROUP BY piece
+  ORDER BY freq DESC, piece ASC LIMIT {C.SUBWORD_V}
+),
+best AS (
+  SELECT p.word, p.i,
+         coalesce(
+           (SELECT max(length(v.piece)) FROM vocab v
+            WHERE substr(p.word, p.i, length(v.piece)) = v.piece
+              AND p.i + length(v.piece) - 1 <= length(p.word)),
+           1)::BIGINT AS step
+  FROM (SELECT word, i FROM posl) p
+),
+walk AS (
+  SELECT word, 1::BIGINT AS pos, 0::BIGINT AS k FROM wf
+  UNION ALL
+  SELECT w.word, w.pos + b.step, w.k + 1
+  FROM walk w JOIN best b ON b.word = w.word AND b.i = w.pos
+  WHERE w.pos <= length(w.word)
+),
+segs AS (
+  SELECT w.word, w.k AS idx, substr(w.word, w.pos::INT, b.step::INT) AS piece
+  FROM walk w JOIN best b ON b.word = w.word AND b.i = w.pos
+  WHERE w.pos <= length(w.word)
+)
+SELECT wf.word, wf.freq, count(*)::BIGINT AS n_pieces,
+       string_agg(piece, ' ' ORDER BY idx) AS seg
+FROM segs JOIN wf ON segs.word = wf.word
+GROUP BY wf.word, wf.freq
+"""
+
+
 # --- mergeable fixed-bin histogram quantile sketch ----------------------------
 
 
@@ -970,6 +1030,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "temperature_sample": q_temperature_sample,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "subword_segment": q_subword_segment,
     "sketch_quantiles": q_sketch_quantiles,
     "misra_gries_summary": q_misra_gries_summary,
     "cms_token_counts": q_cms_token_counts,
@@ -1000,6 +1061,7 @@ ORACLES = {
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTERS,
+    "subword_segment": _subword_sql(),
     "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "misra_gries_summary": SQL_MISRA_GRIES_SUMMARY,
     "cms_token_counts": _cms_sql(),

@@ -1566,3 +1566,40 @@ def test_winsorize_values_hand_computed(spark, tmp_path):
     assert (out[10].clipped, out[10].was_clipped) == (95.0, True)
     for i in range(1, 10):
         assert (out[i].clipped, out[i].was_clipped) == (float(i * 10), False)
+
+
+# --- greedy longest-match subword segmentation ---------------------------------
+
+
+def test_subword_vocab_counts_and_tiebreak(spark):
+    """Corpus 'abab'×3, 'cd', 'xy': piece freqs ab=6 (two positions per
+    occurrence), aba/abab/ba/bab=3 each, cd/xy=1. Top-5 ordering is
+    freq desc then piece asc."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab xy")], "doc_id long, text string"
+    )
+    got = [
+        (r.piece, r.freq)
+        for r in C.subword_vocab(docs, v=5).orderBy(
+            F.col("freq").desc(), F.col("piece").asc()
+        ).collect()
+    ]
+    assert got == [("ab", 6), ("aba", 3), ("abab", 3), ("ba", 3), ("bab", 3)]
+
+
+def test_subword_segment_greedy_longest_match(spark):
+    """v=2 learns {ab, aba}; greedy on 'abab' takes 'aba' (longest match
+    at pos 0) then falls back to the single char 'b'; out-of-vocab words
+    split to chars."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, "abab xy")], "doc_id long, text string"
+    )
+    out = {
+        r.word: (r.freq, r.n_pieces, r.seg)
+        for r in C.subword_segment(docs, v=2).collect()
+    }
+    assert out == {
+        "abab": (3, 2, "aba b"),
+        "cd": (1, 2, "c d"),
+        "xy": (1, 2, "x y"),
+    }
