@@ -382,3 +382,45 @@ def histogram_quantiles(
         )
         .orderBy("q_pct")
     )
+
+
+def histogram_quantiles_from_bins(
+    hist: DataFrame,
+    lo: int,
+    width: int,
+    qs: tuple[int, ...] = HIST_QS,
+) -> DataFrame:
+    """Quantile estimates from a MATERIALIZED fixed-grid bin-count frame
+    (bin, cnt) — the read path for ``streaming.sketch.histogram_stream``
+    snapshots, using the identical integer interpolation as
+    ``histogram_quantiles``: tgt = (q·n+99) div 100, est = lo + bin·width
+    + ((tgt - cum_before - 1)·width) div cnt.  Runs on ≤ `bins` rows
+    (aggregate scale)."""
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hc = hist.select(
+        "bin", "cnt", F.sum("cnt").over(w).alias("cum")
+    ).crossJoin(F.broadcast(hist.agg(F.sum("cnt").alias("n"))))
+    q = hist.sparkSession.createDataFrame(
+        [(int(p),) for p in qs], "q_pct long"
+    )
+    return (
+        q.crossJoin(hc)
+        .withColumn("tgt", F.expr("(q_pct * n + 99) div 100"))
+        .filter(
+            (F.col("cum") >= F.col("tgt"))
+            & (F.col("cum") - F.col("cnt") < F.col("tgt"))
+        )
+        .select(
+            "q_pct",
+            F.col("n").alias("n_rows"),
+            "bin",
+            F.expr(
+                f"{lo} + bin * {width}"
+                f" + ((tgt - (cum - cnt) - 1) * {width}) div cnt"
+            ).alias("est_cents"),
+            F.lit(width).cast("long").alias("bin_width_cents"),
+        )
+        .orderBy("q_pct")
+    )

@@ -218,3 +218,32 @@ def cms_stream(
         .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
+
+
+def histogram_stream(
+    df: DataFrame,
+    value_col: str = "cents",
+    lo: int = 0,
+    width: int = 100,
+    bins: int = 64,
+) -> DataFrame:
+    """Streaming fixed-grid histogram: the bin counters of
+    ``operators.frequency.histogram_quantiles`` maintained as a running
+    streaming aggregation — the same legitimately-state-bounded shape as
+    ``cms_stream`` (at most `bins` agg keys, no watermark needed). Unlike
+    the batch sketch, a stream cannot first observe min/max, so the grid
+    (lo, width, bins) is FIXED a priori — the standard streaming-histogram
+    contract — and out-of-range values clamp into the edge bins.  Update
+    mode emits changed bins per micro-batch; the latest value per bin is
+    the live sketch, and quantile estimates come from
+    ``operators.frequency.histogram_quantiles_from_bins`` over any
+    materialized snapshot (same integer interpolation as the batch twin).
+    Works identically on a batch frame (plain groupBy)."""
+    bin_ = F.least(
+        F.greatest(
+            F.expr(f"(cast({value_col} as bigint) - {lo}) div {width}"),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    ).alias("bin")
+    return df.select(bin_).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))

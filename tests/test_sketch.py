@@ -306,3 +306,54 @@ def test_histogram_quantiles_error_bounded_by_width(spark):
     for q, r in out.items():
         exact = cents[max(0, -(-q * len(cents) // 100) - 1)]
         assert abs(r.est_cents - exact) <= r.bin_width_cents, (q, r, exact)
+
+
+def test_histogram_stream_parity_and_checkpoint_accumulation(spark, tmpdirs):
+    """Streaming fixed-grid histogram: latest bin counters equal the
+    batch grouping of all rows seen so far, including across a
+    checkpointed restart; quantiles from the snapshot reproduce the
+    batch sketch's hand-computed estimates on the same grid."""
+    src = f"{tmpdirs}/hist_src"
+    ckpt = f"{tmpdirs}/hist_ckpt"
+
+    def run(name):
+        stream = spark.readStream.schema("cents long").parquet(src)
+        q = SP.start_pipeline(
+            SK.histogram_stream(stream, lo=100, width=226, bins=4),
+            name, ckpt, output_mode="update", sink_format="memory",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        latest: dict = {}
+        for r in spark.sql(f"select * from {name}").collect():
+            latest[r.bin] = max(latest.get(r.bin, 0), r.cnt)
+        return latest
+
+    spark.createDataFrame(
+        [(c,) for c in range(100, 701, 100)], "cents long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    assert run("hist_m1") == {0: 3, 1: 2, 2: 2}
+
+    # restart on the same checkpoint: counters accumulate, out-of-range
+    # values clamp into the edge bins
+    spark.createDataFrame(
+        [(800,), (900,), (1000,), (5,), (99999,)], "cents long"
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = run("hist_m2")
+    # run-2 sink holds only changed bins; all must match the full totals
+    full = {0: 4, 1: 2, 2: 2, 3: 4}
+    assert got and all(full[b] == c for b, c in got.items())
+    assert 3 in got and 0 in got  # the new-value bins emitted
+
+    # snapshot -> quantiles: values 100..1000 on grid (lo=100, w=226)
+    # reproduce the batch sketch's hand-computed 439/853/928 estimates
+    hist = spark.createDataFrame(
+        [(0, 3), (1, 2), (2, 2), (3, 3)], "bin long, cnt long"
+    )
+    est = {
+        r.q_pct: r.est_cents
+        for r in FR.histogram_quantiles_from_bins(
+            hist, lo=100, width=226, qs=(50, 90, 99)
+        ).collect()
+    }
+    assert est == {50: 439, 90: 853, 99: 928}
