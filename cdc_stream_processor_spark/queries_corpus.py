@@ -497,6 +497,71 @@ GROUP BY wf.word, wf.freq
 """
 
 
+# --- tokenizer fertility by language -------------------------------------------
+
+
+def q_subword_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-evaluation fertility report: per language, occurrence-
+    weighted pieces-per-word (fertility) and chars-per-piece for the
+    learned subword vocabulary — the standard "how well does the
+    tokenizer fit each language slice" metric. Integer milli-ratios
+    (`div`) keep the determinism contract; the oracle reuses the full
+    subword walk as a CTE leg.
+
+    100 TB: the (lang, word) count is one corpus-scale shuffle; the
+    join against the segmented distinct-word table is vocabulary-scale;
+    the per-lang rollup is aggregate-scale with map-side partials."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    seg = C.subword_segment(docs).select("word", "n_pieces")
+    lw = (
+        docs.select(
+            "lang", F.explode(TH.tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        lw.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("n_pieces") * F.col("freq")).alias("n_pieces_total"),
+            F.sum(F.length("word") * F.col("freq")).alias("n_chars_total"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces_total",
+            F.expr("n_pieces_total * 1000 div n_words").alias(
+                "fertility_milli"
+            ),
+            F.expr("n_chars_total * 1000 div n_pieces_total").alias(
+                "chars_per_piece_milli"
+            ),
+        )
+    )
+
+
+def _subword_fertility_sql() -> str:
+    toks = TH.TOKENS_SQL.format(text="text")
+    return f"""
+WITH seg AS (SELECT word, n_pieces FROM ({_subword_sql()})),
+lw AS (
+  SELECT lang, tok AS word, count(*)::BIGINT AS freq
+  FROM (SELECT lang, unnest({toks}) AS tok FROM documents) GROUP BY 1, 2
+)
+SELECT l.lang,
+       sum(l.freq)::BIGINT AS n_words,
+       sum(s.n_pieces * l.freq)::BIGINT AS n_pieces_total,
+       (sum(s.n_pieces * l.freq) * 1000 // sum(l.freq))::BIGINT
+         AS fertility_milli,
+       (sum(length(l.word) * l.freq) * 1000 // sum(s.n_pieces * l.freq))::BIGINT
+         AS chars_per_piece_milli
+FROM lw l JOIN seg s ON s.word = l.word
+GROUP BY l.lang
+"""
+
+
 # --- mergeable fixed-bin histogram quantile sketch ----------------------------
 
 
@@ -1031,6 +1096,7 @@ QUERIES = {
     "temperature_sample": q_temperature_sample,
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "subword_segment": q_subword_segment,
+    "subword_fertility": q_subword_fertility,
     "sketch_quantiles": q_sketch_quantiles,
     "misra_gries_summary": q_misra_gries_summary,
     "cms_token_counts": q_cms_token_counts,
@@ -1062,6 +1128,7 @@ ORACLES = {
     "temperature_sample": SQL_TEMPERATURE_SAMPLE,
     "heavy_hitter_tokens": SQL_HEAVY_HITTERS,
     "subword_segment": _subword_sql(),
+    "subword_fertility": _subword_fertility_sql(),
     "sketch_quantiles": SQL_SKETCH_QUANTILES,
     "misra_gries_summary": SQL_MISRA_GRIES_SUMMARY,
     "cms_token_counts": _cms_sql(),

@@ -1603,3 +1603,45 @@ def test_subword_segment_greedy_longest_match(spark):
         "cd": (1, 2, "c d"),
         "xy": (1, 2, "x y"),
     }
+
+
+def test_subword_fertility_hand_computed(spark):
+    """Two langs sharing the global vocab (v=2 learns {ab, aba}):
+    'abab' segments to 2 pieces, 'cd'/'xy' to 2 chars each.
+    en: words abab×2 + cd×1 → n_words 3, pieces 2·2+2=6,
+    fertility 2000; chars (4·2+2)=10 → 10000/6 div = 1666.
+    fr: abab×1 + xy×1 → n_words 2, pieces 4, fertility 2000,
+    chars 6 → 1500."""
+    from cdc_stream_processor_spark.queries_corpus import (  # noqa: F401
+        q_subword_fertility,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd", "en"), (2, "abab xy", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    seg = C.subword_segment(docs, v=2).select("word", "n_pieces")
+    lw = (
+        docs.select("lang", F.explode(C.TH.tokens(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    out = {
+        r.lang: (r.n_words, r.n_pieces_total, r.fertility_milli, r.cpp)
+        for r in lw.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("n_pieces") * F.col("freq")).alias("n_pieces_total"),
+            F.sum(F.length("word") * F.col("freq")).alias("n_chars_total"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_pieces_total",
+            F.expr("n_pieces_total * 1000 div n_words").alias("fertility_milli"),
+            F.expr("n_chars_total * 1000 div n_pieces_total").alias("cpp"),
+        )
+        .collect()
+    }
+    assert out == {"en": (3, 6, 2000, 1666), "fr": (2, 4, 2000, 1500)}
