@@ -128,6 +128,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         full.update(QL.QUERIES)
     except ImportError:
         pass
+    try:
+        from cdc_stream_processor_spark import queries_quality as QQ
+
+        full.update(QQ.QUERIES)
+    except ImportError:
+        pass
     return {name: full[name] for name in _rotation_order(list(full))}
 
 
@@ -176,6 +182,12 @@ def oracle_sql() -> dict[str, str]:
         from cdc_stream_processor_spark import queries_linkage as QL
 
         out.update(QL.ORACLES)
+    except ImportError:
+        pass
+    try:
+        from cdc_stream_processor_spark import queries_quality as QQ
+
+        out.update(QQ.ORACLES)
     except ImportError:
         pass
     return out

@@ -424,3 +424,86 @@ def histogram_quantiles_from_bins(
         )
         .orderBy("q_pct")
     )
+
+
+# --- AMS tug-of-war F2 sketch (self-join size / second frequency moment) ------
+
+AMS_ESTIMATORS = 8
+
+
+def _ams_sign(key, estimator: int):
+    """±1 sign from the parity of an estimator-salted md5 hash — identical
+    in DuckDB via ('0x'||substr(md5(j||'|'||k),1,8))::UBIGINT % 2."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{estimator}|"), key)), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(2)
+    )
+    return h * 2 - 1
+
+
+def ams_f2(
+    keys_df: DataFrame,
+    key_col: str = "key",
+    estimators: int = AMS_ESTIMATORS,
+) -> DataFrame:
+    """AMS tug-of-war sketch (Alon–Matias–Szegedy, STOC'96) for the second
+    frequency moment F2 = Σ f_k² — the self-join size, the statistic a
+    query planner wants before committing to a key for a self-join or a
+    skew-sensitive aggregation. Each estimator j keeps ONE signed counter
+    Σ s_j(k)·f_k with s_j(k) ∈ {±1} from a salted hash; its square is an
+    unbiased F2 estimate with variance ≤ 2·F2². The exact F2 rides along
+    so the per-estimator error is visible (same honest-sketch contract as
+    cms_point_estimates).
+
+    Scale shape: one (key → count) partial-agg shuffle at vocabulary
+    scale, then `estimators` signed sums over the vocabulary — the sketch
+    state is `estimators` BIGINT cells, mergeable by addition across
+    partitions/shards/days. The signed sum is bounded by total key
+    occurrences N, so the BIGINT square is exact for N < 3·10⁹; past that
+    widen to DECIMAL(38,0) (documented, not hit at any testdata SF).
+
+    Output: one row per estimator (estimator, signed_sum, f2_estimate,
+    f2_exact).
+    """
+    counts = keys_df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("f")
+    )
+    signed = counts.select(
+        "k",
+        "f",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("long").alias("estimator"),
+                        (_ams_sign(F.col("k"), j) * F.col("f"))
+                        .cast("long")
+                        .alias("sf"),
+                    )
+                    for j in range(estimators)
+                ]
+            )
+        ).alias("e"),
+    )
+    per_est = signed.groupBy(F.col("e.estimator").alias("estimator")).agg(
+        F.sum("e.sf").alias("signed_sum")
+    )
+    exact = counts.agg(
+        F.sum(F.col("f") * F.col("f")).alias("f2_exact")
+    )
+    return (
+        per_est.crossJoin(F.broadcast(exact))
+        .select(
+            "estimator",
+            "signed_sum",
+            (F.col("signed_sum") * F.col("signed_sum")).alias("f2_estimate"),
+            "f2_exact",
+        )
+        .orderBy("estimator")
+    )

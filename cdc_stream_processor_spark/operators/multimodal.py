@@ -254,3 +254,69 @@ def resize_images(
         F.floor(h.cast("double") * scale).cast("long").alias("out_h"),
         F.sha2(F.concat(F.col("payload"), tag), 256).alias("resized_sha"),
     )
+
+
+AUDIO_CHUNK_US = 4_000_000  # 4-second training segments
+
+
+def audio_chunks(
+    media: DataFrame, chunk_us: int = AUDIO_CHUNK_US
+) -> DataFrame:
+    """Fixed-duration audio segmentation plan — the audio twin of video
+    frame sampling: split every clip into ⌈duration/chunk⌉ contiguous
+    training segments with exact microsecond boundaries (the last chunk
+    is clipped to the clip end). ASR/TTS corpus prep runs this fan-out
+    before feature extraction so each downstream Arrow batch holds
+    uniform-length work items.
+
+    The stub duration is `_stub_decode_audio`'s sha256-derived value
+    (duration_s = 1 + byte1/16), restated here in EXACT integer
+    microseconds (1_000_000 + byte1 * 62_500) as pure Catalyst column
+    expressions — like resize_images, the segmentation GEOMETRY is
+    map-only, zero-shuffle, whole-stage-codegen'd JVM work; only real
+    sample decode would be Arrow-side. A real deployment swaps the
+    sha-identity `chunk_sha` for the sliced waveform bytes inside the
+    same plan shape.
+
+    Output: (media_id, chunk_idx, start_us, end_us, duration_us,
+    chunk_sha), one row per segment.
+    """
+    clips = media.filter(F.col("kind") == "audio")
+    hhex = F.sha2(F.col("payload"), 256)
+    b1 = F.conv(F.substring(hhex, 3, 2), 16, 10).cast("long")
+    duration_us = (F.lit(1_000_000) + b1 * 62_500).alias("duration_us")
+    # stub durations are >= 1s so n_chunks >= 1, but guard anyway:
+    # sequence(0, -1) would DESCEND, not return empty
+    n_chunks = F.greatest(
+        ((F.col("duration_us") + F.lit(chunk_us - 1)) / F.lit(chunk_us))
+        .cast("long"),
+        F.lit(1),
+    )
+    chunked = clips.select(
+        "media_id", "payload", duration_us
+    ).select(
+        "media_id",
+        "payload",
+        "duration_us",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    start = F.col("chunk_idx").cast("long") * chunk_us
+    return chunked.select(
+        "media_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.alias("start_us"),
+        F.least(start + chunk_us, F.col("duration_us")).alias("end_us"),
+        "duration_us",
+        F.sha2(
+            F.concat(
+                F.col("payload"),
+                F.encode(
+                    F.concat(F.lit(":"), F.col("chunk_idx").cast("string")),
+                    "UTF-8",
+                ),
+            ),
+            256,
+        ).alias("chunk_sha"),
+    )

@@ -131,3 +131,45 @@ def key_skew_profile(
     return global_top_k(
         enriched, [F.col("cnt").desc(), F.col("key").asc()], top_k
     )
+
+
+K_ANON_K = 5  # re-identification risk threshold: groups smaller than k
+
+
+def k_anonymity(
+    df: DataFrame,
+    quasi_identifiers: list,
+    k: int = K_ANON_K,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier combination (Sweeney '02):
+    a table is k-anonymous when every QI equivalence class holds ≥ k rows,
+    so no row is re-identifiable within fewer than k candidates. This is
+    the pre-release privacy check a training-data pipeline runs next to
+    pii_scan/pseudonymize — those find direct identifiers; this measures
+    LINKAGE risk from the residual columns.
+
+    Emits the group-size SPECTRUM, not the groups: (group_size, n_groups,
+    n_rows, at_risk) where at_risk marks classes below k. The spectrum is
+    aggregate-scale (≤ distinct sizes rows) whatever the table size, and
+    the plan is two partial-agg shuffles (rows → classes → spectrum) —
+    the per-row QI table itself never leaves the executors.
+
+    `quasi_identifiers` are Columns (bucket/generalize continuous QIs at
+    the call site — raw continuous columns make every class a singleton).
+    """
+    sizes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        sizes.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("group_size").alias("n_rows"),
+        )
+        .select(
+            "group_size",
+            "n_groups",
+            "n_rows",
+            (F.col("group_size") < k).alias("at_risk"),
+        )
+    )

@@ -1196,3 +1196,71 @@ def lm_quality_calibration(
         F.min("mean_scaled_p").alias("score_min"),
         F.max("mean_scaled_p").alias("score_max"),
     )
+
+
+# --- TextRank keyword extraction ----------------------------------------------
+
+TEXTRANK_MIN_COOC = 3  # drop co-occurrence edges seen fewer times (noise floor)
+TEXTRANK_TOP_K = 20
+TEXTRANK_ITERS = 3
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = TEXTRANK_TOP_K,
+    min_cooc: int = TEXTRANK_MIN_COOC,
+    n_iter: int = TEXTRANK_ITERS,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): PageRank
+    over the word co-occurrence graph — an edge links ADJACENT tokens
+    (window 2), both directions, pruned below `min_cooc` corpus-wide
+    occurrences — then the global top-k tokens by rank. Corpus-level
+    keyword extraction is the unsupervised summarization/tagging stage of
+    a curation pipeline (what is this source ABOUT, before any model).
+
+    Scale shape: adjacent-pair counting is one vocabulary²-bounded
+    partial-agg shuffle (bigram table, same shape as bigram_lift_topk);
+    the pruned graph is vocabulary-scale; the rank loop is
+    operators.graph.pagerank — fixed-iteration int64 fixed-point power
+    iteration, so the DuckDB oracle replays every round bit-for-bit. The
+    final top-k is a TakeOrderedAndProject, never a global sort.
+
+    Output: (token, pr_q, pagerank, rank), `top_k` rows.
+    """
+    from cdc_stream_processor_spark.operators.graph import pagerank
+
+    toks = docs.select(TH.tokens(F.col(text_col)).alias("toks"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cooc = (
+        pairs.filter(F.col("w1") != F.col("w2"))
+        .select(
+            F.least("w1", "w2").alias("a"), F.greatest("w1", "w2").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_cooc)
+    )
+    edges = cooc.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).union(cooc.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    pr = pagerank(edges, n_iter=n_iter)
+    from pyspark.sql.window import Window
+
+    topped = pr.orderBy(F.col("pr_q").desc(), F.col("node").asc()).limit(top_k)
+    # rank window runs over the already-cut top_k rows (aggregate scale)
+    w = Window.orderBy(F.col("pr_q").desc(), F.col("node").asc())
+    return topped.select(
+        F.col("node").alias("token"),
+        "pr_q",
+        "pagerank",
+        F.row_number().over(w).alias("rank"),
+    )

@@ -1,0 +1,467 @@
+"""Driver-contract queries for the evaluation & audit family (round-7
+session 4): AMS F2 sketch, clustering/label quality metrics (simplified
+silhouette, 1-NN label agreement, DBSCAN), TextRank keywords, audio
+segmentation, k-anonymity, and the LSH-vs-exact recall evaluation.
+
+These close the "measure the pipeline, not just run it" surface: sketches
+get error-visible estimates, clusters get cohesion scores, labels get a
+noise audit, near-dup candidate generation gets a recall report, and the
+privacy posture gets a k-anonymity spectrum. Every oracle restates the
+operator's exact arithmetic (integer-floored statistics, ROUND(fold, 6)
+cosines, md5-parity signs, unrolled fixed-point PageRank rounds) so the
+driver's value-hash compare is bit-exact; all DuckDB SUMs cast ::BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_stream_processor_spark.functions import texthash as TH
+from cdc_stream_processor_spark.operators import clustereval as CE
+from cdc_stream_processor_spark.operators import dedup as D
+from cdc_stream_processor_spark.operators import frequency as FR
+from cdc_stream_processor_spark.operators import multimodal as M
+from cdc_stream_processor_spark.operators import profiling as PF
+from cdc_stream_processor_spark.operators import similarity as S
+from cdc_stream_processor_spark.operators import text as X
+from cdc_stream_processor_spark.queries_extensions import (
+    _FOLD_SUM,
+    _minhash_pairs_ctes,
+    JACCARD_THRESHOLD,
+    NEAR_DUP_COSINE,
+    SQL_EMBEDDING_CENTROIDS,
+)
+from cdc_stream_processor_spark.sources import batch as B
+
+_TOKS = TH.TOKENS_SQL.format(text="text")
+
+
+# --- AMS tug-of-war F2 sketch over the token stream ----------------------------
+
+
+def q_ams_f2_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(TH.tokens(F.col("text"))).alias("key"))
+    return FR.ams_f2(toks, key_col="key")
+
+
+def _ams_sign_sql(j: str, k: str) -> str:
+    return (
+        f"((('0x' || substr(md5({j} || '|' || {k}), 1, 8))"
+        f"::UBIGINT::BIGINT % 2) * 2 - 1)"
+    )
+
+
+SQL_AMS_F2_TOKENS = f"""
+WITH toks AS (
+  SELECT unnest({_TOKS}) AS k FROM documents
+), counts AS (
+  SELECT k, COUNT(*) AS f FROM toks GROUP BY k
+), est AS (
+  SELECT g.j AS estimator,
+         SUM({_ams_sign_sql("g.j", "k")} * f)::BIGINT AS signed_sum
+  FROM counts, generate_series(0, {FR.AMS_ESTIMATORS - 1}) g(j)
+  GROUP BY g.j
+), exact AS (
+  SELECT SUM(f * f)::BIGINT AS f2_exact FROM counts
+)
+SELECT estimator, signed_sum,
+       (signed_sum * signed_sum)::BIGINT AS f2_estimate, f2_exact
+FROM est CROSS JOIN exact
+"""
+
+
+# --- simplified silhouette per label -------------------------------------------
+
+
+def q_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CE.silhouette_by_label(B.load_table(spark, sf_dir, "embeddings"))
+
+
+def _silhouette_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(v.v, c.centroid), p -> p[1] * p[2])"
+    )
+    nv = _FOLD_SUM.format(arr="list_transform(v.v, x -> x * x)")
+    nc = _FOLD_SUM.format(arr="list_transform(c.centroid, x -> x * x)")
+    return f"""
+WITH cents AS ({SQL_EMBEDDING_CENTROIDS}),
+v AS (
+  SELECT vec_id, label AS own_label,
+         list_transform(embedding, x -> x::DOUBLE) AS v
+  FROM embeddings
+), scored AS (
+  SELECT v.vec_id, v.own_label, c.label AS cent_label,
+         ROUND(({dot}) / (sqrt({nv}) * sqrt({nc})), 6) AS sim
+  FROM v CROSS JOIN cents c
+), per_point AS (
+  SELECT vec_id, own_label,
+         MAX(CASE WHEN cent_label = own_label THEN sim END) AS s_own,
+         MAX(CASE WHEN cent_label != own_label THEN sim END) AS s_other
+  FROM scored GROUP BY vec_id, own_label
+), pts AS (
+  SELECT own_label AS label,
+         CASE WHEN greatest(1.0 - s_own, 1.0 - s_other) = 0.0 THEN 0
+         ELSE FLOOR((((1.0 - s_other) - (1.0 - s_own))
+                     / greatest(1.0 - s_own, 1.0 - s_other))
+                    * {float(CE.SIL_SCALE)})::BIGINT
+         END AS s_scaled
+  FROM per_point
+)
+SELECT label, COUNT(*) AS n_vecs,
+       SUM(s_scaled)::BIGINT AS silhouette_sum_scaled,
+       SUM(s_scaled)::BIGINT::DOUBLE
+         / (COUNT(*) * {CE.SIL_SCALE})::DOUBLE AS mean_silhouette
+FROM pts GROUP BY label
+"""
+
+
+# --- leave-one-out 1-NN label agreement ----------------------------------------
+
+
+def q_knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return CE.knn_label_agreement(
+        B.load_table(spark, sf_dir, "embeddings"), block_size=512
+    )
+
+
+def _knn_label_agreement_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])"
+    )
+    na = _FOLD_SUM.format(arr="list_transform(a.e, x -> x * x)")
+    nb = _FOLD_SUM.format(arr="list_transform(b.e, x -> x * x)")
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id, a.label AS own_label, b.vec_id AS neighbor_id,
+         b.label AS nb_label,
+         ROUND({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id != b.vec_id
+), nn AS (
+  SELECT vec_id, own_label, nb_label FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank = 1
+)
+SELECT own_label AS label, COUNT(*) AS n_vecs,
+       SUM((own_label = nb_label)::BIGINT)::BIGINT AS n_matched,
+       SUM((own_label = nb_label)::BIGINT)::BIGINT::DOUBLE
+         / COUNT(*)::DOUBLE AS agreement
+FROM nn GROUP BY own_label
+"""
+
+
+# --- DBSCAN over the embedding near-dup pair graph -----------------------------
+
+
+def q_dbscan_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the ε=NEAR_DUP_COSINE neighborhood graph. The pair
+    table is the memoized LSH-candidate path (shared with the
+    embedding_near_dup queries — one signature build per session); the
+    oracle states exact all-pairs SQL, so agreement also re-proves the
+    LSH no-miss bound."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    dim = B.embedding_dim(sf_dir)
+    pairs = S.lsh_near_dup_pairs(emb, threshold=NEAR_DUP_COSINE, dim=dim)
+    return CE.dbscan_from_pairs(emb, pairs, min_pts=CE.DBSCAN_MIN_PTS)
+
+
+def _dbscan_sql() -> str:
+    dot = _FOLD_SUM.format(
+        arr="list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])"
+    )
+    na = _FOLD_SUM.format(arr="list_transform(a.e, x -> x * x)")
+    nb = _FOLD_SUM.format(arr="list_transform(b.e, x -> x * x)")
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+), prs AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({dot} / (sqrt({na}) * sqrt({nb})), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+  ) WHERE cosine_sim >= {NEAR_DUP_COSINE}
+), adj AS (
+  SELECT vec_a AS src, vec_b AS dst FROM prs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM prs
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM adj GROUP BY src
+), cores AS (
+  SELECT src AS core_id FROM deg WHERE deg >= {CE.DBSCAN_MIN_PTS}
+), ce AS (
+  SELECT p.vec_a, p.vec_b FROM prs p
+  JOIN cores x ON p.vec_a = x.core_id
+  JOIN cores y ON p.vec_b = y.core_id
+), cedges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM ce
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM ce
+), reach(id, r) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT rc.id, e.dst FROM reach rc JOIN cedges e ON e.src = rc.r
+), comp AS (
+  SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+), core_cluster AS (
+  SELECT c.core_id, COALESCE(k.rep, c.core_id) AS cluster
+  FROM cores c LEFT JOIN comp k ON c.core_id = k.id
+), border AS (
+  SELECT a.src AS vec_id, MIN(cc.cluster) AS cluster
+  FROM adj a JOIN core_cluster cc ON a.dst = cc.core_id
+  WHERE a.src NOT IN (SELECT core_id FROM cores)
+  GROUP BY a.src
+)
+SELECT core_id AS vec_id, cluster, 'core' AS role FROM core_cluster
+UNION ALL
+SELECT vec_id, cluster, 'border' AS role FROM border
+UNION ALL
+SELECT vec_id, NULL::BIGINT AS cluster, 'noise' AS role
+FROM embeddings
+WHERE vec_id NOT IN (SELECT core_id FROM core_cluster)
+  AND vec_id NOT IN (SELECT vec_id FROM border)
+"""
+
+
+# --- TextRank keywords ----------------------------------------------------------
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.textrank_keywords(B.load_table(spark, sf_dir, "documents"))
+
+
+def _textrank_sql() -> str:
+    from cdc_stream_processor_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    tele = f"({(PR_DAMP_DEN - PR_DAMP_NUM)} * {PR_SCALE}) // ({PR_DAMP_DEN} * nn.n)"
+    its = []
+    prev = "pr0"
+    for t in range(1, X.TEXTRANK_ITERS + 1):
+        its.append(f"""it{t} AS (
+  SELECT no.node,
+         CAST({tele} + (COALESCE(s.g, 0) * {PR_DAMP_NUM}) // {PR_DAMP_DEN}
+              AS BIGINT) AS pr_q
+  FROM nodes no CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr_q // od.outdeg) AS g
+    FROM e JOIN {prev} p ON e.src = p.node
+    JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+        prev = f"it{t}"
+    iter_sql = ",\n".join(its)
+    return f"""
+WITH docs AS (
+  SELECT {_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT toks[g.i] AS w1, toks[g.i + 1] AS w2
+  FROM docs, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+), cooc AS (
+  SELECT least(w1, w2) AS a, greatest(w1, w2) AS b, COUNT(*) AS n
+  FROM bg WHERE w1 != w2 GROUP BY 1, 2
+  HAVING COUNT(*) >= {X.TEXTRANK_MIN_COOC}
+), e AS (
+  SELECT a AS src, b AS dst FROM cooc
+  UNION ALL
+  SELECT b AS src, a AS dst FROM cooc
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), od AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+), pr0 AS (
+  SELECT no.node, CAST({PR_SCALE} // nn.n AS BIGINT) AS pr_q
+  FROM nodes no CROSS JOIN nn
+),
+{iter_sql}
+SELECT node AS token, pr_q,
+       ROUND(pr_q::DOUBLE / {float(PR_SCALE)!r}, 6) AS pagerank, rank
+FROM (
+  SELECT node, pr_q,
+         ROW_NUMBER() OVER (ORDER BY pr_q DESC, node ASC) AS rank
+  FROM {prev}
+) WHERE rank <= {X.TEXTRANK_TOP_K}
+"""
+
+
+# --- audio segmentation ---------------------------------------------------------
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.media_from_documents(B.load_table(spark, sf_dir, "documents"))
+    return M.audio_chunks(media).select(
+        "media_id", "chunk_idx", "start_us", "end_us", "duration_us",
+        "chunk_sha",
+    )
+
+
+SQL_AUDIO_CHUNKS = f"""
+WITH clip AS (
+  SELECT doc_id AS media_id, text, sha256(text) AS h
+  FROM documents WHERE doc_id % 4 = 1
+), dur AS (
+  SELECT media_id, text,
+         1000000 + ((strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                    + strpos('0123456789abcdef', substr(h, 4, 1)) - 1)
+                   * 62500 AS duration_us
+  FROM clip
+), idx AS (
+  SELECT media_id, text, duration_us,
+         unnest(generate_series(
+           0, (duration_us + {M.AUDIO_CHUNK_US - 1}) // {M.AUDIO_CHUNK_US} - 1
+         )) AS chunk_idx
+  FROM dur
+)
+SELECT media_id, chunk_idx,
+       chunk_idx * {M.AUDIO_CHUNK_US} AS start_us,
+       least(chunk_idx * {M.AUDIO_CHUNK_US} + {M.AUDIO_CHUNK_US},
+             duration_us) AS end_us,
+       duration_us,
+       sha256(text || ':' || chunk_idx) AS chunk_sha
+FROM idx
+"""
+
+
+# --- k-anonymity audit ----------------------------------------------------------
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QI combination: (nation, market segment, ₦1000 balance bucket) —
+    the released columns a linkage attacker would join on; the balance
+    bucket generalizes the continuous column (raw values are singletons)."""
+    cust = B.load_table(spark, sf_dir, "customer")
+    return PF.k_anonymity(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias(
+                "bal_bucket"
+            ),
+        ],
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = f"""
+WITH sizes AS (
+  SELECT c_nationkey, c_mktsegment,
+         FLOOR(c_acctbal / 1000.0)::BIGINT AS bal_bucket,
+         COUNT(*) AS group_size
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT group_size, COUNT(*) AS n_groups,
+       SUM(group_size)::BIGINT AS n_rows,
+       group_size < {PF.K_ANON_K} AS at_risk
+FROM sizes GROUP BY group_size
+"""
+
+
+# --- LSH-vs-exact recall evaluation ---------------------------------------------
+
+
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash-LSH candidate generator against the
+    exact shingle-Jaccard pair set AT THE SAME THRESHOLD — the
+    measure-the-sketch report for the dedup family. Both sides score
+    exact Jaccard over the same shingle-hash sets (one memoized
+    signature build), so LSH pairs ⊆ exact pairs by construction:
+    n_extra is 0 unless the banding is broken (tripwired here), and
+    recall = found / exact is the banding miss rate made visible.
+    One-row output; the aggregate join is pair-table-scale (dup-rate-
+    sized, never corpus-scale)."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    lsh = D.minhash_lsh_pairs(docs, threshold=JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.lit(1).alias("found")
+    )
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(
+            F.when(F.col("found").isNull(), 0).otherwise(1).cast("long")
+        ).alias("n_lsh"),
+        F.sum(
+            F.when(F.col("found").isNull(), 1).otherwise(0).cast("long")
+        ).alias("n_missed"),
+    ).select(
+        "n_union",
+        "n_lsh",
+        "n_missed",
+        (
+            F.col("n_lsh").cast("double")
+            / F.greatest(F.col("n_union"), F.lit(1)).cast("double")
+        ).alias("recall_lower_bound"),
+    )
+
+
+def _lsh_recall_eval_sql() -> str:
+    return (
+        _minhash_pairs_ctes()
+        + f"""
+, einv AS (
+  SELECT doc_id, unnest(hs) AS h FROM shh
+), epairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM einv a JOIN einv b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), esizes AS (
+  SELECT doc_id, len(hs) AS n FROM shh
+), exactp AS (
+  SELECT p.doc_a, p.doc_b
+  FROM epairs p JOIN esizes x ON p.doc_a = x.doc_id
+  JOIN esizes y ON p.doc_b = y.doc_id
+  WHERE p.shared::DOUBLE / (x.n + y.n - p.shared)::DOUBLE
+        >= {JACCARD_THRESHOLD}
+), joined AS (
+  SELECT COALESCE(e.doc_a, l.doc_a) AS doc_a,
+         COALESCE(e.doc_b, l.doc_b) AS doc_b,
+         (l.doc_a IS NOT NULL)::BIGINT AS found
+  FROM exactp e FULL OUTER JOIN pairs l
+    ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+)
+SELECT COUNT(*) AS n_union,
+       SUM(found)::BIGINT AS n_lsh,
+       SUM(1 - found)::BIGINT AS n_missed,
+       SUM(found)::BIGINT::DOUBLE
+         / greatest(COUNT(*), 1)::DOUBLE AS recall_lower_bound
+FROM joined
+"""
+    )
+
+
+QUERIES = {
+    "ams_f2_tokens": q_ams_f2_tokens,
+    "silhouette_by_label": q_silhouette_by_label,
+    "knn_label_agreement": q_knn_label_agreement,
+    "dbscan_labels": q_dbscan_labels,
+    "textrank_keywords": q_textrank_keywords,
+    "audio_chunks": q_audio_chunks,
+    "k_anonymity_audit": q_k_anonymity_audit,
+    "lsh_recall_eval": q_lsh_recall_eval,
+}
+
+ORACLES = {
+    "ams_f2_tokens": SQL_AMS_F2_TOKENS,
+    "silhouette_by_label": _silhouette_sql(),
+    "knn_label_agreement": _knn_label_agreement_sql(),
+    "dbscan_labels": _dbscan_sql(),
+    "textrank_keywords": _textrank_sql(),
+    "audio_chunks": SQL_AUDIO_CHUNKS,
+    "k_anonymity_audit": SQL_K_ANONYMITY_AUDIT,
+    "lsh_recall_eval": _lsh_recall_eval_sql(),
+}

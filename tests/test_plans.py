@@ -574,3 +574,49 @@ def test_subword_segment_vocab_scale_arrow_kernel(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+# --- round-7 session-4 families ----------------------------------------------
+
+
+def test_audio_chunks_is_shuffle_free_codegen(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_quality as QQ
+
+    df = QQ.q_audio_chunks(spark, sf_dir)
+    plan = _plan(df)
+    # segmentation geometry is a map-only JVM fan-out (like resize)
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+    df.collect()
+    assert "*(1)" in _plan(df)
+
+
+def test_ams_f2_vocabulary_scale_partial_aggs(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_quality as QQ
+
+    plan = _plan(QQ.q_ams_f2_tokens(spark, sf_dir))
+    # token counts carry map-side partials (the only corpus-scale
+    # shuffle); the estimator explode runs AFTER, at vocabulary scale
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_k_anonymity_two_agg_ladder_no_row_export(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_quality as QQ
+
+    plan = _plan(QQ.q_k_anonymity_audit(spark, sf_dir))
+    # rows -> QI classes -> size spectrum: both aggs partial-agged, so
+    # the per-row QI table never crosses the wire unreduced
+    assert plan.count("HashAggregate") >= 4
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+
+
+def test_silhouette_broadcast_centroids_map_only_scoring(spark, sf_dir):
+    from cdc_stream_processor_spark import queries_quality as QQ
+
+    plan = _plan(QQ.q_silhouette_by_label(spark, sf_dir))
+    # the n_labels-row centroid table broadcasts; scoring never shuffles
+    # the corpus against it (no SortMergeJoin anywhere)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
