@@ -852,3 +852,74 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def minhash_estimate_vs_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """MinHash estimator calibration: for every LSH candidate pair (≥1
+    shared band, i.e. the pairs the banded index would actually surface),
+    the SIGNATURE-agreement Jaccard estimate next to the exact shingle
+    Jaccard — E[matches/N] = J, so this is the is-my-sketch-lying audit
+    that complements lsh_recall_eval's does-my-index-miss audit. A
+    pipeline tuning (N_MINHASH, N_BANDS) reads this table, not the
+    theory.
+
+    est_milli = (1000 · sig_matches) div N_MINHASH keeps the estimate
+    integer-exact; the exact Jaccard is the same ROUND(·, 6) as the
+    near-dup family. Cost shape: identical to minhash_scored_candidates
+    (one persisted signature table, band self-join, candidate-scale
+    verification joins) plus one map-side zip over the 32-element
+    signature arrays — candidates, never the corpus, pay it.
+    """
+    mh = minhashes(docs, text_col, id_col, fast=fast).persist()
+    bands = _band_rows(mh)
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sides = mh.select("doc_id", "hs", "mh")
+    verified = cand.join(
+        sides.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("hs").alias("hs_a"),
+            F.col("mh").alias("mh_a"),
+        ),
+        "doc_a",
+    ).join(
+        sides.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("hs").alias("hs_b"),
+            F.col("mh").alias("mh_b"),
+        ),
+        "doc_b",
+    )
+    shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("double")
+    union = (F.size("hs_a") + F.size("hs_b")).cast("double") - shared
+    matches = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("long")
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        matches.alias("sig_matches"),
+        F.round(shared / union, 6).alias("jaccard"),
+        # integer milli-estimate: cast-trunc == div for non-negative ints
+        ((F.lit(1000) * matches) / F.lit(N_MINHASH))
+        .cast("long")
+        .alias("est_milli"),
+    )

@@ -210,3 +210,33 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("label").alias("community"))
+
+
+def in_degree_spectrum(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """In-degree distribution of a directed graph INCLUDING zero-degree
+    nodes — over a kNN graph this is the hubness audit (Radovanović et
+    al., JMLR'10): high-dimensional corpora concentrate in-links on hub
+    vectors, which skews ANN quality and kNN-classifier votes, and nodes
+    nobody points at are the anti-hubs retrieval will never surface.
+    The spectrum (not per-node rows) is what a pipeline monitors: its
+    tail length IS the hubness measure.
+
+    Two partial-agged aggregations (edges → per-node in-degree → degree
+    spectrum) plus one left join against the node table for the
+    zero-degree row; output is ≤ max-degree rows whatever the corpus.
+    """
+    indeg = edges.groupBy(F.col(dst_col).alias(node_col)).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    per_node = nodes.select(F.col(node_col)).join(
+        indeg, node_col, "left"
+    ).select(F.coalesce(F.col("in_degree"), F.lit(0)).alias("in_degree"))
+    return per_node.groupBy("in_degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )

@@ -444,8 +444,131 @@ FROM joined
     )
 
 
+# --- MinHash estimator calibration ----------------------------------------------
+
+
+def q_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_estimate_vs_exact(
+        B.load_table(spark, sf_dir, "documents")
+    )
+
+
+def _minhash_est_vs_exact_sql() -> str:
+    # _minhash_pairs_ctes ends at `pairs` (>= threshold); calibration reads
+    # the pre-threshold `scored` candidates plus the signature arrays in `mh`
+    return (
+        _minhash_pairs_ctes()
+        + f"""
+, sig AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(list_zip(x.m, y.m), p -> p[1] = p[2]))::BIGINT
+           AS sig_matches
+  FROM cand c JOIN mh x ON c.doc_a = x.doc_id
+  JOIN mh y ON c.doc_b = y.doc_id
+)
+SELECT s.doc_a, s.doc_b, g.sig_matches, s.jaccard,
+       ((1000 * g.sig_matches) // {D.N_MINHASH})::BIGINT AS est_milli
+FROM scored s JOIN sig g ON s.doc_a = g.doc_a AND s.doc_b = g.doc_b
+"""
+    )
+
+
+# --- kNN hubness (in-degree spectrum) --------------------------------------------
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_stream_processor_spark.operators.graph import in_degree_spectrum
+    from cdc_stream_processor_spark.queries_extensions import KNN_K
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=KNN_K, block_size=512).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return in_degree_spectrum(
+        edges, emb.select(F.col("vec_id").alias("node"))
+    )
+
+
+def _knn_hubness_sql() -> str:
+    from cdc_stream_processor_spark.queries_extensions import (
+        KNN_K,
+        _knn_graph_sql,
+    )
+
+    knn_full = _knn_graph_sql().strip().removeprefix("WITH")
+    knn = knn_full[
+        : knn_full.rindex("SELECT vec_id, neighbor_id, cosine_sim, rank")
+    ]
+    return f"""
+WITH {knn}
+, e AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), indeg AS (
+  SELECT dst, COUNT(*) AS in_degree FROM e GROUP BY dst
+)
+SELECT COALESCE(i.in_degree, 0)::BIGINT AS in_degree,
+       COUNT(*) AS n_nodes
+FROM embeddings v LEFT JOIN indeg i ON v.vec_id = i.dst
+GROUP BY 1
+"""
+
+
+# --- entity resolution: pair scores -> entities -----------------------------------
+
+
+def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_stream_processor_spark.operators import linkage as L
+
+    return L.er_entities(B.load_table(spark, sf_dir, "customer"))
+
+
+def _er_entities_sql() -> str:
+    from cdc_stream_processor_spark.operators import linkage as L
+
+    return f"""
+WITH RECURSIVE cpairs AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+         levenshtein(a.c_name, b.c_name) AS nd,
+         abs(a.c_acctbal - b.c_acctbal) <= {L.BAL_TOL} AS bc
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+), match_pairs AS (
+  SELECT ka, kb FROM cpairs
+  WHERE (CASE WHEN nd <= {L.NAME_STRONG_D} THEN {L.W_NAME_STRONG}
+              WHEN nd <= {L.NAME_WEAK_D} THEN {L.W_NAME_WEAK}
+              ELSE {L.W_NAME_MISS} END)
+      + (CASE WHEN bc THEN {L.W_BAL} ELSE {L.W_BAL_MISS} END)
+      >= {L.TIER_MATCH}
+), eedges AS (
+  SELECT ka AS src, kb AS dst FROM match_pairs
+  UNION
+  SELECT kb AS src, ka AS dst FROM match_pairs
+), reach(id, r) AS (
+  SELECT src, src FROM eedges
+  UNION
+  SELECT rc.id, e.dst FROM reach rc JOIN eedges e ON e.src = rc.r
+), comp AS (
+  SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+)
+SELECT c.c_custkey,
+       COALESCE(k.rep, c.c_custkey)::BIGINT AS entity_id,
+       c.c_custkey = COALESCE(k.rep, c.c_custkey) AS is_canonical
+FROM customer c LEFT JOIN comp k ON c.c_custkey = k.id
+"""
+
+
 QUERIES = {
     "ams_f2_tokens": q_ams_f2_tokens,
+    "minhash_est_vs_exact": q_minhash_est_vs_exact,
+    "knn_hubness": q_knn_hubness,
+    "er_entities": q_er_entities,
     "silhouette_by_label": q_silhouette_by_label,
     "knn_label_agreement": q_knn_label_agreement,
     "dbscan_labels": q_dbscan_labels,
@@ -457,6 +580,9 @@ QUERIES = {
 
 ORACLES = {
     "ams_f2_tokens": SQL_AMS_F2_TOKENS,
+    "minhash_est_vs_exact": _minhash_est_vs_exact_sql(),
+    "knn_hubness": _knn_hubness_sql(),
+    "er_entities": _er_entities_sql(),
     "silhouette_by_label": _silhouette_sql(),
     "knn_label_agreement": _knn_label_agreement_sql(),
     "dbscan_labels": _dbscan_sql(),

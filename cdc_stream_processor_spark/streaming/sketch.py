@@ -247,3 +247,45 @@ def histogram_stream(
         F.lit(bins - 1),
     ).alias("bin")
     return df.select(bin_).groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def ams_stream(
+    df: DataFrame,
+    key_col: str = "key",
+    estimators: int | None = None,
+) -> DataFrame:
+    """Streaming AMS tug-of-war F2 sketch: the signed counters of
+    ``operators.frequency.ams_f2`` maintained as a running streaming
+    aggregation. Each arriving key occurrence contributes s_j(key) ∈
+    {±1} to estimator j, so the agg state is exactly `estimators` BIGINT
+    cells — like cms_stream, a legitimately state-bounded unbounded-
+    lifetime aggregation (no watermark needed). The live F2 estimate is
+    signed_sum² at read time; squaring inside the stream would break the
+    merge property (squares don't add), which is why the emitted state
+    is the SUM, mirroring how the batch twin defers the square to the
+    final select.
+
+    Update mode emits changed estimator cells per micro-batch;
+    single-batch parity with ams_f2's signed sums and cross-run
+    checkpointed accumulation are tested.
+    """
+    from cdc_stream_processor_spark.operators.frequency import (
+        AMS_ESTIMATORS,
+        _ams_sign,
+    )
+
+    d = estimators if estimators is not None else AMS_ESTIMATORS
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("estimator"),
+                _ams_sign(F.col(key_col), j).cast("long").alias("s"),
+            )
+            for j in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.estimator").alias("estimator"))
+        .agg(F.sum("c.s").alias("signed_sum"))
+    )

@@ -292,3 +292,111 @@ def test_lsh_recall_eval_exact_dups_fully_recalled(spark, sf_dir):
     # re-proves this each gate run); keep a >= bound so testdata
     # regeneration can't silently flip the assertion's meaning
     assert r["recall_lower_bound"] >= 0.9
+
+
+# --- second batch: minhash calibration, hubness, ER entities, streaming AMS -------
+
+
+def test_minhash_est_vs_exact_identical_docs(spark):
+    # identical docs: all 32 signature components agree -> est_milli 1000,
+    # exact jaccard 1.0; a disjoint doc pairs with nothing
+    from cdc_stream_processor_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = D.minhash_estimate_vs_exact(docs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 2)}
+    r = rows[0]
+    assert r["sig_matches"] == D.N_MINHASH
+    assert r["est_milli"] == 1000
+    assert r["jaccard"] == 1.0
+
+
+def test_in_degree_spectrum_includes_zero_degree_nodes(spark):
+    from cdc_stream_processor_spark.operators.graph import in_degree_spectrum
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2), (2, 1)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    out = {r["in_degree"]: r["n_nodes"] for r in
+           in_degree_spectrum(edges, nodes).collect()}
+    # node 2 has in-degree 3, node 1 has 1, nodes 3/4/5 have 0
+    assert out == {3: 1, 1: 1, 0: 3}
+
+
+def test_er_entities_transitive_closure_and_canonical(spark):
+    # three records matching pairwise via name typos within one block ->
+    # one entity rooted at the smallest key; an unrelated record stands alone
+    from cdc_stream_processor_spark.operators import linkage as L
+
+    rows = [
+        (10, "Customer#000000010", 5, 100.0, "BUILDING"),
+        (11, "Customer#000000011", 5, 150.0, "BUILDING"),  # dist 1, bal close
+        (12, "Customer#000000012", 5, 120.0, "BUILDING"),  # dist 1 to both
+        (99, "Totally Different Name", 5, 99999.0, "BUILDING"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    out = {r["c_custkey"]: r for r in L.er_entities(df).collect()}
+    assert out[10]["entity_id"] == 10 and out[10]["is_canonical"]
+    assert out[11]["entity_id"] == 10 and not out[11]["is_canonical"]
+    assert out[12]["entity_id"] == 10
+    assert out[99]["entity_id"] == 99 and out[99]["is_canonical"]
+
+
+def test_ams_stream_single_batch_parity_and_accumulation(spark, tmp_path):
+    from cdc_stream_processor_spark.operators import frequency as FR
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from cdc_stream_processor_spark.streaming import sketch as SK
+
+    src = f"{tmp_path}/ams_src"
+    ckpt = f"{tmp_path}/ams_ckpt"
+    all_keys: list[str] = []
+
+    def write_file(keys):
+        all_keys.extend(keys)
+        spark.createDataFrame(
+            [(k,) for k in keys], "key string"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(name):
+        stream = spark.readStream.schema("key string").parquet(src)
+        q = SP.start_pipeline(
+            SK.ams_stream(stream, key_col="key"),
+            name, ckpt,
+            output_mode="update", sink_format="memory",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(f"select * from {name}").collect()
+        out: dict[int, int] = {}
+        for r in rows:  # update mode may emit a cell per batch; sums are
+            out[r.estimator] = r.signed_sum  # latest wins (single batch here)
+        return out
+
+    def batch_sums(keys):
+        df = spark.createDataFrame([(k,) for k in keys], "key string")
+        return {
+            r["estimator"]: r["signed_sum"]
+            for r in FR.ams_f2(df, key_col="key").collect()
+        }
+
+    write_file(["x"] * 4 + ["y"] * 2 + ["z"])
+    assert run("ams_m1") == batch_sums(all_keys)
+
+    # second run on the same checkpoint: signed sums must ACCUMULATE
+    write_file(["x"] * 3 + ["w"] * 5)
+    out2 = run("ams_m2")
+    expected = batch_sums(all_keys)
+    # every emitted cell must equal the full-stream batch value
+    assert out2 and all(expected[j] == v for j, v in out2.items())
