@@ -82,22 +82,41 @@ def er_match_pairs(
     bal_close = (
         F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal")) <= F.lit(BAL_TOL)
     )
+    # EXACT single-levenshtein filter: Catalyst substitutes column aliases
+    # back into pushed-down predicates and codegen does NOT eliminate the
+    # repeated levenshtein subtrees, so every reference to name_dist in a
+    # corpus-scale filter is a separate O(|a|·|b|) evaluation (measured:
+    # each extra reference ≈ +3.5 s per 900 K pairs at sf0.1). The score
+    # threshold is therefore algebraically inverted into "nd ≤ allowed(bal)"
+    # — ONE levenshtein reference and one cheap balance predicate over the
+    # full pair set; the score/tier projection (which re-references
+    # name_dist freely) runs only on the small surviving set.
+    def _max_nd(req_name_w: int) -> int:
+        # largest edit distance whose name weight still reaches req
+        if req_name_w > W_NAME_STRONG:
+            return -1  # unsatisfiable
+        if req_name_w > W_NAME_WEAK:
+            return NAME_STRONG_D
+        if req_name_w > W_NAME_MISS:
+            return NAME_WEAK_D
+        return 1_000_000_000  # any distance qualifies
+
+    allowed = F.when(
+        bal_close, F.lit(_max_nd(min_score - W_BAL))
+    ).otherwise(F.lit(_max_nd(min_score - W_BAL_MISS)))
     score = agreement_score(name_dist, bal_close)
     tier = (
         F.when(score >= TIER_MATCH, F.lit("match"))
         .when(score >= TIER_POSSIBLE, F.lit("possible"))
         .otherwise(F.lit("non_match"))
     )
-    return (
-        pairs.select(
-            F.col("a_c_custkey").alias("custkey_a"),
-            F.col("b_c_custkey").alias("custkey_b"),
-            name_dist.cast("long").alias("name_dist"),
-            bal_close.alias("bal_close"),
-            score.alias("score"),
-            tier.alias("tier"),
-        )
-        .filter(F.col("score") >= min_score)
+    return pairs.filter(name_dist <= allowed).select(
+        F.col("a_c_custkey").alias("custkey_a"),
+        F.col("b_c_custkey").alias("custkey_b"),
+        name_dist.cast("long").alias("name_dist"),
+        bal_close.alias("bal_close"),
+        score.alias("score"),
+        tier.alias("tier"),
     )
 
 
@@ -139,14 +158,20 @@ def er_entities(customers: DataFrame) -> DataFrame:
         connected_components,
     )
 
-    pairs = er_match_pairs(customers).filter(F.col("tier") == "match")
-    cc = connected_components(
-        pairs.select(
+    # persist the edge list: connected_components consumes it twice (the
+    # small-graph probe count + the union-find collect) and each pass
+    # would otherwise re-run the corpus-scale pair scoring
+    edges = (
+        er_match_pairs(customers)
+        .filter(F.col("tier") == "match")
+        .select(
             F.col("custkey_a").alias("doc_a"),
             F.col("custkey_b").alias("doc_b"),
         )
+        .persist()
     )
-    return (
+    cc = connected_components(edges)
+    out = (
         customers.select("c_custkey")
         .join(cc, customers["c_custkey"] == cc["id"], "left")
         .select(
@@ -155,3 +180,4 @@ def er_entities(customers: DataFrame) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("c_custkey") == F.col("entity_id"))
     )
+    return out
