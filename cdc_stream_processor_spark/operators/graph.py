@@ -240,3 +240,59 @@ def in_degree_spectrum(
     return per_node.groupBy("in_degree").agg(
         F.count(F.lit(1)).alias("n_nodes")
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected edge list:
+    cc(v) = 2·triangles(v) / (deg(v)·(deg(v)−1)) — how close each node's
+    neighborhood is to a clique (Watts–Strogatz '98). Over a kNN graph
+    this separates genuinely dense semantic regions (high cc) from hub
+    artifacts (high degree, low cc) — the companion diagnostic to
+    in_degree_spectrum's hubness view.
+
+    Shape: canonical edge dedup + degree count (one shuffle), the
+    triangle wedge/close joins (triangle_counts), and a node-table left
+    join so zero-degree and degree-1 nodes appear with cc NULL. The only
+    double is ONE division of two exact integers per node.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .dropDuplicates(["lo", "hi"])
+    )
+    deg = (
+        e.select(F.col("lo").alias(node_col))
+        .union(e.select(F.col("hi").alias(node_col)))
+        .groupBy(node_col)
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(edges, a_col=src_col, b_col=dst_col).select(
+        F.col("vertex").alias(node_col), "n_triangles"
+    )
+    return (
+        nodes.select(F.col(node_col))
+        .join(deg, node_col, "left")
+        .join(tri, node_col, "left")
+        .select(
+            F.col(node_col),
+            F.coalesce(F.col("degree"), F.lit(0)).alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+        .withColumn(
+            "clustering_coeff",
+            F.when(
+                F.col("degree") >= 2,
+                (F.lit(2) * F.col("n_triangles")).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            ),
+        )
+    )

@@ -173,3 +173,43 @@ def k_anonymity(
             (F.col("group_size") < k).alias("at_risk"),
         )
     )
+
+
+L_DIV_L = 3  # classes with fewer distinct sensitive values are at risk
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_identifiers: list,
+    sensitive,
+    l_threshold: int = L_DIV_L,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE'06) — the attack
+    k-anonymity misses: a QI class can hold ≥ k rows yet leak the
+    sensitive attribute outright when every row agrees on it (homogeneity
+    attack). Reports the spectrum of DISTINCT-sensitive-value counts per
+    QI equivalence class: (l_distinct, n_groups, n_rows, at_risk) with
+    at_risk marking classes below the l threshold.
+
+    Shape: one exact distinct-per-class aggregation (Expand-free — a
+    single COUNT(DISTINCT) plans as two-level partial aggs, no k+1 row
+    multiplier) then the aggregate-scale spectrum rollup. Like
+    k_anonymity, pass bucketed/generalized QI Columns.
+    """
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.countDistinct(sensitive).alias("l_distinct"),
+        F.count(F.lit(1)).alias("n_rows_g"),
+    )
+    return (
+        classes.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_rows_g").alias("n_rows"),
+        )
+        .select(
+            "l_distinct",
+            "n_groups",
+            "n_rows",
+            (F.col("l_distinct") < l_threshold).alias("at_risk"),
+        )
+    )

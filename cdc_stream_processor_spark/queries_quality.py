@@ -564,11 +564,112 @@ FROM customer c LEFT JOIN comp k ON c.c_custkey = k.id
 """
 
 
+# --- l-diversity audit ------------------------------------------------------------
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same QI classes as k_anonymity_audit minus the balance bucket,
+    which becomes the SENSITIVE attribute — the homogeneity-attack check
+    on what the k-anonymity release would actually leak."""
+    cust = B.load_table(spark, sf_dir, "customer")
+    return PF.l_diversity(
+        cust,
+        [F.col("c_nationkey"), F.col("c_mktsegment")],
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long"),
+    )
+
+
+SQL_L_DIVERSITY_AUDIT = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(DISTINCT FLOOR(c_acctbal / 1000.0)::BIGINT) AS l_distinct,
+         COUNT(*) AS n_rows_g
+  FROM customer GROUP BY 1, 2
+)
+SELECT l_distinct, COUNT(*) AS n_groups,
+       SUM(n_rows_g)::BIGINT AS n_rows,
+       l_distinct < {PF.L_DIV_L} AS at_risk
+FROM classes GROUP BY l_distinct
+"""
+
+
+# --- kNN clustering coefficients ----------------------------------------------------
+
+
+def q_knn_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_stream_processor_spark.operators.graph import (
+        clustering_coefficients,
+    )
+    from cdc_stream_processor_spark.queries_extensions import KNN_K
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=KNN_K, block_size=512).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return clustering_coefficients(
+        edges, emb.select(F.col("vec_id").alias("node"))
+    )
+
+
+def _knn_clustering_coeff_sql() -> str:
+    from cdc_stream_processor_spark.queries_extensions import (
+        KNN_K,
+        _knn_graph_sql,
+    )
+
+    knn_full = _knn_graph_sql().strip().removeprefix("WITH")
+    knn = knn_full[
+        : knn_full.rindex("SELECT vec_id, neighbor_id, cosine_sim, rank")
+    ]
+    return f"""
+WITH {knn}
+, e0 AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), ce AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e0 WHERE src <> dst
+), degt AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT lo AS node FROM ce UNION ALL SELECT hi FROM ce
+  ) GROUP BY node
+), w AS (
+  SELECT x.lo AS a, x.hi AS b, y.hi AS c
+  FROM ce x JOIN ce y ON x.lo = y.lo AND x.hi < y.hi
+), tri AS (
+  SELECT a, b, c FROM w JOIN ce ON ce.lo = w.b AND ce.hi = w.c
+), trict AS (
+  SELECT vertex, COUNT(*) AS n_triangles
+  FROM (
+    SELECT a AS vertex FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY vertex
+)
+SELECT v.vec_id AS node,
+       COALESCE(d.degree, 0)::BIGINT AS degree,
+       COALESCE(t.n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN COALESCE(d.degree, 0) >= 2
+            THEN (2 * COALESCE(t.n_triangles, 0))::DOUBLE
+                 / (d.degree * (d.degree - 1))::DOUBLE
+       END AS clustering_coeff
+FROM embeddings v
+LEFT JOIN degt d ON v.vec_id = d.node
+LEFT JOIN trict t ON v.vec_id = t.vertex
+"""
+
+
 QUERIES = {
     "ams_f2_tokens": q_ams_f2_tokens,
     "minhash_est_vs_exact": q_minhash_est_vs_exact,
     "knn_hubness": q_knn_hubness,
     "er_entities": q_er_entities,
+    "l_diversity_audit": q_l_diversity_audit,
+    "knn_clustering_coeff": q_knn_clustering_coeff,
     "silhouette_by_label": q_silhouette_by_label,
     "knn_label_agreement": q_knn_label_agreement,
     "dbscan_labels": q_dbscan_labels,
@@ -583,6 +684,8 @@ ORACLES = {
     "minhash_est_vs_exact": _minhash_est_vs_exact_sql(),
     "knn_hubness": _knn_hubness_sql(),
     "er_entities": _er_entities_sql(),
+    "l_diversity_audit": SQL_L_DIVERSITY_AUDIT,
+    "knn_clustering_coeff": _knn_clustering_coeff_sql(),
     "silhouette_by_label": _silhouette_sql(),
     "knn_label_agreement": _knn_label_agreement_sql(),
     "dbscan_labels": _dbscan_sql(),

@@ -400,3 +400,47 @@ def test_ams_stream_single_batch_parity_and_accumulation(spark, tmp_path):
     expected = batch_sums(all_keys)
     # every emitted cell must equal the full-stream batch value
     assert out2 and all(expected[j] == v for j, v in out2.items())
+
+
+def test_l_diversity_homogeneous_class_flagged(spark):
+    # class (ng, A): 4 rows ALL sensitive=1 -> l=1 at-risk even though
+    # k-anonymity (k<=4) would pass it; class (gh, B): 3 distinct values
+    rows = [
+        ("ng", "A", 1), ("ng", "A", 1), ("ng", "A", 1), ("ng", "A", 1),
+        ("gh", "B", 1), ("gh", "B", 2), ("gh", "B", 3),
+    ]
+    df = spark.createDataFrame(rows, "nation string, seg string, s int")
+    out = {
+        r["l_distinct"]: r
+        for r in PF.l_diversity(
+            df, [F.col("nation"), F.col("seg")], F.col("s"), l_threshold=3
+        ).collect()
+    }
+    assert out[1]["n_groups"] == 1 and out[1]["n_rows"] == 4
+    assert out[1]["at_risk"] is True
+    assert out[3]["n_groups"] == 1 and out[3]["at_risk"] is False
+
+
+def test_clustering_coefficients_triangle_path_isolated(spark):
+    from cdc_stream_processor_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    # triangle {1,2,3} + pendant 4 on 1 + isolated 5
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node long")
+    out = {
+        r["node"]: r
+        for r in clustering_coefficients(edges, nodes).collect()
+    }
+    # node 1: deg 3, 1 triangle -> cc = 2/(3*2) = 1/3
+    assert out[1]["degree"] == 3 and out[1]["n_triangles"] == 1
+    assert abs(out[1]["clustering_coeff"] - 1 / 3) < 1e-12
+    # nodes 2, 3: deg 2, 1 triangle -> cc = 1.0
+    assert out[2]["clustering_coeff"] == 1.0
+    assert out[3]["clustering_coeff"] == 1.0
+    # pendant and isolated: degree < 2 -> cc NULL
+    assert out[4]["degree"] == 1 and out[4]["clustering_coeff"] is None
+    assert out[5]["degree"] == 0 and out[5]["clustering_coeff"] is None
