@@ -146,3 +146,93 @@ def test_pseudo_embed_batch_bounded_and_deterministic(texts):
     for vec in a:
         assert len(vec) == EMBED_DIM
         assert all(-0.5 <= x < 0.5 for x in vec)
+
+
+# --- DBSCAN invariants over random pair graphs ---------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 20), st.integers(1, 20)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(2, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_dbscan_invariants_random_graphs(spark, raw_edges, min_pts):
+    """On any pair graph: (1) every node appears exactly once; (2) a
+    core's cluster equals the min core id reachable through core-core
+    edges; (3) every border is adjacent to >= 1 core and carries that
+    core's cluster; (4) noise nodes have no core neighbor."""
+    from collections import defaultdict
+
+    from cdc_stream_processor_spark.operators import clustereval as CE
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    n_nodes = 20
+    vecs = spark.createDataFrame(
+        [(i,) for i in range(1, n_nodes + 1)], "vec_id long"
+    )
+    pairs = spark.createDataFrame(
+        edges or [(None, None)], "vec_a long, vec_b long"
+    ).filter("vec_a is not null")
+    out = {
+        r["vec_id"]: r
+        for r in CE.dbscan_from_pairs(vecs, pairs, min_pts=min_pts).collect()
+    }
+    assert len(out) == n_nodes  # exactly once each
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    cores = {v for v in range(1, n_nodes + 1) if len(adj[v]) >= min_pts}
+
+    # reference CC over core-core edges
+    rep = {c: c for c in cores}
+
+    def find(x):
+        while rep[x] != x:
+            rep[x] = rep[rep[x]]
+            x = rep[x]
+        return x
+
+    for a, b in edges:
+        if a in cores and b in cores:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                rep[max(ra, rb)] = min(ra, rb)
+    want_cluster = {c: find(c) for c in cores}
+
+    for v in range(1, n_nodes + 1):
+        r = out[v]
+        if v in cores:
+            assert r["role"] == "core" and r["cluster"] == want_cluster[v]
+        elif adj[v] & cores:
+            assert r["role"] == "border"
+            assert r["cluster"] == min(want_cluster[c] for c in adj[v] & cores)
+        else:
+            assert r["role"] == "noise" and r["cluster"] is None
+
+
+@given(st.lists(st.text(min_size=1, max_size=6), min_size=1, max_size=60))
+@settings(max_examples=10, deadline=None)
+def test_ams_f2_exact_and_unbiased_structure(spark, keys):
+    """On any key stream: f2_exact equals the true second moment, and
+    every estimator's estimate is the square of a sum whose magnitude is
+    bounded by the stream length."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators import frequency as FR
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    rows = FR.ams_f2(df, key_col="key").collect()
+    c = Counter(keys)
+    true_f2 = sum(v * v for v in c.values())
+    n = len(keys)
+    assert len(rows) == FR.AMS_ESTIMATORS
+    for r in rows:
+        assert r["f2_exact"] == true_f2
+        assert r["f2_estimate"] == r["signed_sum"] ** 2
+        assert abs(r["signed_sum"]) <= n
