@@ -1249,9 +1249,16 @@ def textrank_keywords(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_cooc)
     )
-    edges = cooc.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).union(cooc.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    edges = (
+        cooc.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(cooc.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        # truncate lineage: the rank loop references the edge list twice
+        # per iteration, so without a checkpoint the bigram-count subtree
+        # is re-inlined ~2·n_iter times into the final plan (audited at
+        # 102 exchanges); as a vocabulary-scale table it checkpoints
+        # cheaply and the loop plans over a leaf
+        .localCheckpoint()
+    )
     pr = pagerank(edges, n_iter=n_iter)
     from pyspark.sql.window import Window
 
