@@ -2654,3 +2654,136 @@ def bootstrap_ci_daily_revenue(
             "ci_hi",
         )
     )
+
+
+# --- frequent sequential patterns (PrefixSpan-lite, bounded length) ------------
+
+SEQ_GRAM_LEN = 3
+SEQ_TOP_K = 25
+
+
+def frequent_event_sequences(
+    events: DataFrame,
+    seq_len: int = SEQ_GRAM_LEN,
+    top_k: int = SEQ_TOP_K,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Frequent CONTIGUOUS event sequences of fixed length across users —
+    the bounded-fan-out member of the sequential-pattern-mining family
+    (PrefixSpan, Pei et al. ICDE'01, restricted to contiguous windows so
+    the candidate space is linear in events, not exponential in pattern
+    length). Support = number of distinct users whose journey contains
+    the pattern; occurrences ride along. The behavioral n-gram twin of
+    `event_transitions` (order-1) and `user_path_score` (whole-path).
+
+    Shape: ONE corpus shuffle (the per-user sorted-struct collect — the
+    same secondary-sort pattern as user_event_paths, deterministic total
+    order on (ts, event_id)); n-gram extraction is a map-side transform
+    bounded by seq_len; per-(user, pattern) counts partial-aggregate
+    before the pattern rollup; top-k via TakeOrderedAndProject.
+
+    Returns (pattern, n_users, n_occurrences, rank), top_k rows ordered
+    by (n_users desc, n_occurrences desc, pattern asc).
+    """
+    packed = F.struct(F.col(ts_col), F.col(id_col), F.col(type_col))
+    seqs = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.sort_array(F.collect_list(packed)).alias("s")
+    )
+    types = F.col("s").getField(type_col)
+    gram = F.when(
+        F.size("s") >= seq_len,
+        F.transform(
+            F.sequence(F.lit(1), F.size("s") - (seq_len - 1)),
+            lambda i: F.concat_ws(
+                ">",
+                *[F.element_at(types, i + j) for j in range(seq_len)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_user = (
+        seqs.select("u", F.explode(gram).alias("pattern"))
+        .groupBy("u", "pattern")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    agg = per_user.groupBy("pattern").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("occ").alias("n_occurrences"),
+    )
+    topped = agg.orderBy(
+        F.col("n_users").desc(),
+        F.col("n_occurrences").desc(),
+        F.col("pattern").asc(),
+    ).limit(top_k)
+    w = Window.orderBy(
+        F.col("n_users").desc(),
+        F.col("n_occurrences").desc(),
+        F.col("pattern").asc(),
+    )
+    return topped.select(
+        "pattern", "n_users", "n_occurrences",
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def theil_sen_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series: the
+    median over all day pairs (i < j) of the pairwise slope
+    (c_j − c_i)/(d_j − d_i). Resistant to ~29% outlier days, the robust
+    companion to the OLS `forecast_revenue`/`forecast_backtest` line
+    (Sen 1968). Median = the exact ⌈n/2⌉-th order statistic under the
+    total order (slope, day_a, day_b) — deterministic across engines
+    even with tied slopes, no interpolation (so the only double is one
+    correctly-rounded division per pair).
+
+    Scale: the corpus collapses to the calendar-bounded daily table in
+    one shuffle; the pair grid and its single-partition rank window are
+    days² — bounded by the time span, NOT the corpus (gwin-legitimate,
+    same class as acf/seasonal).
+
+    Returns one row: (n_days, n_pairs, ts_slope_per_day, med_day_a,
+    med_day_b).
+    """
+    daily = (
+        events.select(
+            F.expr(f"unix_micros({ts_col}) div {DAY_US}").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("cnt").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("cnt").alias("cb"))
+    slopes = a.join(b, F.col("da") < F.col("db")).select(
+        "da",
+        "db",
+        (
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("db") - F.col("da")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy(
+        F.col("slope").asc(), F.col("da").asc(), F.col("db").asc()
+    )
+    ranked = slopes.select(
+        "da", "db", "slope", F.row_number().over(w).alias("rn")
+    )
+    stats = slopes.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    pick = ranked.crossJoin(F.broadcast(stats)).filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    )
+    return (
+        pick.crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "n_pairs",
+            F.col("slope").alias("ts_slope_per_day"),
+            F.col("da").alias("med_day_a"),
+            F.col("db").alias("med_day_b"),
+        )
+    )

@@ -663,6 +663,144 @@ LEFT JOIN trict t ON v.vec_id = t.vertex
 """
 
 
+# --- frequent sequential patterns ---------------------------------------------------
+
+
+def q_frequent_event_seqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_stream_processor_spark.operators import relational as R
+
+    return R.frequent_event_sequences(B.load_table(spark, sf_dir, "events"))
+
+
+def _frequent_event_seqs_sql() -> str:
+    from cdc_stream_processor_spark.operators.relational import (
+        SEQ_GRAM_LEN,
+        SEQ_TOP_K,
+    )
+
+    assert SEQ_GRAM_LEN == 3  # the oracle states the 3-gram form
+    return f"""
+WITH seqs AS (
+  SELECT user_id AS u, list(event_type ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+), grams AS (
+  SELECT u, s[g.i] || '>' || s[g.i + 1] || '>' || s[g.i + 2] AS pattern
+  FROM seqs, unnest(generate_series(1, len(s) - 2)) AS g(i)
+  WHERE len(s) >= 3
+), pu AS (
+  SELECT u, pattern, COUNT(*) AS occ FROM grams GROUP BY 1, 2
+), agg AS (
+  SELECT pattern, COUNT(*) AS n_users, SUM(occ)::BIGINT AS n_occurrences
+  FROM pu GROUP BY 1
+)
+SELECT pattern, n_users, n_occurrences, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY n_users DESC, n_occurrences DESC, pattern ASC) AS rank
+  FROM agg
+) WHERE rank <= {SEQ_TOP_K}
+"""
+
+
+# --- Theil-Sen robust daily trend -----------------------------------------------------
+
+
+def q_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_stream_processor_spark.operators import relational as R
+
+    return R.theil_sen_daily(B.load_table(spark, sf_dir, "events"))
+
+
+def _theil_sen_sql() -> str:
+    from cdc_stream_processor_spark.operators.relational import DAY_US
+
+    return f"""
+WITH daily AS (
+  SELECT epoch_us(ts) // {DAY_US} AS day, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), slopes AS (
+  SELECT a.day AS da, b.day AS db,
+         (b.cnt - a.cnt)::DOUBLE / (b.day - a.day)::DOUBLE AS slope
+  FROM daily a JOIN daily b ON a.day < b.day
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY slope ASC, da ASC, db ASC) AS rn
+  FROM slopes
+), st AS (SELECT COUNT(*) AS n_pairs FROM slopes),
+nd AS (SELECT COUNT(*) AS n_days FROM daily)
+SELECT n_days, n_pairs, slope AS ts_slope_per_day,
+       da AS med_day_a, db AS med_day_b
+FROM ranked CROSS JOIN st CROSS JOIN nd
+WHERE rn = (n_pairs + 1) // 2
+"""
+
+
+# --- corpus datasheet (one-row release report) ------------------------------------------
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus release report ('datasheets for datasets', Gebru
+    et al. 2021): sizes, vocabulary, source/language spread, exact-dup
+    count, mean length. Each COUNT(DISTINCT) runs in its own skinny
+    two-phase aggregation (never one combined agg — a multi-distinct agg
+    plans an Expand row multiplier; the profile_table lesson), then the
+    1-row results crossJoin(broadcast)."""
+    docs = B.load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size(TH.tokens(F.col("text")))).alias("total_tokens"),
+    )
+    vocab = (
+        docs.select(F.explode(TH.tokens(F.col("text"))).alias("t"))
+        .agg(F.countDistinct("t").alias("vocab_size"))
+    )
+    srcs = docs.agg(F.countDistinct("source").alias("n_sources"))
+    langs = docs.agg(F.countDistinct("lang").alias("n_langs"))
+    uniq = docs.agg(F.countDistinct(norm).alias("n_unique_texts"))
+    return (
+        base.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(srcs))
+        .crossJoin(F.broadcast(langs))
+        .crossJoin(F.broadcast(uniq))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            "n_sources",
+            "n_langs",
+            (F.col("n_docs") - F.col("n_unique_texts")).alias("n_dup_docs"),
+            (
+                F.col("total_chars").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("avg_chars"),
+        )
+    )
+
+
+SQL_CORPUS_DATASHEET = f"""
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(length(text))::BIGINT AS total_chars,
+         SUM(len({_TOKS}))::BIGINT AS total_tokens
+  FROM documents
+), vocab AS (
+  SELECT COUNT(DISTINCT t) AS vocab_size
+  FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+), meta AS (
+  SELECT COUNT(DISTINCT source) AS n_sources,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+           AS n_unique_texts
+  FROM documents
+)
+SELECT n_docs, total_tokens, vocab_size, n_sources, n_langs,
+       (n_docs - n_unique_texts)::BIGINT AS n_dup_docs,
+       total_chars::DOUBLE / n_docs::DOUBLE AS avg_chars
+FROM base CROSS JOIN vocab CROSS JOIN meta
+"""
+
+
 QUERIES = {
     "ams_f2_tokens": q_ams_f2_tokens,
     "minhash_est_vs_exact": q_minhash_est_vs_exact,
@@ -670,6 +808,9 @@ QUERIES = {
     "er_entities": q_er_entities,
     "l_diversity_audit": q_l_diversity_audit,
     "knn_clustering_coeff": q_knn_clustering_coeff,
+    "frequent_event_seqs": q_frequent_event_seqs,
+    "theil_sen_daily": q_theil_sen_daily,
+    "corpus_datasheet": q_corpus_datasheet,
     "silhouette_by_label": q_silhouette_by_label,
     "knn_label_agreement": q_knn_label_agreement,
     "dbscan_labels": q_dbscan_labels,
@@ -686,6 +827,9 @@ ORACLES = {
     "er_entities": _er_entities_sql(),
     "l_diversity_audit": SQL_L_DIVERSITY_AUDIT,
     "knn_clustering_coeff": _knn_clustering_coeff_sql(),
+    "frequent_event_seqs": _frequent_event_seqs_sql(),
+    "theil_sen_daily": _theil_sen_sql(),
+    "corpus_datasheet": SQL_CORPUS_DATASHEET,
     "silhouette_by_label": _silhouette_sql(),
     "knn_label_agreement": _knn_label_agreement_sql(),
     "dbscan_labels": _dbscan_sql(),

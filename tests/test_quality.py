@@ -444,3 +444,87 @@ def test_clustering_coefficients_triangle_path_isolated(spark):
     # pendant and isolated: degree < 2 -> cc NULL
     assert out[4]["degree"] == 1 and out[4]["clustering_coeff"] is None
     assert out[5]["degree"] == 0 and out[5]["clustering_coeff"] is None
+
+
+# --- batch 5: sequential patterns, Theil-Sen, datasheet ----------------------------
+
+
+def test_frequent_event_sequences_support_and_occurrences(spark):
+    from datetime import datetime
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    def ev(eid, uid, i, typ):
+        return (eid, datetime(2026, 1, 1, 0, i), uid, typ)
+
+    rows = (
+        [ev(i, 1, i, t) for i, t in enumerate(["a", "b", "c", "d"])]
+        + [ev(10 + i, 2, i, t) for i, t in enumerate(["a", "b", "c"])]
+        # u3: a b c a b c -> a>b>c occurs TWICE for one user
+        + [ev(20 + i, 3, i, t) for i, t in enumerate("abcabc")]
+        + [ev(30, 4, 0, "z")]  # too short: contributes nothing
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = {
+        r["pattern"]: r
+        for r in R.frequent_event_sequences(df, top_k=10).collect()
+    }
+    assert out["a>b>c"]["n_users"] == 3
+    assert out["a>b>c"]["n_occurrences"] == 4  # 1 + 1 + 2
+    assert out["b>c>d"]["n_users"] == 1
+    assert "z" not in "".join(out)  # the length-1 journey emitted no gram
+    ranks = sorted((r["rank"], p) for p, r in out.items())
+    assert ranks[0][1] == "a>b>c"  # highest support first
+
+
+def test_theil_sen_median_slope_hand_computed(spark):
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    # day counts: d0=1, d1=2, d2=3, d3=10
+    rows = []
+    eid = 0
+    for d, cnt in [(0, 1), (1, 2), (2, 3), (3, 10)]:
+        for _ in range(cnt):
+            rows.append(
+                (eid, datetime(2026, 1, 1) + timedelta(days=d), 1, "x")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    r = R.theil_sen_daily(df).collect()[0]
+    # slopes: (0,1)=1 (0,2)=1 (0,3)=3 (1,2)=1 (1,3)=4 (2,3)=7
+    # sorted: 1,1,1,3,4,7 -> rn=(6+1)//2=3 -> median 1.0
+    assert r["n_days"] == 4 and r["n_pairs"] == 6
+    assert r["ts_slope_per_day"] == 1.0
+
+
+def test_corpus_datasheet_hand_computed(spark):
+    from cdc_stream_processor_spark.queries_quality import q_corpus_datasheet
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", "en", "web", 11),
+            (2, "  Hello   World ", "en", "web", 16),  # normalized dup of 1
+            (3, "bonjour le monde", "fr", "book", 16),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    import cdc_stream_processor_spark.sources.batch as B
+
+    orig = B.load_table
+    try:
+        B.load_table = lambda spark, sf, name: docs
+        r = q_corpus_datasheet(spark, "unused").collect()[0]
+    finally:
+        B.load_table = orig
+    assert r["n_docs"] == 3
+    assert r["total_tokens"] == 2 + 2 + 3
+    assert r["vocab_size"] == 5  # hello world bonjour le monde
+    assert r["n_sources"] == 2 and r["n_langs"] == 2
+    assert r["n_dup_docs"] == 1
+    assert abs(r["avg_chars"] - (11 + 16 + 16) / 3) < 1e-9
