@@ -663,6 +663,85 @@ LEFT JOIN trict t ON v.vec_id = t.vertex
 """
 
 
+# --- IVF recall evaluation -----------------------------------------------------------
+
+
+def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-flat ANN path against exact brute-force cosine
+    over the standard query set — the vector-index twin of
+    lsh_recall_eval (that one audits the DEDUP index; this audits the
+    SEARCH index). Unlike the pinned >= 0.8 test bound, the registered
+    report emits the ACTUAL hit count so recall drift across corpus
+    regenerations is visible round over round. One row:
+    (n_queries, k, n_hits, recall)."""
+    from cdc_stream_processor_spark.queries_extensions import (
+        QUERY_STRIDE,
+        TOPK,
+    )
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    ivf = S.ivf_topk(queries, emb, k=TOPK).select("query_id", "neighbor_id")
+    bf = S.brute_force_topk(queries, emb, k=TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    hits = bf.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    nq = bf.select("query_id").distinct().count()
+    return hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+        F.lit(nq).cast("long").alias("n_queries"),
+        F.lit(TOPK).cast("long").alias("k"),
+        "n_hits",
+        (
+            F.col("n_hits").cast("double") / F.lit(float(nq * TOPK))
+        ).alias("recall"),
+    )
+
+
+def _ivf_recall_eval_sql() -> str:
+    from cdc_stream_processor_spark.queries_extensions import (
+        ORACLES as _QE_ORACLES,
+        QUERY_STRIDE,
+        TOPK,
+        _FOLD_SUM as _FS,
+    )
+
+    ivf_full = _QE_ORACLES["ivf_ann_topk"].strip()
+    marker = "SELECT query_id, neighbor_id, cosine_sim, rank FROM ("
+    idx = ivf_full.rindex(marker)
+    ctes = ivf_full[:idx].rstrip()  # the WITH chain, ends with ')'
+    final = ivf_full[idx:]
+    dot = _FS.format(arr="list_transform(list_zip(q.e, c.e), z -> z[1] * z[2])")
+    nq_ = _FS.format(arr="list_transform(q.e, x -> x * x)")
+    nc_ = _FS.format(arr="list_transform(c.e, x -> x * x)")
+    return f"""{ctes},
+ivf AS (
+{final}
+), bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({dot} / (sqrt({nq_}) * sqrt({nc_})), 6) AS cosine_sim
+  FROM v q JOIN v c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+), bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= {TOPK}
+), nqq AS (
+  SELECT COUNT(DISTINCT query_id) AS n_queries FROM bf
+)
+SELECT nqq.n_queries, {TOPK}::BIGINT AS k,
+       COUNT(i.query_id)::BIGINT AS n_hits,
+       COUNT(i.query_id)::DOUBLE / (nqq.n_queries * {TOPK})::DOUBLE
+         AS recall
+FROM bf LEFT JOIN ivf i
+  ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
+CROSS JOIN nqq
+GROUP BY nqq.n_queries
+"""
+
+
 # --- frequent sequential patterns ---------------------------------------------------
 
 
@@ -811,6 +890,7 @@ QUERIES = {
     "frequent_event_seqs": q_frequent_event_seqs,
     "theil_sen_daily": q_theil_sen_daily,
     "corpus_datasheet": q_corpus_datasheet,
+    "ivf_recall_eval": q_ivf_recall_eval,
     "silhouette_by_label": q_silhouette_by_label,
     "knn_label_agreement": q_knn_label_agreement,
     "dbscan_labels": q_dbscan_labels,
@@ -830,6 +910,7 @@ ORACLES = {
     "frequent_event_seqs": _frequent_event_seqs_sql(),
     "theil_sen_daily": _theil_sen_sql(),
     "corpus_datasheet": SQL_CORPUS_DATASHEET,
+    "ivf_recall_eval": _ivf_recall_eval_sql(),
     "silhouette_by_label": _silhouette_sql(),
     "knn_label_agreement": _knn_label_agreement_sql(),
     "dbscan_labels": _dbscan_sql(),

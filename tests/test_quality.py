@@ -528,3 +528,15 @@ def test_corpus_datasheet_hand_computed(spark):
     assert r["n_sources"] == 2 and r["n_langs"] == 2
     assert r["n_dup_docs"] == 1
     assert abs(r["avg_chars"] - (11 + 16 + 16) / 3) < 1e-9
+
+
+def test_ivf_recall_eval_bounds(spark, sf_dir):
+    from cdc_stream_processor_spark.queries_quality import q_ivf_recall_eval
+
+    r = q_ivf_recall_eval(spark, sf_dir).collect()[0]
+    assert 0 < r["n_queries"]
+    assert 0 <= r["n_hits"] <= r["n_queries"] * r["k"]
+    assert 0.0 <= r["recall"] <= 1.0
+    # the probe parameterization is tuned for >= 0.8 on this corpus
+    # (same bound the ivf unit test pins)
+    assert r["recall"] >= 0.8
