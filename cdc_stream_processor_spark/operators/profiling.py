@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def profile_table(
@@ -212,4 +213,47 @@ def l_diversity(
             "n_rows",
             (F.col("l_distinct") < l_threshold).alias("at_risk"),
         )
+    )
+
+
+def watermark_slack_audit(
+    events: DataFrame,
+    arrival_col,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Out-of-orderness audit for watermark sizing: replay the stream in
+    ARRIVAL order per key and measure how late each event's event-time is
+    behind the running event-time maximum — the exact quantity a
+    Structured Streaming watermark must cover (an event later than the
+    configured delay is dropped at the stateful operator). Reports the
+    evidence a pipeline needs to choose `withWatermark(delay)`: how many
+    events would a candidate delay lose, and what is the worst lateness.
+
+    `arrival_col` is the arrival-order column (a Kafka offset, ingest
+    sequence, or file position). Lateness per event =
+    run_max(ts over arrival order) − ts, in exact integer microseconds.
+
+    Output (one row): n_events, n_late (lateness > 0), max_lateness_us,
+    sum_lateness_us — the recommended watermark is max_lateness_us (or a
+    quantile of the lateness distribution for a lossy-tolerant pipeline).
+
+    Shape: ONE shuffle on the key for the per-key running-max window
+    (arrival order is a total order per key), then a partial-agged global
+    rollup. At 100 TB the window partitions by key — never global.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    us = F.expr(f"unix_micros({ts_col})")
+    late = events.select(
+        (F.max(us).over(w) - us).alias("lateness_us")
+    )
+    return late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("lateness_us") > 0).cast("long")).alias("n_late"),
+        F.max("lateness_us").alias("max_lateness_us"),
+        F.sum("lateness_us").alias("sum_lateness_us"),
     )

@@ -1931,3 +1931,60 @@ def kcenter_centers(
         [(r, i, m) for r, i, m in chosen],
         "rank long, vec_id long, sel_maxcos double",
     )
+
+
+EMB_GRID = CENTROID_SCALE  # health audit uses the same 1e-6 integer grid
+
+
+def embedding_health_audit(
+    vecs: DataFrame,
+    expected_dim: int,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label embedding data-quality audit — the vector-column member
+    of the profiling family (profile_table audits scalars; this audits
+    array<float> health before any index/training run): wrong
+    dimensionality, zero vectors (cosine-undefined), non-finite
+    components, and the norm² range on the exact 1e-6 integer grid
+    (BIGINT sums — order-free, so min/max are engine-exact).
+
+    Output: (label, n_vecs, n_wrong_dim, n_zero, n_nonfinite,
+    min_norm2_scaled, max_norm2_scaled) where norm2_scaled =
+    Σ trunc(x·1e6)² — an integer on the 1e-12 grid.
+
+    Shape: map-only per-vector expressions + one partial-agged groupBy
+    on the label; nothing corpus-global, no Python.
+    """
+    # try_cast: a NaN/Inf component would ANSI-overflow a plain long cast
+    # and kill the very audit meant to FLAG it; with try_cast the grid
+    # value is NULL, norm2 propagates NULL for that vector (min/max skip
+    # it), and the vector is reported through n_nonfinite instead
+    x = F.transform(
+        F.col(vec_col),
+        lambda v: (v.cast("double") * EMB_GRID).try_cast("long"),
+    )
+    norm2 = F.aggregate(
+        x, F.lit(0).cast("long"), lambda acc, xi: acc + xi * xi
+    )
+    nonfinite = F.exists(
+        F.col(vec_col),
+        lambda v: F.isnan(v.cast("double"))
+        | (v.cast("double") == float("inf"))
+        | (v.cast("double") == float("-inf")),
+    )
+    per_vec = vecs.select(
+        F.col(label_col).alias("label"),
+        (F.size(vec_col) != expected_dim).cast("long").alias("wrong_dim"),
+        (norm2 == 0).cast("long").alias("zero_vec"),
+        nonfinite.cast("long").alias("nonfin"),
+        norm2.alias("n2"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("wrong_dim").alias("n_wrong_dim"),
+        F.sum("zero_vec").alias("n_zero"),
+        F.sum("nonfin").alias("n_nonfinite"),
+        F.min("n2").alias("min_norm2_scaled"),
+        F.max("n2").alias("max_norm2_scaled"),
+    )

@@ -663,6 +663,95 @@ LEFT JOIN trict t ON v.vec_id = t.vertex
 """
 
 
+# --- watermark slack audit --------------------------------------------------------
+
+
+def q_watermark_slack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata's events arrive perfectly ordered (0 inversions), so
+    — like sequence_gap_audit's lossy channel — the registered form
+    replays them through a DETERMINISTIC jittered-arrival channel
+    (arrival = (event_id + md5(event_id) % 16)·1e6 + event_id: unique,
+    locally shuffled) so the audit measures real planted disorder."""
+    ev = B.load_table(spark, sf_dir, "events")
+    jitter = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 16
+    )
+    arrival = (F.col("event_id") + jitter) * F.lit(1_000_000) + F.col(
+        "event_id"
+    )
+    return PF.watermark_slack_audit(ev, arrival)
+
+
+SQL_WATERMARK_SLACK_AUDIT = """
+WITH arr AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         (event_id
+          + ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
+            ::UBIGINT::BIGINT % 16) * 1000000 + event_id AS ak
+  FROM events
+), lt AS (
+  SELECT (MAX(us) OVER (PARTITION BY user_id ORDER BY ak
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us)
+           AS lateness_us
+  FROM arr
+)
+SELECT COUNT(*) AS n_events,
+       SUM((lateness_us > 0)::BIGINT)::BIGINT AS n_late,
+       MAX(lateness_us)::BIGINT AS max_lateness_us,
+       SUM(lateness_us)::BIGINT AS sum_lateness_us
+FROM lt
+"""
+
+
+# --- embedding health audit --------------------------------------------------------
+
+
+def q_embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    return S.embedding_health_audit(emb, expected_dim=B.embedding_dim(sf_dir))
+
+
+def _embedding_health_sql(sf_dir_hint_dim: int | None = None) -> str:
+    # the oracle derives the expected dim the same way the Spark wrapper
+    # does: the modal (here: constant) array length of the corpus — stated
+    # as a scalar subquery so the SQL needs no per-sf constant
+    n2 = (
+        "list_reduce(list_prepend(0::BIGINT, "
+        "list_transform(list_transform(embedding, "
+        "x -> trunc(x::DOUBLE * 1000000)::BIGINT), v -> v * v)), "
+        "(a, b) -> a + b)"
+    )
+    nonfin = (
+        "len(list_filter(embedding, x -> isnan(x::DOUBLE) "
+        "or x::DOUBLE = 'infinity'::DOUBLE "
+        "or x::DOUBLE = '-infinity'::DOUBLE)) > 0"
+    )
+    return f"""
+WITH dim AS (
+  SELECT len(embedding) AS d FROM embeddings LIMIT 1
+), pv AS (
+  SELECT label,
+         (len(embedding) != (SELECT d FROM dim))::BIGINT AS wrong_dim,
+         ({n2} = 0)::BIGINT AS zero_vec,
+         ({nonfin})::BIGINT AS nonfin,
+         {n2} AS n2
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vecs,
+       SUM(wrong_dim)::BIGINT AS n_wrong_dim,
+       SUM(zero_vec)::BIGINT AS n_zero,
+       SUM(nonfin)::BIGINT AS n_nonfinite,
+       MIN(n2)::BIGINT AS min_norm2_scaled,
+       MAX(n2)::BIGINT AS max_norm2_scaled
+FROM pv GROUP BY label
+"""
+
+
 # --- IVF recall evaluation -----------------------------------------------------------
 
 
@@ -891,6 +980,8 @@ QUERIES = {
     "theil_sen_daily": q_theil_sen_daily,
     "corpus_datasheet": q_corpus_datasheet,
     "ivf_recall_eval": q_ivf_recall_eval,
+    "watermark_slack_audit": q_watermark_slack_audit,
+    "embedding_health_audit": q_embedding_health_audit,
     "silhouette_by_label": q_silhouette_by_label,
     "knn_label_agreement": q_knn_label_agreement,
     "dbscan_labels": q_dbscan_labels,
@@ -911,6 +1002,8 @@ ORACLES = {
     "theil_sen_daily": _theil_sen_sql(),
     "corpus_datasheet": SQL_CORPUS_DATASHEET,
     "ivf_recall_eval": _ivf_recall_eval_sql(),
+    "watermark_slack_audit": SQL_WATERMARK_SLACK_AUDIT,
+    "embedding_health_audit": _embedding_health_sql(),
     "silhouette_by_label": _silhouette_sql(),
     "knn_label_agreement": _knn_label_agreement_sql(),
     "dbscan_labels": _dbscan_sql(),

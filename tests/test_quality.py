@@ -540,3 +540,51 @@ def test_ivf_recall_eval_bounds(spark, sf_dir):
     # the probe parameterization is tuned for >= 0.8 on this corpus
     # (same bound the ivf unit test pins)
     assert r["recall"] >= 0.8
+
+
+def test_watermark_slack_audit_hand_computed(spark):
+    from datetime import datetime
+
+    # user 1 arrival order (arrival col k): event times 10:00, 10:02,
+    # 10:01, 10:05 -> the third event is 60 s late behind run-max 10:02
+    rows = [
+        (1, 1, datetime(2026, 1, 1, 10, 0)),
+        (2, 1, datetime(2026, 1, 1, 10, 2)),
+        (3, 1, datetime(2026, 1, 1, 10, 1)),
+        (4, 1, datetime(2026, 1, 1, 10, 5)),
+        # user 2: in order -> contributes no lateness
+        (5, 2, datetime(2026, 1, 1, 9, 0)),
+        (6, 2, datetime(2026, 1, 1, 9, 30)),
+    ]
+    df = spark.createDataFrame(rows, "k long, user_id long, ts timestamp")
+    r = PF.watermark_slack_audit(df, F.col("k")).collect()[0]
+    assert r["n_events"] == 6
+    assert r["n_late"] == 1
+    assert r["max_lateness_us"] == 60_000_000
+    assert r["sum_lateness_us"] == 60_000_000
+
+
+def test_embedding_health_audit_planted_defects(spark):
+    from cdc_stream_processor_spark.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 0.0], 0),        # zero vector
+        (3, [1.0, 2.0, 3.0], 0),   # wrong dim
+        (4, [float("nan"), 1.0], 1),
+        (5, [0.5, 0.5], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r["label"]: r
+        for r in S.embedding_health_audit(df, expected_dim=2).collect()
+    }
+    assert out[0]["n_vecs"] == 3
+    assert out[0]["n_zero"] == 1
+    assert out[0]["n_wrong_dim"] == 1
+    assert out[0]["n_nonfinite"] == 0
+    assert out[1]["n_nonfinite"] == 1
+    # norm2 on the 1e-6 grid: [0.5, 0.5] -> 2 * 500000^2
+    assert out[1]["min_norm2_scaled"] <= 2 * 500_000**2
