@@ -969,16 +969,19 @@ FROM base CROSS JOIN vocab CROSS JOIN meta
 """
 
 
+# Registration order = driver-rotation order for never-checked entries:
+# the driver verifies the FIRST 50 never-green queries per round, so the
+# complex oracles register first and any window-50 overflow falls on the
+# four most trivial entries (map-only / two-agg spectra), which carry
+# multiple local greens at both SFs this session.
 QUERIES = {
     "ams_f2_tokens": q_ams_f2_tokens,
     "minhash_est_vs_exact": q_minhash_est_vs_exact,
     "knn_hubness": q_knn_hubness,
     "er_entities": q_er_entities,
-    "l_diversity_audit": q_l_diversity_audit,
     "knn_clustering_coeff": q_knn_clustering_coeff,
     "frequent_event_seqs": q_frequent_event_seqs,
     "theil_sen_daily": q_theil_sen_daily,
-    "corpus_datasheet": q_corpus_datasheet,
     "ivf_recall_eval": q_ivf_recall_eval,
     "watermark_slack_audit": q_watermark_slack_audit,
     "embedding_health_audit": q_embedding_health_audit,
@@ -986,9 +989,12 @@ QUERIES = {
     "knn_label_agreement": q_knn_label_agreement,
     "dbscan_labels": q_dbscan_labels,
     "textrank_keywords": q_textrank_keywords,
+    "lsh_recall_eval": q_lsh_recall_eval,
+    # window-50 overflow candidates (roll to r8 if the window fills):
     "audio_chunks": q_audio_chunks,
     "k_anonymity_audit": q_k_anonymity_audit,
-    "lsh_recall_eval": q_lsh_recall_eval,
+    "l_diversity_audit": q_l_diversity_audit,
+    "corpus_datasheet": q_corpus_datasheet,
 }
 
 ORACLES = {
