@@ -588,3 +588,75 @@ def test_embedding_health_audit_planted_defects(spark):
     assert out[1]["n_nonfinite"] == 1
     # norm2 on the 1e-6 grid: [0.5, 0.5] -> 2 * 500000^2
     assert out[1]["min_norm2_scaled"] <= 2 * 500_000**2
+
+
+def test_watermark_audit_prediction_controls_streaming_drops(spark, tmp_path):
+    """End-to-end: a 0-second watermark (the reference's no-grace
+    semantics) DROPS a late event once the watermark has advanced, and a
+    watermark sized from the audit's max_lateness_us keeps it. Empirical
+    Spark semantics encoded here: since the multi-stateful-operator
+    change (3.4+), the LATE-INPUT filter uses the eviction watermark
+    delayed by one micro-batch (the executed plan prints both:
+    `StateStoreSave ... Update, <lateEvents>, <eviction>`), so the late
+    file arrives two batches after the watermark-advancing file, with a
+    filler batch between. Files are pinned to (mtime, path) order —
+    FileStreamSource batches by exactly that."""
+    import glob as globmod
+    import os
+    import shutil
+    from datetime import datetime
+
+    from cdc_stream_processor_spark.operators import profiling as PF
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+
+    src = f"{tmp_path}/wm_src"
+    os.makedirs(src)
+    files = [
+        [(1, 1, datetime(2026, 1, 1, 10, 0)),
+         (2, 1, datetime(2026, 1, 1, 10, 10))],
+        [(9, 1, datetime(2026, 1, 1, 10, 11))],  # filler: wm already 10:10
+        [(3, 1, datetime(2026, 1, 1, 10, 1))],   # 9 min late, 2 batches on
+    ]
+    for i, rows in enumerate(files):
+        tmp = f"{tmp_path}/wm_tmp{i}"
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = f"{src}/{chr(ord('a') + i)}.parquet"
+        shutil.copy(globmod.glob(f"{tmp}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
+
+    # the audit on the arrival-ordered batch replay predicts the slack
+    batch = spark.read.parquet(src)
+    audit = PF.watermark_slack_audit(batch, F.col("event_id")).collect()[0]
+    assert audit["n_late"] == 1
+    lateness_s = audit["max_lateness_us"] // 1_000_000
+    assert lateness_s == 9 * 60
+
+    def windowed_total(delay: str, name: str):
+        stream = (
+            spark.readStream
+            .schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "5 minutes"), F.col("user_id"))
+            .count()
+        )
+        q = SP.start_pipeline(
+            agg, name, f"{tmp_path}/ck_{name}",
+            output_mode="update", sink_format="memory",
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in spark.sql(f"select * from {name}").collect():
+            latest[(str(r["window"]), r["user_id"])] = r["count"]
+        return sum(latest.values())
+
+    # no-grace: the late event is dropped -> 3 of 4 events counted
+    assert windowed_total("0 seconds", "wm_strict") == 3
+    # watermark = audit max lateness: every event survives
+    assert windowed_total(f"{lateness_s} seconds", "wm_sized") == 4
