@@ -296,3 +296,92 @@ def clustering_coefficients(
             ),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED set) —
+    the related-items / query-expansion primitive: rank mass teleports
+    only to the seeds, so the stationary ranks measure multi-hop
+    proximity TO THE SEED SET rather than global centrality
+    (Haveliwala, WWW'02). Same fixed-point integer contract as
+    `pagerank`: seeds start with PR_SCALE // n_seeds units, per
+    iteration each node splits rank over out-edges with truncating
+    division, the gather sums int64 exactly, and
+    rank' = (is_seed ? teleport : 0) + damped gather — every round
+    bit-replayable in the DuckDB oracle.
+
+    Returns (node, is_seed, pr_q, pagerank).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(sd.select("node"))
+        .distinct()
+        .persist()
+    )
+    n_seeds = sd.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranked_edges = e.join(outdeg, "src").persist()
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (
+        PR_DAMP_DEN * n_seeds
+    )
+    marked = nodes.join(
+        sd.withColumn("is_seed", F.lit(True)), "node", "left"
+    ).select("node", F.coalesce("is_seed", F.lit(False)).alias("is_seed"))
+    pr = marked.withColumn(
+        "pr_q",
+        F.when(F.col("is_seed"), F.lit(PR_SCALE // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    marked = marked.localCheckpoint()  # loop leaf: referenced every round
+    for _ in range(n_iter):
+        contrib = ranked_edges.join(
+            pr.select("node", "pr_q"), ranked_edges["src"] == F.col("node")
+        ).select(F.col("dst"), F.expr("pr_q div outdeg").alias("c"))
+        gathered = contrib.groupBy("dst").agg(F.sum("c").alias("g"))
+        pr = (
+            marked.join(gathered, marked["node"] == gathered["dst"], "left")
+            .select(
+                "node",
+                "is_seed",
+                (
+                    F.when(F.col("is_seed"), F.lit(teleport)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.expr(
+                        f"(coalesce(g, CAST(0 AS BIGINT)) * {PR_DAMP_NUM})"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                )
+                .cast("long")
+                .alias("pr_q"),
+            )
+            # truncate per round: pr feeds both next round's gather and
+            # its own rebuild — uncheckpointed, the plan grows the whole
+            # join subtree per iteration (the k^rounds trap)
+            .localCheckpoint()
+        )
+    # NO cosmetic 6-dp round here: a pr_q landing exactly on a decimal
+    # half-boundary (seed teleports make these common) rounds HALF_UP in
+    # Spark (BigDecimal on the shortest repr) but down in DuckDB (on the
+    # binary double) — the raw division of the same int64 is bit-identical
+    return pr.select(
+        "node",
+        "is_seed",
+        "pr_q",
+        (F.col("pr_q").cast("double") / F.lit(float(PR_SCALE))).alias(
+            "pagerank"
+        ),
+    )

@@ -831,6 +831,107 @@ GROUP BY nqq.n_queries
 """
 
 
+# --- personalized PageRank over the kNN graph --------------------------------------
+
+
+def q_ppr_related_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-walk-with-restart proximity to the standard query-vector
+    seed set over the memoized exact kNN graph — multi-hop 'related
+    items' beyond the direct top-k list."""
+    from cdc_stream_processor_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    from cdc_stream_processor_spark.queries_extensions import (
+        KNN_K,
+        QUERY_STRIDE,
+    )
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=KNN_K, block_size=512).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    seeds = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("node")
+    )
+    return personalized_pagerank(edges, seeds, n_iter=3)
+
+
+def _ppr_sql() -> str:
+    from cdc_stream_processor_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+    from cdc_stream_processor_spark.queries_extensions import (
+        KNN_K,
+        QUERY_STRIDE,
+        _knn_graph_sql,
+    )
+
+    knn_full = _knn_graph_sql().strip().removeprefix("WITH")
+    knn = knn_full[
+        : knn_full.rindex("SELECT vec_id, neighbor_id, cosine_sim, rank")
+    ]
+    tele = (
+        f"({(PR_DAMP_DEN - PR_DAMP_NUM)} * {PR_SCALE})"
+        f" // ({PR_DAMP_DEN} * ns.n)"
+    )
+    its = []
+    prev = "pr0"
+    for t in range(1, 4):
+        its.append(f"""it{t} AS (
+  SELECT m.node, m.is_seed,
+         CAST(CASE WHEN m.is_seed THEN {tele} ELSE 0 END
+              + (COALESCE(s.g, 0) * {PR_DAMP_NUM}) // {PR_DAMP_DEN}
+              AS BIGINT) AS pr_q
+  FROM marked m CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.pr_q // od.outdeg) AS g
+    FROM e JOIN {prev} p ON e.src = p.node
+    JOIN od ON od.src = e.src
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+        prev = f"it{t}"
+    iter_sql = ",\n".join(its)
+    return f"""
+WITH {knn}
+, e AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), sds AS (
+  SELECT DISTINCT vec_id AS node FROM embeddings
+  WHERE vec_id % {QUERY_STRIDE} = 0
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e
+    UNION ALL SELECT dst FROM e
+    UNION ALL SELECT node FROM sds
+  )
+), ns AS (
+  SELECT COUNT(*) AS n FROM sds
+), marked AS (
+  SELECT n.node, (s.node IS NOT NULL) AS is_seed
+  FROM nodes n LEFT JOIN sds s ON n.node = s.node
+), od AS (
+  SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+), pr0 AS (
+  SELECT m.node, m.is_seed,
+         CAST(CASE WHEN m.is_seed THEN {PR_SCALE} // ns.n ELSE 0 END
+              AS BIGINT) AS pr_q
+  FROM marked m CROSS JOIN ns
+),
+{iter_sql}
+SELECT node, is_seed, pr_q,
+       pr_q::DOUBLE / {float(PR_SCALE)!r} AS pagerank
+FROM {prev}
+"""
+
+
 # --- frequent sequential patterns ---------------------------------------------------
 
 
@@ -990,6 +1091,7 @@ QUERIES = {
     "dbscan_labels": q_dbscan_labels,
     "textrank_keywords": q_textrank_keywords,
     "lsh_recall_eval": q_lsh_recall_eval,
+    "ppr_related_vectors": q_ppr_related_vectors,
     # window-50 overflow candidates (roll to r8 if the window fills):
     "audio_chunks": q_audio_chunks,
     "k_anonymity_audit": q_k_anonymity_audit,
@@ -1010,6 +1112,7 @@ ORACLES = {
     "ivf_recall_eval": _ivf_recall_eval_sql(),
     "watermark_slack_audit": SQL_WATERMARK_SLACK_AUDIT,
     "embedding_health_audit": _embedding_health_sql(),
+    "ppr_related_vectors": _ppr_sql(),
     "silhouette_by_label": _silhouette_sql(),
     "knn_label_agreement": _knn_label_agreement_sql(),
     "dbscan_labels": _dbscan_sql(),

@@ -236,3 +236,87 @@ def test_ams_f2_exact_and_unbiased_structure(spark, keys):
         assert r["f2_exact"] == true_f2
         assert r["f2_estimate"] == r["signed_sum"] ** 2
         assert abs(r["signed_sum"]) <= n
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(1, 50)),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_theil_sen_matches_reference(spark, day_counts):
+    """Theil-Sen median slope equals a pure-Python reference: the
+    ceil(n/2)-th order statistic of pairwise slopes under the
+    (slope, da, db) total order."""
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows, eid = [], 0
+    for d, cnt in day_counts:
+        for _ in range(cnt):
+            rows.append(
+                (eid, datetime(2026, 1, 1) + timedelta(days=d), 1, "x")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = R.theil_sen_daily(df).collect()[0]
+
+    base = (datetime(2026, 1, 1) - datetime(1970, 1, 1)).days
+    daily = sorted((base + d, c) for d, c in day_counts)
+    slopes = sorted(
+        ((cb - ca) / (db - da), da, db)
+        for i, (da, ca) in enumerate(daily)
+        for db, cb in daily[i + 1 :]
+    )
+    n = len(slopes)
+    want = slopes[(n + 1) // 2 - 1]
+    assert got["n_days"] == len(daily) and got["n_pairs"] == n
+    assert (got["ts_slope_per_day"], got["med_day_a"], got["med_day_b"]) == want
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_frequent_event_sequences_matches_brute_force(spark, journeys):
+    """Support and occurrence counts equal a brute-force enumeration of
+    contiguous 3-grams per user journey."""
+    from collections import Counter, defaultdict
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators import relational as R
+
+    rows, eid = [], 0
+    for u, journey in enumerate(journeys):
+        for i, t in enumerate(journey):
+            rows.append(
+                (eid, datetime(2026, 1, 1) + timedelta(minutes=i), u, t)
+            )
+            eid += 1
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {
+        r["pattern"]: (r["n_users"], r["n_occurrences"])
+        for r in R.frequent_event_sequences(df, top_k=1000).collect()
+    }
+    users = defaultdict(Counter)
+    for u, journey in enumerate(journeys):
+        for i in range(len(journey) - 2):
+            users[">".join(journey[i : i + 3])][u] += 1
+    want = {
+        p: (len(c), sum(c.values())) for p, c in users.items()
+    }
+    assert got == want

@@ -660,3 +660,25 @@ def test_watermark_audit_prediction_controls_streaming_drops(spark, tmp_path):
     assert windowed_total("0 seconds", "wm_strict") == 3
     # watermark = audit max lateness: every event survives
     assert windowed_total(f"{lateness_s} seconds", "wm_sized") == 4
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from cdc_stream_processor_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    # two disconnected triangles; seed in the first one -> ALL rank mass
+    # stays there, the other triangle gets exactly zero
+    tri = lambda base: [
+        (base, base + 1), (base + 1, base + 2), (base + 2, base),
+        (base + 1, base), (base + 2, base + 1), (base, base + 2),
+    ]
+    edges = spark.createDataFrame(tri(1) + tri(10), "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r["node"]: r for r in personalized_pagerank(edges, seeds).collect()
+    }
+    assert out[1]["is_seed"] and not out[2]["is_seed"]
+    assert out[1]["pr_q"] > out[2]["pr_q"] > 0  # seed holds teleport mass
+    for far in (10, 11, 12):
+        assert out[far]["pr_q"] == 0
