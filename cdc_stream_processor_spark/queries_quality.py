@@ -831,6 +831,139 @@ GROUP BY nqq.n_queries
 """
 
 
+# --- kNN graph mixing / partition quality -------------------------------------------
+
+
+def q_knn_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_stream_processor_spark.operators.graph import (
+        degree_assortativity,
+    )
+    from cdc_stream_processor_spark.queries_extensions import KNN_K
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=KNN_K, block_size=512).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
+def _knn_assortativity_sql() -> str:
+    from cdc_stream_processor_spark.queries_extensions import (
+        KNN_K,
+        _knn_graph_sql,
+    )
+
+    knn_full = _knn_graph_sql().strip().removeprefix("WITH")
+    knn = knn_full[
+        : knn_full.rindex("SELECT vec_id, neighbor_id, cosine_sim, rank")
+    ]
+    return f"""
+WITH {knn}
+, e0 AS (
+  SELECT vec_id AS src, neighbor_id AS dst FROM (
+    SELECT vec_id, neighbor_id, cosine_sim,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+             ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {KNN_K}
+), ce AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e0 WHERE src <> dst
+), degt AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT lo AS node FROM ce UNION ALL SELECT hi FROM ce
+  ) GROUP BY node
+), both_o AS (
+  SELECT lo, hi FROM ce UNION ALL SELECT hi AS lo, lo AS hi FROM ce
+), prs AS (
+  SELECT dx.deg AS dx, dy.deg AS dy
+  FROM both_o b JOIN degt dx ON b.lo = dx.node
+  JOIN degt dy ON b.hi = dy.node
+), m AS (
+  SELECT COUNT(*) AS n, SUM(dx)::BIGINT AS sx, SUM(dy)::BIGINT AS sy,
+         SUM(dx * dy)::BIGINT AS sxy, SUM(dx * dx)::BIGINT AS sxx,
+         SUM(dy * dy)::BIGINT AS syy
+  FROM prs
+)
+SELECT (n // 2)::BIGINT AS n_edges,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+       THEN (n * sxy - sx * sy)::DOUBLE
+            / (sqrt((n * sxx - sx * sx)::DOUBLE)
+               * sqrt((n * syy - sy * sy)::DOUBLE))
+  END AS assortativity
+FROM m
+"""
+
+
+def q_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conductance of each knn_communities partition — detection plus its
+    quality score (low conductance = well-separated community)."""
+    from cdc_stream_processor_spark.operators.graph import (
+        community_conductance,
+        label_propagation,
+    )
+    from cdc_stream_processor_spark.queries_extensions import (
+        KNN_K,
+        LPA_ROUNDS,
+    )
+
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=KNN_K, block_size=512).select(
+        F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    comms = label_propagation(edges, n_rounds=LPA_ROUNDS)
+    return community_conductance(edges, comms)
+
+
+def _community_conductance_sql() -> str:
+    from cdc_stream_processor_spark.queries_extensions import (
+        _knn_communities_sql,
+    )
+
+    lpa = _knn_communities_sql().strip()
+    marker = "SELECT node, label AS community FROM"
+    idx = lpa.rindex(marker)
+    ctes = lpa[:idx].rstrip()
+    final = lpa[idx:]
+    # MATERIALIZED: comm is referenced three times (both endpoint joins +
+    # the size rollup); inlined, DuckDB re-executes the whole unrolled
+    # LPA chain per reference and OOMs at gate scale
+    return f"""{ctes},
+comm AS MATERIALIZED (
+{final}
+), cce AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM e WHERE src <> dst
+), tagged AS (
+  SELECT a.community AS ca, b.community AS cb
+  FROM cce JOIN comm a ON cce.lo = a.node JOIN comm b ON cce.hi = b.node
+), owners AS (
+  SELECT ca AS community,
+         (ca = cb)::BIGINT AS internal, (ca != cb)::BIGINT AS cut
+  FROM tagged
+  UNION ALL
+  SELECT cb AS community, 0::BIGINT AS internal, 1::BIGINT AS cut
+  FROM tagged WHERE ca != cb
+), per_comm AS (
+  SELECT community, SUM(internal)::BIGINT AS internal_edges,
+         SUM(cut)::BIGINT AS cut_edges
+  FROM owners GROUP BY community
+), sizes AS (
+  SELECT community, COUNT(*) AS n_nodes FROM comm GROUP BY community
+)
+SELECT s.community, s.n_nodes,
+       COALESCE(p.internal_edges, 0)::BIGINT AS internal_edges,
+       COALESCE(p.cut_edges, 0)::BIGINT AS cut_edges,
+       CASE WHEN 2 * COALESCE(p.internal_edges, 0)
+                 + COALESCE(p.cut_edges, 0) > 0
+            THEN COALESCE(p.cut_edges, 0)::DOUBLE
+                 / (2 * COALESCE(p.internal_edges, 0)
+                    + COALESCE(p.cut_edges, 0))::DOUBLE
+       END AS conductance
+FROM sizes s LEFT JOIN per_comm p ON s.community = p.community
+"""
+
+
 # --- personalized PageRank over the kNN graph --------------------------------------
 
 
@@ -1092,6 +1225,8 @@ QUERIES = {
     "textrank_keywords": q_textrank_keywords,
     "lsh_recall_eval": q_lsh_recall_eval,
     "ppr_related_vectors": q_ppr_related_vectors,
+    "knn_assortativity": q_knn_assortativity,
+    "community_conductance": q_community_conductance,
     # window-50 overflow candidates (roll to r8 if the window fills):
     "audio_chunks": q_audio_chunks,
     "k_anonymity_audit": q_k_anonymity_audit,
@@ -1113,6 +1248,8 @@ ORACLES = {
     "watermark_slack_audit": SQL_WATERMARK_SLACK_AUDIT,
     "embedding_health_audit": _embedding_health_sql(),
     "ppr_related_vectors": _ppr_sql(),
+    "knn_assortativity": _knn_assortativity_sql(),
+    "community_conductance": _community_conductance_sql(),
     "silhouette_by_label": _silhouette_sql(),
     "knn_label_agreement": _knn_label_agreement_sql(),
     "dbscan_labels": _dbscan_sql(),

@@ -682,3 +682,51 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     assert out[1]["pr_q"] > out[2]["pr_q"] > 0  # seed holds teleport mass
     for far in (10, 11, 12):
         assert out[far]["pr_q"] == 0
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    from cdc_stream_processor_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # star: hub 1 with 4 leaves -> every edge joins deg 4 with deg 1 ->
+    # perfectly disassortative (r = -1)
+    star = spark.createDataFrame(
+        [(1, i) for i in range(2, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_edges"] == 4
+    assert abs(r["assortativity"] - (-1.0)) < 1e-12
+
+    # regular ring: every node deg 2 -> zero variance -> NULL
+    ring = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    r2 = degree_assortativity(ring).collect()[0]
+    assert r2["assortativity"] is None
+
+
+def test_community_conductance_hand_computed(spark):
+    from cdc_stream_processor_spark.operators.graph import (
+        community_conductance,
+    )
+
+    # two triangles bridged by one edge; communities = the triangles
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)],
+        "src long, dst long",
+    )
+    comms = spark.createDataFrame(
+        [(i, 1 if i <= 3 else 4) for i in range(1, 7)],
+        "node long, community long",
+    )
+    out = {
+        r["community"]: r
+        for r in community_conductance(edges, comms).collect()
+    }
+    for c in (1, 4):
+        assert out[c]["n_nodes"] == 3
+        assert out[c]["internal_edges"] == 3
+        assert out[c]["cut_edges"] == 1
+        # phi = 1 / (2*3 + 1)
+        assert abs(out[c]["conductance"] - 1 / 7) < 1e-12
