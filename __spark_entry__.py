@@ -41,6 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Remove a name once a fresh green lands.
 _FORCE_RECHECK = {
     "acf_daily",  # r7: replanned r6 (18→3 exchanges) + edge guards; last green r4
+    "watermark_slack_audit",  # r8: per-key → GLOBAL running-max lateness (ADVICE)
 }
 
 

@@ -201,15 +201,12 @@ def dbscan_from_pairs(
     cores = deg.filter(F.col("deg") >= min_pts).select(
         F.col("src").alias("core_id")
     )
+    # no broadcast hint on `cores`: on a dense ε-graph the core set is
+    # O(corpus), so forcing a broadcast here could exceed executor memory
+    # at scale — AQE picks BHJ when cores is actually small (r8, per ADVICE)
     core_edges = (
-        pairs.join(
-            cores.withColumnRenamed("core_id", "vec_a").hint("broadcast"),
-            "vec_a",
-        )
-        .join(
-            cores.withColumnRenamed("core_id", "vec_b").hint("broadcast"),
-            "vec_b",
-        )
+        pairs.join(cores.withColumnRenamed("core_id", "vec_a"), "vec_a")
+        .join(cores.withColumnRenamed("core_id", "vec_b"), "vec_b")
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     )
     cc = connected_components(core_edges)  # (id, rep)

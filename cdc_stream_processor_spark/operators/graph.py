@@ -331,6 +331,11 @@ def personalized_pagerank(
         .persist()
     )
     n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError(
+            "personalized_pagerank: seeds must be non-empty "
+            "(teleport mass is divided across the seed set)"
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranked_edges = e.join(outdeg, "src").persist()
     teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (

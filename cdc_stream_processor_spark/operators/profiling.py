@@ -216,40 +216,98 @@ def l_diversity(
     )
 
 
+WM_AUDIT_BUCKETS = 4096  # arrival-range scan buckets (prefix table size)
+
+
 def watermark_slack_audit(
     events: DataFrame,
     arrival_col,
     ts_col: str = "ts",
-    key_col: str = "user_id",
+    n_buckets: int = WM_AUDIT_BUCKETS,
 ) -> DataFrame:
     """Out-of-orderness audit for watermark sizing: replay the stream in
-    ARRIVAL order per key and measure how late each event's event-time is
-    behind the running event-time maximum — the exact quantity a
-    Structured Streaming watermark must cover (an event later than the
-    configured delay is dropped at the stateful operator). Reports the
+    ARRIVAL order and measure how late each event's event-time is behind
+    the GLOBAL running event-time maximum — the exact quantity a
+    Structured Streaming watermark must cover. The watermark is global
+    across keys (`withWatermark` advances on the max event-time seen
+    anywhere in the stream), so a key's first or locally-maximal event —
+    per-key lateness 0 — is still dropped when another key has already
+    advanced the global max past it; a per-key running max would
+    understate the required delay on any multi-key stream. Reports the
     evidence a pipeline needs to choose `withWatermark(delay)`: how many
     events would a candidate delay lose, and what is the worst lateness.
 
     `arrival_col` is the arrival-order column (a Kafka offset, ingest
-    sequence, or file position). Lateness per event =
-    run_max(ts over arrival order) − ts, in exact integer microseconds.
+    sequence, or file position) — numeric and unique. Lateness per event
+    = run_max(unix_micros(ts) over global arrival order) − unix_micros(ts).
 
     Output (one row): n_events, n_late (lateness > 0), max_lateness_us,
     sum_lateness_us — the recommended watermark is max_lateness_us (or a
     quantile of the lateness distribution for a lossy-tolerant pipeline).
 
-    Shape: ONE shuffle on the key for the per-key running-max window
-    (arrival order is a total order per key), then a partial-agged global
-    rollup. At 100 TB the window partitions by key — never global.
+    Shape: an exact DISTRIBUTED prefix scan, never a single global
+    window. (1) one partial-agged pass for the arrival min/max, (2)
+    events bucketed into n_buckets order-preserving arrival ranges;
+    running max WITHIN each bucket (window partitioned by bucket), (3)
+    per-bucket max → exclusive prefix max across the ≤n_buckets summary
+    rows (the only unpartitioned window, at aggregate scale), (4)
+    broadcast the prefix back and take greatest(in-bucket run, prior
+    buckets' max). At 100 TB each bucket is a bounded arrival range and
+    the merge state is n_buckets rows — O(log-free, 2 scans).
     """
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(arrival_col)
+    us = F.expr(f"unix_micros({ts_col})")
+    # ak keeps the arrival column's own type for exact in-bucket ordering;
+    # akd (double) is used only for range-bucket assignment, where rounding
+    # at the bucket boundary is harmless (buckets merely partition the scan)
+    base = events.select(
+        arrival_col.alias("ak"),
+        arrival_col.cast("double").alias("akd"),
+        us.alias("us"),
+    )
+    rng = base.agg(
+        F.min("akd").alias("ak_min"), F.max("akd").alias("ak_max")
+    )
+    bucketed = base.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("akd") - F.col("ak_min"))
+                / F.greatest(
+                    (F.col("ak_max") - F.col("ak_min") + 1) / n_buckets,
+                    F.lit(1e-12),
+                )
+            ),
+        ).alias("b"),
+        "ak",
+        "us",
+    )
+    w_in = (
+        Window.partitionBy("b")
+        .orderBy("ak")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    us = F.expr(f"unix_micros({ts_col})")
-    late = events.select(
-        (F.max(us).over(w) - us).alias("lateness_us")
+    scanned = bucketed.select(
+        "b", "us", F.max("us").over(w_in).alias("run_in_b")
+    )
+    # exclusive prefix max over the tiny per-bucket summary (≤ n_buckets
+    # rows — the unpartitioned window is at aggregate scale by design)
+    w_pref = (
+        Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = (
+        bucketed.groupBy("b")
+        .agg(F.max("us").alias("bmax"))
+        .select("b", F.max("bmax").over(w_pref).alias("pref_max"))
+    )
+    late = scanned.join(F.broadcast(prefix), "b").select(
+        (
+            F.greatest(
+                F.col("run_in_b"),
+                F.coalesce(F.col("pref_max"), F.col("run_in_b")),
+            )
+            - F.col("us")
+        ).alias("lateness_us")
     )
     return late.agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -422,10 +422,13 @@ def _lsh_recall_eval_sql() -> str:
 ), esizes AS (
   SELECT doc_id, len(hs) AS n FROM shh
 ), exactp AS (
+  -- ROUND(j, 6) before thresholding, matching ngram_jaccard_pairs and the
+  -- `pairs` CTE: without it a raw jaccard within 5e-7 below the threshold
+  -- diverges from the LSH side's rounded compare (r8, per ADVICE)
   SELECT p.doc_a, p.doc_b
   FROM epairs p JOIN esizes x ON p.doc_a = x.doc_id
   JOIN esizes y ON p.doc_b = y.doc_id
-  WHERE p.shared::DOUBLE / (x.n + y.n - p.shared)::DOUBLE
+  WHERE ROUND(p.shared::DOUBLE / (x.n + y.n - p.shared)::DOUBLE, 6)
         >= {JACCARD_THRESHOLD}
 ), joined AS (
   SELECT COALESCE(e.doc_a, l.doc_a) AS doc_a,
@@ -671,7 +674,9 @@ def q_watermark_slack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     — like sequence_gap_audit's lossy channel — the registered form
     replays them through a DETERMINISTIC jittered-arrival channel
     (arrival = (event_id + md5(event_id) % 16)·1e6 + event_id: unique,
-    locally shuffled) so the audit measures real planted disorder."""
+    locally shuffled) so the audit measures real planted disorder.
+    Lateness is against the GLOBAL arrival-ordered running max — the
+    semantics of a Structured Streaming watermark (r8, per ADVICE)."""
     ev = B.load_table(spark, sf_dir, "events")
     jitter = (
         F.conv(
@@ -689,13 +694,13 @@ def q_watermark_slack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WATERMARK_SLACK_AUDIT = """
 WITH arr AS (
-  SELECT user_id, epoch_us(ts) AS us,
+  SELECT epoch_us(ts) AS us,
          (event_id
           + ('0x' || substr(md5(event_id::VARCHAR), 1, 8))
             ::UBIGINT::BIGINT % 16) * 1000000 + event_id AS ak
   FROM events
 ), lt AS (
-  SELECT (MAX(us) OVER (PARTITION BY user_id ORDER BY ak
+  SELECT (MAX(us) OVER (ORDER BY ak
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - us)
            AS lateness_us
   FROM arr

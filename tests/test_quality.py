@@ -545,23 +545,34 @@ def test_ivf_recall_eval_bounds(spark, sf_dir):
 def test_watermark_slack_audit_hand_computed(spark):
     from datetime import datetime
 
-    # user 1 arrival order (arrival col k): event times 10:00, 10:02,
-    # 10:01, 10:05 -> the third event is 60 s late behind run-max 10:02
+    # GLOBAL arrival order (col k) — the watermark is global across keys:
+    # user 2's events are each IN ORDER per-key but arrive after user 1
+    # advanced the global event-time max to 10:05, so a real watermark
+    # would drop them; the audit must count them late (the per-key
+    # running max would report 0 for both — the exact undersizing the
+    # r7 ADVICE flagged).
     rows = [
         (1, 1, datetime(2026, 1, 1, 10, 0)),
         (2, 1, datetime(2026, 1, 1, 10, 2)),
-        (3, 1, datetime(2026, 1, 1, 10, 1)),
+        (3, 1, datetime(2026, 1, 1, 10, 1)),   # 60 s behind run-max 10:02
         (4, 1, datetime(2026, 1, 1, 10, 5)),
-        # user 2: in order -> contributes no lateness
-        (5, 2, datetime(2026, 1, 1, 9, 0)),
-        (6, 2, datetime(2026, 1, 1, 9, 30)),
+        (5, 2, datetime(2026, 1, 1, 9, 0)),    # 65 min behind 10:05
+        (6, 2, datetime(2026, 1, 1, 9, 30)),   # 35 min behind 10:05
     ]
     df = spark.createDataFrame(rows, "k long, user_id long, ts timestamp")
     r = PF.watermark_slack_audit(df, F.col("k")).collect()[0]
     assert r["n_events"] == 6
-    assert r["n_late"] == 1
-    assert r["max_lateness_us"] == 60_000_000
-    assert r["sum_lateness_us"] == 60_000_000
+    assert r["n_late"] == 3
+    assert r["max_lateness_us"] == 65 * 60_000_000
+    assert r["sum_lateness_us"] == (1 + 65 + 35) * 60_000_000
+
+    # bucket-boundary robustness: the distributed prefix scan must give
+    # the same answer whatever the bucket count (1 bucket = one global
+    # window; 2 and 7 force cross-bucket prefix merges on 6 rows)
+    for nb in (1, 2, 7):
+        rb = PF.watermark_slack_audit(df, F.col("k"), n_buckets=nb).collect()[0]
+        assert rb["n_late"] == 3
+        assert rb["sum_lateness_us"] == (1 + 65 + 35) * 60_000_000
 
 
 def test_embedding_health_audit_planted_defects(spark):
@@ -682,6 +693,19 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     assert out[1]["pr_q"] > out[2]["pr_q"] > 0  # seed holds teleport mass
     for far in (10, 11, 12):
         assert out[far]["pr_q"] == 0
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    import pytest as _pytest
+
+    from cdc_stream_processor_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    no_seeds = spark.createDataFrame([], "node long")
+    with _pytest.raises(ValueError, match="seeds must be non-empty"):
+        personalized_pagerank(edges, no_seeds)
 
 
 def test_degree_assortativity_star_is_negative(spark):
