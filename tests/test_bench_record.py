@@ -1,0 +1,95 @@
+"""Bench-record self-adjudication (no Spark): the flag rule, the
+isolated-remeasure verdict column, and the full-record round trip.
+
+Why this exists: two judged rounds showed the committed bench record and
+the driver's re-run disagreeing because ambient load on whichever box ran
+last inflated a handful of queries >2x. The fix (r8) is in-record
+adjudication — bench.py re-measures each flagged query in isolation and
+writes both numbers — and these tests pin that machinery so a refactor
+can't silently drop the remeasure column the adjudication relies on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import bench  # noqa: E402
+
+
+def test_flag_rule_needs_both_ratio_and_absolute():
+    prev = {"a": 0.10, "b": 1.00, "c": 0.05, "d": 2.00}
+    now = {
+        "a": 0.25,  # 2.5x but +0.15 s only -> NOT flagged
+        "b": 2.50,  # 2.5x and +1.5 s -> flagged
+        "c": 0.50,  # 10x  and +0.45 s -> flagged
+        "d": 2.90,  # +0.9 s but 1.45x only -> NOT flagged
+        "e": 9.99,  # no previous timing -> NOT flagged
+    }
+    assert bench._flags(now, prev) == [
+        ("b", 1.00, 2.50),
+        ("c", 0.05, 0.50),
+    ]
+
+
+def test_regression_table_carries_remeasure_verdicts(tmp_path):
+    base = str(tmp_path)
+    prev_record = {
+        "queries": {"q_noise": 0.5, "q_real": 0.5, "q_fine": 1.0},
+        "sf": 0.1,
+        "value": 2.0,
+        "config": {"runs": 2},
+    }
+    with open(os.path.join(base, "bench_r07_full.json"), "w") as f:
+        json.dump(prev_record, f)
+
+    timings = {"q_noise": 2.0, "q_real": 2.0, "q_fine": 1.0}
+    record = {
+        "metric": "engine_total_query_time",
+        "value": 5.0,
+        "unit": "sec",
+        "queries": timings,
+        # q_noise retimes back to baseline (in-sweep noise); q_real stays
+        # slow in isolation (a true plan regression)
+        "flag_remeasure": {"q_noise": 0.55, "q_real": 1.9},
+        "sf": 0.1,
+        "config": {"runs": 2},
+    }
+    prev, prev_rnd, partial = bench._load_prev(base, 8)
+    assert (prev_rnd, partial) == (7, False)
+    bench._write_full_and_regressions(
+        base, 8, record, timings, prev, prev_rnd, partial
+    )
+
+    with open(os.path.join(base, "bench_r08_full.json")) as f:
+        assert json.load(f)["flag_remeasure"]["q_noise"] == 0.55
+    with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
+        md = f.read()
+    assert "| q_noise | 0.500 | 2.000 | 4.00x | 0.550 | not reproduced |" in md
+    assert "| q_real | 0.500 | 2.000 | 4.00x | 1.900 | REGRESSION |" in md
+    assert "q_fine" not in md  # unflagged queries stay out of the table
+
+
+def test_no_flags_writes_no_regressions_line(tmp_path):
+    base = str(tmp_path)
+    with open(os.path.join(base, "bench_r07_full.json"), "w") as f:
+        json.dump({"queries": {"q": 1.0}}, f)
+    timings = {"q": 1.1}
+    record = {
+        "value": 1.1,
+        "queries": timings,
+        "flag_remeasure": {},
+        "sf": 0.1,
+        "config": {"runs": 2},
+    }
+    prev, prev_rnd, partial = bench._load_prev(base, 8)
+    bench._write_full_and_regressions(
+        base, 8, record, timings, prev, prev_rnd, partial
+    )
+    with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
+        assert "No regressions" in f.read()
