@@ -20,6 +20,7 @@ from cdc_stream_processor_spark.operators import corpus as C
 from cdc_stream_processor_spark.operators import dedup as D
 from cdc_stream_processor_spark.operators import fingerprint as FP
 from cdc_stream_processor_spark.operators import text as T
+from cdc_stream_processor_spark.operators import urlrules as U
 from cdc_stream_processor_spark.queries_corpus import (
     BENCH_MOD,
     DECON_MIN_OVERLAP,
@@ -634,9 +635,167 @@ def _coverage_sql() -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(legs)
 
 
+# --- URL / domain rule filters (r8) -------------------------------------------
+#
+# The testdata documents carry no URL, so — like watermark_slack_audit's
+# jittered-arrival channel — the registered queries attach a DETERMINISTIC
+# synthetic URL per document (pure modular arithmetic on doc_id + the source
+# column) that exercises every rule in operators.urlrules, then run the real
+# filter. The oracle rebuilds the identical URL and rule cascade in SQL from
+# the same module constants.
+
+_URL_TLDS = ("com", "org", "net", "io", "xyz", "top", "info")
+_URL_HEAVY_QS = "?" + "p=1&" * 9 + "z=2"  # 10 params > MAX_QUERY_PARAMS
+
+
+def _synth_url_col() -> F.Column:
+    d = F.col("doc_id")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in _URL_TLDS]), (d % 7 + 1).cast("int")
+    )
+    scheme = F.when(d % 19 == 0, F.lit("ftp")).otherwise(F.lit("https"))
+    sub = (
+        F.when(d % 11 == 0, F.lit("a.b.c.d."))
+        .when(d % 11 == 1, F.lit("www."))
+        .otherwise(F.lit(""))
+    )
+    seg = (
+        F.when(d % 13 == 0, F.lit("/ads/page"))
+        .when(d % 13 == 1, F.lit("/article"))
+        .otherwise(F.lit("/item"))
+    )
+    longtail = F.when(d % 101 == 0, F.repeat(F.lit("/x"), 1200)).otherwise(
+        F.lit("")
+    )
+    qs = F.when(d % 17 == 0, F.lit(_URL_HEAVY_QS)).otherwise(F.lit(""))
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        sub,
+        F.lit("site"),
+        (d % 40).cast("string"),
+        F.lit("."),
+        tld,
+        F.lit("/"),
+        F.col("source"),
+        seg,
+        d.cast("string"),
+        longtail,
+        qs,
+    )
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = B.load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "source", _synth_url_col().alias("url"))
+
+
+def q_url_filter_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return U.url_rule_filter(_docs_with_urls(spark, sf_dir))
+
+
+def q_url_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return U.url_filter_summary(
+        U.url_rule_filter(_docs_with_urls(spark, sf_dir))
+    )
+
+
+def q_domain_reject_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return U.domain_reject_rate(
+        U.url_rule_filter(_docs_with_urls(spark, sf_dir))
+    )
+
+
+_URL_TLD_SQL = "[" + ", ".join(f"'{t}'" for t in _URL_TLDS) + "]"
+_URL_SYNTH_CTE = f"""
+WITH u AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 19 = 0 THEN 'ftp' ELSE 'https' END) || '://'
+    || (CASE WHEN doc_id % 11 = 0 THEN 'a.b.c.d.'
+             WHEN doc_id % 11 = 1 THEN 'www.' ELSE '' END)
+    || 'site' || (doc_id % 40)::VARCHAR || '.'
+    || ({_URL_TLD_SQL})[(doc_id % 7)::INT + 1]
+    || '/' || source
+    || (CASE WHEN doc_id % 13 = 0 THEN '/ads/page'
+             WHEN doc_id % 13 = 1 THEN '/article' ELSE '/item' END)
+    || doc_id::VARCHAR
+    || (CASE WHEN doc_id % 101 = 0 THEN repeat('/x', 1200) ELSE '' END)
+    || (CASE WHEN doc_id % 17 = 0 THEN '{_URL_HEAVY_QS}' ELSE '' END)
+    AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+), lab AS (
+  SELECT doc_id, url, host,
+         regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1) AS domain,
+         regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+         CASE
+           WHEN scheme NOT IN {U.ALLOWED_SCHEMES!r}
+             THEN 'bad_scheme'
+           WHEN regexp_extract(host, '([a-z0-9-]+\\.[a-z0-9-]+)$', 1)
+                IN {U.BLOCKED_DOMAINS!r}
+             THEN 'blocked_domain'
+           WHEN regexp_extract(host, '\\.([a-z0-9-]+)$', 1)
+                IN {U.SPAM_TLDS!r}
+             THEN 'spam_tld'
+           WHEN regexp_matches(path, '{U.BLOCKED_PATH_RE}')
+             THEN 'blocked_path'
+           WHEN length(host) - length(replace(host, '.', '')) + 1
+                > {U.MAX_HOST_LABELS}
+             THEN 'deep_subdomain'
+           WHEN (CASE WHEN query = '' THEN 0
+                 ELSE length(query) - length(replace(query, '&', '')) + 1 END)
+                > {U.MAX_QUERY_PARAMS}
+             THEN 'query_heavy'
+           WHEN length(url) > {U.MAX_URL_LEN}
+             THEN 'too_long'
+           ELSE 'keep'
+         END AS reason
+  FROM parts
+)
+"""
+
+SQL_URL_FILTER_LABELS = (
+    _URL_SYNTH_CTE
+    + """
+SELECT doc_id, url, host, domain, tld, reason,
+       reason = 'keep' AS keep
+FROM lab
+"""
+)
+
+SQL_URL_FILTER_SUMMARY = (
+    _URL_SYNTH_CTE
+    + """
+SELECT reason, COUNT(*)::BIGINT AS n_docs,
+       COUNT(*)::DOUBLE / (SELECT COUNT(*) FROM lab)::DOUBLE AS share
+FROM lab GROUP BY reason
+"""
+)
+
+SQL_DOMAIN_REJECT_RATE = (
+    _URL_SYNTH_CTE
+    + """
+SELECT domain, COUNT(*)::BIGINT AS n_docs,
+       SUM((reason != 'keep')::BIGINT)::BIGINT AS n_rejected,
+       SUM((reason != 'keep')::BIGINT)::DOUBLE / COUNT(*)::DOUBLE
+         AS reject_rate
+FROM lab GROUP BY domain
+"""
+)
+
+
 QUERIES = {
     "coverage_sample": q_coverage_sample,
     "lrs_dup_scale": q_lrs_dup_scale,
+    "url_filter_labels": q_url_filter_labels,
+    "url_filter_summary": q_url_filter_summary,
+    "domain_reject_rate": q_domain_reject_rate,
     "lm_quality_calibration": q_lm_quality_calibration,
     "lrs_by_source": q_lrs_by_source,
     "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -654,6 +813,9 @@ QUERIES = {
 ORACLES = {
     "coverage_sample": _coverage_sql(),
     "lrs_dup_scale": SQL_LRS_DUP_SCALE,
+    "url_filter_labels": SQL_URL_FILTER_LABELS,
+    "url_filter_summary": SQL_URL_FILTER_SUMMARY,
+    "domain_reject_rate": SQL_DOMAIN_REJECT_RATE,
     "lm_quality_calibration": _lm_calibration_sql(),
     "lrs_by_source": SQL_LRS_BY_SOURCE,
     "winnowing_fingerprints": SQL_WINNOWING_FINGERPRINTS,

@@ -73,12 +73,21 @@ def read_kafka_envelopes(
 
 
 def read_file_envelopes(
-    spark: SparkSession, path: str, fmt: str = "parquet"
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    source_options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """File-based envelope stream (test/dev twin of the Kafka source)."""
+    """File-based envelope stream (test/dev twin of the Kafka source).
+    `source_options` pass through to the reader (e.g. maxFilesPerTrigger=1
+    to replay a file drop as ordered micro-batches — FileStreamSource
+    batches by (mtime, path) — which is what advances the watermark
+    incrementally, the way a live Kafka feed would)."""
     reader = spark.readStream.format(fmt).schema(schemas.TRANSACTION_ENVELOPE)
     if fmt == "json":
         reader = reader.option("mode", "PERMISSIVE")
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
     return reader.load(path)
 
 
