@@ -168,6 +168,23 @@ def test_app_main_cli_runs_available_now(spark, tmpdirs):
     assert rc == 0
 
 
+def test_app_simulate_from_testdata(spark, tmpdirs, sf_dir):
+    """The zero-infrastructure demo path: --simulate-from synthesizes the
+    envelope feed from the testdata tables, drains it, and exits healthy."""
+    from cdc_stream_processor_spark.__main__ import main
+
+    rc = main(
+        [
+            "--simulate-from", sf_dir,
+            "--workdir", f"{tmpdirs}/wd",
+            "--available-now",
+            "--health-port", "0",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+
+
 def test_app_config_env_overrides(monkeypatch):
     from cdc_stream_processor_spark.__main__ import AppConfig
 
