@@ -1088,6 +1088,30 @@ def test_map_only_corpus_operators_run_unchanged_on_streams(spark, tmpdirs):
     want2 = {r["doc_id"]: r["embedding"] for r in I.batch_inference(batch).collect()}
     assert got2 == want2
 
+    # url_rule_filter (r8): same map-only contract — the first-stage
+    # curation filter must run unchanged on a document stream
+    from cdc_stream_processor_spark.operators.urlrules import url_rule_filter
+
+    urls = stream.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("https://site1.com/item"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    out3 = url_rule_filter(urls)
+    assert out3.isStreaming
+    q3 = (
+        out3.writeStream.format("memory")
+        .queryName("url_stream")
+        .option("checkpointLocation", f"{ckpt}/u")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    got3 = {r["doc_id"]: r["reason"]
+            for r in spark.sql("select * from url_stream").collect()}
+    assert got3 == {1: "keep", 2: "keep"}
+
 
 def test_progress_recorder_captures_batch_metrics(spark, tmpdirs):
     """The ProgressRecorder listener must record one row per micro-batch
