@@ -42,6 +42,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _FORCE_RECHECK = {
     "acf_daily",  # r7: replanned r6 (18→3 exchanges) + edge guards; last green r4
     "watermark_slack_audit",  # r8: per-key → GLOBAL running-max lateness (ADVICE)
+    "lsh_recall_eval",  # r8: oracle exactp now ROUNDs before threshold (ADVICE)
+    "dbscan_labels",  # r8: core-edge broadcast hints dropped, AQE decides (ADVICE)
+    "semi_anti_customers",  # r8: O(customers) buyers broadcast hint dropped
+    "user_similarity",  # r8: O(users) sizes broadcast hints dropped
 }
 
 

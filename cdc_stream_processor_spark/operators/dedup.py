@@ -487,7 +487,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_df)
             .select("h")
         )
-        inv_cold = inv.join(F.broadcast(hot), "h", "left_anti")
+        # no broadcast hint: `hot` is bounded by occurrences/max_shingle_df,
+        # which at 100 TB can still be table-scale — AQE broadcasts it when
+        # it is actually small (same class as the dbscan cores fix, r8)
+        inv_cold = inv.join(hot, "h", "left_anti")
         cand = (
             inv_cold.alias("a")
             .join(inv_cold.alias("b"), "h")

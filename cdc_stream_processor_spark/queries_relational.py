@@ -404,8 +404,9 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 
 def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers split by purchase activity: left_semi picks buyers,
-    left_anti the rest; the event side is aggregated to distinct keys before
-    the join, so both run as small broadcast joins."""
+    left_anti the rest; the event side is aggregated to distinct keys
+    before the join (the cheap side of the semi/anti pair), with the
+    join strategy left to AQE."""
     cust = B.load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     buyers = (
         B.load_table(spark, sf_dir, "events")
@@ -413,10 +414,13 @@ def q_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("c_custkey"))
         .distinct()
     )
-    semi = cust.join(F.broadcast(buyers), "c_custkey", "left_semi").withColumn(
+    # no broadcast hint on buyers: distinct purchasers are O(customers) —
+    # unbounded at 100 TB; AQE broadcasts when the aggregated side is
+    # actually small (r8, same class as the dbscan cores fix)
+    semi = cust.join(buyers, "c_custkey", "left_semi").withColumn(
         "segment", F.lit("purchaser")
     )
-    anti = cust.join(F.broadcast(buyers), "c_custkey", "left_anti").withColumn(
+    anti = cust.join(buyers, "c_custkey", "left_anti").withColumn(
         "segment", F.lit("non_purchaser")
     )
     return semi.unionByName(anti)
@@ -1284,13 +1288,15 @@ def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
         6,
     )
+    # no broadcast hint on sizes: per-user counts are O(users) — unbounded
+    # at 100 TB; AQE broadcasts when the aggregate is actually small (r8)
     return (
         shared.join(
-            F.broadcast(sizes.select(F.col("user_id").alias("user_a"), F.col("n").alias("n_a"))),
+            sizes.select(F.col("user_id").alias("user_a"), F.col("n").alias("n_a")),
             "user_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("user_id").alias("user_b"), F.col("n").alias("n_b"))),
+            sizes.select(F.col("user_id").alias("user_b"), F.col("n").alias("n_b")),
             "user_b",
         )
         .withColumn("jaccard", jac)
