@@ -575,6 +575,38 @@ def test_watermark_slack_audit_hand_computed(spark):
         assert rb["sum_lateness_us"] == (1 + 65 + 35) * 60_000_000
 
 
+def test_watermark_slack_audit_differential_random_streams(spark):
+    """Seeded-random streams vs a brute-force Python replay: sort by
+    arrival key, fold the global running max, accumulate lateness — the
+    distributed bucket/prefix scan must agree exactly on every statistic,
+    whatever the stream size, timestamp ties, or bucket count."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(7)
+    base = datetime(2026, 1, 1)
+    for size, nb in ((1, 4096), (50, 3), (50, 17), (400, 4096), (400, 1)):
+        aks = rng.sample(range(10 * size), size)  # unique arrival keys
+        rows = [
+            (ak, rng.randrange(5), base + timedelta(seconds=rng.randrange(size * 3)))
+            for ak in aks
+        ]
+        df = spark.createDataFrame(rows, "k long, user_id long, ts timestamp")
+        got = PF.watermark_slack_audit(df, F.col("k"), n_buckets=nb).collect()[0]
+        run_max, n_late, mx, sm = None, 0, 0, 0
+        for _, _, ts in sorted(rows, key=lambda r: r[0]):
+            us = int(ts.timestamp() * 1_000_000)
+            run_max = us if run_max is None else max(run_max, us)
+            late = run_max - us
+            n_late += late > 0
+            mx = max(mx, late)
+            sm += late
+        assert got["n_events"] == size
+        assert got["n_late"] == n_late, (size, nb)
+        assert got["max_lateness_us"] == mx, (size, nb)
+        assert got["sum_lateness_us"] == sm, (size, nb)
+
+
 def test_embedding_health_audit_planted_defects(spark):
     from cdc_stream_processor_spark.operators import similarity as S
 

@@ -97,6 +97,90 @@ def test_summary_and_domain_report_aggregate_exactly(spark):
     assert report["site2.net"]["n_rejected"] == 1
 
 
+def _py_reason(url: str) -> str:
+    """Pure-Python reference of the rule cascade (same anchored regexes,
+    via `re`) — the differential oracle for the Spark expressions."""
+    import re
+
+    scheme = (re.match(r"^([a-z][a-z0-9+.-]*)://", url) or [None, ""])[1]
+    mh = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]+)", url)
+    host = mh.group(1) if mh else ""
+    mp = re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", url)
+    path = mp.group(1) if mp else ""
+    mq = re.search(r"\?([^#]*)", url)
+    query = mq.group(1) if mq else ""
+    md = re.search(r"([a-z0-9-]+\.[a-z0-9-]+)$", host)
+    domain = md.group(1) if md else ""
+    mt = re.search(r"\.([a-z0-9-]+)$", host)
+    tld = mt.group(1) if mt else ""
+    host_labels = host.count(".") + 1
+    n_params = 0 if query == "" else query.count("&") + 1
+    if scheme not in U.ALLOWED_SCHEMES:
+        return "bad_scheme"
+    if domain in U.BLOCKED_DOMAINS:
+        return "blocked_domain"
+    if tld in U.SPAM_TLDS:
+        return "spam_tld"
+    if re.search(U.BLOCKED_PATH_RE, path):
+        return "blocked_path"
+    if host_labels > U.MAX_HOST_LABELS:
+        return "deep_subdomain"
+    if n_params > U.MAX_QUERY_PARAMS:
+        return "query_heavy"
+    if len(url) > U.MAX_URL_LEN:
+        return "too_long"
+    return "keep"
+
+
+def test_differential_random_urls_match_python_reference(spark):
+    """300 seeded-random URLs (random scheme/subdomain depth/domain/tld/
+    path segments/query arity/length) through ONE Spark job vs the
+    pure-Python cascade — catches any Spark-expression vs reference
+    drift across the whole rule space at once."""
+    import random
+
+    rng = random.Random(42)
+    schemes = ["https", "http", "ftp", "gopher"]
+    tlds = list(U.SPAM_TLDS) + ["com", "org", "net", "io"]
+    segs = ["ads", "tracker", "wp-login", "article", "item", "gadsden",
+            "casino", "news", "a", "b"]
+    urls = []
+    for _ in range(300):
+        sub = ".".join(f"s{rng.randrange(5)}" for _ in range(rng.randrange(0, 5)))
+        host = (sub + "." if sub else "") + f"site{rng.randrange(50)}.{rng.choice(tlds)}"
+        path = "".join(f"/{rng.choice(segs)}" for _ in range(rng.randrange(0, 4)))
+        q = "&".join(f"k{i}=1" for i in range(rng.randrange(0, 12)))
+        url = f"{rng.choice(schemes)}://{host}{path}"
+        if q:
+            url += "?" + q
+        if rng.random() < 0.03:
+            url += "/x" * 1200
+        urls.append(url)
+    # guarantee every reason appears regardless of the random draw
+    urls += [
+        "ftp://site1.com/file",
+        "https://site3.com/fine",
+        "https://site9.xyz/fine",
+        "https://site1.com/ads/banner",
+        "https://a.b.c.site1.com/fine",
+        "https://site1.com/p?" + "&".join(f"k{i}=1" for i in range(9)),
+        "https://site1.com/" + "x" * 2100,
+        "https://www.site1.com/article?a=1",
+    ]
+    out = _label(spark, urls)
+    mismatches = [
+        (urls[i], out[i]["reason"], _py_reason(urls[i]))
+        for i in range(len(urls))
+        if out[i]["reason"] != _py_reason(urls[i])
+    ]
+    assert mismatches == []
+    # the random space must actually exercise every reason
+    assert {r["reason"] for r in out.values()} == {
+        "bad_scheme", "blocked_domain", "spam_tld", "blocked_path",
+        "deep_subdomain", "query_heavy", "too_long", "keep",
+    }
+
+
 def test_registered_labels_plan_is_map_only(spark, sf_dir):
     """Scale tripwire: the per-doc labeling must stay a single map-only
     scan — no Exchange in the plan (the first-stage filter at 100 TB is
