@@ -148,6 +148,9 @@ def _write_full_and_regressions(
             lines.append("")
         flagged = _flags(timings, prev)
         if flagged:
+            # a flag on a query queued for driver re-verification is an
+            # INTENTIONAL code change, not a discovered regression — say so
+            force = getattr(entrymod, "_FORCE_RECHECK", set())
             lines += [
                 "| query | prev s | sweep s | ratio | remeasure s | verdict |",
                 "|---|---|---|---|---|---|",
@@ -164,6 +167,10 @@ def _write_full_and_regressions(
                         if rm > 2 * p and rm - p > 0.3
                         else "not reproduced"
                     )
+                    if verdict == "REGRESSION" and n in force:
+                        verdict = (
+                            "intentional change (force-recheck queued)"
+                        )
                 lines.append(
                     f"| {n} | {p:.3f} | {t:.3f} | {t / p:.2f}x |"
                     f" {rm_s} | {verdict} |"

@@ -75,6 +75,34 @@ def test_regression_table_carries_remeasure_verdicts(tmp_path):
     assert "q_fine" not in md  # unflagged queries stay out of the table
 
 
+def test_force_recheck_flag_reads_as_intentional(tmp_path, monkeypatch):
+    """A reproducing flag on a query already queued for driver
+    re-verification is an intentional code change — the verdict column
+    must say so instead of crying regression."""
+    import __spark_entry__ as entrymod
+
+    base = str(tmp_path)
+    with open(os.path.join(base, "bench_r07_full.json"), "w") as f:
+        json.dump({"queries": {"q_changed": 0.5}}, f)
+    timings = {"q_changed": 2.0}
+    record = {
+        "value": 2.0,
+        "queries": timings,
+        "flag_remeasure": {"q_changed": 1.9},
+        "sf": 0.1,
+        "config": {"runs": 2},
+    }
+    monkeypatch.setattr(entrymod, "_FORCE_RECHECK", {"q_changed"}, raising=True)
+    prev, prev_rnd, partial = bench._load_prev(base, 8)
+    bench._write_full_and_regressions(
+        base, 8, record, timings, prev, prev_rnd, partial
+    )
+    with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
+        md = f.read()
+    assert "intentional change (force-recheck queued)" in md
+    assert "| REGRESSION |" not in md
+
+
 def test_no_flags_writes_no_regressions_line(tmp_path):
     base = str(tmp_path)
     with open(os.path.join(base, "bench_r07_full.json"), "w") as f:
