@@ -93,14 +93,20 @@ def _load_prev(base: str, rnd: int) -> tuple[dict[str, float], int, bool]:
     return prev, prev_rnd, partial_prev
 
 
+def _is_flagged(prev_s: float, now_s: float) -> bool:
+    """The ONE flag rule (>2x slower AND >+0.3 s) — shared by the sweep
+    flagging and the isolated-remeasure verdict so they can't drift."""
+    return now_s > 2 * prev_s and now_s - prev_s > 0.3
+
+
 def _flags(
     timings: dict[str, float], prev: dict[str, float]
 ) -> list[tuple[str, float, float]]:
-    """(name, prev_s, now_s) for every query >2x slower AND >+0.3 s."""
+    """(name, prev_s, now_s) for every query the flag rule trips on."""
     return [
         (n, prev[n], t)
         for n, t in sorted(timings.items())
-        if n in prev and t > 2 * prev[n] and t - prev[n] > 0.3
+        if n in prev and _is_flagged(prev[n], t)
     ]
 
 
@@ -164,12 +170,17 @@ def _write_full_and_regressions(
                     rm_s = f"{rm:.3f}"
                     verdict = (
                         "REGRESSION"
-                        if rm > 2 * p and rm - p > 0.3
+                        if _is_flagged(p, rm)
                         else "not reproduced"
                     )
                     if verdict == "REGRESSION" and n in force:
+                        # the force-recheck set also holds oracle-only
+                        # changes, so keep the REGRESSION signal and note
+                        # the queued re-verification rather than hiding it
                         verdict = (
-                            "intentional change (force-recheck queued)"
+                            "REGRESSION — code/oracle changed this round"
+                            " (force-recheck queued; see SURVEY for"
+                            " whether the plan change is intentional)"
                         )
                 lines.append(
                     f"| {n} | {p:.3f} | {t:.3f} | {t / p:.2f}x |"
@@ -301,11 +312,13 @@ def main() -> None:
     rnd = _current_round(base)
     prev, prev_rnd, partial_prev = _load_prev(base, rnd)
     remeasure: dict[str, float] = {}
-    for name, _, _ in _flags(timings, prev):
+    flagged = _flags(timings, prev)
+    qmap = entrymod.queries() if flagged else {}
+    for name, _, _ in flagged:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         time.sleep(1.0)  # let the GC + finalizers settle before timing
-        fn = entrymod.queries()[name]
+        fn = qmap[name]
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

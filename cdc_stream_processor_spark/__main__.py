@@ -44,7 +44,7 @@ import json
 import os
 import sys
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -75,7 +75,6 @@ class AppConfig:
     health_port: int = 8080
     bootstrap_servers: str = "localhost:9092"
     max_restarts: int = 3
-    extra: dict = field(default_factory=dict)
 
     @classmethod
     def from_env(cls) -> AppConfig:
@@ -261,6 +260,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
     os.makedirs(args.workdir, exist_ok=True)
     checkpoint_dir = os.path.join(args.workdir, "checkpoints")
 
+    envelope_format = args.envelope_format
     if args.source == "kafka":
         envelopes = SP.read_kafka_envelopes(
             spark, bootstrap=cfg.bootstrap_servers
@@ -276,6 +276,10 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             env_path, accounts = simulate_envelope_feed(
                 spark, args.simulate_from, args.workdir
             )
+            # the simulated feed is materialized as parquet; honoring a
+            # user-passed json format here would parse every row to null
+            # and silently drain nothing
+            envelope_format = "parquet"
         else:
             if not args.envelopes:
                 print(
@@ -291,7 +295,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             else None
         )
         envelopes = SP.read_file_envelopes(
-            spark, env_path, fmt=args.envelope_format, source_options=src_opts
+            spark, env_path, fmt=envelope_format, source_options=src_opts
         )
 
     supervisor = build_app(
@@ -303,19 +307,32 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         sink_format=args.sink,
         available_now=args.available_now,
     )
-    supervisor.start_all()
-    server, port, _ = serve_health(supervisor, port=cfg.health_port)
-    print(f"healthz: http://127.0.0.1:{port}/healthz", file=sys.stderr)
-
+    server = None
     try:
+        # start INSIDE the try: a health-server bind failure (port already
+        # taken) must not leak five running StreamingQueries
+        supervisor.start_all()
+        server, port, _ = serve_health(supervisor, port=cfg.health_port)
+        print(f"healthz: http://127.0.0.1:{port}/healthz", file=sys.stderr)
+
         if args.available_now:
             supervisor.await_all(timeout_s=600.0)
+            status = supervisor.status()
+            still_active = [n for n, s in status.items() if s["active"]]
             code, body = supervisor.healthz()
             print(json.dumps({"healthz": code, **json.loads(body)}, indent=1))
             if args.sink == "memory":
                 for name in SP.SINK_TOPICS:
                     n = spark.sql(f"SELECT count(*) c FROM {name}").first()["c"]
                     print(f"sink {name}: {n} notifications")
+            if still_active:
+                # await_all timed out: the drain is INCOMPLETE — partial
+                # sink contents must not be reported as success
+                print(
+                    f"drain timed out with active queries: {still_active}",
+                    file=sys.stderr,
+                )
+                return 1
             return 0 if code == 200 else 1
         # continuous mode: the latch-await + supervision loop
         # (ABBankStreamsApp.java:81-84)
@@ -332,7 +349,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         return 0
     finally:
         supervisor.stop_all()
-        server.shutdown()
+        if server is not None:
+            server.shutdown()
 
 
 def _load_accounts(spark: SparkSession, path: str | None) -> DataFrame:

@@ -252,8 +252,13 @@ def watermark_slack_audit(
     per-bucket max → exclusive prefix max across the ≤n_buckets summary
     rows (the only unpartitioned window, at aggregate scale), (4)
     broadcast the prefix back and take greatest(in-bucket run, prior
-    buckets' max). At 100 TB each bucket is a bounded arrival range and
-    the merge state is n_buckets rows — O(log-free, 2 scans).
+    buckets' max). Cost: THREE column-pruned scans of (arrival, ts) —
+    the min/max pass plus the two independent branches off `bucketed`
+    (in-bucket window; per-bucket max). The branches stay lazy on
+    purpose: at 100 TB a 2-column pruned re-scan is cheaper than
+    caching the projected input (the repo's measured persist criterion
+    — raw-scan-only shared subtrees don't persist), and merge state is
+    n_buckets rows regardless of input size.
     """
     us = F.expr(f"unix_micros({ts_col})")
     # ak keeps the arrival column's own type for exact in-bucket ordering;

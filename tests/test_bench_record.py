@@ -75,10 +75,13 @@ def test_regression_table_carries_remeasure_verdicts(tmp_path):
     assert "q_fine" not in md  # unflagged queries stay out of the table
 
 
-def test_force_recheck_flag_reads_as_intentional(tmp_path, monkeypatch):
+def test_force_recheck_flag_keeps_regression_signal_with_context(
+    tmp_path, monkeypatch
+):
     """A reproducing flag on a query already queued for driver
-    re-verification is an intentional code change — the verdict column
-    must say so instead of crying regression."""
+    re-verification keeps the REGRESSION signal (the queue also holds
+    oracle-only changes, so suppressing it could hide a true perf
+    regression) but carries the changed-this-round context."""
     import __spark_entry__ as entrymod
 
     base = str(tmp_path)
@@ -99,8 +102,9 @@ def test_force_recheck_flag_reads_as_intentional(tmp_path, monkeypatch):
     )
     with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
         md = f.read()
-    assert "intentional change (force-recheck queued)" in md
-    assert "| REGRESSION |" not in md
+    assert "REGRESSION — code/oracle changed this round" in md
+    assert "force-recheck queued" in md
+    assert "| REGRESSION |" not in md  # bare verdict replaced by contextual one
 
 
 def test_no_flags_writes_no_regressions_line(tmp_path):
