@@ -46,6 +46,7 @@ _FORCE_RECHECK = {
     "dbscan_labels",  # r8: core-edge broadcast hints dropped, AQE decides (ADVICE)
     "semi_anti_customers",  # r8: O(customers) buyers broadcast hint dropped
     "user_similarity",  # r8: O(users) sizes broadcast hints dropped
+    "order_value_gini",  # r8: scale-0 moment fold (sf0.1 ulp divergence fix)
 }
 
 

@@ -997,50 +997,61 @@ WINDOW w AS (PARTITION BY o_orderpriority
 
 def q_order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue-concentration (Gini) index per order priority:
-    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-ranked amounts.
-    Rank products and sums stay in DECIMAL (exact, order-independent);
-    only the final two divisions run in double with the identical
-    expression tree in the oracle — so the index matches bit-for-bit.
-    One shuffle for the per-group rank window, then partial aggregation."""
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-ranked amounts,
+    algebraically folded to ONE division of two exact integers:
+    G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx), amounts scaled to integer
+    ten-thousandths and every moment kept at DECIMAL scale 0.
+
+    Why scale 0 (r8 fix, caught by the sf0.1 oracle probe): a
+    DECIMAL(38,s>0)→DOUBLE cast is correctly rounded in Spark
+    (BigDecimal) but TWO-step in DuckDB (int128→double, then /10^s) —
+    off by an ulp once the moment exceeds ~2^53, which Σ(i·xᵢ) does at
+    sf0.1. Scale-0 casts are a single correctly-rounded int→double in
+    BOTH engines (verified on boundary values), so the folded form is
+    bit-exact at any SF. One shuffle for the per-group rank window,
+    then partial aggregation."""
     orders = B.load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
     ranked = orders.select(
         "o_orderpriority",
-        F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 10_000)
+        .cast("decimal(38,0)")
+        .alias("xs"),
         F.row_number().over(w).alias("i"),
     )
     agg = ranked.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
+        F.sum("xs").alias("sxs"),
+        F.sum(F.col("i") * F.col("xs")).alias("sixs"),
     )
+    num = (F.lit(2) * F.col("sixs") - (F.col("n") + 1) * F.col("sxs")).cast(
+        "decimal(38,0)"
+    )
+    den = (F.col("n") * F.col("sxs")).cast("decimal(38,0)")
     return agg.select(
         F.col("o_orderpriority").alias("orderpriority"),
         "n",
-        F.col("sx").cast("double").alias("total"),
-        (
-            (F.lit(2.0) * F.col("six").cast("double"))
-            / (F.col("n").cast("double") * F.col("sx").cast("double"))
-            - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
-        ).alias("gini"),
+        (F.col("sxs").cast("double") / F.lit(10_000.0)).alias("total"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
     )
 
 
 SQL_ORDER_VALUE_GINI = """
 WITH ranked AS (
-  SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS xs,
          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                             ORDER BY o_totalprice ASC, o_orderkey ASC) AS i
   FROM orders
 ), agg AS (
-  SELECT o_orderpriority, COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six
+  SELECT o_orderpriority, COUNT(*) AS n, SUM(xs) AS sxs, SUM(i * xs) AS sixs
   FROM ranked GROUP BY o_orderpriority
 )
-SELECT o_orderpriority AS orderpriority, n, sx::DOUBLE AS total,
-       (2.0 * six::DOUBLE) / (n::DOUBLE * sx::DOUBLE)
-         - (n + 1)::DOUBLE / n::DOUBLE AS gini
+SELECT o_orderpriority AS orderpriority, n,
+       sxs::DOUBLE / 10000.0 AS total,
+       (2 * sixs - (n + 1) * sxs)::DOUBLE / (n * sxs)::DOUBLE AS gini
 FROM agg
 """
 
