@@ -47,6 +47,7 @@ _FORCE_RECHECK = {
     "semi_anti_customers",  # r8: O(customers) buyers broadcast hint dropped
     "user_similarity",  # r8: O(users) sizes broadcast hints dropped
     "order_value_gini",  # r8: scale-0 moment fold (sf0.1 ulp divergence fix)
+    "boilerplate_removal",  # r8: oracle empty-stoplist NULL fix (sf0.1 probe)
 }
 
 

@@ -181,7 +181,12 @@ WITH toks AS (
 ), n AS (
   SELECT COUNT(*) AS ndocs FROM documents
 ), stop AS (
-  SELECT list(tok ORDER BY tok) AS stoplist
+  -- COALESCE to the empty list: DuckDB's list() over ZERO qualifying rows
+  -- is NULL, which would NULL the whole rewrite (every list_contains
+  -- becomes NULL -> all tokens dropped); Spark's collect_set correctly
+  -- yields [] and removes nothing. Caught by the r8 sf0.1 oracle probe,
+  -- where no token crosses the ubiquity threshold.
+  SELECT COALESCE(list(tok ORDER BY tok), []) AS stoplist
   FROM dfreq, n
   WHERE df * 1000 > {C.BOILERPLATE_DF_PERMILLE} * ndocs
 )
