@@ -40,14 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # code path (a stale green would otherwise certify code it never ran).
 # Remove a name once a fresh green lands.
 _FORCE_RECHECK = {
-    "acf_daily",  # r7: replanned r6 (18→3 exchanges) + edge guards; last green r4
-    "watermark_slack_audit",  # r8: per-key → GLOBAL running-max lateness (ADVICE)
-    "lsh_recall_eval",  # r8: oracle exactp now ROUNDs before threshold (ADVICE)
-    "dbscan_labels",  # r8: core-edge broadcast hints dropped, AQE decides (ADVICE)
-    "semi_anti_customers",  # r8: O(customers) buyers broadcast hint dropped
-    "user_similarity",  # r8: O(users) sizes broadcast hints dropped
-    "order_value_gini",  # r8: scale-0 moment fold (sf0.1 ulp divergence fix)
-    "boilerplate_removal",  # r8: oracle empty-stoplist NULL fix (sf0.1 probe)
+    "watermark_slack_audit",  # r9: NULL-arrival-key guard added (ADVICE r8)
 }
 
 

@@ -47,15 +47,28 @@ def _current_round(base: str) -> int:
     return max(rounds) + 1
 
 
-def _load_prev(base: str, rnd: int) -> tuple[dict[str, float], int, bool]:
+def _load_prev(
+    base: str, rnd: int
+) -> tuple[dict[str, float], int, bool, set[str]]:
     """Previous round's per-query timings: newest bench_r*_full.json below
-    this round, falling back to the truncated driver-tail salvage."""
+    this round, falling back to the truncated driver-tail salvage.
+
+    For queries the previous round FLAGGED, the isolated ``flag_remeasure``
+    value replaces the in-sweep timing as the baseline (r8 ADVICE):
+    isolated runs are systematically faster than in-sweep runs, so a
+    sweep-baseline would let a genuine plan regression adjudicate to
+    "not reproduced" when this round's isolated remeasure is compared
+    against it. Preferring the isolated number keeps flagged queries on
+    an isolated-vs-isolated comparison from one round to the next; the
+    returned set names the baselines that are isolated so the regression
+    table can annotate them."""
     import glob
     import re
 
     prev: dict[str, float] = {}
     prev_rnd = 0
     partial_prev = False
+    iso_baselines: set[str] = set()
     for p in glob.glob(os.path.join(base, "bench_r*_full.json")):
         m = re.search(r"r(\d+)", os.path.basename(p))
         if not m or int(m.group(1)) >= rnd:
@@ -63,7 +76,15 @@ def _load_prev(base: str, rnd: int) -> tuple[dict[str, float], int, bool]:
         if int(m.group(1)) > prev_rnd:
             try:
                 with open(p) as f:
-                    prev = json.load(f).get("queries", {})
+                    rec = json.load(f)
+                prev = dict(rec.get("queries", {}))
+                iso = {
+                    q: float(v)
+                    for q, v in (rec.get("flag_remeasure") or {}).items()
+                    if q in prev
+                }
+                prev.update(iso)
+                iso_baselines = set(iso)
                 prev_rnd = int(m.group(1))
             except (OSError, ValueError):
                 continue
@@ -90,7 +111,7 @@ def _load_prev(base: str, rnd: int) -> tuple[dict[str, float], int, bool]:
             }
             if got:
                 prev, prev_rnd, partial_prev = got, int(m.group(1)), True
-    return prev, prev_rnd, partial_prev
+    return prev, prev_rnd, partial_prev, iso_baselines
 
 
 def _is_flagged(prev_s: float, now_s: float) -> bool:
@@ -118,6 +139,7 @@ def _write_full_and_regressions(
     prev: dict[str, float],
     prev_rnd: int,
     partial_prev: bool,
+    iso_baselines: set[str] | None = None,
 ) -> None:
     """Persist the untruncated per-query record and diff it against the
     previous round's timings (>2x AND >+0.3s == flag); flagged queries
@@ -141,6 +163,16 @@ def _write_full_and_regressions(
         " remeasure is back near the previous timing was in-sweep noise"
         " (GC/codegen-cache neighborhood), not a plan regression.",
         "",
+        "Baseline asymmetry (r8 ADVICE): isolated runs are systematically"
+        " faster than in-sweep runs, so for queries the PREVIOUS round"
+        " flagged, the previous round's isolated remeasure (marked `*` in"
+        " the prev column) replaces its sweep timing as the baseline —"
+        " flagged queries stay on an isolated-vs-isolated comparison."
+        " Where the baseline is still a sweep timing, a 'not reproduced'"
+        " verdict is evidence of noise, not proof: the isolated number"
+        " carries no sweep-neighborhood overhead and can sit below a"
+        " regressed-but-noisy baseline.",
+        "",
     ]
     if not prev:
         lines.append("No previous full record — baseline round for this table.")
@@ -161,18 +193,26 @@ def _write_full_and_regressions(
                 "| query | prev s | sweep s | ratio | remeasure s | verdict |",
                 "|---|---|---|---|---|---|",
             ]
+            iso = iso_baselines or set()
             for n, p, t in flagged:
                 rm = remeasure.get(n)
+                prev_s = f"{p:.3f}*" if n in iso else f"{p:.3f}"
                 if rm is None:
                     verdict = "no remeasure"
                     rm_s = "—"
                 else:
                     rm_s = f"{rm:.3f}"
-                    verdict = (
-                        "REGRESSION"
-                        if _is_flagged(p, rm)
-                        else "not reproduced"
-                    )
+                    if _is_flagged(p, rm):
+                        verdict = "REGRESSION"
+                    elif n in iso:
+                        # like-with-like: both numbers are isolated timings
+                        verdict = "not reproduced (isolated-vs-isolated)"
+                    else:
+                        verdict = (
+                            "not reproduced (vs SWEEP baseline — isolated"
+                            " runs are systematically faster; noise is the"
+                            " likely but not proven explanation)"
+                        )
                     if verdict == "REGRESSION" and n in force:
                         # the force-recheck set also holds oracle-only
                         # changes, so keep the REGRESSION signal and note
@@ -183,7 +223,7 @@ def _write_full_and_regressions(
                             " whether the plan change is intentional)"
                         )
                 lines.append(
-                    f"| {n} | {p:.3f} | {t:.3f} | {t / p:.2f}x |"
+                    f"| {n} | {prev_s} | {t:.3f} | {t / p:.2f}x |"
                     f" {rm_s} | {verdict} |"
                 )
         else:
@@ -310,7 +350,7 @@ def main() -> None:
     # numbers instead of needing post-hoc prose.
     base = os.path.dirname(os.path.abspath(__file__))
     rnd = _current_round(base)
-    prev, prev_rnd, partial_prev = _load_prev(base, rnd)
+    prev, prev_rnd, partial_prev, iso_baselines = _load_prev(base, rnd)
     remeasure: dict[str, float] = {}
     flagged = _flags(timings, prev)
     qmap = entrymod.queries() if flagged else {}
@@ -346,7 +386,8 @@ def main() -> None:
     }
     try:
         _write_full_and_regressions(
-            base, rnd, record, timings, prev, prev_rnd, partial_prev
+            base, rnd, record, timings, prev, prev_rnd, partial_prev,
+            iso_baselines,
         )
     except OSError:
         pass  # read-only checkout: stdout record still carries the result

@@ -60,7 +60,12 @@ def _env_num(name: str, default: float) -> float:
     raw = os.environ.get(name)
     if raw is None or raw == "":
         return default
-    return float(raw)
+    try:
+        return float(raw)
+    except ValueError:
+        raise ValueError(
+            f"invalid value for {name}: {raw!r} (expected a number)"
+        ) from None
 
 
 @dataclass
@@ -216,7 +221,13 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     )
     ap.add_argument("--workdir", default="/tmp/cdc_spark_app")
     ap.add_argument(
-        "--sink", choices=("memory", "console", "kafka"), default="memory"
+        "--sink",
+        choices=("memory", "console", "kafka"),
+        default=None,
+        help="default: memory with --available-now (a bounded drain the "
+        "CLI then counts), console in continuous mode — a memory sink "
+        "would accumulate every notification in driver memory for the "
+        "life of a long-running process",
     )
     ap.add_argument(
         "--available-now",
@@ -245,11 +256,26 @@ def _parse_args(argv: list[str]) -> argparse.Namespace:
     return ap.parse_args(argv)
 
 
+def _resolve_sink(sink: str | None, available_now: bool) -> str:
+    """Memory sink is demo/test-only: it accumulates every notification
+    row in driver memory for the life of the process, so it is only the
+    default for the bounded --available-now drain (whose CLI counts the
+    sink tables); continuous supervision defaults to console."""
+    if sink is not None:
+        return sink
+    return "memory" if available_now else "console"
+
+
 def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> int:
     args = _parse_args(sys.argv[1:] if argv is None else argv)
-    cfg = AppConfig.from_env()
+    try:
+        cfg = AppConfig.from_env()
+    except ValueError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 2
     if args.health_port is not None:
         cfg.health_port = args.health_port
+    sink_format = _resolve_sink(args.sink, args.available_now)
 
     if spark is None:
         from cdc_stream_processor_spark.session import get_spark
@@ -304,7 +330,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         envelopes,
         accounts,
         checkpoint_dir,
-        sink_format=args.sink,
+        sink_format=sink_format,
         available_now=args.available_now,
     )
     server = None
@@ -321,7 +347,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
             still_active = [n for n, s in status.items() if s["active"]]
             code, body = supervisor.healthz()
             print(json.dumps({"healthz": code, **json.loads(body)}, indent=1))
-            if args.sink == "memory":
+            if sink_format == "memory":
                 for name in SP.SINK_TOPICS:
                     n = spark.sql(f"SELECT count(*) c FROM {name}").first()["c"]
                     print(f"sink {name}: {n} notifications")

@@ -241,6 +241,14 @@ def watermark_slack_audit(
     sequence, or file position) — numeric and unique. Lateness per event
     = run_max(unix_micros(ts) over global arrival order) − unix_micros(ts).
 
+    NULL arrival keys are EXCLUDED (filtered before bucketing): a row
+    with no arrival position has no place in the replay order, and
+    without the filter `F.least` would skip the NULL and silently land
+    it in the last bucket while Spark's nulls-first window ordering
+    diverges from an oracle's nulls-last — a silently wrong lateness
+    (r8 ADVICE). The exclusion is part of the operator's contract:
+    n_events counts only rows with a non-null arrival key.
+
     Output (one row): n_events, n_late (lateness > 0), max_lateness_us,
     sum_lateness_us — the recommended watermark is max_lateness_us (or a
     quantile of the lateness distribution for a lossy-tolerant pipeline).
@@ -268,7 +276,7 @@ def watermark_slack_audit(
         arrival_col.alias("ak"),
         arrival_col.cast("double").alias("akd"),
         us.alias("us"),
-    )
+    ).filter(F.col("ak").isNotNull())
     rng = base.agg(
         F.min("akd").alias("ak_min"), F.max("akd").alias("ak_max")
     )

@@ -185,6 +185,31 @@ def test_app_simulate_from_testdata(spark, tmpdirs, sf_dir):
     assert rc == 0
 
 
+def test_app_config_invalid_env_exits_with_message(monkeypatch, capsys):
+    """r8 ADVICE: a non-numeric threshold env var must exit with a clear
+    'invalid value for <VAR>' message, not a raw ValueError traceback."""
+    from cdc_stream_processor_spark.__main__ import main
+
+    monkeypatch.setenv("ABBANK_VELOCITY_MAX_TXN", "five")
+    rc = main(["--available-now"])  # config parses before Spark/source setup
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "invalid value for ABBANK_VELOCITY_MAX_TXN" in err
+    assert "'five'" in err
+
+
+def test_app_sink_defaults_bound_driver_memory():
+    """r8 ADVICE: memory sink (unbounded driver growth) must only be the
+    default for the bounded --available-now drain; continuous supervision
+    defaults to console unless a sink is explicitly chosen."""
+    from cdc_stream_processor_spark.__main__ import _resolve_sink
+
+    assert _resolve_sink(None, available_now=True) == "memory"
+    assert _resolve_sink(None, available_now=False) == "console"
+    assert _resolve_sink("memory", available_now=False) == "memory"  # explicit
+    assert _resolve_sink("kafka", available_now=True) == "kafka"
+
+
 def test_app_config_env_overrides(monkeypatch):
     from cdc_stream_processor_spark.__main__ import AppConfig
 

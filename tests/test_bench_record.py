@@ -60,17 +60,17 @@ def test_regression_table_carries_remeasure_verdicts(tmp_path):
         "sf": 0.1,
         "config": {"runs": 2},
     }
-    prev, prev_rnd, partial = bench._load_prev(base, 8)
-    assert (prev_rnd, partial) == (7, False)
+    prev, prev_rnd, partial, iso = bench._load_prev(base, 8)
+    assert (prev_rnd, partial, iso) == (7, False, set())
     bench._write_full_and_regressions(
-        base, 8, record, timings, prev, prev_rnd, partial
+        base, 8, record, timings, prev, prev_rnd, partial, iso
     )
 
     with open(os.path.join(base, "bench_r08_full.json")) as f:
         assert json.load(f)["flag_remeasure"]["q_noise"] == 0.55
     with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
         md = f.read()
-    assert "| q_noise | 0.500 | 2.000 | 4.00x | 0.550 | not reproduced |" in md
+    assert "| q_noise | 0.500 | 2.000 | 4.00x | 0.550 | not reproduced (vs SWEEP baseline" in md
     assert "| q_real | 0.500 | 2.000 | 4.00x | 1.900 | REGRESSION |" in md
     assert "q_fine" not in md  # unflagged queries stay out of the table
 
@@ -96,15 +96,58 @@ def test_force_recheck_flag_keeps_regression_signal_with_context(
         "config": {"runs": 2},
     }
     monkeypatch.setattr(entrymod, "_FORCE_RECHECK", {"q_changed"}, raising=True)
-    prev, prev_rnd, partial = bench._load_prev(base, 8)
+    prev, prev_rnd, partial, iso = bench._load_prev(base, 8)
     bench._write_full_and_regressions(
-        base, 8, record, timings, prev, prev_rnd, partial
+        base, 8, record, timings, prev, prev_rnd, partial, iso
     )
     with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
         md = f.read()
     assert "REGRESSION — code/oracle changed this round" in md
     assert "force-recheck queued" in md
     assert "| REGRESSION |" not in md  # bare verdict replaced by contextual one
+
+
+def test_flagged_prev_query_uses_isolated_baseline(tmp_path):
+    """r8 ADVICE: a query the PREVIOUS round flagged carries its isolated
+    remeasure as this round's baseline (isolated runs are systematically
+    faster than in-sweep runs), so a genuine plan regression can't hide
+    behind a sweep-inflated baseline — and the table marks the isolated
+    baseline with `*` and adjudicates isolated-vs-isolated."""
+    base = str(tmp_path)
+    prev_record = {
+        # r7 sweep said 5.0 s but the adjudicated isolated number was 0.5:
+        # the 0.5 must become the baseline, else a regression to 1.9 s
+        # isolated would compare 1.9 < 2*5.0 and mask as 'not reproduced'
+        "queries": {"q_hot": 5.0, "q_cool": 1.0},
+        "flag_remeasure": {"q_hot": 0.5},
+        "sf": 0.1,
+        "value": 6.0,
+        "config": {"runs": 2},
+    }
+    with open(os.path.join(base, "bench_r07_full.json"), "w") as f:
+        json.dump(prev_record, f)
+
+    prev, prev_rnd, partial, iso = bench._load_prev(base, 8)
+    assert prev["q_hot"] == 0.5  # isolated overlay, not the 5.0 sweep
+    assert prev["q_cool"] == 1.0
+    assert iso == {"q_hot"}
+
+    timings = {"q_hot": 2.0, "q_cool": 1.0}
+    record = {
+        "value": 3.0,
+        "queries": timings,
+        "flag_remeasure": {"q_hot": 1.9},  # still slow in isolation
+        "sf": 0.1,
+        "config": {"runs": 2},
+    }
+    bench._write_full_and_regressions(
+        base, 8, record, timings, prev, prev_rnd, partial, iso
+    )
+    with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
+        md = f.read()
+    # vs the old sweep baseline this would have been masked; vs the
+    # isolated baseline it correctly reads REGRESSION
+    assert "| q_hot | 0.500* | 2.000 | 4.00x | 1.900 | REGRESSION |" in md
 
 
 def test_no_flags_writes_no_regressions_line(tmp_path):
@@ -119,9 +162,9 @@ def test_no_flags_writes_no_regressions_line(tmp_path):
         "sf": 0.1,
         "config": {"runs": 2},
     }
-    prev, prev_rnd, partial = bench._load_prev(base, 8)
+    prev, prev_rnd, partial, iso = bench._load_prev(base, 8)
     bench._write_full_and_regressions(
-        base, 8, record, timings, prev, prev_rnd, partial
+        base, 8, record, timings, prev, prev_rnd, partial, iso
     )
     with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
         assert "No regressions" in f.read()

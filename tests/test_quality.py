@@ -575,6 +575,25 @@ def test_watermark_slack_audit_hand_computed(spark):
         assert rb["sum_lateness_us"] == (1 + 65 + 35) * 60_000_000
 
 
+def test_watermark_slack_audit_null_arrival_excluded(spark):
+    from datetime import datetime
+
+    # A NULL arrival key has no replay position; before the r8-ADVICE
+    # guard, F.least silently dropped it into the LAST bucket (nulls-first
+    # window order) and it polluted the running max. Contract: excluded.
+    rows = [
+        (1, datetime(2026, 1, 1, 10, 0)),
+        (None, datetime(2026, 1, 1, 23, 59)),  # would poison run-max if kept
+        (2, datetime(2026, 1, 1, 10, 2)),
+        (3, datetime(2026, 1, 1, 10, 1)),  # 60 s behind run-max 10:02
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    r = PF.watermark_slack_audit(df, F.col("k")).collect()[0]
+    assert r["n_events"] == 3  # NULL-key row excluded from the audit
+    assert r["n_late"] == 1
+    assert r["sum_lateness_us"] == 60_000_000
+
+
 def test_watermark_slack_audit_differential_random_streams(spark):
     """Seeded-random streams vs a brute-force Python replay: sort by
     arrival key, fold the global running max, accumulate lateness — the
