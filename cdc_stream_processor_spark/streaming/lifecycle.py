@@ -28,6 +28,28 @@ from typing import Any
 from pyspark.sql.streaming import StreamingQuery
 
 
+def _progress_summary(p: dict[str, Any] | None) -> dict[str, Any] | None:
+    """Operator-facing slice of a StreamingQuery ``lastProgress`` dict:
+    the fields that distinguish a healthy pipeline from a stuck one.
+    None until the first micro-batch completes. Listener-bus metrics are
+    per-batch AGGREGATES (a handful of numbers regardless of data size),
+    so this is free at any scale."""
+    if not p:
+        return None
+    return {
+        "batch_id": p.get("batchId"),
+        "timestamp": p.get("timestamp"),
+        "num_input_rows": p.get("numInputRows"),
+        "input_rows_per_second": p.get("inputRowsPerSecond"),
+        "processed_rows_per_second": p.get("processedRowsPerSecond"),
+        "batch_duration_ms": p.get("batchDuration"),
+        "state_rows_total": sum(
+            int(op.get("numRowsTotal", 0))
+            for op in p.get("stateOperators") or []
+        ),
+    }
+
+
 class PipelineSupervisor:
     """Supervises named streaming pipelines with a bounded restart policy."""
 
@@ -49,7 +71,13 @@ class PipelineSupervisor:
                 self._queries[name] = builder()
 
     def status(self) -> dict[str, dict[str, Any]]:
-        """Per-query view of the StreamingQuery status/exception surface."""
+        """Per-query view of the StreamingQuery status/exception surface,
+        including a ``progress`` summary of ``lastProgress`` (rows/sec,
+        batch duration, state rows). The reference's HealthServer is
+        liveness-only; surfacing throughput here lets an operator see a
+        STUCK-but-alive pipeline (rate 0, stale timestamp) from the same
+        endpoint — the StreamingQuery.status/lastProgress surface Scala
+        users poll, folded into /healthz (r8 verdict task 5)."""
         out: dict[str, dict[str, Any]] = {}
         for name, q in self._queries.items():
             exc = q.exception()
@@ -60,6 +88,7 @@ class PipelineSupervisor:
                 "last_error": self._last_error[name],
                 "restarts": self._restarts[name],
                 "batches_processed": (q.lastProgress or {}).get("batchId"),
+                "progress": _progress_summary(q.lastProgress),
             }
         return out
 

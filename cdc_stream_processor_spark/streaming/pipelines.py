@@ -52,16 +52,25 @@ def read_kafka_envelopes(
     topic: str = TOPIC_TRANSACTIONS,
     bootstrap: str = "localhost:9092",
     starting_offsets: str = "earliest",  # reference auto.offset.reset=earliest
+    source_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Kafka CDC source (S1-S4): JSON-serialized Debezium envelopes in the
-    record value. Requires the spark-sql-kafka package on the classpath."""
-    raw = (
+    record value. Requires the spark-sql-kafka package on the classpath.
+
+    `source_options` pass through to the reader — in production ALWAYS set
+    `maxOffsetsPerTrigger`: it bounds each micro-batch to a fixed offset
+    budget so a restart against a deep backlog (or a 100 TB/day topic)
+    drains as steady rate-limited batches instead of one giant batch that
+    overwhelms executor memory and state-store checkpointing."""
+    reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
-        .load()
     )
+    for k, v in (source_options or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load()
     parsed = raw.select(
         F.from_json(
             F.col("value").cast("string"), schemas.TRANSACTION_ENVELOPE

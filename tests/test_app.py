@@ -133,6 +133,26 @@ def test_app_boots_five_pipelines_with_live_healthz(spark, tmpdirs):
             body = json.load(resp)
         assert body["status"] == "UP"
         assert set(body["queries"]) == PIPELINES
+        # r8 verdict task 5: the health payload carries per-pipeline
+        # lastProgress (rows/sec, batch duration, state rows) so an
+        # operator can spot a stuck-but-alive pipeline from /healthz
+        progress_fields = {
+            "batch_id", "timestamp", "num_input_rows",
+            "input_rows_per_second", "processed_rows_per_second",
+            "batch_duration_ms", "state_rows_total",
+        }
+        for name in PIPELINES:
+            prog = body["queries"][name]["progress"]
+            assert prog is not None, f"{name}: no progress after drain"
+            assert set(prog) == progress_fields
+            assert prog["batch_id"] >= 0
+            assert prog["num_input_rows"] >= 0
+            assert prog["batch_duration_ms"] >= 0
+        # the windowed/session aggregations hold state rows after the drain
+        assert any(
+            body["queries"][n]["progress"]["state_rows_total"] > 0
+            for n in PIPELINES
+        )
         counts = {n: spark.sql(f"select * from {n}").count() for n in PIPELINES}
         assert counts["high_value"] == 5   # every 600k debit alerts
         assert counts["fraud"] >= 1        # 5 debits in one 60s window

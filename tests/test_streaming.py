@@ -611,6 +611,42 @@ def test_supervisor_restarts_failed_query_and_serves_health(spark, tmpdirs):
         server.shutdown()
 
 
+def test_progress_summary_slices_last_progress():
+    """The /healthz progress block is a fixed operator-facing slice of
+    lastProgress: None before the first batch, and the stuck-pipeline
+    signals (rates, duration, state rows) after."""
+    from cdc_stream_processor_spark.streaming.lifecycle import (
+        _progress_summary,
+    )
+
+    assert _progress_summary(None) is None
+    assert _progress_summary({}) is None  # pre-first-batch empty dict
+    got = _progress_summary(
+        {
+            "batchId": 7,
+            "timestamp": "2026-01-01T00:00:00.000Z",
+            "numInputRows": 1200,
+            "inputRowsPerSecond": 240.0,
+            "processedRowsPerSecond": 600.0,
+            "batchDuration": 2000,
+            "stateOperators": [
+                {"numRowsTotal": 10},
+                {"numRowsTotal": 5},
+            ],
+            "sources": ["ignored — not part of the operator slice"],
+        }
+    )
+    assert got == {
+        "batch_id": 7,
+        "timestamp": "2026-01-01T00:00:00.000Z",
+        "num_input_rows": 1200,
+        "input_rows_per_second": 240.0,
+        "processed_rows_per_second": 600.0,
+        "batch_duration_ms": 2000,
+        "state_rows_total": 15,
+    }
+
+
 def test_kafka_source_unavailable_is_clear(spark):
     """Without the kafka integration jar the reader should fail with the
     standard DATA_SOURCE_NOT_FOUND guidance, not something cryptic."""
@@ -619,6 +655,86 @@ def test_kafka_source_unavailable_is_clear(spark):
         df.printSchema()  # pragma: no cover - only if jar present
     except Exception as e:  # noqa: BLE001
         assert "kafka" in str(e).lower()
+
+
+def _kafka_env_or_skip(spark):
+    """Environment gate for the `--source kafka` deployment shape, in the
+    same auto-unskip style as the protobuf/spark-avro probes: needs the
+    spark-sql-kafka package on the classpath AND a reachable broker at
+    $KAFKA_BOOTSTRAP_SERVERS. Returns the bootstrap string."""
+    import os
+    import socket
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+    except Exception:
+        pytest.skip("spark-sql-kafka package not on the classpath")
+    bootstrap = os.environ.get("KAFKA_BOOTSTRAP_SERVERS", "localhost:9092")
+    host, _, port = bootstrap.partition(":")
+    try:
+        socket.create_connection((host, int(port or 9092)), timeout=2).close()
+    except OSError:
+        pytest.skip(f"no Kafka broker reachable at {bootstrap}")
+    return bootstrap
+
+
+def test_kafka_roundtrip_rate_limited(spark, tmpdirs):
+    """The reference's actual deployment shape (S1-S4: Debezium JSON
+    envelopes on XEPDB1.BANKDB.TRANSACTIONS), end-to-end through a real
+    broker with the production rate-limit knob: seed the topic via a batch
+    Kafka write, stream it back with maxOffsetsPerTrigger small enough to
+    force MULTIPLE micro-batches, and drain the high-value pipeline.
+    Env-gated exactly like the protobuf/avro skips — auto-unskips when a
+    broker + the spark-sql-kafka package appear."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    bootstrap = _kafka_env_or_skip(spark)
+    topic = f"abbank.it.{uuid.uuid4().hex[:12]}"
+    envs = [
+        fx.envelope(
+            fx.txn_image(
+                txn_id=float(i),
+                amount=600_000.0,  # all trip the 500k high-value threshold
+                initiated_at_us=(1_700_000_000 + i) * US,
+            )
+        )
+        for i in range(6)
+    ]
+    fx.make_txn_df(spark, envs).select(
+        F.to_json(F.struct("*")).alias("value")
+    ).write.format("kafka").option(
+        "kafka.bootstrap.servers", bootstrap
+    ).option("topic", topic).save()
+
+    env_stream = SP.read_kafka_envelopes(
+        spark,
+        topic=topic,
+        bootstrap=bootstrap,
+        source_options={"maxOffsetsPerTrigger": "2"},  # 6 records -> >=3 batches
+    ).drop("_kafka_ts")
+    txns = SP.parsed_transaction_stream(env_stream)
+    alerts = SP.high_value_notifications(
+        txns, cdc.parse_accounts(fx.make_account_df(spark, [])),
+        threshold=500_000.0,
+    )
+    q = SP.start_pipeline(
+        alerts,
+        f"kafka_it_{topic.rsplit('.', 1)[-1]}",
+        f"{tmpdirs}/ckpt",
+        output_mode="append",
+        sink_format="memory",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"select * from {q.name}").count()
+    assert got == 6  # every seeded debit alerts (empty accounts -> "N/A" path)
+    # the rate limit actually sliced the drain into multiple micro-batches
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3
 
 
 def test_foreachbatch_merge_sink_materializes_and_is_idempotent(spark, tmpdirs):
