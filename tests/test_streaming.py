@@ -611,6 +611,65 @@ def test_supervisor_restarts_failed_query_and_serves_health(spark, tmpdirs):
         server.shutdown()
 
 
+def test_supervisor_exhausted_restart_budget_serves_503(spark, tmpdirs):
+    """The DOWN path the reference reaches when its uncaught-exception
+    handler gives up: a query that fails on EVERY attempt exhausts the
+    restart budget, healthz() flips to 503/DOWN, and the HTTP endpoint
+    serves the same — the signal an orchestrator's liveness probe kills
+    the pod on."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from cdc_stream_processor_spark.streaming.lifecycle import (
+        PipelineSupervisor,
+        serve_health,
+    )
+
+    src, ckpt = f"{tmpdirs}/src", f"{tmpdirs}/ckpt"
+    _write_envelopes(
+        spark,
+        src,
+        [fx.envelope(fx.txn_image(txn_id=1.0, initiated_at_us=1_700_000_000 * US))],
+    )
+
+    def build():
+        t = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+
+        def sink(df, epoch_id):
+            raise RuntimeError("permanent sink failure")
+
+        return (
+            t.writeStream.queryName("doomed_txns")
+            .foreachBatch(sink)
+            .option("checkpointLocation", f"{ckpt}/doomed")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sup = PipelineSupervisor(max_restarts=1)
+    sup.register("txns", build)
+    sup.start_all()
+    sup.await_all(timeout_s=120)
+    st = sup.status()["txns"]
+    assert st["active"] is False
+    assert st["restarts"] == 1  # budget spent, retry also failed
+    assert "permanent sink failure" in st["exception"]
+
+    code, body = sup.healthz()
+    assert code == 503
+    assert json.loads(body)["status"] == "DOWN"
+
+    server, port, _thread = serve_health(sup)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz")
+        assert ei.value.code == 503
+        assert json.load(ei.value)["status"] == "DOWN"
+    finally:
+        server.shutdown()
+
+
 def test_progress_summary_slices_last_progress():
     """The /healthz progress block is a fixed operator-facing slice of
     lastProgress: None before the first batch, and the stuck-pipeline
