@@ -71,14 +71,31 @@ def read_kafka_envelopes(
     for k, v in (source_options or {}).items():
         reader = reader.option(k, v)
     raw = reader.load()
-    parsed = raw.select(
+    return parse_envelope_values(
+        raw.select(F.col("value"), F.col("timestamp").alias("_kafka_ts"))
+    )
+
+
+def parse_envelope_values(values: DataFrame) -> DataFrame:
+    """JSON record value → envelope columns, with corrupt values DROPPED
+    (F2 semantics). Shared by the Kafka source and its broker-free serde
+    test, so the serialization contract is proven in any environment.
+
+    Spark's from_json never errors in its default PERMISSIVE mode — a
+    malformed value yields a struct of ALL-NULL fields, not a NULL
+    struct (so a bare ``env.isNotNull()`` drops nothing). The drop
+    filter therefore keys on the envelope's mandatory ``op``
+    discriminator: every Debezium change event carries one, and a
+    corrupt parse leaves it null. Any non-``value`` columns (e.g. the
+    Kafka record timestamp) pass through untouched."""
+    extra = [c for c in values.columns if c != "value"]
+    parsed = values.select(
         F.from_json(
             F.col("value").cast("string"), schemas.TRANSACTION_ENVELOPE
         ).alias("env"),
-        F.col("timestamp").alias("_kafka_ts"),
+        *[F.col(c) for c in extra],
     )
-    # PERMISSIVE parse: corrupt values -> null envelope, dropped (F2 semantics)
-    return parsed.filter(F.col("env").isNotNull()).select("env.*", "_kafka_ts")
+    return parsed.filter(F.col("env.op").isNotNull()).select("env.*", *extra)
 
 
 def read_file_envelopes(

@@ -716,6 +716,51 @@ def test_kafka_source_unavailable_is_clear(spark):
         assert "kafka" in str(e).lower()
 
 
+def test_envelope_json_value_roundtrip_matches_kafka_serde(spark):
+    """The serde contract the (broker-gated) Kafka roundtrip test relies
+    on, proven WITHOUT a broker: serializing an envelope to a JSON record
+    value with to_json(struct(*)) and parsing it back through the SAME
+    parse_envelope_values the Kafka source uses reproduces the parsed
+    transaction exactly — so the gated test can only fail on
+    broker/classpath issues, never on the serialization. Also pins the
+    corrupt-drop semantics: Spark's PERMISSIVE from_json yields an
+    ALL-NULL struct (not a NULL struct) for malformed input, so the drop
+    must key on the mandatory `op` discriminator — a bare env.isNotNull()
+    silently keeps garbage rows (caught live writing this test)."""
+    from pyspark.sql import functions as F
+
+    envs = [
+        fx.envelope(
+            fx.txn_image(
+                txn_id=1.0, amount=600_000.0,
+                initiated_at_us=1_700_000_000 * US,
+            )
+        ),
+        fx.envelope(fx.txn_image(txn_id=2.0, amount=100.0), op="d"),
+    ]
+    df = fx.make_txn_df(spark, envs)
+    values = df.select(F.to_json(F.struct("*")).alias("value"))
+    parsed_back = SP.parse_envelope_values(values)
+    want = [r.asDict(recursive=True) for r in cdc.parse_transactions(df).collect()]
+    got = [
+        r.asDict(recursive=True)
+        for r in cdc.parse_transactions(parsed_back).collect()
+    ]
+    assert len(want) == 1  # delete dropped on both paths
+    assert got == want
+
+    # corrupt record values are DROPPED, valid ones keep extra columns
+    mixed = spark.createDataFrame(
+        [("{not json", 7), ("[]", 8)], "value string, _kafka_off long"
+    ).union(
+        values.limit(1).select("value", F.lit(9).alias("_kafka_off"))
+    )
+    kept = SP.parse_envelope_values(mixed)
+    assert kept.count() == 1
+    row = kept.select("_kafka_off", "op").first()
+    assert (row["_kafka_off"], row["op"]) == (9, "c")
+
+
 def _kafka_env_or_skip(spark):
     """Environment gate for the `--source kafka` deployment shape, in the
     same auto-unskip style as the protobuf/spark-avro probes: needs the
