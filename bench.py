@@ -252,7 +252,13 @@ def _quiesce_check() -> list[str]:
     start. Ambient load is the #1 source of spurious per-query flags
     (two rounds of judge adjudication confirmed it), so the committed
     record carries the evidence: an empty list means the box was quiet;
-    a non-empty one means the numbers may be inflated."""
+    a non-empty one means the numbers may be inflated.
+
+    Only the pid and the load class that matched are recorded — never
+    the command line or executable name: cmdlines of unrelated
+    processes (a CI wrapper, an editor helper) can embed arbitrary
+    environment/tooling detail that has no place in a committed
+    artifact, and the load evidence needs only count + kind."""
     me = os.getpid()
     others: list[str] = []
     try:
@@ -268,10 +274,15 @@ def _quiesce_check() -> list[str]:
         except OSError:
             continue
         low = cmd.lower()
-        if "java" in low or "pyspark" in low or (
+        if "java" in low:
+            kind = "jvm"
+        elif "pyspark" in low or (
             "python" in low and ("spark" in low or "bench" in low)
         ):
-            others.append(f"pid {pid}: {cmd.strip()[:120]}")
+            kind = "spark-python"
+        else:
+            continue
+        others.append(f"pid {pid}: ({kind})")
     return others
 
 
