@@ -150,6 +150,18 @@ def test_flagged_prev_query_uses_isolated_baseline(tmp_path):
     assert "| q_hot | 0.500* | 2.000 | 4.00x | 1.900 | REGRESSION |" in md
 
 
+def test_quiesce_check_records_load_class_only():
+    """The ambient-load evidence is pid + load class ONLY — never the
+    command line or executable name: an unrelated wrapper process's
+    cmdline can embed arbitrary environment detail that doesn't belong
+    in a committed artifact (r9). This pins the sanitized format."""
+    import re
+
+    out = bench._quiesce_check()
+    for entry in out:
+        assert re.fullmatch(r"pid \d+: \((jvm|spark-python)\)", entry), entry
+
+
 def test_no_flags_writes_no_regressions_line(tmp_path):
     base = str(tmp_path)
     with open(os.path.join(base, "bench_r07_full.json"), "w") as f:
