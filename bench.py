@@ -74,20 +74,30 @@ def _load_prev(
         if not m or int(m.group(1)) >= rnd:
             continue
         if int(m.group(1)) > prev_rnd:
+            # Parse into locals FIRST and commit all three together only
+            # once everything converts cleanly (r9 ADVICE): a bad
+            # flag_remeasure value must not leave `prev` pointing at the
+            # newer record while prev_rnd/iso_baselines keep older state.
             try:
                 with open(p) as f:
                     rec = json.load(f)
-                prev = dict(rec.get("queries", {}))
+                cand = dict(rec.get("queries", {}))
+                # r10: records carry an explicit `baseline_overlay` — the
+                # subset of flag_remeasure that should seed next round's
+                # baseline (iso-baseline queries whose remeasure adjudicated
+                # CLEAN are excluded so an inherent sweep-vs-isolated gap
+                # stops re-flagging every round, r9 ADVICE). Older records
+                # fall back to the full flag_remeasure.
+                iso_src = rec.get("baseline_overlay")
+                if iso_src is None:
+                    iso_src = rec.get("flag_remeasure") or {}
                 iso = {
-                    q: float(v)
-                    for q, v in (rec.get("flag_remeasure") or {}).items()
-                    if q in prev
+                    q: float(v) for q, v in iso_src.items() if q in cand
                 }
-                prev.update(iso)
-                iso_baselines = set(iso)
-                prev_rnd = int(m.group(1))
-            except (OSError, ValueError):
+                cand.update(iso)
+            except (OSError, ValueError, TypeError):
                 continue
+            prev, iso_baselines, prev_rnd = cand, set(iso), int(m.group(1))
     if not prev:
         # bootstrap: the driver's BENCH_r*.json keeps only a 2000-char
         # stdout tail — salvage the per-query timings visible in the
@@ -206,7 +216,15 @@ def _write_full_and_regressions(
                         verdict = "REGRESSION"
                     elif n in iso:
                         # like-with-like: both numbers are isolated timings
-                        verdict = "not reproduced (isolated-vs-isolated)"
+                        # and the remeasure sits at the baseline — the sweep
+                        # trip is the query's inherent sweep-vs-isolated
+                        # gap, not a regression, so it is NOT a flag (r9
+                        # ADVICE: iso-baseline queries flag on the
+                        # remeasure comparison only)
+                        verdict = (
+                            "not flagged — expected sweep-vs-isolated gap"
+                            " (isolated remeasure at baseline)"
+                        )
                     else:
                         verdict = (
                             "not reproduced (vs SWEEP baseline — isolated"
@@ -247,6 +265,46 @@ def _write_full_and_regressions(
         f.write("\n".join(lines) + "\n")
 
 
+def _compact_summary(
+    record: dict,
+    flagged: list[tuple[str, float, float]],
+    remeasure: dict[str, float],
+    ambient: list[str],
+    rnd: int,
+) -> dict:
+    """The LAST-stdout-line summary: compact standalone JSON (<2000 chars
+    serialized) sized to survive the driver's 2000-char stdout-tail capture
+    (r9 verdict — the full record line always truncates to parsed: null).
+    Regressions = adjudicated verdicts (isolated remeasure still above the
+    flag rule), not raw sweep trips; top-3 by remeasure-vs-baseline ratio."""
+    regressions = sorted(
+        (
+            (n, p, remeasure[n])
+            for n, p, _t in flagged
+            if n in remeasure and _is_flagged(p, remeasure[n])
+        ),
+        key=lambda x: x[2] / x[1],
+        reverse=True,
+    )
+    return {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "sf": record["sf"],
+        "n_queries": len(record.get("queries", {})),
+        "runs": record["config"]["runs"],
+        "flag_candidates": len(flagged),
+        "regressions": len(regressions),
+        "top_regressions": [
+            {"query": n, "prev_s": p, "isolated_s": rm}
+            for n, p, rm in regressions[:3]
+        ],
+        "ambient": len(ambient),
+        "ambient_foreign": sum(1 for a in ambient if "foreign" in a),
+        "full_record": f"bench_r{rnd:02d}_full.json",
+    }
+
+
 def _quiesce_check() -> list[str]:
     """Scan /proc for OTHER live JVM / Spark-Python processes at bench
     start. Ambient load is the #1 source of spurious per-query flags
@@ -258,8 +316,36 @@ def _quiesce_check() -> list[str]:
     the command line or executable name: cmdlines of unrelated
     processes (a CI wrapper, an editor helper) can embed arbitrary
     environment/tooling detail that has no place in a committed
-    artifact, and the load evidence needs only count + kind."""
+    artifact, and the load evidence needs only count + kind.
+
+    Each entry also carries an ``own-tree``/``foreign`` marker derived
+    from the ppid chain (r9 verdict): a matched process whose ancestor
+    chain (including itself) passes through this process's own ancestor
+    chain is the harness's wrapper/supervisor stack — expected, idle,
+    and not competing load — while ``foreign`` means a process tree this
+    run did not inherit (a genuinely concurrent job). This keeps the
+    "quiet box" claim verifiable without recording cmdlines."""
+
+    def _ppid_chain(pid: int) -> list[int]:
+        """pid plus its ancestors up to (excluding) pid 1 / a read error."""
+        chain, cur, hops = [pid], pid, 0
+        while cur > 1 and hops < 64:
+            try:
+                with open(f"/proc/{cur}/stat") as f:
+                    stat = f.read()
+                # field 4 (ppid) sits after the parenthesised comm, which
+                # may itself contain spaces — split after the LAST ')'
+                cur = int(stat.rsplit(")", 1)[1].split()[1])
+            except (OSError, ValueError, IndexError):
+                break
+            hops += 1
+            if cur > 1:
+                chain.append(cur)
+        return chain
+
     me = os.getpid()
+    # everything above me except init: intersecting this = same tree
+    my_ancestry = set(_ppid_chain(me))
     others: list[str] = []
     try:
         pids = [p for p in os.listdir("/proc") if p.isdigit()]
@@ -282,7 +368,10 @@ def _quiesce_check() -> list[str]:
             kind = "spark-python"
         else:
             continue
-        others.append(f"pid {pid}: ({kind})")
+        own = bool(set(_ppid_chain(int(pid))) & my_ancestry)
+        others.append(
+            f"pid {pid}: ({kind}, {'own-tree' if own else 'foreign'})"
+        )
     return others
 
 
@@ -376,6 +465,20 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         remeasure[name] = round(best, 3)
+    # Baseline overlay for NEXT round (r9 ADVICE): a first-time flag
+    # (sweep baseline) carries its isolated remeasure forward so a true
+    # regression can't hide behind a sweep-inflated baseline (r8 ADVICE);
+    # an iso-baseline query whose remeasure adjudicated CLEAN reverts to
+    # its sweep timing — otherwise a query with an inherent >2x
+    # sweep-vs-isolated gap would re-flag and re-measure every round
+    # forever. REGRESSION verdicts stay on isolated-vs-isolated.
+    overlay: dict[str, float] = {}
+    for name, p, _t in flagged:
+        rm = remeasure.get(name)
+        if rm is None:
+            continue
+        if name not in iso_baselines or _is_flagged(p, rm):
+            overlay[name] = rm
     record = {
         "metric": "engine_total_query_time",
         "value": round(total, 3),
@@ -384,6 +487,8 @@ def main() -> None:
         # isolated retimings of the >2x-flagged queries (see loop above):
         # the self-adjudicated number the regression table's verdict uses
         "flag_remeasure": remeasure,
+        # subset of flag_remeasure that seeds next round's baseline
+        "baseline_overlay": overlay,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "config": {
             "runs": runs,
@@ -407,6 +512,8 @@ def main() -> None:
             {k: record[k] for k in ("metric", "value", "unit", "queries", "sf")}
         )
     )
+    # LAST stdout line: compact standalone JSON — see _compact_summary.
+    print(json.dumps(_compact_summary(record, flagged, remeasure, ambient, rnd)))
 
 
 if __name__ == "__main__":

@@ -44,7 +44,10 @@ def _progress_summary(p: dict[str, Any] | None) -> dict[str, Any] | None:
         "processed_rows_per_second": p.get("processedRowsPerSecond"),
         "batch_duration_ms": p.get("batchDuration"),
         "state_rows_total": sum(
-            int(op.get("numRowsTotal", 0))
+            # `or 0`, not a default: a non-stateful operator entry can
+            # carry an explicit null for numRowsTotal (r9 ADVICE) and
+            # int(None) would break status()/healthz
+            int(op.get("numRowsTotal") or 0)
             for op in p.get("stateOperators") or []
         ),
     }

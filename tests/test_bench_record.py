@@ -150,16 +150,131 @@ def test_flagged_prev_query_uses_isolated_baseline(tmp_path):
     assert "| q_hot | 0.500* | 2.000 | 4.00x | 1.900 | REGRESSION |" in md
 
 
-def test_quiesce_check_records_load_class_only():
-    """The ambient-load evidence is pid + load class ONLY — never the
-    command line or executable name: an unrelated wrapper process's
-    cmdline can embed arbitrary environment detail that doesn't belong
-    in a committed artifact (r9). This pins the sanitized format."""
+def test_quiesce_check_records_load_class_and_tree_only():
+    """The ambient-load evidence is pid + load class + own-tree marker
+    ONLY — never the command line or executable name: an unrelated
+    wrapper process's cmdline can embed arbitrary environment detail
+    that doesn't belong in a committed artifact (r9). The own-tree /
+    foreign marker (r10, from the ppid chain) distinguishes the
+    harness's own wrapper stack from a genuinely competing job so the
+    "quiet box" claim stays verifiable without recording cmdlines."""
     import re
 
     out = bench._quiesce_check()
     for entry in out:
-        assert re.fullmatch(r"pid \d+: \((jvm|spark-python)\)", entry), entry
+        assert re.fullmatch(
+            r"pid \d+: \((jvm|spark-python), (own-tree|foreign)\)", entry
+        ), entry
+    # this test's own ancestor wrapper stack (the processes that launched
+    # pytest) must classify as own-tree — they share our ppid chain
+    assert all("own-tree" in e for e in out), out
+
+
+def test_compact_summary_is_driver_tail_sized():
+    """bench.py's LAST stdout line must be standalone JSON under 2000
+    chars (the driver keeps only a 2000-char stdout tail — every prior
+    round's BENCH_r*.json ended up parsed: null, r9 verdict). Regressions
+    reported = adjudicated (remeasure still trips the flag rule), capped
+    at top-3 by ratio, so the size bound holds at any flag count."""
+    record = {
+        "metric": "engine_total_query_time",
+        "value": 170.5,
+        "unit": "sec",
+        "queries": {f"q{i:03d}": 0.7 for i in range(243)},
+        "sf": 0.1,
+        "config": {"runs": 2},
+    }
+    # 40 candidates: worst ratios must win the top-3 cut; q_clean's
+    # remeasure adjudicates clean so it is a candidate but not a regression
+    flagged = [(f"f{i:02d}", 0.5, 2.0) for i in range(40)]
+    remeasure = {f"f{i:02d}": 1.2 + 0.01 * i for i in range(40)}
+    flagged.append(("q_clean", 0.5, 2.0))
+    remeasure["q_clean"] = 0.52
+    ambient = ["pid 1: (jvm, own-tree)", "pid 2: (jvm, foreign)"]
+    out = bench._compact_summary(record, flagged, remeasure, ambient, 10)
+    line = json.dumps(out)
+    assert len(line) < 2000
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 243
+    assert parsed["flag_candidates"] == 41
+    assert parsed["regressions"] == 40  # q_clean adjudicated clean
+    assert len(parsed["top_regressions"]) == 3
+    assert parsed["top_regressions"][0]["query"] == "f39"  # worst ratio first
+    assert parsed["ambient"] == 2 and parsed["ambient_foreign"] == 1
+    assert parsed["full_record"] == "bench_r10_full.json"
+
+
+def test_iso_baseline_clean_remeasure_is_not_a_flag(tmp_path):
+    """r9 ADVICE: a query whose PREVIOUS-round baseline is already an
+    isolated remeasure flags on the remeasure comparison only — a sweep
+    trip whose isolated retiming sits at the isolated baseline is the
+    query's inherent sweep-vs-isolated gap, not a regression, and must
+    not read as one round after round."""
+    base = str(tmp_path)
+    with open(os.path.join(base, "bench_r09_full.json"), "w") as f:
+        json.dump(
+            {"queries": {"q_gap": 2.0}, "flag_remeasure": {"q_gap": 0.5}},
+            f,
+        )
+    prev, prev_rnd, partial, iso = bench._load_prev(base, 10)
+    assert prev["q_gap"] == 0.5 and iso == {"q_gap"}
+    timings = {"q_gap": 1.4}  # steady sweep cost: 2.8x the isolated number
+    record = {
+        "value": 1.4,
+        "queries": timings,
+        "flag_remeasure": {"q_gap": 0.52},  # isolated: right at baseline
+        "sf": 0.1,
+        "config": {"runs": 2},
+    }
+    bench._write_full_and_regressions(
+        base, 10, record, timings, prev, prev_rnd, partial, iso
+    )
+    with open(os.path.join(base, "BENCH_REGRESSIONS.md")) as f:
+        md = f.read()
+    assert "not flagged — expected sweep-vs-isolated gap" in md
+    assert "| REGRESSION |" not in md and "REGRESSION —" not in md
+
+
+def test_baseline_overlay_preferred_and_ends_reflag_cycle(tmp_path):
+    """r10: _load_prev seeds the baseline from `baseline_overlay` when the
+    record carries one (adjudicated-clean iso entries excluded, so the
+    inherent gap stops re-flagging), falling back to the full
+    flag_remeasure for pre-r10 records."""
+    base = str(tmp_path)
+    with open(os.path.join(base, "bench_r09_full.json"), "w") as f:
+        json.dump(
+            {
+                "queries": {"q_gap": 1.4, "q_bad": 1.0},
+                # both were remeasured, but only q_bad's remeasure still
+                # tripped the rule — q_gap reverts to its sweep timing
+                "flag_remeasure": {"q_gap": 0.5, "q_bad": 0.9},
+                "baseline_overlay": {"q_bad": 0.9},
+            },
+            f,
+        )
+    prev, prev_rnd, partial, iso = bench._load_prev(base, 10)
+    assert prev == {"q_gap": 1.4, "q_bad": 0.9}
+    assert iso == {"q_bad"}
+    # q_gap at its steady sweep cost no longer trips vs the sweep baseline
+    assert bench._flags({"q_gap": 1.4}, prev) == []
+
+
+def test_load_prev_skips_corrupt_newer_record_atomically(tmp_path):
+    """r9 ADVICE: a newer full record whose flag_remeasure fails float()
+    must not leave `prev` reassigned while prev_rnd/iso keep older state —
+    the corrupt record is skipped whole and the older round stays the
+    consistent baseline."""
+    base = str(tmp_path)
+    with open(os.path.join(base, "bench_r08_full.json"), "w") as f:
+        json.dump({"queries": {"q": 1.0}, "flag_remeasure": {"q": 0.4}}, f)
+    with open(os.path.join(base, "bench_r09_full.json"), "w") as f:
+        json.dump(
+            {"queries": {"q": 9.9}, "flag_remeasure": {"q": "not-a-number"}},
+            f,
+        )
+    prev, prev_rnd, partial, iso = bench._load_prev(base, 10)
+    assert prev_rnd == 8  # corrupt r9 skipped whole
+    assert prev == {"q": 0.4} and iso == {"q"}
 
 
 def test_no_flags_writes_no_regressions_line(tmp_path):

@@ -691,6 +691,10 @@ def test_progress_summary_slices_last_progress():
             "stateOperators": [
                 {"numRowsTotal": 10},
                 {"numRowsTotal": 5},
+                # r9 ADVICE: a non-stateful operator entry can carry an
+                # explicit null — must coerce to 0, not raise int(None)
+                {"numRowsTotal": None},
+                {},
             ],
             "sources": ["ignored — not part of the operator slice"],
         }
