@@ -333,6 +333,25 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         sink_format=sink_format,
         available_now=args.available_now,
     )
+    # SIGTERM → the same graceful path as Ctrl-C: a cluster manager
+    # (K8s/YARN) terminates with SIGTERM, which Python's default handler
+    # turns into immediate process death — the `finally` below would never
+    # stop the queries or free the checkpoint locks. The reference covers
+    # this with a JVM shutdown hook (ABBankStreamsApp.java:71-75), which
+    # runs on SIGTERM; raising KeyboardInterrupt routes both signals
+    # through one tested shutdown path. Signal handlers only install from
+    # the main thread — in-process callers (tests) skip the hook.
+    import signal
+
+    def _sigterm(_signum, _frame):  # pragma: no cover - exercised via kill
+        raise KeyboardInterrupt
+
+    old_sigterm = None
+    try:
+        old_sigterm = signal.signal(signal.SIGTERM, _sigterm)
+    except ValueError:
+        pass  # not the main thread
+
     server = None
     try:
         # start INSIDE the try: a health-server bind failure (port already
@@ -377,6 +396,8 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> in
         supervisor.stop_all()
         if server is not None:
             server.shutdown()
+        if old_sigterm is not None:
+            signal.signal(signal.SIGTERM, old_sigterm)
 
 
 def _load_accounts(spark: SparkSession, path: str | None) -> DataFrame:

@@ -7,6 +7,7 @@ availableNow over file fixtures (TopologyTestDriver style, no broker).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import tempfile
 import urllib.request
@@ -203,6 +204,47 @@ def test_app_simulate_from_testdata(spark, tmpdirs, sf_dir):
         spark=spark,
     )
     assert rc == 0
+
+
+def test_app_sigterm_triggers_graceful_shutdown(spark, tmpdirs):
+    """A cluster manager stops the app with SIGTERM, not Ctrl-C (r10):
+    the handler must route it through the same graceful stop path the
+    reference's JVM shutdown hook provides (ABBankStreamsApp.java:71-75)
+    — continuous mode exits 0 with queries stopped, and the process's
+    original SIGTERM disposition is restored afterwards."""
+    import signal
+    import threading
+
+    from cdc_stream_processor_spark.__main__ import main
+
+    src, acc, wd = f"{tmpdirs}/src3", f"{tmpdirs}/acc3", f"{tmpdirs}/wd3"
+    _plant_fixture_envelopes(spark, src, tmpdirs)
+    fx.make_account_df(
+        spark, [fx.account_image(101.0, "ACC-101")]
+    ).write.parquet(acc)
+    before = signal.getsignal(signal.SIGTERM)
+    # fire after the pipelines have had time to boot; the handler installs
+    # before start_all, so an early signal still takes the graceful path
+    timer = threading.Timer(
+        15.0, lambda: os.kill(os.getpid(), signal.SIGTERM)
+    )
+    timer.start()
+    try:
+        rc = main(
+            [
+                "--envelopes", src,
+                "--accounts", acc,
+                "--workdir", wd,
+                "--health-port", "0",
+                "--poll-seconds", "1",
+                "--max-files-per-trigger", "1",
+            ],
+            spark=spark,
+        )
+    finally:
+        timer.cancel()
+    assert rc == 0  # graceful path, not a SIGTERM process kill (143)
+    assert signal.getsignal(signal.SIGTERM) is before
 
 
 def test_app_config_invalid_env_exits_with_message(monkeypatch, capsys):
