@@ -1,0 +1,47 @@
+"""Planning tools (no Spark): the rotation-window report that each round's
+window-composition math is read from before any query surface changes."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+import rotation_report  # noqa: E402
+
+
+def test_last_green_matches_rotation_rule():
+    """The report's green rule must be the SAME rule the registry rotation
+    uses (err-free + rows/schema match + hash true-or-null), else the
+    window it prints is not the window the driver will check."""
+    greens, newest = rotation_report.last_green_by_query()
+    assert newest >= 9
+    assert greens  # committed records exist
+    import __spark_entry__ as entry
+
+    names = list(entry.queries())
+    # rotation order == ascending last-green (force-recheck demotions aside)
+    force = set(entry._FORCE_RECHECK)
+    ranks = [
+        -1 if (n in force and greens.get(n, -1) < newest) else greens.get(n, -1)
+        for n in names
+    ]
+    assert ranks == sorted(ranks)
+
+
+def test_report_prints_window_and_slack(capsys, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["rotation_report.py", "--window", "50"])
+    assert rotation_report.main() == 0
+    out = capsys.readouterr().out
+    assert "next driver window (50 slots):" in out
+    assert "slack:" in out
+    assert "backlog beyond the window" in out
