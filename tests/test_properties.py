@@ -320,3 +320,49 @@ def test_frequent_event_sequences_matches_brute_force(spark, journeys):
         p: (len(c), sum(c.values())) for p, c in users.items()
     }
     assert got == want
+
+
+# --- connected components vs union-find on random graphs ------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 24), st.integers(1, 24)),
+        min_size=0,
+        max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """The DISTRIBUTED pointer-jumping regime (small_graph_limit=0, so the
+    driver union-find fast path can't answer for it) must produce exactly
+    the min-id-per-component partition a sequential union-find computes,
+    on arbitrary random graphs — self-loops dropped, duplicate and
+    reversed edges collapsed. The fixed-shape tests pin chains/triangles;
+    this pins every topology hypothesis can draw (forests, dense blobs,
+    odd cycles, parallel edges)."""
+    from cdc_stream_processor_spark.operators import dedup as D
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["id"]: r["rep"]
+        for r in D.connected_components(pairs, small_graph_limit=0).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
