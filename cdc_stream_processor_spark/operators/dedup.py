@@ -107,18 +107,25 @@ def _vectorized_signatures_impl(
                 ids.append(doc_id)
                 all_shingles.extend(sh)
                 lens.append(len(sh))
+            if not ids:
+                # every doc in this batch dropped (no shingles — short/empty
+                # docs, common in web corpora): yield NOTHING. An empty
+                # pd.DataFrame built from empty lists types the list columns
+                # as float64 ndarrays, which Arrow cannot convert to
+                # list<int64> — at scale one such batch crashed the whole
+                # job (ArrowNotImplementedError), found by the hypothesis
+                # exact-duplicate recall test.
+                continue
             # ONE vectorized hash pass over every shingle in the batch
             hashes = FH.polyhash_batch(all_shingles)
             lens_arr = np.asarray(lens, dtype=np.int64)
             bounds = np.concatenate(([0], np.cumsum(lens_arr)[:-1]))
             out = {
                 "doc_id": pd.Series(ids, dtype="int64"),
-                "hs": np.split(hashes, np.cumsum(lens_arr)[:-1]) if ids else [],
+                "hs": np.split(hashes, np.cumsum(lens_arr)[:-1]),
             }
             if with_minhash:
-                out["mh"] = (
-                    list(FH.minhash_batch(hashes, bounds, params)) if ids else []
-                )
+                out["mh"] = list(FH.minhash_batch(hashes, bounds, params))
             yield pd.DataFrame(out)
 
     cols = docs.select(F.col(id_col).alias(id_col), F.col(text_col).alias(text_col))

@@ -95,7 +95,9 @@ def test_force_recheck_flag_keeps_regression_signal_with_context(
         "sf": 0.1,
         "config": {"runs": 2},
     }
-    monkeypatch.setattr(entrymod, "_FORCE_RECHECK", {"q_changed"}, raising=True)
+    monkeypatch.setattr(
+        entrymod, "_FORCE_RECHECK", {"q_changed": 8}, raising=True
+    )
     prev, prev_rnd, partial, iso = bench._load_prev(base, 8)
     bench._write_full_and_regressions(
         base, 8, record, timings, prev, prev_rnd, partial, iso

@@ -480,6 +480,36 @@ def test_sentiment_polarity(spark):
     assert out[4].sentiment == 0.0 and out[4].pos_hits == 0
 
 
+def test_minhash_survives_all_degenerate_batches(spark):
+    """An Arrow batch in which EVERY doc drops (no shingles: empty/short
+    docs — ubiquitous in web corpora at 100 TB) must yield nothing, not a
+    mistyped empty frame: before r10 the kernel built the empty hs/mh
+    columns as float64 ndarrays, which Arrow cannot convert to
+    list<int64>, crashing the whole job with ArrowNotImplementedError
+    (found by the exact-duplicate-recall hypothesis test). Exercises the
+    all-degenerate corpus, the degenerate+normal mix, and the
+    shingles-only (ngram) twin of the kernel."""
+    from cdc_stream_processor_spark.operators import dedup as D
+
+    degenerate = [(0, ""), (1, "aaaaaaaaaaaa"), (2, "one two")]
+    # repartition(1): one Arrow batch holding ALL docs — the all-dropped case
+    only_bad = spark.createDataFrame(
+        degenerate, "doc_id long, text string"
+    ).repartition(1)
+    assert D.minhash_lsh_pairs(only_bad, threshold=0.0).collect() == []
+    assert D.ngram_jaccard_pairs(only_bad, threshold=0.0).collect() == []
+
+    twin = "alpha beta gamma delta epsilon zeta"
+    mixed = spark.createDataFrame(
+        degenerate + [(10, twin), (11, twin)], "doc_id long, text string"
+    ).repartition(1)
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(mixed, threshold=1.0).collect()
+    }
+    assert pairs == {(10, 11): 1.0}  # the real twins pair; nothing crashes
+
+
 def test_connected_components_chain_and_islands(spark):
     # chain 1-2-3-4-5 (diameter forces >1 propagation round), island {10,11},
     # and a triangle {20,21,22}

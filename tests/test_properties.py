@@ -366,3 +366,124 @@ def test_connected_components_matches_union_find(spark, raw_edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+# --- sessionize vs brute-force gap splitting -------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),  # user
+            st.integers(0, 50),  # minutes offset (duplicates allowed)
+            st.integers(0, 100),  # value (scaled to .25 steps)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 12),  # gap minutes
+)
+@settings(max_examples=10, deadline=None)
+def test_sessionize_matches_brute_force(spark, raw, gap_minutes):
+    """Gap sessionization on arbitrary event sets must match a sequential
+    reference: per user, order by (ts, event_id), split when the idle gap
+    STRICTLY exceeds the threshold (a gap exactly equal to it stays in
+    the session), 1-based session ids, duration = last-first in µs.
+    Random draws cover the cases fixed shapes miss: simultaneous events
+    (tie-broken by event_id), gaps exactly at the boundary, single-event
+    users interleaved with dense ones."""
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import sessionize
+
+    t0 = datetime(2026, 1, 1)
+    rows = [
+        (eid, u, t0 + timedelta(minutes=m), v / 4.0)
+        for eid, (u, m, v) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.session_id): (
+            r.n_events,
+            r.start_us,
+            r.end_us,
+            r.duration_us,
+            r.total_value,
+        )
+        for r in sessionize(df, gap_minutes=gap_minutes).collect()
+    }
+
+    gap_us = gap_minutes * 60_000_000
+    epoch = datetime(1970, 1, 1)
+    by_user: dict[int, list[tuple[int, int, float]]] = {}
+    for eid, u, ts, v in rows:
+        us = int((ts - epoch).total_seconds()) * 1_000_000
+        by_user.setdefault(u, []).append((us, eid, v))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()  # (us, event_id) — the engine's tie-break order
+        sid, sess = 0, []
+        for i, (us, eid, v) in enumerate(evs):
+            if i == 0 or us - evs[i - 1][0] > gap_us:
+                if sess:
+                    want[(u, sid)] = sess
+                sid, sess = sid + 1, []
+            sess.append((us, v))
+        want[(u, sid)] = sess
+    want = {
+        k: (
+            len(s),
+            s[0][0],
+            s[-1][0],
+            s[-1][0] - s[0][0],
+            round(sum(v for _, v in s), 4),
+        )
+        for k, s in want.items()
+    }
+    got = {k: (*t[:4], round(t[4], 4)) for k, t in got.items()}
+    assert got == want
+
+
+# --- MinHash-LSH exact-duplicate recall floor ------------------------------------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcdef ghij", min_size=0, max_size=60),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_minhash_lsh_always_pairs_exact_duplicates(spark, texts):
+    """The probabilistic guarantee LSH trades away is NEAR-dup recall —
+    EXACT duplicates must never be missed: identical text ⇒ identical
+    shingle set ⇒ identical MinHash signature ⇒ same bucket in every
+    band ⇒ candidate pair with jaccard 1.0. Plant each random doc twice
+    under distinct ids and assert every shingle-able twin pair survives
+    `minhash_lsh_pairs` at threshold 1.0 (docs with no shingles are
+    dropped by contract — the dedup.py fold-path size>0 filter — so
+    their twins must simply not crash the kernel; this test found the
+    all-dropped-batch ArrowNotImplementedError crash fixed in r10)."""
+    from cdc_stream_processor_spark.functions import fasthash as FH
+    from cdc_stream_processor_spark.operators import dedup as D
+
+    rows = []
+    for i, t in enumerate(texts):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t))  # exact twin, higher id
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=1.0).collect()
+    }
+    for i, t in enumerate(texts):
+        if FH.shingles_py(FH.tokens_py(t), 3):
+            assert got.get((2 * i, 2 * i + 1)) == 1.0, (i, t)
+        else:
+            # shingle-less docs are dropped, never paired — and never crash
+            assert (2 * i, 2 * i + 1) not in got
+    assert all(j <= 1.0 for j in got.values())

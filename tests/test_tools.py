@@ -29,10 +29,13 @@ def test_last_green_matches_rotation_rule():
     import __spark_entry__ as entry
 
     names = list(entry.queries())
-    # rotation order == ascending last-green (force-recheck demotions aside)
-    force = set(entry._FORCE_RECHECK)
+    # rotation order == ascending last-green (force-recheck demotions aside;
+    # an entry demotes until a green from its change round or later lands)
+    force = dict(entry._FORCE_RECHECK)
     ranks = [
-        -1 if (n in force and greens.get(n, -1) < newest) else greens.get(n, -1)
+        -1
+        if greens.get(n, -1) < force.get(n, -(10**9))
+        else greens.get(n, -1)
         for n in names
     ]
     assert ranks == sorted(ranks)

@@ -66,9 +66,11 @@ def main() -> int:
 
     greens, newest = last_green_by_query()
     names = list(entry.queries())  # rotation order
-    force = set(getattr(entry, "_FORCE_RECHECK", set()))
-    cleared = {n for n in force if greens.get(n, -1) >= newest}
-    active_force = force - cleared
+    # dict: name -> round the code changed in; cleared once a green from
+    # that round (or later) exists
+    force = dict(getattr(entry, "_FORCE_RECHECK", {}) or {})
+    cleared = {n for n, rnd in force.items() if greens.get(n, -1) >= rnd}
+    active_force = set(force) - cleared
 
     def age(n: str) -> int:
         if n in active_force:
