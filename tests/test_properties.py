@@ -487,3 +487,114 @@ def test_minhash_lsh_always_pairs_exact_duplicates(spark, texts):
             # shingle-less docs are dropped, never paired — and never crash
             assert (2 * i, 2 * i + 1) not in got
     assert all(j <= 1.0 for j in got.values())
+
+
+# --- CDC changelog apply vs sequential fold --------------------------------------
+
+
+@given(
+    st.dictionaries(st.integers(1, 8), st.integers(0, 50), max_size=8),
+    st.lists(
+        st.tuples(
+            st.integers(1, 10),  # key (may be absent from the snapshot)
+            st.sampled_from(["c", "u", "r", "d"]),
+            st.one_of(st.none(), st.integers(0, 50)),  # payload (null ok)
+        ),
+        max_size=25,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_apply_changes_matches_sequential_fold(spark, snapshot, changes):
+    """MERGE-style changelog apply (J2's batch twin) on arbitrary
+    snapshots and change batches must equal the sequential fold: only the
+    highest-seq change per key counts; c/u/r upserts (inserting keys the
+    snapshot never had, null payloads allowed), d deletes (including
+    deletes of absent keys, which are no-ops); untouched keys pass
+    through. And table_diff(before, after) must classify exactly the
+    keys the fold added/removed/changed."""
+    from cdc_stream_processor_spark import cdc
+
+    snap_rows = [(k, v) for k, v in snapshot.items()]
+    snap = spark.createDataFrame(snap_rows, "k long, v long")
+    ch_rows = [(op, seq, k, v) for seq, (k, op, v) in enumerate(changes)]
+    ch = spark.createDataFrame(
+        ch_rows, "op string, _seq long, k long, v long"
+    )
+
+    applied = cdc.apply_changes(snap, ch, key="k")
+    got = {r.k: r.v for r in applied.collect()}
+
+    # sequential fold: last change per key wins (seq == list position)
+    last: dict[int, tuple[str, object]] = {}
+    for k, op, v in changes:
+        last[k] = (op, v)
+    want = dict(snapshot)
+    for k, (op, v) in last.items():
+        if op == "d":
+            want.pop(k, None)
+        else:
+            want[k] = v
+    assert got == want
+
+    diff = {
+        r.k: r.diff_status
+        for r in cdc.table_diff(snap, applied, key="k").collect()
+    }
+    want_diff = {}
+    for k in set(snapshot) | set(want):
+        if k not in snapshot:
+            want_diff[k] = "added"
+        elif k not in want:
+            want_diff[k] = "removed"
+        elif snapshot[k] != want[k]:
+            want_diff[k] = "changed"
+        else:
+            want_diff[k] = "unchanged"
+    assert diff == want_diff
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),  # key
+            st.sampled_from(["a", "b", "c"]),  # dimension
+            st.integers(-40, 40),  # value (scaled to .25 steps)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_retraction_aggregate_matches_snapshot_fold(spark, rows):
+    """The retraction-stream aggregate (insert +1/+v, retract -1/-prev per
+    version — the Flink upsert→retract rewrite / KTable subtractor path)
+    must telescope to exactly the snapshot form: group the LATEST row per
+    key by dimension, count + sum. Random changelogs probe what fixed
+    shapes miss: keys that churn dimensions repeatedly, dimensions whose
+    contributions fully cancel (must emit NO row, not a zero row),
+    negative values, single-version keys."""
+    from collections import defaultdict
+
+    from cdc_stream_processor_spark import cdc
+
+    df = spark.createDataFrame(
+        [(k, d, v / 4.0, i) for i, (k, d, v) in enumerate(rows)],
+        "k long, dim string, val double, _seq long",
+    )
+    got = {
+        r.dim: (r.n_current, r.total_value)
+        for r in cdc.retraction_aggregate(
+            df, key="k", dim="dim", value="val", order_by=["_seq"]
+        ).collect()
+    }
+
+    latest: dict[int, tuple[str, float]] = {}
+    for k, d, v in rows:
+        latest[k] = (d, v / 4.0)
+    agg = defaultdict(lambda: [0, 0.0])
+    for d, v in latest.values():
+        agg[d][0] += 1
+        agg[d][1] += v
+    want = {d: (n, round(s, 4)) for d, (n, s) in agg.items()}
+    got = {d: (n, round(s, 4)) for d, (n, s) in got.items()}
+    assert got == want
