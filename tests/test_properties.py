@@ -598,3 +598,111 @@ def test_retraction_aggregate_matches_snapshot_fold(spark, rows):
     want = {d: (n, round(s, 4)) for d, (n, s) in agg.items()}
     got = {d: (n, round(s, 4)) for d, (n, s) in got.items()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # user
+            st.integers(0, 12),  # time (duplicates likely)
+            st.sampled_from(["signup", "view", "click", "purchase", "noise"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_funnel_matches_greedy_reference(spark, raw):
+    """The JVM-side funnel fold must equal the greedy-earliest chain:
+    events sorted by (time, event_id), stage k+1 completes on the first
+    matching event STRICTLY after stage k's completion time. Random
+    draws probe simultaneous events, out-of-order step types, repeated
+    steps, and users who never start."""
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        FUNNEL_STEPS,
+        funnel,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    epoch = datetime(1970, 1, 1)
+    rows = [
+        (eid, u, t0 + timedelta(minutes=m), typ)
+        for eid, (u, m, typ) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.user_id: (r.funnel_stage, r.t1_us, r.t2_us, r.t3_us, r.t4_us)
+        for r in funnel(df).collect()
+    }
+
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for eid, u, ts, typ in rows:
+        us = int((ts - epoch).total_seconds()) * 1_000_000
+        by_user.setdefault(u, []).append((us, eid, typ))
+    for u, evs in by_user.items():
+        evs.sort()
+        stage, times = 0, [None, None, None, None]
+        for us, _eid, typ in evs:
+            if stage < 4 and typ == FUNNEL_STEPS[stage] and (
+                stage == 0 or us > times[stage - 1]
+            ):
+                times[stage] = us
+                stage += 1
+        assert got[u] == (stage, *times), (u, evs)
+    assert set(got) == set(by_user)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 4), st.integers(0, 10), st.integers(0, 99)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_scd2_versions_partition_time_per_key(spark, raw):
+    """SCD2 on an arbitrary changelog: per key (ordered by time then the
+    unique tiebreak), each version's valid_from is its own time,
+    valid_to is the NEXT version's time (null only on the last), exactly
+    one version per key is_current, and the current version agrees with
+    latest_by_key over the same ordering."""
+    from cdc_stream_processor_spark import cdc
+
+    rows = [(k, t, i, v) for i, (k, t, v) in enumerate(raw)]
+    df = spark.createDataFrame(rows, "k long, t long, tb long, v long")
+    out = cdc.scd2(df, key="k", time_col="t", tiebreak="tb").collect()
+
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append(r)
+    want_keys = {k for k, _, _, _ in rows}
+    assert set(by_key) == want_keys
+    for k, vers in by_key.items():
+        vers.sort(key=lambda r: (r.t, r.tb))
+        ref = sorted([r for r in rows if r[0] == k], key=lambda r: (r[1], r[2]))
+        assert [(r.t, r.tb, r.v) for r in vers] == [
+            (t, tb, v) for _, t, tb, v in ref
+        ]
+        for i, r in enumerate(vers):
+            assert r.valid_from == r.t
+            if i + 1 < len(vers):
+                assert r.valid_to == vers[i + 1].t and not r.is_current
+            else:
+                assert r.valid_to is None and r.is_current
+    from pyspark.sql import functions as F
+
+    current = {r.k: r.v for r in out if r.is_current}
+    latest = {
+        r.k: r.v
+        for r in cdc.latest_by_key(
+            df.select(
+                "k", "v", (F.col("t") * 1000 + F.col("tb")).alias("_seq")
+            ),
+            key="k",
+        ).collect()
+    }
+    assert current == latest
