@@ -706,3 +706,53 @@ def test_scd2_versions_partition_time_per_key(spark, raw):
         ).collect()
     }
     assert current == latest
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)),  # start, length
+        min_size=0,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 15)),
+        min_size=0,
+        max_size=15,
+    ),
+    st.sampled_from([1, 3, 7, 100]),  # bucket width incl. degenerate extremes
+)
+@settings(max_examples=10, deadline=None)
+def test_interval_overlap_join_matches_brute_force(spark, lraw, rraw, bucket):
+    """The epoch-binned interval join must emit exactly the closed-interval
+    overlap pairs ([ls,le] ∩ [rs,re] ≠ ∅ ⇔ ls ≤ re AND rs ≤ le), each
+    pair ONCE, for ANY bucket width — buckets much smaller than the
+    intervals (high explode factor, pairs meet in many epochs → the
+    dedup must collapse them) and much larger (all intervals in one
+    epoch → the filter must reject non-overlaps). Touching-at-a-point
+    intervals (le == rs) are overlaps."""
+    from cdc_stream_processor_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    lrows = [(i, s, s + ln) for i, (s, ln) in enumerate(lraw)]
+    rrows = [(i, s, s + ln) for i, (s, ln) in enumerate(rraw)]
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_us=bucket
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re in rrows
+        if ls <= re and rs <= le
+    }
+    assert got == want
+    # each pair exactly once (the k-shared-epoch dedup)
+    n = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bucket_us=bucket
+    ).count()
+    assert n == len(want)
