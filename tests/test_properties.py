@@ -756,3 +756,102 @@ def test_interval_overlap_join_matches_brute_force(spark, lraw, rraw, bucket):
         left, right, "ls", "le", "rs", "re", bucket_us=bucket
     ).count()
     assert n == len(want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),  # key, time
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)),
+        min_size=0,
+        max_size=15,
+    ),
+    st.integers(1, 6),  # band width in seconds
+)
+@settings(max_examples=10, deadline=None)
+def test_banded_range_join_matches_brute_force(spark, lraw, rraw, band):
+    """The epoch-bucketed band join must emit exactly the pairs with
+    matching key and |lt − rt| ≤ band seconds, each once — including
+    boundary pairs at exactly the band width and pairs whose times land
+    in adjacent epochs (the neighbor-bucket union the binning must not
+    miss)."""
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        banded_range_join,
+    )
+
+    t0 = datetime(2026, 4, 1)
+    lrows = [(i, k, t) for i, (k, t) in enumerate(lraw)]
+    rrows = [(i, k, t) for i, (k, t) in enumerate(rraw)]
+    left = spark.createDataFrame(
+        [(i, k, t0 + timedelta(seconds=t)) for i, k, t in lrows],
+        "lid long, k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, t0 + timedelta(seconds=t)) for i, k, t in rrows],
+        "rid long, k long, rt timestamp",
+    )
+    out = banded_range_join(
+        left, right, "lt", "rt", band_seconds=band, extra_on=["k"]
+    )
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    want = sorted(
+        (li, ri)
+        for li, lk, lt in lrows
+        for ri, rk, rt in rrows
+        if lk == rk and abs(lt - rt) <= band
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 14)),  # user, day offset
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_cohort_retention_matches_brute_force(spark, raw):
+    """Cohort retention on arbitrary activity: each user cohorts on their
+    FIRST active day; cell (cohort_day, offset) counts the cohort's users
+    active exactly offset days later; offset 0 equals cohort size.
+    Random draws probe multi-visit days (set semantics, not event
+    counts), users active on one day only, and interleaved cohorts."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        cohort_retention,
+    )
+
+    t0 = datetime(2026, 3, 1, 12, 0)
+    df = spark.createDataFrame(
+        [(u, t0 + timedelta(days=d)) for u, d in raw],
+        "user_id long, ts timestamp",
+    )
+    got = {
+        (str(r.cohort_day), r.day_offset): r.n_users
+        for r in cohort_retention(df).collect()
+    }
+
+    days_by_user = defaultdict(set)
+    for u, d in raw:
+        days_by_user[u].add(d)
+    cells = defaultdict(int)
+    for u, days in days_by_user.items():
+        c = min(days)
+        cohort_day = (t0 + timedelta(days=c)).date().isoformat()
+        for d in days:
+            cells[(cohort_day, d - c)] += 1
+    assert got == dict(cells)
+    for (cd, off), n in got.items():
+        if off == 0:
+            # offset 0 is the cohort size: every member is active that day
+            assert n == max(
+                v for (cd2, o2), v in got.items() if cd2 == cd and o2 == 0
+            )
