@@ -855,3 +855,211 @@ def test_cohort_retention_matches_brute_force(spark, raw):
             assert n == max(
                 v for (cd2, o2), v in got.items() if cd2 == cd and o2 == 0
             )
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)),  # directed edge
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(1, 3),  # iterations
+)
+@settings(max_examples=10, deadline=None)
+def test_pagerank_matches_integer_reference(spark, raw_edges, n_iter):
+    """The distributed fixed-point PageRank must agree BIT-EXACTLY (pr_q
+    int64 units) with a sequential integer fold of the same recurrence —
+    truncating splits, truncated damping, leaked dangling mass.  Random
+    multigraphs probe duplicate edges (each contributes; outdeg counts
+    them), self-loops, dangling nodes (dst-only), and disconnected
+    pieces."""
+    from collections import defaultdict
+
+    from cdc_stream_processor_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    got = {r.node: r.pr_q for r in pagerank(edges, n_iter=n_iter).collect()}
+
+    nodes = sorted({v for e in raw_edges for v in e})
+    n = len(nodes)
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    outdeg = defaultdict(int)
+    for s, _ in raw_edges:
+        outdeg[s] += 1
+    pr = {v: PR_SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        gathered = defaultdict(int)
+        for s, d in raw_edges:  # duplicate edges contribute once each
+            gathered[d] += pr[s] // outdeg[s]
+        pr = {
+            v: teleport + gathered[v] * PR_DAMP_NUM // PR_DAMP_DEN
+            for v in nodes
+        }
+    assert got == pr
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_triangle_counts_match_brute_force(spark, raw_edges):
+    """Per-vertex triangle counts from the wedge-close join must equal a
+    brute-force enumeration of all vertex triples over the canonical
+    (deduplicated, self-loop-free, undirected) edge set.  Random graphs
+    probe duplicate edges in both orientations, self-loops, and vertices
+    in several triangles; only vertices in >= 1 triangle get a row."""
+    from itertools import combinations
+
+    from cdc_stream_processor_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    got = {
+        r.vertex: r.n_triangles for r in triangle_counts(edges).collect()
+    }
+
+    canon = {(min(a, b), max(a, b)) for a, b in raw_edges if a != b}
+    verts = sorted({v for e in canon for v in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(verts, 3):
+        if {(a, b), (a, c), (b, c)} <= canon:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want
+
+
+@given(
+    st.lists(  # corpus: each doc is a list of vocab words
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sets(
+        st.sampled_from(["a", "b", "c", "d", "e", "zz"]), min_size=1, max_size=4
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_bm25_matches_sequential_reference(spark, corpus, qterms):
+    """bm25_topk must agree BIT-EXACTLY (floored int64 contributions)
+    with a sequential evaluation of the same rational-idf BM25 formula,
+    replayed in the identical IEEE-double operation order.  Random
+    corpora probe df ranging over 1..N (including idf_r < 1 for
+    ubiquitous terms), empty docs (excluded from matches but counted in
+    N and avgdl), repeated terms (tf saturation), and absent query terms
+    (no contribution, not counted in n_terms_matched)."""
+    import math
+
+    from cdc_stream_processor_spark.operators.retrieval import (
+        BM25_SCALE,
+        bm25_topk,
+    )
+
+    k1, b = 1.2, 0.75
+    docs = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, sorted(qterms), k=100, k1=k1, b=b)
+    got = sorted(
+        (r.doc_id, r.score_scaled, r.n_terms_matched) for r in out.collect()
+    )
+
+    toks = [list(words) for words in corpus]
+    n = len(toks)
+    avgdl = float(sum(len(t) for t in toks)) / float(n)
+    df = {
+        t: sum(1 for d in toks if t in d) for t in qterms
+    }
+    want = []
+    for i, d in enumerate(toks):
+        score, matched = 0, 0
+        for t in sorted(qterms):
+            tf = d.count(t)
+            if tf == 0:
+                continue
+            matched += 1
+            idf_r = (float(n) - float(df[t]) + 0.5) / (float(df[t]) + 0.5)
+            tf_sat = (float(tf) * (k1 + 1.0)) / (
+                float(tf) + k1 * ((1.0 - b) + b * (float(len(d)) / avgdl))
+            )
+            score += math.floor((float(BM25_SCALE) * idf_r) * tf_sat)
+        if matched:
+            want.append((i, score, matched))
+    assert got == sorted(want)
+
+
+def _bpe_reference(word_freqs, rounds):
+    """Sequential BPE trainer: per round count adjacent symbol pairs
+    weighted by word frequency, merge the (count DESC, p1 ASC, p2 ASC)
+    winner everywhere with the canonical left-to-right i+=2 scan."""
+    syms_list = [(list(w), f) for w, f in word_freqs.items()]
+    merges = []
+    for r in range(1, rounds + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in syms_list:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break  # engine: empty top -> empty apply -> no further rows
+        (p1, p2), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, p1, p2, cnt))
+        new_list = []
+        for syms, f in syms_list:
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == p1
+                    and syms[i + 1] == p2
+                ):
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_list.append((out, f))
+        syms_list = new_list
+    return merges
+
+
+@given(
+    st.lists(  # corpus of words over a tiny alphabet -> dense tie-breaks
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_merges_match_sequential_trainer(spark, words, rounds):
+    """The distributed fixed-round BPE trainer must reproduce the
+    sequential Sennrich trainer exactly: same winning pair per round
+    under the (count DESC, p1 ASC, p2 ASC) total order, same weighted
+    pair counts, same canonical left-scan merge application (a token
+    created by a merge never re-merges within its round).  A two-letter
+    alphabet forces heavy ties and immediate-repeat runs ('aaaa' with
+    winner (a,a) must merge to 'aa aa', not 'aa a a')."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.corpus import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.merge_rank, r.p1, r.p2, r.pair_count)
+        for r in bpe_merges(docs, rounds=rounds).collect()
+    )
+    want = _bpe_reference(Counter(words), rounds)
+    assert got == sorted(want)
