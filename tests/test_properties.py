@@ -1063,3 +1063,140 @@ def test_bpe_merges_match_sequential_trainer(spark, words, rounds):
     )
     want = _bpe_reference(Counter(words), rounds)
     assert got == sorted(want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),  # price, date
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_skyline_matches_brute_force_dominance(spark, raw):
+    """The bucket-pruned 2-D skyline must equal the O(n²) dominance
+    scan: keep row r iff NO row is strictly greater in BOTH columns.
+    Random points probe ties on either axis (ties never dominate),
+    duplicate points (all copies survive together), single-bucket
+    collapses (all prices equal), and dominance chains that cross
+    bucket boundaries — the pruning must never drop a frontier point."""
+    from cdc_stream_processor_spark.operators.relational import (
+        skyline_orders,
+    )
+
+    rows = [(i, float(p), d) for i, (p, d) in enumerate(raw)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate long"
+    )
+    got = sorted(r.o_orderkey for r in skyline_orders(orders).collect())
+    want = sorted(
+        i
+        for i, p, d in rows
+        if not any(q > p and e > d for _, q, e in rows)
+    )
+    assert got == want
+
+
+@given(
+    st.lists(  # (user, time, type) events
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 9),
+            st.sampled_from(["view", "cart", "buy"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_event_transitions_match_sequential_markov(spark, raw):
+    """The windowed transition matrix must equal the sequential count of
+    consecutive (prev→next) steps per user ordered by (ts, event_id),
+    with p_transition the exact IEEE division of the two integer counts.
+    Random draws probe repeated timestamps (event_id tiebreak), one-event
+    users (no steps), and absent (prev, next) cells (no zero rows)."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        event_transitions,
+    )
+
+    t0 = datetime(2026, 5, 1)
+    rows = [(u, t0 + timedelta(seconds=s), i, ty)
+            for i, (u, s, ty) in enumerate(raw)]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r.prev_type, r.next_type): (r.n_steps, r.p_transition)
+        for r in event_transitions(events).collect()
+    }
+
+    by_user = defaultdict(list)
+    for u, ts, i, ty in rows:
+        by_user[u].append((ts, i, ty))
+    steps: dict[tuple[str, str], int] = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            steps[(a, b)] += 1
+    out = defaultdict(int)
+    for (a, _), n in steps.items():
+        out[a] += n
+    want = {
+        (a, b): (n, float(n) / float(out[a])) for (a, b), n in steps.items()
+    }
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(-20, 20), min_size=1, max_size=30),
+    st.booleans(),
+)
+@settings(max_examples=10, deadline=None)
+def test_rank_regimes_agree_with_sorted_reference(spark, values, ascending):
+    """distributed_rank's two regimes (single-window small path vs the
+    forced equi-width-bucket path, small_limit=0) and range_rank's two
+    regimes (single window vs forced repartitionByRange) must ALL emit
+    the rank of a plain Python sort over (value, id) — the docstring's
+    'both regimes emit identical ranks' contract. Random duplicates
+    collapse buckets (skew), negatives exercise the descending
+    negative-bucket trick, n_buckets=3 forces multi-value buckets."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.operators.relational import (
+        RANGE_RANK_SMALL,
+        distributed_rank,
+        range_rank,
+    )
+
+    rows = list(enumerate(values))
+    df = spark.createDataFrame(rows, "id long, v long")
+    key = (lambda r: (r[1], r[0])) if ascending else (lambda r: (-r[1], r[0]))
+    order = sorted(rows, key=key)
+    want0 = {i: rank for rank, (i, _) in enumerate(order)}  # 0-based
+
+    for small_limit in (None, 0):
+        kw = {} if small_limit is None else {"small_limit": 0}
+        got = {
+            r.id: r._rank
+            for r in distributed_rank(
+                df, F.col("v"), F.col("id"), ascending=ascending,
+                n_buckets=3, **kw
+            ).collect()
+        }
+        assert got == want0, f"distributed_rank small_limit={small_limit}"
+
+    if ascending:  # range_rank has no direction flag; test the asc order
+        want1 = {i: rank + 1 for rank, (i, _) in enumerate(order)}
+        for small_limit in (RANGE_RANK_SMALL, 0):
+            got = {
+                r.id: r._rank
+                for r in range_rank(
+                    df, [F.col("v").asc(), F.col("id").asc()],
+                    n_parts=3, small_limit=small_limit,
+                ).collect()
+            }
+            assert got == want1, f"range_rank small_limit={small_limit}"
+
