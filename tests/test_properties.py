@@ -1200,3 +1200,156 @@ def test_rank_regimes_agree_with_sorted_reference(spark, values, ascending):
             }
             assert got == want1, f"range_rank small_limit={small_limit}"
 
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 40),  # seconds offset
+            st.integers(-50, 50),  # value (4dp-safe integer)
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_resample_gap_fill_matches_sequential(spark, raw):
+    """The hypertable resample must emit one row per (user, bucket) for
+    EVERY bucket between each user's first and last active bucket — zero
+    rows for the gaps, exact decimal sums for the active ones.  Random
+    draws probe single-bucket users (spine of length 1), multi-event
+    buckets, negative values, and long empty spans."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        resample_timeseries,
+    )
+
+    bucket_us = 5_000_000  # 5-second buckets
+    t0 = datetime(2026, 6, 1)  # positive epoch: trunc == floor
+    events = spark.createDataFrame(
+        [(u, t0 + timedelta(seconds=s), float(v)) for u, s, v in raw],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.bucket_idx): (r.n_events, r.total_value)
+        for r in resample_timeseries(events, bucket_us=bucket_us).collect()
+    }
+
+    base_us = int(t0.timestamp() * 1_000_000)
+    cells = defaultdict(lambda: [0, 0])
+    for u, s, v in raw:
+        b = (base_us + s * 1_000_000) // bucket_us
+        cells[(u, b)][0] += 1
+        cells[(u, b)][1] += v  # integer values: double sum exact
+    want = {}
+    for u in {u for u, _, _ in raw}:
+        bs = [b for (uu, b) in cells if uu == u]
+        for b in range(min(bs), max(bs) + 1):
+            n, tv = cells.get((u, b), (0, 0))
+            want[(u, b)] = (n, float(tv))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-30, 30)),  # user, value
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_user_value_mad_matches_sequential(spark, raw):
+    """The bucketed applyInPandas median/MAD kernel must equal a
+    sequential per-user computation using the SAME lo+(hi-lo)*0.5
+    median interpolation and the |v-med| > 3*MAD fence.  Random draws
+    probe single-value users (MAD 0, no outliers), even/odd counts
+    (both interpolation arms), and duplicate values."""
+    from cdc_stream_processor_spark.operators.relational import (
+        MAD_K,
+        user_value_mad,
+    )
+
+    events = spark.createDataFrame(
+        [(u, float(v)) for u, v in raw], "user_id long, value double"
+    )
+    got = {
+        r.user_id: (r.n, r.median, r.mad, r.n_outliers)
+        for r in user_value_mad(events).collect()
+    }
+
+    def med(xs):
+        s = sorted(xs)
+        n = len(s)
+        if n % 2 == 1:
+            return float(s[n // 2])
+        lo, hi = float(s[n // 2 - 1]), float(s[n // 2])
+        return lo + (hi - lo) * 0.5
+
+    want = {}
+    for u in {u for u, _ in raw}:
+        vs = [float(v) for uu, v in raw if uu == u]
+        m = med(vs)
+        dev = [abs(v - m) for v in vs]
+        d = med(dev)
+        want[u] = (len(vs), m, d, sum(1 for x in dev if x > MAD_K * d))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 30),  # seconds
+            st.integers(-20, 20),  # integer value: decimal/double exact
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_rolling_zscore_matches_sequential_ieee_replay(spark, raw):
+    """The decimal-framed rolling z-score must agree BIT-EXACTLY with a
+    sequential replay of the same IEEE expression tree over the trailing
+    7-row (user, time, id)-ordered window: mean = double(Σv)/n,
+    var = max(double(Σv²)/n − mean², 0), z = (v − mean)/(√var + 1e-9).
+    Random draws probe constant windows (var clamps at 0), duplicate
+    timestamps (event_id tiebreak), and sign flips around the mean."""
+    import math
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        ZSCORE_FRAME,
+        ZSCORE_THRESHOLD,
+        rolling_zscore,
+    )
+
+    t0 = datetime(2026, 7, 1)
+    rows = [(i, u, t0 + timedelta(seconds=s), float(v))
+            for i, (u, s, v) in enumerate(raw)]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r.event_id: (r.rolling_mean, r.zscore, r.is_anomaly)
+        for r in rolling_zscore(events).collect()
+    }
+
+    by_user = defaultdict(list)
+    for i, u, ts, v in rows:
+        by_user[u].append((ts, i, v))
+    want = {}
+    for seq in by_user.values():
+        seq.sort()
+        for pos, (_, i, v) in enumerate(seq):
+            frame = [x for _, _, x in seq[max(0, pos - ZSCORE_FRAME): pos + 1]]
+            n = float(len(frame))
+            mean = float(sum(int(x) for x in frame)) / n
+            meansq = float(sum(int(x) * int(x) for x in frame)) / n
+            var = max(meansq - mean * mean, 0.0)
+            z = (v - mean) / (math.sqrt(var) + 1e-9)
+            want[i] = (mean, z, abs(z) > ZSCORE_THRESHOLD)
+    assert got == want
