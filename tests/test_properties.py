@@ -1353,3 +1353,150 @@ def test_rolling_zscore_matches_sequential_ieee_replay(spark, raw):
             z = (v - mean) / (math.sqrt(var) + 1e-9)
             want[i] = (mean, z, abs(z) > ZSCORE_THRESHOLD)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 20)),  # user, day
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_survival_curve_matches_sequential_km(spark, raw):
+    """The Kaplan–Meier curve must agree BIT-EXACTLY with a sequential
+    replay: lifetimes as integer day spans, right-censoring within
+    censor_days of the corpus end, n_risk as the suffix sum, and
+    survival as the LEFT-TO-RIGHT product of (1 − d/n) factors in the
+    same IEEE order.  Random draws probe all-censored corpora (factors
+    all 1), single-day users (lifetime 0), and tied lifetimes mixing
+    deaths with censorings."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        survival_curve,
+    )
+
+    censor_days = 3
+    t0 = datetime(2026, 1, 1)  # midnight-aligned: day arithmetic exact
+    events = spark.createDataFrame(
+        [(u, t0 + timedelta(days=d)) for u, d in raw],
+        "user_id long, ts timestamp",
+    )
+    got = [
+        (r.t_days, r.n_risk, r.n_events, r.n_censored, r.survival)
+        for r in survival_curve(events, censor_days=censor_days).collect()
+    ]
+
+    days_by_user = defaultdict(list)
+    for u, d in raw:
+        days_by_user[u].append(d)
+    max_day = max(d for _, d in raw)
+    lt = defaultdict(lambda: [0, 0])  # t_days -> [deaths, censored]
+    for ds in days_by_user.values():
+        t = max(ds) - min(ds)
+        if max(ds) >= max_day - censor_days:
+            lt[t][1] += 1
+        else:
+            lt[t][0] += 1
+    ts_sorted = sorted(lt)
+    want, surv, at_risk = [], 1.0, sum(d + c for d, c in lt.values())
+    for t in ts_sorted:
+        d, c = lt[t]
+        surv = surv * (1.0 - float(d) / float(at_risk))
+        want.append((t, at_risk, d, c, surv))
+        at_risk -= d + c
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),  # user
+            st.integers(0, 60),  # hours offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_first_touch_attribution_matches_brute_force(spark, raw):
+    """Every conversion must credit the (ts, event_id)-earliest event of
+    ANY type inside the trailing window (inclusive both ends; the
+    conversion itself qualifies when nothing precedes it).  Random draws
+    probe duplicate timestamps (id tiebreak), touches exactly at the
+    window edge, and out-of-window history that must be ignored."""
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        first_touch_attribution,
+    )
+
+    t0 = datetime(2026, 2, 1)
+    rows = [(i, u, t0 + timedelta(hours=h), ty)
+            for i, (u, h, ty) in enumerate(raw)]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = first_touch_attribution(events, window_days=1)
+    got = {
+        r.event_id: (r.touch_event_id, r.touch_type, r.seconds_since_touch)
+        for r in out.collect()
+    }
+
+    want = {}
+    for i, u, ts, ty in rows:
+        if ty != "purchase":
+            continue
+        cand = [
+            (ts2, j, ty2)
+            for j, u2, ts2, ty2 in rows
+            if u2 == u and ts - timedelta(days=1) <= ts2 <= ts
+        ]
+        tts, tid, ttype = min(cand)
+        want[i] = (tid, ttype, (ts - tts).total_seconds())
+    assert got == want
+
+
+@given(
+    st.lists(st.integers(0, 15), min_size=1, max_size=40),  # event days
+    st.integers(1, 50),
+)
+@settings(max_examples=10, deadline=None)
+def test_cusum_changepoint_matches_sequential_scan(spark, days, k):
+    """The decimal CUSUM scan must equal a sequential integer replay:
+    zero-filled calendar spine, 1-based day index, statistic
+    |n·P_t − t·S|, top-k by (stat DESC, day ASC).  Random draws probe
+    calendar gaps (zero-count days still scored), uniform series (all
+    stats 0, ties broken on earliest days), and k beyond the series
+    length (all rows emitted)."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        cusum_changepoint,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(t0 + timedelta(days=d),) for d in days], "ts timestamp"
+    )
+    got = sorted(
+        (r.day, r.cnt, r.cusum_abs)
+        for r in cusum_changepoint(events, k=k).collect()
+    )
+
+    base_day = int(t0.timestamp() * 1_000_000) // 86_400_000_000
+    counts = Counter(base_day + d for d in days)
+    lo, hi = min(counts), max(counts)
+    spine = [(day, counts.get(day, 0)) for day in range(lo, hi + 1)]
+    n, s = len(spine), sum(c for _, c in spine)
+    stats, p = [], 0
+    for t, (day, c) in enumerate(spine, start=1):
+        p += c
+        stats.append((day, c, abs(n * p - t * s)))
+    topk = sorted(stats, key=lambda r: (-r[2], r[0]))[:k]
+    want = sorted((day, c, float(st_)) for day, c, st_ in topk)
+    assert got == want
