@@ -1500,3 +1500,201 @@ def test_cusum_changepoint_matches_sequential_scan(spark, days, k):
     topk = sorted(stats, key=lambda r: (-r[2], r[0]))[:k]
     want = sorted((day, c, float(st_)) for day, c, st_ in topk)
     assert got == want
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)
+            ))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_typo_pairs_match_brute_force_levenshtein(spark, words):
+    """FastSS deletion-neighborhood blocking must find EXACTLY the
+    unordered distinct-token pairs at Levenshtein distance ≤ 2 (the
+    superset guarantee makes misses the bug to catch), with correct
+    distances and corpus frequencies.  A 3-letter alphabet with short
+    words makes near-misses dense: substitutions, transposition-like
+    double edits, and length-2 gaps all appear."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.text import typo_pairs
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.tok_a, r.tok_b, r.dist, r.n_a, r.n_b)
+        for r in typo_pairs(docs).collect()
+    )
+    freq = Counter(words)
+    toks = sorted(freq)
+    want = sorted(
+        (a, b, _lev(a, b), freq[a], freq[b])
+        for i, a in enumerate(toks)
+        for b in toks[i + 1:]
+        if _lev(a, b) <= 2
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),  # day offset
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_kendall_tau_matches_brute_force(spark, raw):
+    """τ-b per event-type pair must equal the brute-force day-pair scan
+    over the zero-filled calendar×type spine: integer C/D/Tx/Ty counts
+    and the exact (C−D)/(√(C+D+Tx)·√(C+D+Ty)) with NULL at zero
+    denominator.  Random draws probe constant series (all ties → NULL),
+    anti-correlated pairs, and spine gaps that zero-fill BOTH types."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+    from itertools import combinations
+    from math import sqrt
+
+    from cdc_stream_processor_spark.operators.relational import (
+        kendall_tau_types,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(i, t0 + timedelta(days=d), ty) for i, (d, ty) in enumerate(raw)],
+        "event_id long, ts timestamp, event_type string",
+    )
+    got = {
+        (r.type_a, r.type_b): (r.n_concordant, r.n_discordant, r.tau_b)
+        for r in kendall_tau_types(events).collect()
+    }
+
+    counts = Counter((d, ty) for d, ty in raw)
+    days = range(min(d for d, _ in raw), max(d for d, _ in raw) + 1)
+    types = sorted({ty for _, ty in raw})
+    series = {ty: [counts.get((d, ty), 0) for d in days] for ty in types}
+    want = {}
+    for ta, tb in combinations(types, 2):
+        xa, xb = series[ta], series[tb]
+        c = d_ = tx = ty_ = 0
+        for i, j in combinations(range(len(days)), 2):
+            sx = (xa[j] > xa[i]) - (xa[j] < xa[i])
+            sy = (xb[j] > xb[i]) - (xb[j] < xb[i])
+            if sx * sy > 0:
+                c += 1
+            elif sx * sy < 0:
+                d_ += 1
+            elif sx == 0 and sy != 0:
+                tx += 1
+            elif sx != 0 and sy == 0:
+                ty_ += 1
+        denom = sqrt(float(c + d_ + tx)) * sqrt(float(c + d_ + ty_))
+        tau = float(c - d_) / denom if denom != 0.0 else None
+        want[(ta, tb)] = (c, d_, tau)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 4), st.integers(0, 70)),  # user, day
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_dau_mau_stickiness_matches_sequential(spark, raw):
+    """Stickiness per 30-day month bucket must equal the sequential
+    count: mean DAU over the month's ACTIVE days (days with zero actives
+    emit no dau row), MAU as distinct monthly users, both divisions in
+    IEEE order Σdau/n_days/mau.  Random draws probe multi-visit days
+    (distinct semantics), single-day months, and users spanning months."""
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from cdc_stream_processor_spark.operators.relational import (
+        dau_mau_stickiness,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    events = spark.createDataFrame(
+        [(u, t0 + timedelta(days=d)) for u, d in raw],
+        "user_id long, ts timestamp",
+    )
+    got = [
+        (r.month_idx, r.n_days, r.mau, r.mean_dau, r.stickiness)
+        for r in dau_mau_stickiness(events).collect()
+    ]
+
+    base_day = int(t0.timestamp() * 1_000_000) // 86_400_000_000
+    day_users = defaultdict(set)
+    for u, d in raw:
+        day_users[base_day + d].add(u)
+    months = defaultdict(lambda: (set(), {}))  # month -> (users, {day: dau})
+    for day, users in day_users.items():
+        m = day // 30
+        months[m][0].update(users)
+        months[m][1][day] = len(users)
+    want = []
+    for m in sorted(months):
+        users, daus = months[m]
+        n_days, dau_sum, mau = len(daus), sum(daus.values()), len(users)
+        mean_dau = float(dau_sum) / float(n_days)
+        want.append((m, n_days, mau, mean_dau, mean_dau / float(mau)))
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(0, 6),  # one event per draw, keyed by user
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_power_user_share_matches_sequential(spark, raw):
+    """The top-decile concentration must equal the sequential rank scan:
+    users ordered by (count DESC, id ASC), k = n_users·10 div 100 with
+    INTEGER division (k=0 under 10 users → zero top rows, NULL sums),
+    share as one IEEE division.  Random draws probe tied counts at the
+    cut boundary (id tiebreak decides membership) and tiny populations."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.relational import (
+        power_user_share,
+    )
+
+    events = spark.createDataFrame(
+        [(u,) for u in raw], "user_id long"
+    )
+    r = power_user_share(events).collect()[0]
+    got = (r.n_users, r.n_top, r.top_events, r.total_events, r.share)
+
+    counts = Counter(raw)
+    order = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    n_users, total = len(order), len(raw)
+    k = n_users * 10 // 100
+    top = order[:k]
+    if top:
+        te = sum(c for _, c in top)
+        want = (n_users, k, te, total, float(te) / float(total))
+    else:
+        want = (n_users, 0, None, total, None)
+    assert got == want
