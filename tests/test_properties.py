@@ -1698,3 +1698,332 @@ def test_power_user_share_matches_sequential(spark, raw):
     else:
         want = (n_users, 0, None, total, None)
     assert got == want
+
+
+# --- MMR rerank vs sequential greedy reference -----------------------------------
+
+
+def _round6_half_up(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _seq_cosine6(a: list[int], b: list[int]) -> float:
+    """ROUND(cos, 6) with the left-to-right fold the engine and oracle both
+    state (fasthash.seq_dot_norms order; HALF_UP like Spark's F.round)."""
+    import math
+
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return _round6_half_up(dot / (math.sqrt(na) * math.sqrt(nb)))
+
+
+@given(st.data())
+@settings(max_examples=5, deadline=None)
+def test_mmr_rerank_matches_sequential_greedy(spark, data):
+    """The cogrouped-map MMR kernel (similarity.mmr_rerank) equals the
+    Carbonell-Goldstein greedy definition replayed sequentially in Python
+    on the same rounded cosines — pool cut, λ·rel − (1−λ)·max-sim scoring,
+    strict-> argmax with id-ascending tie-break — for random non-negative
+    integer-grid vectors and random (k, pool, λ)."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.operators.similarity import mmr_rerank
+
+    d = data.draw(st.integers(2, 3))
+    vecs = data.draw(
+        st.lists(
+            st.lists(st.integers(0, 8), min_size=d, max_size=d).filter(
+                lambda v: any(v)
+            ),
+            min_size=3,
+            max_size=7,
+        )
+    )
+    n = len(vecs)
+    n_q = data.draw(st.integers(1, min(3, n)))
+    k = data.draw(st.integers(1, 4))
+    pool = data.draw(st.integers(2, 6))
+    lam = data.draw(st.sampled_from([0.3, 0.5, 0.7]))
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter(F.col("vec_id") < n_q)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.mmr_rank, r.mmr_score)
+        for r in mmr_rerank(queries, corpus, k=k, pool=pool, lam=lam).collect()
+    )
+
+    want = []
+    for q in range(n_q):
+        rel = {c: _seq_cosine6(vecs[q], vecs[c]) for c in range(n) if c != q}
+        cand = sorted(rel, key=lambda c: (-rel[c], c))[:pool]
+        ps = {
+            (a, b): _seq_cosine6(vecs[a], vecs[b])
+            for a in cand
+            for b in cand
+            if a != b
+        }
+        selected = [cand[0]]
+        scores = [rel[cand[0]]]
+        remaining = sorted(c for c in cand if c != cand[0])
+        for _ in range(2, k + 1):
+            best, best_score = None, None
+            for c in remaining:
+                score = lam * rel[c] - (1.0 - lam) * max(
+                    ps[(c, s)] for s in selected
+                )
+                if best is None or score > best_score:
+                    best, best_score = c, score
+            if best is None:
+                break
+            selected.append(best)
+            scores.append(best_score)
+            remaining.remove(best)
+        want.extend(
+            (q, c, i + 1, s) for i, (c, s) in enumerate(zip(selected, scores))
+        )
+    assert got == sorted(want)
+
+
+# --- Misra-Gries heavy hitters vs exact counting ----------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_heavy_hitter_tokens_match_exact_on_random_streams(spark, data):
+    """End-to-end heavy_hitter_tokens (per-partition MG summaries →
+    candidate recount) returns EXACTLY {token: count·k > n} on random
+    token streams, for random k and random partitioning — the MG
+    undercount bound means no heavy hitter can be lost locally."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.frequency import (
+        heavy_hitter_tokens,
+    )
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("abcdef"), max_size=12),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    k = data.draw(st.integers(2, 8))
+    nparts = data.draw(st.integers(1, 5))
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    ).repartition(nparts)
+    got = {(r.tok, r.cnt) for r in heavy_hitter_tokens(df, k=k).collect()}
+    cnt = Counter(t for toks in docs for t in toks)
+    n = sum(cnt.values())
+    want = {(t, c) for t, c in cnt.items() if c * k > n}
+    assert got == want
+
+
+# --- WordPiece vocab + greedy segmentation vs sequential reference ----------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_subword_segment_matches_greedy_reference(spark, data):
+    """subword_vocab (top-v substrings by corpus frequency, piece-asc
+    ties) composed with subword_segment (longest-match-first with
+    single-char fallback) equals a sequential Python replay on random
+    two-letter words."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.corpus import (
+        PIECE_MAX,
+        PIECE_MIN,
+        subword_segment,
+    )
+
+    words = data.draw(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    v = data.draw(st.integers(2, 10))
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    got = {
+        r.word: (r.freq, r.n_pieces, r.seg)
+        for r in subword_segment(df, v=v).collect()
+    }
+
+    freq = Counter(words)
+    pieces: Counter = Counter()
+    for w, f in freq.items():
+        for i in range(len(w)):
+            for ln in range(PIECE_MIN, PIECE_MAX + 1):
+                if i + ln <= len(w):
+                    pieces[w[i : i + ln]] += f
+    vocab = {
+        p
+        for p, _ in sorted(pieces.items(), key=lambda kv: (-kv[1], kv[0]))[:v]
+    }
+    want = {}
+    for w, f in freq.items():
+        pos, parts = 0, []
+        while pos < len(w):
+            for ln in range(min(PIECE_MAX, len(w) - pos), PIECE_MIN - 1, -1):
+                if w[pos : pos + ln] in vocab:
+                    parts.append(w[pos : pos + ln])
+                    pos += ln
+                    break
+            else:
+                parts.append(w[pos])
+                pos += 1
+        want[w] = (f, len(parts), " ".join(parts))
+    assert got == want
+
+
+# --- sliding-window chunking vs integer reference ---------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_chunk_documents_matches_integer_reference(spark, data):
+    """chunk_documents equals the integer-arithmetic definition (start
+    offsets 0, stride, …, ceil(max(n−chunk,0)/stride)·stride; short tail
+    allowed) and covers every token position, for random docs and random
+    (chunk, stride ≤ chunk)."""
+    from cdc_stream_processor_spark.operators.corpus import chunk_documents
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("xyz"), max_size=15),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    chunk = data.draw(st.integers(2, 5))
+    stride = data.draw(st.integers(1, chunk))
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+        for r in chunk_documents(
+            df, chunk_tokens=chunk, stride=stride
+        ).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        n = len(toks)
+        if n == 0:
+            continue
+        last = (max(n - chunk, 0) + stride - 1) // stride
+        covered: set = set()
+        for idx in range(last + 1):
+            c = toks[idx * stride : idx * stride + chunk]
+            want[(i, idx)] = (len(c), " ".join(c))
+            covered.update(
+                range(idx * stride, min(idx * stride + chunk, n))
+            )
+        assert covered == set(range(n)), (i, n, chunk, stride)
+    assert got == want
+
+
+# --- sequence packing vs sequential packer ----------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_pack_sequences_matches_sequential_packer(spark, data):
+    """pack_sequences (windowed running token sum per shard) equals a
+    sequential per-shard concat-and-chunk replay: pack id, offset, and
+    the straddle flag, for random doc sizes and random capacity."""
+    from cdc_stream_processor_spark.operators.corpus import pack_sequences
+
+    docs = data.draw(
+        st.lists(
+            st.tuples(st.sampled_from(["s1", "s2"]), st.integers(0, 9)),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    capacity = data.draw(st.integers(2, 10))
+    rows = [
+        (i, src, " ".join(["t"] * ntok))
+        for i, (src, ntok) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.pack_id, r.pack_pos, r.straddles)
+        for r in pack_sequences(df, capacity=capacity).collect()
+    }
+    want = {}
+    run: dict = {}
+    for i, (src, ntok) in enumerate(docs):
+        start = run.get(src, 0)
+        want[i] = (
+            src,
+            ntok,
+            start // capacity,
+            start % capacity,
+            start % capacity + ntok > capacity,
+        )
+        run[src] = start + ntok
+    assert got == want
+
+
+# --- int8 quantization vs sequential reference -------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_quantize_embeddings_matches_sequential_reference(spark, data):
+    """quantize_embeddings (symmetric int8, truncation mode) equals the
+    per-vector sequential replay — scale, polynomial digest of the
+    quantized codes, and the exact max reconstruction error — on random
+    signed integer-grid vectors (zero vectors included)."""
+    from cdc_stream_processor_spark.operators.corpus import (
+        QUANT_LEVELS,
+        quantize_embeddings,
+    )
+
+    vecs = data.draw(
+        st.lists(
+            st.lists(st.integers(-9, 9), min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for i, v in enumerate(vecs):
+        scale = max(abs(float(x)) for x in v) / float(QUANT_LEVELS)
+        if scale == 0.0:
+            q = [0] * len(v)
+        else:
+            q = [int(float(x) / scale) for x in v]
+        digest = 0
+        for qd in q:
+            digest = (digest * P_FACTOR + (qd + QUANT_LEVELS)) % P_MOD
+        err = max(abs(float(x) - qd * scale) for x, qd in zip(v, q))
+        r = got[i]
+        assert all(abs(qd) <= QUANT_LEVELS for qd in q)
+        assert (r.n_dims, r.scale, r.q_digest, r.max_abs_err) == (
+            len(v),
+            scale,
+            digest,
+            err,
+        ), (i, v)
