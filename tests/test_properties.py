@@ -2027,3 +2027,205 @@ def test_quantize_embeddings_matches_sequential_reference(spark, data):
             digest,
             err,
         ), (i, v)
+
+
+# --- Bloom decontamination vs exact set-overlap reference --------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_bloom_decontaminate_exact_clean_flag_random(spark, data):
+    """bloom_decontaminate's `clean` flag is EXACT (the Bloom stage is a
+    no-false-negative prefilter; candidates are re-verified against the
+    real index): on random corpora with planted verbatim benchmark
+    copies, clean == "no benchmark doc shares >= min_overlap distinct
+    word 3-grams", and maybe_hits upper-bounds the union overlap."""
+    from cdc_stream_processor_spark.operators.corpus import bloom_decontaminate
+
+    def sh3(toks):
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        }
+
+    words = [f"w{i}" for i in range(8)]
+    bench = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(words), max_size=10),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    extra = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(words), max_size=10),
+            max_size=6,
+        )
+    )
+    n_copies = data.draw(st.integers(0, len(bench)))
+    corpus_docs = extra + [bench[i] for i in range(n_copies)]
+    if not corpus_docs:
+        corpus_docs = [[]]
+    min_overlap = data.draw(st.integers(1, 4))
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus_docs)],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100 + i, " ".join(t)) for i, t in enumerate(bench)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.maybe_hits, r.clean)
+        for r in bloom_decontaminate(
+            corpus, benchmark, min_overlap=min_overlap
+        ).collect()
+    }
+
+    bench_sets = [sh3(t) for t in bench]
+    union = set().union(*bench_sets) if bench_sets else set()
+    expected_ids = set()
+    for i, t in enumerate(corpus_docs):
+        s = sh3(t)
+        if not s:
+            continue  # no-shingle docs are dropped (size>0 contract)
+        expected_ids.add(i)
+        dirty = any(len(s & bs) >= min_overlap for bs in bench_sets)
+        maybe_hits, clean = got[i]
+        assert clean == (not dirty), (i, t, min_overlap)
+        assert maybe_hits >= len(s & union), (i, t)
+    assert set(got) == expected_ids
+
+
+# --- Fellegi-Sunter ER vs brute-force pair scoring ---------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_er_match_pairs_matches_brute_force(spark, data):
+    """er_match_pairs — including the algebraically-inverted
+    single-levenshtein filter — equals brute-force within-block pair
+    scoring (score >= min_score on the Fellegi-Sunter integer weights)
+    on random records and random thresholds."""
+    from cdc_stream_processor_spark.operators import linkage as L
+
+    recs = data.draw(
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abc", max_size=8),  # name
+                st.integers(0, 1),  # nationkey
+                st.sampled_from(["A", "B"]),  # mktsegment
+                st.integers(-1000, 1000),  # acctbal
+            ),
+            min_size=2,
+            max_size=10,
+        )
+    )
+    min_score = data.draw(st.sampled_from([-5, 1, 3, 6, 10, 11]))
+    df = spark.createDataFrame(
+        [
+            (i, name, nat, float(bal), seg)
+            for i, (name, nat, seg, bal) in enumerate(recs)
+        ],
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    got = {
+        (r.custkey_a, r.custkey_b): (r.name_dist, r.bal_close, r.score, r.tier)
+        for r in L.er_match_pairs(df, min_score=min_score).collect()
+    }
+
+    want = {}
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            (na, n1, s1, b1), (nb, n2, s2, b2) = recs[i], recs[j]
+            if (n1, s1) != (n2, s2):
+                continue
+            nd = _lev(na, nb)
+            bal_close = abs(float(b1) - float(b2)) <= L.BAL_TOL
+            name_w = (
+                L.W_NAME_STRONG
+                if nd <= L.NAME_STRONG_D
+                else (L.W_NAME_WEAK if nd <= L.NAME_WEAK_D else L.W_NAME_MISS)
+            )
+            score = name_w + (L.W_BAL if bal_close else L.W_BAL_MISS)
+            if score < min_score:
+                continue
+            tier = (
+                "match"
+                if score >= L.TIER_MATCH
+                else ("possible" if score >= L.TIER_POSSIBLE else "non_match")
+            )
+            want[(i, j)] = (nd, bal_close, score, tier)
+    assert got == want
+
+
+# --- winnowing overlap pairs vs brute-force fingerprint sets -----------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_winnowing_overlap_pairs_match_brute_force(spark, data):
+    """winnowing_overlap_pairs (inverted-index join with the hot-df
+    cutoff) equals brute-force intersection of the per-doc winnowing
+    hash sets, on random phrase-composed docs and random
+    (min_shared, hot_df)."""
+    from cdc_stream_processor_spark.operators import fingerprint as FP
+
+    phrases = data.draw(
+        st.lists(
+            st.text(alphabet="abc", min_size=4, max_size=12),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    docs = data.draw(
+        st.lists(
+            st.lists(
+                st.integers(0, len(phrases) - 1), min_size=0, max_size=6
+            ),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    min_shared = data.draw(st.integers(1, 3))
+    hot_df = data.draw(st.integers(1, 6))
+    texts = ["".join(phrases[p] for p in doc) for doc in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in FP.winnowing_overlap_pairs(
+            df, min_shared=min_shared, hot_df=hot_df
+        ).collect()
+    }
+
+    hsets = []
+    for t in texts:
+        enc = FP._winnow(FP._codepoints(t))
+        hsets.append({int(e) // FP.WIN_POS_M for e in enc})
+    df_count: dict = {}
+    for hs in hsets:
+        for h in hs:
+            df_count[h] = df_count.get(h, 0) + 1
+    cold = {h for h, c in df_count.items() if c <= hot_df}
+    want = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            n = len(hsets[i] & hsets[j] & cold)
+            if n >= min_shared:
+                want[(i, j)] = n
+    assert got == want
