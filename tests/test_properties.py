@@ -2229,3 +2229,175 @@ def test_winnowing_overlap_pairs_match_brute_force(spark, data):
             if n >= min_shared:
                 want[(i, j)] = n
     assert got == want
+
+
+# --- synchronous LPA vs sequential replay ------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=18,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=10, deadline=None)
+def test_label_propagation_matches_sequential_replay(spark, raw_edges, n_rounds):
+    """Deterministic synchronous LPA (self-vote, max-count labels, min-label
+    ties) must agree exactly with a sequential replay of the same rounds on
+    random multigraphs — duplicate edges collapse (distinct), direction is
+    symmetrized, self-loops allowed."""
+    from collections import Counter, defaultdict
+
+    from cdc_stream_processor_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, n_rounds=n_rounds).collect()
+    }
+
+    sym = {(s, d) for s, d in raw_edges} | {(d, s) for s, d in raw_edges}
+    nbrs = defaultdict(list)
+    for s, d in sym:
+        nbrs[s].append(d)
+    nodes = sorted(nbrs)
+    label = {v: v for v in nodes}
+    for _ in range(n_rounds):
+        nxt = {}
+        for v in nodes:
+            votes = Counter(label[d] for d in nbrs[v])
+            votes[label[v]] += 1  # self-vote
+            mc = max(votes.values())
+            nxt[v] = min(lb for lb, c in votes.items() if c == mc)
+        label = nxt
+    assert got == label
+
+
+# --- personalized PageRank vs sequential integer replay ----------------------------
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_personalized_pagerank_matches_integer_reference(spark, data):
+    """PPR's fixed-point integer recurrence (seed-only teleport, truncating
+    splits and damping) must replay bit-exactly on random multigraphs with
+    random seed sets — including seeds that are dangling or absent from
+    the edge list entirely."""
+    from collections import defaultdict
+
+    from cdc_stream_processor_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        personalized_pagerank,
+    )
+
+    raw_edges = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 6)),
+            min_size=1,
+            max_size=18,
+        )
+    )
+    seed_ids = data.draw(
+        st.lists(st.integers(0, 8), min_size=1, max_size=4, unique=True)
+    )
+    n_iter = data.draw(st.integers(1, 3))
+
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    seeds = spark.createDataFrame([(s,) for s in seed_ids], "node long")
+    got = {
+        r.node: (r.is_seed, r.pr_q)
+        for r in personalized_pagerank(edges, seeds, n_iter=n_iter).collect()
+    }
+
+    nodes = sorted({v for e in raw_edges for v in e} | set(seed_ids))
+    n_seeds = len(seed_ids)
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (
+        PR_DAMP_DEN * n_seeds
+    )
+    outdeg = defaultdict(int)
+    for s, _ in raw_edges:  # duplicates count — same as the engine's e
+        outdeg[s] += 1
+    pr = {v: PR_SCALE // n_seeds if v in set(seed_ids) else 0 for v in nodes}
+    for _ in range(n_iter):
+        gathered = defaultdict(int)
+        for s, d in raw_edges:
+            gathered[d] += pr[s] // outdeg[s]
+        pr = {
+            v: (teleport if v in set(seed_ids) else 0)
+            + gathered[v] * PR_DAMP_NUM // PR_DAMP_DEN
+            for v in nodes
+        }
+    want = {v: (v in set(seed_ids), pr[v]) for v in nodes}
+    assert got == want
+
+
+# --- TextRank vs sequential replay --------------------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=6, deadline=None)
+def test_textrank_keywords_matches_sequential_replay(spark, data):
+    """textrank_keywords (adjacent-token co-occurrence graph, min-cooc
+    pruning, integer PageRank, top-k with id-asc ties) equals a full
+    sequential replay on random small-vocabulary corpora."""
+    from collections import Counter, defaultdict
+
+    from cdc_stream_processor_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+    from cdc_stream_processor_spark.operators.text import textrank_keywords
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "c", "d"]), max_size=10),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    docs = docs + [["a", "b"]]  # ensure the pruned graph is non-empty
+    min_cooc = data.draw(st.integers(1, 2))
+    n_iter = data.draw(st.integers(1, 3))
+    top_k = data.draw(st.integers(1, 5))
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.token, r.pr_q, r.rank)
+        for r in textrank_keywords(
+            df, top_k=top_k, min_cooc=min_cooc, n_iter=n_iter
+        ).collect()
+    ]
+
+    cooc: Counter = Counter()
+    for toks in docs:
+        for w1, w2 in zip(toks, toks[1:]):
+            if w1 != w2:
+                cooc[(min(w1, w2), max(w1, w2))] += 1
+    und = {p for p, c in cooc.items() if c >= min_cooc}
+    ref_edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    nodes = sorted({v for e in ref_edges for v in e})
+    n = len(nodes)
+    teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
+    outdeg = defaultdict(int)
+    for s, _ in ref_edges:
+        outdeg[s] += 1
+    pr = {v: PR_SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        gathered = defaultdict(int)
+        for s, d in ref_edges:
+            gathered[d] += pr[s] // outdeg[s]
+        pr = {
+            v: teleport + gathered[v] * PR_DAMP_NUM // PR_DAMP_DEN
+            for v in nodes
+        }
+    ranked = sorted(nodes, key=lambda v: (-pr[v], v))[:top_k]
+    want = [(v, pr[v], i + 1) for i, v in enumerate(ranked)]
+    assert sorted(got) == sorted(want)
