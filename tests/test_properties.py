@@ -2401,3 +2401,187 @@ def test_textrank_keywords_matches_sequential_replay(spark, data):
     ranked = sorted(nodes, key=lambda v: (-pr[v], v))[:top_k]
     want = [(v, pr[v], i + 1) for i, v in enumerate(ranked)]
     assert sorted(got) == sorted(want)
+
+
+# --- graph diagnostics vs brute force ------------------------------------------------
+
+
+def _canon_edges(raw_edges):
+    return {
+        (min(s, d), max(s, d)) for s, d in raw_edges if s != d
+    }
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=0,
+        max_size=18,
+    ),
+    st.lists(st.integers(0, 8), min_size=1, max_size=9, unique=True),
+)
+@settings(max_examples=10, deadline=None)
+def test_clustering_coefficients_match_brute_force(spark, raw_edges, node_ids):
+    """Per-node local clustering coefficient equals the definition
+    2·tri(v)/(deg(v)·(deg(v)−1)) computed by brute-force triple
+    enumeration, with NULL below degree 2 and zero-degree nodes kept."""
+    from itertools import combinations
+
+    from cdc_stream_processor_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    node_ids = sorted(set(node_ids) | {v for e in raw_edges for v in e})
+    edges = spark.createDataFrame(
+        raw_edges or [(0, 0)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "node long")
+    got = {
+        r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+        for r in clustering_coefficients(edges, nodes).collect()
+    }
+
+    e = _canon_edges(raw_edges)
+    adj = {v: set() for v in node_ids}
+    for a, b in e:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {v: 0 for v in node_ids}
+    for a, b, c in combinations(node_ids, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    want = {}
+    for v in node_ids:
+        d = len(adj[v])
+        cc = (
+            float(2 * tri[v]) / float(d * (d - 1)) if d >= 2 else None
+        )
+        want[v] = (d, tri[v], cc)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=1,
+        max_size=18,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_degree_assortativity_matches_brute_force(spark, raw_edges):
+    """Newman's degree assortativity over both edge orientations equals
+    the sequential moment computation — exact integer sums, one final
+    double expression, NULL on zero variance (regular graphs)."""
+    import math
+
+    from cdc_stream_processor_spark.operators.graph import degree_assortativity
+
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    r = degree_assortativity(edges).collect()[0]
+
+    e = _canon_edges(raw_edges)
+    deg: dict = {}
+    for a, b in e:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    pts = [(deg[a], deg[b]) for a, b in e] + [(deg[b], deg[a]) for a, b in e]
+    n = len(pts)
+    if n == 0:
+        assert (r.n_edges, r.assortativity) == (0, None)
+        return
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    num = float(n * sxy - sx * sy)
+    vx = float(n * sxx - sx * sx)
+    vy = float(n * syy - sy * sy)
+    want = num / (math.sqrt(vx) * math.sqrt(vy)) if vx > 0 and vy > 0 else None
+    assert r.n_edges == n // 2
+    assert r.assortativity == want
+
+
+@given(st.data())
+@settings(max_examples=10, deadline=None)
+def test_community_conductance_matches_brute_force(spark, data):
+    """Per-community conductance equals the cut/(2·internal+cut)
+    definition on random graphs and random labelings — including
+    edge-free communities (NULL conductance) and edges whose endpoints
+    lack labels (dropped)."""
+    from cdc_stream_processor_spark.operators.graph import (
+        community_conductance,
+    )
+
+    raw_edges = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.integers(0, 6)),
+            min_size=1,
+            max_size=18,
+        )
+    )
+    labeled = data.draw(
+        st.dictionaries(
+            st.integers(0, 8), st.integers(0, 2), min_size=1, max_size=9
+        )
+    )
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    comms = spark.createDataFrame(
+        list(labeled.items()), "node long, community long"
+    )
+    got = {
+        r.community: (r.n_nodes, r.internal_edges, r.cut_edges, r.conductance)
+        for r in community_conductance(edges, comms).collect()
+    }
+
+    e = _canon_edges(raw_edges)
+    internal: dict = {}
+    cut: dict = {}
+    for a, b in e:
+        if a not in labeled or b not in labeled:
+            continue
+        ca, cb = labeled[a], labeled[b]
+        if ca == cb:
+            internal[ca] = internal.get(ca, 0) + 1
+        else:
+            cut[ca] = cut.get(ca, 0) + 1
+            cut[cb] = cut.get(cb, 0) + 1
+    want = {}
+    for c in set(labeled.values()):
+        nn = sum(1 for v in labeled.values() if v == c)
+        i, x = internal.get(c, 0), cut.get(c, 0)
+        vol = 2 * i + x
+        want[c] = (nn, i, x, float(x) / float(vol) if vol > 0 else None)
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)),
+        min_size=0,
+        max_size=18,
+    ),
+    st.lists(st.integers(0, 8), min_size=1, max_size=9, unique=True),
+)
+@settings(max_examples=10, deadline=None)
+def test_in_degree_spectrum_matches_brute_force(spark, raw_edges, node_ids):
+    """The in-degree spectrum (directed, duplicates count, zero-degree
+    nodes included) equals the sequential histogram."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.graph import in_degree_spectrum
+
+    node_ids = sorted(set(node_ids) | {v for e in raw_edges for v in e})
+    edges = spark.createDataFrame(raw_edges or [(0, 0)], "src long, dst long")
+    if not raw_edges:
+        edges = edges.filter("src < 0")  # truly empty, schema kept
+    nodes = spark.createDataFrame([(v,) for v in node_ids], "node long")
+    got = {
+        r.in_degree: r.n_nodes
+        for r in in_degree_spectrum(edges, nodes).collect()
+    }
+    indeg = Counter(d for _, d in raw_edges)
+    want = Counter(indeg.get(v, 0) for v in node_ids)
+    assert got == dict(want)
