@@ -2585,3 +2585,131 @@ def test_in_degree_spectrum_matches_brute_force(spark, raw_edges, node_ids):
     indeg = Counter(d for _, d in raw_edges)
     want = Counter(indeg.get(v, 0) for v in node_ids)
     assert got == dict(want)
+
+
+# --- ANN scale paths vs exact brute force --------------------------------------------
+
+
+def _rand_vec_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@given(st.data())
+@settings(max_examples=5, deadline=None)
+def test_ivf_topk_full_probe_equals_brute_force(spark, data):
+    """With nprobe = nlist (probe every cell) IVF-flat must return EXACTLY
+    brute_force_topk: cell assignment partitions the corpus, so probing
+    all cells recovers the exhaustive candidate set, and the re-rank uses
+    the same rounded cosine and tie discipline."""
+    from cdc_stream_processor_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    d = data.draw(st.integers(2, 3))
+    vecs = data.draw(
+        st.lists(
+            st.lists(st.integers(-5, 5), min_size=d, max_size=d).filter(
+                lambda v: any(v)
+            ),
+            min_size=3,
+            max_size=8,
+        )
+    )
+    n_q = data.draw(st.integers(1, min(3, len(vecs))))
+    k = data.draw(st.integers(1, 4))
+    nlist = data.draw(st.integers(2, 4))
+
+    corpus = _rand_vec_df(spark, vecs)
+    queries = corpus.filter(f"vec_id < {n_q}")
+    want = sorted(
+        map(tuple, brute_force_topk(queries, corpus, k=k).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                queries, corpus, k=k, nlist=nlist, nprobe=nlist
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=5, deadline=None)
+def test_lsh_topk_full_probe_equals_brute_force(spark, data):
+    """With one hyperplane and Hamming-1 multi-probe the probed buckets
+    cover the whole bucket space, so SRP-LSH must return EXACTLY
+    brute_force_topk — pinning the bucket join, candidate dedup, and
+    re-rank plumbing independent of recall luck."""
+    from cdc_stream_processor_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    d = data.draw(st.integers(2, 3))
+    vecs = data.draw(
+        st.lists(
+            st.lists(st.integers(-5, 5), min_size=d, max_size=d).filter(
+                lambda v: any(v)
+            ),
+            min_size=3,
+            max_size=8,
+        )
+    )
+    n_q = data.draw(st.integers(1, min(3, len(vecs))))
+    k = data.draw(st.integers(1, 4))
+
+    corpus = _rand_vec_df(spark, vecs)
+    queries = corpus.filter(f"vec_id < {n_q}")
+    want = sorted(
+        map(tuple, brute_force_topk(queries, corpus, k=k).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            lsh_topk(
+                queries,
+                corpus,
+                dim=d,
+                k=k,
+                n_planes=1,
+                n_tables=1,
+                probe_hamming=1,
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=5, deadline=None)
+def test_lsh_topk_always_retrieves_exact_duplicates(spark, data):
+    """Under the DEFAULT LSH parameters an exact duplicate of the query
+    hashes into the same bucket in every table, so the rank-1 neighbor of
+    a query with a planted duplicate must score cosine 1.0 — the recall
+    floor that holds regardless of how the random planes fall."""
+    from cdc_stream_processor_spark.operators.similarity import lsh_topk
+
+    d = data.draw(st.integers(2, 4))
+    vecs = data.draw(
+        st.lists(
+            st.lists(st.integers(-5, 5), min_size=d, max_size=d).filter(
+                lambda v: any(v)
+            ),
+            min_size=2,
+            max_size=7,
+        )
+    )
+    vecs = vecs + [vecs[0]]  # plant: last id duplicates id 0
+    corpus = _rand_vec_df(spark, vecs)
+    queries = corpus.filter("vec_id = 0")
+    got = {
+        r.rank: r.cosine_sim
+        for r in lsh_topk(queries, corpus, dim=d, k=2).collect()
+    }
+    assert got[1] == 1.0
