@@ -64,6 +64,32 @@ _FORCE_RECHECK: dict[str, int] = {
     "minhash_est_vs_exact": 10,
     "minhash_lsh_pairs": 10,
     "ngram_jaccard_pairs": 10,
+    # r10 (second kernel guard): texthash.shingles gained the n >= k guard
+    # (pre-fix: Spark's sequence(1, n-k+1) REVERSES into [1, 0] for a
+    # sub-k-token doc, so element_at indexed past the token array and one
+    # short doc crashed the whole query under ANSI mode — found by the new
+    # containment_pairs hypothesis differential; the DuckDB twin was always
+    # empty-safe). The 3 queries below are the registered consumers of the
+    # Catalyst shingles() expression (identified by analyzed-plan probe
+    # over all 243 queries); results are byte-identical wherever the old
+    # code didn't crash.
+    "containment_pairs": 10,
+    "ngram_novelty": 10,
+    "novelty_curve": 10,
+    # r10 (same sequence-reversal class, second site): similarity.rp_project
+    # gained the empty-vector guard — an empty embedding array (failed
+    # upstream inference) crashed the projection the same way; the DuckDB
+    # twin (list_prepend(0.0) + empty-safe generate_series) always returned
+    # 0.0 and the guard now matches it.
+    "rp_project": 10,
+    # r10 (third robustness guard): graph.pagerank now returns the empty
+    # rank vector for an empty graph instead of a driver-side
+    # ZeroDivisionError in the teleport division — reachable through
+    # textrank_keywords whenever min_cooc prunes the co-occurrence graph
+    # empty (tiny/templated corpora; found by the textrank hypothesis
+    # replay). The 2 registered pagerank consumers:
+    "knn_pagerank": 10,
+    "textrank_keywords": 10,
 }
 
 

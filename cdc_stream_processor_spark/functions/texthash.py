@@ -71,16 +71,27 @@ def TOKEN_HASHES_SQL(text: str) -> str:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram strings (space-joined)."""
+    """Distinct word k-gram strings (space-joined).
+
+    Sub-k-token docs yield an EMPTY array (the shingles_py / DuckDB
+    generate_series twin behavior). The n >= k guard is load-bearing:
+    Spark's sequence(start, stop) REVERSES (default step -1) when
+    stop < start, so the unguarded sequence(1, n-k+1) of a short doc
+    produced [1, 0, ...] and element_at indexed past the token array —
+    one sub-k-token document (titles, tweets — ubiquitous in web
+    corpora) crashed the whole query under ANSI mode. Found by the
+    containment_pairs hypothesis differential."""
     toks = tokens(text)
     n = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.when(n >= F.lit(k), F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def SHINGLES_SQL(toks_col: str, k: int = 3) -> str:

@@ -58,6 +58,16 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # empty graph (e.g. textrank's co-occurrence graph pruned empty by
+        # min_cooc on a tiny/templated corpus): the teleport division below
+        # would raise ZeroDivisionError on the driver — the empty rank
+        # vector is the answer. Found by the textrank hypothesis replay.
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("pr_q"),
+            F.lit(0.0).alias("pagerank"),
+        )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranked_edges = e.join(outdeg, "src").persist()
     teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)

@@ -1368,7 +1368,7 @@ def rp_project(
     scale = float(out_dims) ** 0.5
 
     def one_dim(j: Column) -> Column:
-        return (
+        fold = (
             F.aggregate(
                 F.transform(
                     F.sequence(F.lit(1), F.size("v")),
@@ -1380,6 +1380,12 @@ def rp_project(
             )
             / F.lit(scale)
         )
+        # empty-vector guard: sequence(1, 0) REVERSES into [1, 0] (Spark's
+        # default step is -1 for start > stop) and element_at would index
+        # past the array — one empty embedding (failed upstream inference)
+        # crashed the query under ANSI mode. The DuckDB twin's
+        # generate_series is empty-safe and folds to 0.0; match it.
+        return F.when(F.size("v") > 0, fold).otherwise(F.lit(0.0))
     return v.select(
         "vec_id",
         F.transform(

@@ -398,3 +398,78 @@ def test_max_coverage_gram2_shingle_units(spark):
         (0, 1, 2, 2),
         (1, 2, 2, 4),
     ]
+
+
+def test_shingles_fold_path_survives_short_docs(spark):
+    """Regression: a corpus containing sub-k-token documents (empty, 1-2
+    tokens, NULL) must not crash ANY consumer of the Catalyst shingles()
+    expression. Pre-fix, sequence(1, n-k+1) REVERSED into [1, 0] for
+    short docs (Spark's default step is -1 when stop < start) and
+    element_at indexed past the token array — one short doc killed the
+    whole query under ANSI mode, while the DuckDB twin (generate_series
+    is empty-safe) and the Arrow kernel (shingles_py) both returned
+    empty. Found by the containment_pairs hypothesis differential."""
+    from cdc_stream_processor_spark.operators import corpus as C
+    from cdc_stream_processor_spark.operators import dedup as D
+
+    rows = [
+        (1, "a"),  # 1 token
+        (2, ""),  # empty
+        (3, None),  # NULL
+        (4, "x y"),  # k-1 tokens
+        (5, "one two three four five"),  # normal
+        (6, "one two three four five"),  # exact dup of 5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # containment_pairs: the fold path is unconditional here
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in D.containment_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs == {(5, 6): 1.0, (6, 5): 1.0}
+
+    # shingle_novelty / novelty_curve: explode TH.shingles directly
+    nov = {r.doc_id: r for r in C.shingle_novelty(docs).collect()}
+    assert set(nov) == {5, 6}  # short docs have no shingles -> no rows
+    assert nov[5].n_novel == 3 and nov[6].n_novel == 0
+    assert C.novelty_curve(docs).count() >= 1
+
+    # minhashes / ngram_jaccard_pairs on the pure-Catalyst fold form
+    mh = D.minhashes(docs, vectorized=False)
+    assert {r.doc_id for r in mh.filter("size(hs) > 0").collect()} == {5, 6}
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(
+            docs, threshold=0.5, vectorized=False
+        ).collect()
+    }
+    assert jac == {(5, 6): 1.0}
+
+    # decontaminate fast=True (xxhash64 over the same shingles expression)
+    bench = spark.createDataFrame(
+        [(100, "one two three four five"), (101, "zz")],
+        "doc_id long, text string",
+    )
+    dec = {
+        (r.doc_id, r.bench_id): r.shared_shingles
+        for r in C.decontaminate(
+            docs, bench, fast=True, min_overlap=2
+        ).collect()
+    }
+    assert dec == {(5, 100): 3, (6, 100): 3}
+
+
+def test_rp_project_survives_empty_vectors(spark):
+    """Regression (same sequence-reversal class as shingles): an empty
+    embedding array must project to the all-zero vector — the DuckDB
+    twin's fold over list_prepend(0.0, []) — not crash element_at."""
+    from cdc_stream_processor_spark.operators.similarity import rp_project
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, []), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.vec_id: r.proj for r in rp_project(df, out_dims=4).collect()}
+    assert got[2] == [0.0, 0.0, 0.0, 0.0]
+    assert len(got[1]) == 4 and any(x != 0.0 for x in got[1])

@@ -805,3 +805,22 @@ def test_community_conductance_hand_computed(spark):
         assert out[c]["cut_edges"] == 1
         # phi = 1 / (2*3 + 1)
         assert abs(out[c]["conductance"] - 1 / 7) < 1e-12
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    """Regression: an empty edge list (or a graph pruned empty upstream,
+    e.g. textrank's min_cooc on a tiny corpus) must yield the empty rank
+    vector, not a driver-side ZeroDivisionError in the teleport term."""
+    from cdc_stream_processor_spark.operators.graph import pagerank
+    from cdc_stream_processor_spark.operators.text import textrank_keywords
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(edges, n_iter=2)
+    assert out.columns == ["node", "pr_q", "pagerank"]
+    assert out.count() == 0
+
+    # end-to-end: a corpus whose co-occurrence graph prunes empty
+    docs = spark.createDataFrame(
+        [(1, "hello hello hello"), (2, "")], "doc_id long, text string"
+    )
+    assert textrank_keywords(docs, min_cooc=3).count() == 0
