@@ -2360,7 +2360,6 @@ def test_textrank_keywords_matches_sequential_replay(spark, data):
             max_size=6,
         )
     )
-    docs = docs + [["a", "b"]]  # ensure the pruned graph is non-empty
     min_cooc = data.draw(st.integers(1, 2))
     n_iter = data.draw(st.integers(1, 3))
     top_k = data.draw(st.integers(1, 5))
@@ -2385,6 +2384,11 @@ def test_textrank_keywords_matches_sequential_replay(spark, data):
     ref_edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
     nodes = sorted({v for e in ref_edges for v in e})
     n = len(nodes)
+    if n == 0:
+        # min_cooc pruned the graph empty: no keywords (the pagerank
+        # empty-graph guard, found by this very replay)
+        assert got == []
+        return
     teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
     outdeg = defaultdict(int)
     for s, _ in ref_edges:
@@ -2713,3 +2717,387 @@ def test_lsh_topk_always_retrieves_exact_duplicates(spark, data):
         for r in lsh_topk(queries, corpus, dim=d, k=2).collect()
     }
     assert got[1] == 1.0
+
+
+# --- directional containment vs set reference ---------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_containment_pairs_match_set_reference(spark, data):
+    """containment_pairs (single inverted-index join, both directions
+    emitted from one shared count) equals the set definition
+    C(A→B) = |S(A)∩S(B)| / |S(A)| over distinct word 3-grams, at random
+    thresholds."""
+    from cdc_stream_processor_spark.operators.dedup import containment_pairs
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(["u", "v", "w", "x"]), max_size=8),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    threshold = data.draw(st.sampled_from([0.2, 0.5, 1.0]))
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=threshold).collect()
+    }
+
+    sets = [
+        {" ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 0))}
+        for t in docs
+    ]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(len(docs)):
+            if a == b or not sets[a] or not sets[b]:
+                continue
+            shared = len(sets[a] & sets[b])
+            if shared == 0:
+                continue
+            c = _round6_half_up(float(shared) / float(len(sets[a])))
+            if c >= threshold:
+                want[(a, b)] = c
+    assert got == want
+
+
+# --- repetition profile vs sequential feature replay --------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_repetition_profile_matches_sequential_replay(spark, data):
+    """repetition_profile's distributed features — token count, rounded
+    mean token length, duplicate-line fraction, top-bigram fraction, and
+    the Gopher-bounds keep flag — equal a sequential replay on random
+    line-structured docs (empty lines and sub-2-token docs included)."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators import text as TX
+
+    docs = data.draw(
+        st.lists(
+            st.lists(  # doc = lines of tokens
+                st.lists(
+                    st.sampled_from(["aa", "bbb", "cc", "dddd"]), max_size=5
+                ),
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    texts = ["\n".join(" ".join(line) for line in d) for d in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (
+            r.n_tokens,
+            r.mean_token_len,
+            r.dup_line_frac,
+            r.top_bigram_frac,
+            r.keep,
+        )
+        for r in TX.repetition_profile(df).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        n_tokens = len(toks)
+        alpha = sum(1 for ch in t if ch.isalpha())
+        mean_len = _round6_half_up(float(alpha) / float(max(n_tokens, 1)))
+        lines = t.split("\n")
+        dup_line = 1.0 - float(len(set(lines))) / float(len(lines))
+        if n_tokens >= 2:
+            bg = Counter(zip(toks, toks[1:]))
+            top_bigram = float(max(bg.values())) / float(
+                sum(bg.values())
+            )
+        else:
+            top_bigram = 0.0
+        keep = (
+            TX.REP_MIN_TOKENS <= n_tokens <= TX.REP_MAX_TOKENS
+            and TX.REP_MEAN_LEN_LO <= mean_len <= TX.REP_MEAN_LEN_HI
+            and dup_line <= TX.REP_MAX_DUP_LINE_FRAC
+            and top_bigram <= TX.REP_MAX_TOP_BIGRAM_FRAC
+        )
+        assert got[i] == (n_tokens, mean_len, dup_line, top_bigram, keep), (
+            i,
+            repr(t),
+        )
+
+
+# --- cross-document duplicated spans vs brute force ---------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_dup_spans_match_brute_force(spark, data):
+    """dup_spans (Arrow window hashing + min/max-doc shared test) equals
+    brute force over token windows: a window occurrence is duplicated iff
+    its content appears in >= 2 DISTINCT documents — within-doc repeats
+    alone don't count, every occurrence of a shared window does."""
+    from cdc_stream_processor_spark.operators.text import dup_spans
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(["p", "q", "r"]), max_size=8),
+            min_size=2,
+            max_size=6,
+        )
+    )
+    span = data.draw(st.integers(1, 3))
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_span_frac)
+        for r in dup_spans(df, span_len=span).collect()
+    }
+
+    wins = [
+        [tuple(t[i : i + span]) for i in range(len(t) - span + 1)]
+        for t in docs
+    ]
+    owners: dict = {}
+    for i, ws in enumerate(wins):
+        for w in set(ws):
+            owners.setdefault(w, set()).add(i)
+    shared = {w for w, o in owners.items() if len(o) >= 2}
+    want = {}
+    for i, ws in enumerate(wins):
+        nd = sum(1 for w in ws if w in shared)
+        want[i] = (
+            len(ws),
+            nd,
+            _round6_half_up(float(nd) / float(max(len(ws), 1))),
+        )
+    assert got == want
+
+
+# --- retrieval / corpus-health metrics vs sequential replays -------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_df_spectrum_and_token_diversity_match_replay(spark, data):
+    """df_spectrum (power-of-two df histogram over token types) and
+    token_diversity (N/types/hapax/Gini-Simpson per doc) both equal
+    sequential replays on random corpora — empty docs drop out."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.retrieval import (
+        df_spectrum,
+        token_diversity,
+    )
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("abcdef"), max_size=10),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+    got_spec = {
+        r.df_bucket: (r.n_types, r.total_df)
+        for r in df_spectrum(df).collect()
+    }
+    dfc = Counter()
+    for t in docs:
+        for tok in set(t):
+            dfc[tok] += 1
+    spec: dict = {}
+    for tok, d in dfc.items():
+        b = d.bit_length() - 1
+        n, s = spec.get(b, (0, 0))
+        spec[b] = (n + 1, s + d)
+    assert got_spec == spec
+
+    got_div = {
+        r.doc_id: (r.n_tokens, r.n_types, r.n_hapax, r.simpson)
+        for r in token_diversity(df).collect()
+    }
+    want_div = {}
+    for i, t in enumerate(docs):
+        if not t:
+            continue
+        c = Counter(t)
+        n = len(t)
+        c2 = sum(v * v for v in c.values())
+        want_div[i] = (
+            n,
+            len(c),
+            sum(1 for v in c.values() if v == 1),
+            float(n * n - c2) / float(n * n),
+        )
+    assert got_div == want_div
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_hellinger_and_zipf_match_replay(spark, data):
+    """hellinger_source_drift (floored per-term integer contributions over
+    the sources x global-vocab grid) and zipf_slope_by_source (integer
+    OLS over floor-log2 rank/freq points) equal sequential replays."""
+    import math
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.retrieval import (
+        HELLINGER_SCALE,
+        hellinger_source_drift,
+        zipf_slope_by_source,
+    )
+
+    docs = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s1", "s2"]),
+                st.lists(st.sampled_from("abcd"), max_size=8),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, src, " ".join(t)) for i, (src, t) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+
+    per_src: dict = {}
+    for src, t in docs:
+        per_src.setdefault(src, Counter()).update(t)
+    glob = Counter()
+    for c in per_src.values():
+        glob.update(c)
+    n_g = sum(glob.values())
+    live = {s: c for s, c in per_src.items() if sum(c.values()) > 0}
+
+    got_h = {
+        r.source: (r.hellinger2_scaled, r.n_types_used)
+        for r in hellinger_source_drift(df).collect()
+    }
+    want_h = {}
+    for s, c in live.items():
+        n_s = sum(c.values())
+        total = 0
+        for tok, cg in glob.items():
+            sp = math.sqrt(float(c.get(tok, 0)) / float(n_s))
+            sq = math.sqrt(float(cg) / float(n_g))
+            total += math.floor(float(HELLINGER_SCALE) * ((sp - sq) * (sp - sq)))
+        want_h[s] = (total, sum(1 for tok in glob if c.get(tok, 0) > 0))
+    assert got_h == want_h
+
+    got_z = {
+        r.source: (r.n_types, r.zipf_slope)
+        for r in zipf_slope_by_source(df).collect()
+    }
+    want_z = {}
+    for s, c in live.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        pts = [
+            ((r + 1).bit_length() - 1, f.bit_length() - 1)
+            for r, (_, f) in enumerate(ranked)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den) if den != 0 else None
+        want_z[s] = (n, slope)
+    assert got_z == want_z
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_rrf_fuse_and_kmv_match_replay(spark, data):
+    """rrf_fuse (integer 1e6 div (60+rank) contributions summed across
+    lists) and kmv_distinct_tokens (k-minimum-values estimator, exact
+    below k) equal sequential replays — including the estimator branch at
+    small k."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.retrieval import (
+        KMV_SPACE,
+        RRF_K0,
+        RRF_SCALE,
+        kmv_distinct_tokens,
+        rrf_fuse,
+    )
+
+    lists = data.draw(
+        st.lists(
+            st.lists(st.integers(0, 9), min_size=1, max_size=6, unique=True),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    dfs = [
+        spark.createDataFrame(
+            [(d, r + 1) for r, d in enumerate(lst)], "doc_id long, rank long"
+        )
+        for lst in lists
+    ]
+    got_rrf = {
+        r.doc_id: (r.rrf_score_scaled, r.n_lists)
+        for r in rrf_fuse(dfs).collect()
+    }
+    want_rrf: dict = {}
+    for lst in lists:
+        for r, d in enumerate(lst):
+            s, n = want_rrf.get(d, (0, 0))
+            want_rrf[d] = (s + RRF_SCALE // (RRF_K0 + r + 1), n + 1)
+    assert got_rrf == want_rrf
+
+    docs = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s1", "s2"]),
+                st.lists(st.sampled_from("abcdefgh"), max_size=10),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    k = data.draw(st.integers(2, 6))
+    df = spark.createDataFrame(
+        [(i, src, " ".join(t)) for i, (src, t) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    got_kmv = {
+        r.source: (r.n_types, r.kmv_estimate)
+        for r in kmv_distinct_tokens(df, k=k).collect()
+    }
+    per_src: dict = {}
+    for src, t in docs:
+        per_src.setdefault(src, Counter()).update(t)
+    want_kmv = {}
+    for s, c in per_src.items():
+        types = sorted(c)
+        if not types:
+            continue
+        hs = sorted(
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in types
+        )
+        n_types = len(types)
+        if n_types < k:
+            est = n_types
+        else:
+            h_k = hs[k - 1]
+            est = math.floor(float((k - 1) * KMV_SPACE) / float(h_k + 1))
+        want_kmv[s] = (n_types, est)
+    assert got_kmv == want_kmv
