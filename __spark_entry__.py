@@ -90,6 +90,28 @@ _FORCE_RECHECK: dict[str, int] = {
     # replay). The 2 registered pagerank consumers:
     "knn_pagerank": 10,
     "textrank_keywords": 10,
+    # r10 (degenerate-row stress audit: all 243 queries run against a
+    # fixture whose ROWS are degenerate — empty/NULL/short texts, empty
+    # and zero embeddings, zero weights — the realistic 100 TB hazard the
+    # driver testdata never carries). Five more row-level guards, each
+    # byte-identical on data the old code didn't crash on, each
+    # DuckDB-parity-checked (float/0 is NULL in DuckDB):
+    "bigram_lift_topk": 10,      # sequence-reversal on sub-2-token docs
+    "high_value_enriched": 10,   # name without '#' → getItem(1) OOB
+    "embedding_outliers": 10,    # fold cosine ÷0 on zero vectors → NULL
+    "centroid_pair_sim": 10,     # (same fold-cosine change)
+    "weighted_sample": 10,       # u/0 on zero-weight rows → excluded,
+    #                              oracle carries the same WHERE
+    "order_value_gini": 10,      # gini ÷0 on a zero-total group → NULL
+    "ivf_recall_eval": 10,       # recall ÷0 on an empty query set → NULL
+    # embedding_health_audit: its embedding_dim helper (sources/batch.py)
+    # now scans for the first NON-empty vector instead of bailing on an
+    # empty first row — the audit operator itself was the main casualty.
+    # The other embedding_dim consumers (lsh_ann_topk, dbscan_labels,
+    # embedding_near_dup*) return the identical dim on any fixed-dim
+    # table (construction-time helper, pinned by its own planted unit
+    # test) and keep their greens.
+    "embedding_health_audit": 10,
 }
 
 

@@ -923,6 +923,13 @@ def weighted_priority_sample(
     pri = (split_key(F.col(id_col)) / F.col(weight_col).cast("double")).alias(
         "priority"
     )
+    # zero/negative-weight rows are EXCLUDED (the A-ES/priority-sampling
+    # convention): an unguarded u/0 raised DIVIDE_BY_ZERO under ANSI mode
+    # the moment an empty doc (weight 0) reached it, and NULL priorities
+    # would sort nulls-FIRST in Spark but nulls-LAST in DuckDB — the
+    # filter is the one statement both engines agree on (oracle twin
+    # carries the same WHERE).
+    docs = docs.filter(F.col(weight_col).cast("double") > 0)
     ranked = docs.select(F.col(id_col), F.col(weight_col), pri).orderBy(
         F.col("priority").asc(), F.col(id_col).asc()
     ).limit(k)

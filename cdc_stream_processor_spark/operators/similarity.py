@@ -40,7 +40,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Fold cosine with NULL on a zero-norm side — the DuckDB twin's
+    semantics exactly (DuckDB float division by zero yields NULL); the
+    unguarded division raised DIVIDE_BY_ZERO under ANSI mode the moment
+    a zero vector (failed upstream embed) reached it."""
+    den = norm(a) * norm(b)
+    return F.when(den != F.lit(0.0), dot(a, b) / den)
 
 
 def as_double(a: Column) -> Column:

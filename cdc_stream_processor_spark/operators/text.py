@@ -383,7 +383,12 @@ def bigram_lift_topk(
     toks = docs.select(
         F.col(id_col).alias("doc_id"), TH.tokens(F.col(text_col)).alias("toks")
     ).persist()
-    bigrams = toks.select(
+    # size >= 2 guard is load-bearing: sequence(1, size-1) REVERSES into
+    # [1, 0(, -1)] for sub-2-token docs (Spark's default step is -1 when
+    # stop < start) and toks[i] would index past the array — one short doc
+    # crashed the query under ANSI mode (same class as texthash.shingles;
+    # the guarded siblings at bigram_lm/ngram sites already filter)
+    bigrams = toks.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 1), "

@@ -940,6 +940,7 @@ SELECT doc_id, n_chars, priority, draw_rank FROM (
            (((doc_id * {C.SPLIT_A} + {C.SPLIT_B}) % {C.SPLIT_P})::DOUBLE
              / {C.SPLIT_P}::DOUBLE) / n_chars::DOUBLE AS priority
     FROM documents
+    WHERE n_chars::DOUBLE > 0
   )
 ) WHERE draw_rank <= {C.WEIGHTED_SAMPLE_K}
 """

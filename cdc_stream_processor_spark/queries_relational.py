@@ -1034,7 +1034,13 @@ def q_order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("orderpriority"),
         "n",
         (F.col("sxs").cast("double") / F.lit(10_000.0)).alias("total"),
-        (num.cast("double") / den.cast("double")).alias("gini"),
+        # NULL when a group's total is 0 (gini undefined) — DuckDB's
+        # division already yields NULL on a zero divisor; the unguarded
+        # form raised DIVIDE_BY_ZERO under ANSI mode
+        F.when(
+            den != F.lit(0).cast("decimal(38,0)"),
+            num.cast("double") / den.cast("double"),
+        ).alias("gini"),
     )
 
 

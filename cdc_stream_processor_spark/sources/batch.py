@@ -85,13 +85,22 @@ def embedding_dim(
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(f"{sf_dir}/{table}.parquet")
-    for batch in pf.iter_batches(batch_size=1, columns=[col]):
-        if batch.num_rows:
-            val = batch.column(0)[0].as_py()
-            if not val:
+    # scan for the first NON-empty value (bounded): bailing on the first
+    # row made ONE empty/NULL leading vector (failed upstream embed) kill
+    # every dim-inferring query even though the table was full of good
+    # vectors — including embedding_health_audit, the operator whose job
+    # is to REPORT such rows
+    seen = 0
+    for batch in pf.iter_batches(batch_size=256, columns=[col]):
+        for val in batch.column(0).to_pylist():
+            if val:
+                return len(val)
+            seen += 1
+            if seen >= 65536:
                 break
-            return len(val)
+        if seen >= 65536:
+            break
     raise ValueError(
         f"cannot infer vector dim: {sf_dir}/{table}.parquet has no non-empty "
-        f"'{col}' value"
+        f"'{col}' value in the first {max(seen, 1)} rows"
     )

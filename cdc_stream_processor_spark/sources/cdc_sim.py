@@ -181,7 +181,14 @@ def customers_envelopes_from_customers(customer: DataFrame) -> DataFrame:
     ('Customer#000000042' → first 'Customer', last '000000042') so the
     two-hop enrichment (J3 completion) has deterministic person fields."""
     first = F.split(F.col("c_name"), "#").getItem(0)
-    last = F.split(F.col("c_name"), "#").getItem(1)
+    # a name without '#' splits to ONE element: getItem(1) raised
+    # INVALID_ARRAY_INDEX under ANSI mode (TPC-H names always carry '#',
+    # real CDC names need not). F.get returns NULL out of bounds;
+    # coalesce to '' = DuckDB's split_part missing-part value, so the
+    # full_name/email builders stay engine-identical.
+    last = F.coalesce(
+        F.get(F.split(F.col("c_name"), "#"), F.lit(1)), F.lit("")
+    )
     image = F.struct(
         F.col("c_custkey").cast("double").alias("CUSTOMER_ID"),
         first.alias("FIRST_NAME"),

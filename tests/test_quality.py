@@ -824,3 +824,79 @@ def test_pagerank_empty_graph_returns_empty(spark):
         [(1, "hello hello hello"), (2, "")], "doc_id long, text string"
     )
     assert textrank_keywords(docs, min_cooc=3).count() == 0
+
+
+def test_degenerate_row_guards(spark, tmp_path):
+    """Regression battery for the degenerate-row stress audit: empty/short
+    texts, zero-weight docs, zero vectors, zero-total groups, and names
+    without '#' must not crash their queries under ANSI mode, and each
+    guard must carry the DuckDB-parity semantics (float/0 -> NULL)."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.operators import corpus as C
+    from cdc_stream_processor_spark.operators import similarity as S
+    from cdc_stream_processor_spark.operators.text import bigram_lift_topk
+
+    # bigram_lift_topk: sub-2-token docs contribute unigrams only
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, None), (4, "b c b c")],
+        "doc_id long, text string",
+    )
+    lifts = {
+        (r.w1, r.w2) for r in bigram_lift_topk(docs, min_count=1).collect()
+    }
+    assert ("b", "c") in lifts
+
+    # fold cosine: zero-norm side -> NULL (DuckDB semantics), not a crash
+    pair = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = pair.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()
+    assert got[0].c is None and got[1].c == 1.0
+
+    # weighted_sample: zero-weight rows are excluded, never a crash
+    wdocs = spark.createDataFrame(
+        [(1, 0), (2, 10), (3, 5)], "doc_id long, n_chars long"
+    )
+    ids = {
+        r.doc_id for r in C.weighted_priority_sample(wdocs, k=5).collect()
+    }
+    assert ids == {2, 3}
+
+    # cdc_sim name split: a c_name without '#' enriches with empty last name
+    from cdc_stream_processor_spark.sources import cdc_sim
+
+    cust = spark.createDataFrame(
+        [(1, "NoHash", 0, 1.0, "B"), (2, "Customer#42", 0, 2.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    env = cdc_sim.customers_envelopes_from_customers(cust)
+    names = {
+        r.customer_id: (r.first_name, r.last_name)
+        for r in env.select(
+            F.col("after.CUSTOMER_ID").cast("long").alias("customer_id"),
+            F.col("after.FIRST_NAME").alias("first_name"),
+            F.col("after.LAST_NAME").alias("last_name"),
+        ).collect()
+    }
+    assert names[1] == ("NoHash", "") and names[2] == ("Customer", "42")
+
+    # embedding_dim: an empty leading vector must not mask a fixed-dim table
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "embeddings.parquet"
+    pq.write_table(
+        pa.table(
+            {"vec_id": [1, 2], "embedding": [[], [1.0, 2.0, 3.0]]},
+            schema=pa.schema(
+                [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32()))]
+            ),
+        ),
+        str(p),
+    )
+    from cdc_stream_processor_spark.sources.batch import embedding_dim
+
+    assert embedding_dim(str(tmp_path)) == 3
