@@ -48,3 +48,25 @@ def test_report_prints_window_and_slack(capsys, monkeypatch):
     assert "next driver window (50 slots):" in out
     assert "slack:" in out
     assert "backlog beyond the window" in out
+
+
+def test_degenerate_stress_fixture_builds_and_loads(spark, tmp_path):
+    """The stress tool's fixture must carry every driver table with the
+    production schemas (load_table normalizes them) and the degenerate
+    rows it advertises — empty/NULL texts and a ragged embedding."""
+    import tools.degenerate_stress as DS
+    from cdc_stream_processor_spark.sources.batch import TABLES, load_table
+
+    DS.build_fixture(str(tmp_path), ragged_embeddings=True)
+    for t in TABLES:
+        assert load_table(spark, str(tmp_path), t).count() >= 2, t
+    docs = load_table(spark, str(tmp_path), "documents")
+    texts = [r.text for r in docs.collect()]
+    assert "" in texts and None in texts
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    sizes = {len(r.embedding) for r in emb.collect()}
+    assert 0 in sizes and 4 in sizes  # ragged: the kernel-contract probe
+    # the contract allowlist only names registered queries
+    import __spark_entry__ as entrymod
+
+    assert DS.RAGGED_CONTRACT <= set(entrymod.queries())
