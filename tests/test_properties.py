@@ -3101,3 +3101,232 @@ def test_rrf_fuse_and_kmv_match_replay(spark, data):
             est = math.floor(float((k - 1) * KMV_SPACE) / float(h_k + 1))
         want_kmv[s] = (n_types, est)
     assert got_kmv == want_kmv
+
+
+# --- text scoring family vs sequential replays ---------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_lang_id_sentiment_readability_match_replay(spark, data):
+    """lang_id (argmax stopword overlap, LANG_ORDER ties, 'und' floor),
+    sentiment (lexicon polarity with repeats), and the Flesch heuristic
+    all equal sequential replays on random word-salad docs."""
+    import re
+
+    from cdc_stream_processor_spark.operators import text as TX
+
+    pool = (
+        list(TX.STOPWORDS["en"][:4])
+        + list(TX.STOPWORDS["es"][:4])
+        + list(TX.STOPWORDS["fr"][:4])
+        + list(TX.STOPWORDS["de"][:4])
+        + list(TX.POSITIVE_WORDS[:3])
+        + list(TX.NEGATIVE_WORDS[:3])
+        + ["zzz", "q.", "a!?", "..."]
+    )
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(pool), max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    texts = [" ".join(t) for t in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.lang_id(F.col("text")).alias("lang"),
+            TX.sentiment_score(F.col("text")).alias("sent"),
+        ).collect()
+    }
+    got_read = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch)
+        for r in TX.readability_scores(df).collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        distinct = set(toks)
+        scores = {
+            lg: len(distinct & set(ws)) for lg, ws in TX.STOPWORDS.items()
+        }
+        best = max(scores[lg] for lg in TX.LANG_ORDER)
+        if best <= 0:
+            lang = "und"
+        else:
+            lang = next(lg for lg in TX.LANG_ORDER if scores[lg] == best)
+        pos = sum(1 for w in toks if w in TX.POSITIVE_WORDS)
+        neg = sum(1 for w in toks if w in TX.NEGATIVE_WORDS)
+        sent = (
+            _round6_half_up(float(pos - neg) / float(pos + neg))
+            if pos + neg
+            else 0.0
+        )
+        assert (got[i].lang, got[i].sent) == (lang, sent), (i, t)
+
+        words = max(1, len(toks))
+        sents = max(1, len(re.findall(r"[.!?]+", t)))
+        syll = max(1, len(re.findall(r"[aeiouy]+", t.lower())))
+        flesch = _round6_half_up(
+            206.835 - 1.015 * (float(words) / float(sents))
+            - 84.6 * (float(syll) / float(words))
+        )
+        assert got_read[i] == (words, sents, syll, flesch), (i, t)
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_trigram_lm_score_matches_replay(spark, data):
+    """trigram_lm_score's add-one integer framework — floor(1e9·(c3+1) /
+    (ctx+V)) per trigram occurrence, per-doc mean — equals a sequential
+    replay; sub-3-token docs drop out."""
+    import math
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.text import (
+        TRIGRAM_SCALE,
+        trigram_lm_score,
+    )
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("abc"), max_size=8),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.mean_scaled_p)
+        for r in trigram_lm_score(df).collect()
+    }
+    tris = [
+        [tuple(t[j : j + 3]) for j in range(len(t) - 2)] for t in docs
+    ]
+    c3 = Counter(tr for ts in tris for tr in ts)
+    c2 = Counter(tr[:2] for ts in tris for tr in ts)
+    v = len({w for t in docs for w in t})
+    want = {}
+    for i, ts in enumerate(tris):
+        if not ts:
+            continue
+        sps = [
+            math.floor(
+                float(c3[tr] + 1) * float(TRIGRAM_SCALE) / float(c2[tr[:2]] + v)
+            )
+            for tr in ts
+        ]
+        want[i] = (len(ts), float(sum(sps)) / float(len(ts)))
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_tfidf_top_terms_matches_replay(spark, data):
+    """tfidf_top_terms (tf·(N/df) with raw inverse df, per-doc top-k with
+    term-asc ties) equals a sequential replay."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.text import tfidf_top_terms
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("pqrs"), max_size=8),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    k = data.draw(st.integers(1, 4))
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.rank): (r.term, r.tf, r.df, r.score)
+        for r in tfidf_top_terms(df, k=k).collect()
+    }
+    n = len(docs)
+    dfreq = Counter()
+    tfs = [Counter(t) for t in docs]
+    for c in tfs:
+        dfreq.update(c.keys())
+    want = {}
+    for i, c in enumerate(tfs):
+        scored = [
+            (term, tf, dfreq[term], float(tf) * (float(n) / float(dfreq[term])))
+            for term, tf in c.items()
+        ]
+        scored.sort(key=lambda r: (-r[3], r[0]))
+        for rank, row in enumerate(scored[:k], 1):
+            want[(i, rank)] = row
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_gopher_quality_matches_replay(spark, data):
+    """gopher_quality's five rules and every ratio equal a sequential
+    replay on random docs mixing stopwords, symbols, and ellipses."""
+    import re
+
+    from cdc_stream_processor_spark.operators import text as TX
+
+    pool = list(TX.GOPHER_STOPWORDS) + ["x", "##", "...", "word", "123"]
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(pool), max_size=25),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    texts = [" ".join(t) for t in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in TX.gopher_quality(df).collect()}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        n = len(toks)
+        safe = float(max(n, 1))
+        char_sum = len(re.sub(r"[ \t\n\x0b\f\r]", "", t))
+        mean_len = _round6_half_up(float(char_sum) / safe)
+        n_hash = t.count("#")
+        n_ell = len(re.findall(r"\.\.\.", t))
+        sym = _round6_half_up(float(n_hash + n_ell) / safe)
+        alpha = sum(1 for w in toks if re.search("[a-z]", w))
+        alpha_r = _round6_half_up(float(alpha) / safe)
+        stop = len(set(toks) & set(TX.GOPHER_STOPWORDS))
+        r = got[i]
+        assert (
+            r.n_words,
+            r.mean_word_len,
+            r.symbol_ratio,
+            r.alpha_word_ratio,
+            r.stop_hits,
+        ) == (n, mean_len, sym, alpha_r, stop), (i, t)
+        rules = (
+            TX.GOPHER_MIN_WORDS <= n <= TX.GOPHER_MAX_WORDS,
+            TX.GOPHER_MIN_MEAN_WORD_LEN
+            <= mean_len
+            <= TX.GOPHER_MAX_MEAN_WORD_LEN,
+            sym < TX.GOPHER_MAX_SYMBOL_RATIO,
+            alpha_r >= TX.GOPHER_MIN_ALPHA_WORD_RATIO,
+            stop >= TX.GOPHER_MIN_STOP_HITS,
+        )
+        assert (
+            r.ok_word_count,
+            r.ok_mean_word_len,
+            r.ok_symbol_ratio,
+            r.ok_alpha_words,
+            r.ok_stopwords,
+            r.keep,
+        ) == (*rules, all(rules)), (i, t)
