@@ -3330,3 +3330,250 @@ def test_gopher_quality_matches_replay(spark, data):
             r.ok_stopwords,
             r.keep,
         ) == (*rules, all(rules)), (i, t)
+
+
+# --- chi2 terms / EWMA / stupid backoff / basket lift vs replays ---------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_chi2_terms_per_lang_matches_replay(spark, data):
+    """chi2_terms_per_lang (2x2 presence contingency, zero-margin terms
+    excluded, per-lang top-k with term-asc ties) equals a sequential
+    replay on random (lang, doc) corpora."""
+    from cdc_stream_processor_spark.operators.text import chi2_terms_per_lang
+
+    docs = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["en", "de"]),
+                st.lists(st.sampled_from("uvwx"), max_size=6),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    k = data.draw(st.integers(1, 4))
+    df = spark.createDataFrame(
+        [(i, lg, " ".join(t)) for i, (lg, t) in enumerate(docs)],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        (r.lang, r.term_rank): (r.term, r.chi2)
+        for r in chi2_terms_per_lang(df, k=k).collect()
+    }
+    n = len(docs)
+    langs = {lg for lg, _ in docs}
+    pres: dict = {}
+    for lg, t in docs:
+        for term in set(t):
+            pres.setdefault((term, lg), 0)
+            pres[(term, lg)] += 1
+    nl = {lg: sum(1 for l2, _ in docs if l2 == lg) for lg in langs}
+    nt: dict = {}
+    for (term, lg), a in pres.items():
+        nt[term] = nt.get(term, 0) + a
+    want = {}
+    for lg in langs:
+        rows = []
+        for (term, l2), a in pres.items():
+            if l2 != lg:
+                continue
+            da, db = float(a), float(nl[lg] - a)
+            dc = float(nt[term] - a)
+            dd = float(n - nl[lg] - (nt[term] - a))
+            num = float(n) * (da * dd - db * dc) * (da * dd - db * dc)
+            den = (da + db) * (dc + dd) * (da + dc) * (db + dd)
+            if den > 0:
+                rows.append((term, _round6_half_up(num / den)))
+        rows.sort(key=lambda r: (-r[1], r[0]))
+        for rank, row in enumerate(rows[:k], 1):
+            want[(lg, rank)] = row
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_ewma_smooth_matches_sequential_replay(spark, data):
+    """ewma_smooth's span-truncated lag chain equals a sequential replay
+    with the IDENTICAL left-to-right term accumulation (zero-filled
+    missing lags in the numerator, presence-masked denominator)."""
+    from cdc_stream_processor_spark.operators.relational import ewma_smooth
+
+    series = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.lists(st.integers(-20, 20), min_size=1, max_size=10),
+            ),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda kv: kv[0],
+        )
+    )
+    alpha = data.draw(st.sampled_from([0.3, 0.5]))
+    span = data.draw(st.integers(1, 6))
+    rows = [
+        (key, t, float(v))
+        for key, vals in series
+        for t, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r.k, r.t): r.ewma
+        for r in ewma_smooth(df, ["k"], "t", "v", alpha=alpha, span=span)
+        .collect()
+    }
+    for key, vals in series:
+        for t in range(len(vals)):
+            num = den = None
+            for j in range(span):
+                wj = alpha * (1.0 - alpha) ** j
+                x = float(vals[t - j]) if t - j >= 0 else None
+                term = (x if x is not None else 0.0) * wj
+                present = wj if x is not None else 0.0
+                num = term if num is None else num + term
+                den = present if den is None else den + present
+            assert got[(key, t)] == _round6_half_up(num / den), (key, t)
+
+
+@given(st.data())
+@settings(max_examples=6, deadline=None)
+def test_stupid_backoff_matches_sequential_replay(spark, data):
+    """stupid_backoff_score's integer-scaled backoff ladder (s3 -> 0.4·s2
+    -> 0.4·0.4·s1 -> 0) over train counts equals a sequential replay on
+    random train/eval corpora."""
+    import math
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.text import (
+        TRIGRAM_SCALE,
+        stupid_backoff_score,
+    )
+
+    train = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("abc"), max_size=8),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    evald = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("abcd"), min_size=3, max_size=8),
+            min_size=1,
+            max_size=4,
+        )
+    )
+    tdf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train)],
+        "doc_id long, text string",
+    )
+    edf = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(evald)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_backoff, r.mean_scaled_s)
+        for r in stupid_backoff_score(tdf, edf).collect()
+    }
+
+    c123 = Counter(
+        tuple(t[j : j + 3]) for t in train for j in range(len(t) - 2)
+    )
+    c12 = Counter(
+        tuple(t[j : j + 2]) for t in train for j in range(len(t) - 1)
+    )
+    c1 = Counter(w for t in train for w in t)
+    n_tot = sum(c1.values())
+    want = {}
+    for i, t in enumerate(evald):
+        tris = [tuple(t[j : j + 3]) for j in range(len(t) - 2)]
+        if not tris:
+            continue
+        ss, backed = [], 0
+        for w1, w2, w3 in tris:
+            if (w1, w2, w3) in c123:
+                s = math.floor(
+                    float(c123[(w1, w2, w3)])
+                    * float(TRIGRAM_SCALE)
+                    / float(c12[(w1, w2)])
+                )
+            elif (w2, w3) in c12:
+                backed += 1
+                s2 = math.floor(
+                    float(c12[(w2, w3)])
+                    * float(TRIGRAM_SCALE)
+                    / float(c1[w2])
+                )
+                s = math.floor(4 * s2 / 10)
+            elif w3 in c1:
+                backed += 1
+                s1 = math.floor(
+                    float(c1[w3]) * float(TRIGRAM_SCALE) / float(n_tot)
+                )
+                s = math.floor(4 * math.floor(4 * s1 / 10) / 10)
+            else:
+                backed += 1
+                s = 0
+            ss.append(s)
+        want[i] = (len(ss), backed, float(sum(ss)) / float(len(ss)))
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_part_affinity_matches_brute_force(spark, data):
+    """part_affinity's within-basket pair enumeration and lift =
+    n_ab·N/(n_a·n_b) equal a brute-force replay over random baskets at a
+    random support floor."""
+    from cdc_stream_processor_spark.operators.relational import part_affinity
+
+    baskets = data.draw(
+        st.lists(
+            st.lists(st.integers(1, 5), min_size=1, max_size=5),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    min_support = data.draw(st.integers(1, 3))
+    k = data.draw(st.integers(1, 6))
+    rows = [
+        (oid, p, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O")
+        for oid, parts in enumerate(baskets)
+        for p in parts
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    )
+    got = [
+        (r.part_a, r.part_b, r.n_ab, r.lift)
+        for r in part_affinity(df, k=k, min_support=min_support).collect()
+    ]
+
+    sets = [sorted(set(b)) for b in baskets]
+    n_orders = len(sets)
+    pair_cnt: dict = {}
+    part_cnt: dict = {}
+    for s in sets:
+        for x in s:
+            part_cnt[x] = part_cnt.get(x, 0) + 1
+        for ai in range(len(s)):
+            for bi in range(ai + 1, len(s)):
+                pr = (s[ai], s[bi])
+                pair_cnt[pr] = pair_cnt.get(pr, 0) + 1
+    scored = [
+        (
+            a,
+            b,
+            nab,
+            float(nab * n_orders) / float(part_cnt[a] * part_cnt[b]),
+        )
+        for (a, b), nab in pair_cnt.items()
+        if nab >= min_support
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    assert got == scored[:k]
