@@ -3577,3 +3577,164 @@ def test_part_affinity_matches_brute_force(spark, data):
     ]
     scored.sort(key=lambda r: (-r[3], r[0], r[1]))
     assert got == scored[:k]
+
+
+# --- corpus plumbing vs sequential replays -------------------------------------------
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_source_cap_and_kfold_and_hashed_features_match_replay(spark, data):
+    """source_cap (top-cap per domain by quality desc, id asc),
+    kfold_assign (polyhash(id) mod k), and hashed_features (signed
+    feature hashing with cancellation drop) all equal sequential
+    replays."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.operators.corpus import (
+        hashed_features,
+        kfold_assign,
+        source_cap,
+    )
+
+    docs = data.draw(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["s1", "s2"]),
+                st.integers(0, 5),  # quality
+                st.lists(st.sampled_from("abcd"), max_size=6),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    cap = data.draw(st.integers(1, 4))
+    kf = data.draw(st.integers(2, 5))
+    dim = data.draw(st.sampled_from([4, 8, 16]))
+    rows = [
+        (i, " ".join(t), "en", src, q)
+        for i, (src, q, t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    got_cap = {
+        r.doc_id: r.src_rank for r in source_cap(df, cap=cap).collect()
+    }
+    want_cap = {}
+    by_src: dict = {}
+    for i, (src, q, _) in enumerate(docs):
+        by_src.setdefault(src, []).append((-q, i))
+    for src, lst in by_src.items():
+        for rank, (_, i) in enumerate(sorted(lst), 1):
+            if rank <= cap:
+                want_cap[i] = rank
+    assert got_cap == want_cap
+
+    got_fold = {r.doc_id: r.fold for r in kfold_assign(df, k=kf).collect()}
+    assert got_fold == {
+        i: _polyhash_ref(str(i)) % kf for i in range(len(docs))
+    }
+
+    got_feat = {
+        (r.doc_id, r.slot): r.feat
+        for r in hashed_features(df, dim=dim).collect()
+    }
+    want_feat: Counter = Counter()
+    for i, (_, _, toks) in enumerate(docs):
+        for t in toks:
+            h = _polyhash_ref(t)
+            want_feat[(i, h % dim)] += 1 - 2 * ((h // dim) % 2)
+    assert got_feat == {k: v for k, v in want_feat.items() if v != 0}
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_tokenize_ids_matches_replay(spark, data):
+    """tokenize_ids under an explicit vocabulary (OOV -> 0, bounded ids
+    preview window) equals a sequential replay."""
+    from cdc_stream_processor_spark.operators.corpus import tokenize_ids
+
+    vocab_words = ["aa", "bb", "cc"]
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab_words + ["zz", "qq"]), max_size=10),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    preview = data.draw(st.integers(1, 5))
+    vmap = {w: i + 1 for i, w in enumerate(vocab_words)}
+    vocab = spark.createDataFrame(
+        [(w, i) for w, i in vmap.items()], "token string, token_id long"
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.oov_count, list(r.ids))
+        for r in tokenize_ids(df, vocab=vocab, preview=preview).collect()
+    }
+    want = {}
+    for i, t in enumerate(docs):
+        if not t:
+            continue
+        ids = [vmap.get(w, 0) for w in t]
+        want[i] = (
+            len(t),
+            sum(1 for x in ids if x == 0),
+            ids[:preview],
+        )
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_remove_dup_segments_matches_replay(spark, data):
+    """remove_dup_segments (fixed-width segment split, first corpus
+    occurrence by doc_id*SHIFT+seg_id, rebuild in order) equals a
+    sequential replay — within-doc repeats drop too."""
+    from cdc_stream_processor_spark.operators.corpus import (
+        SEG_SHIFT,
+        remove_dup_segments,
+    )
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("pq"), max_size=12),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    seg_tokens = data.draw(st.integers(1, 4))
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in remove_dup_segments(df, seg_tokens=seg_tokens).collect()
+    }
+
+    segs = []
+    for i, t in enumerate(docs):
+        ss = [
+            " ".join(t[j : j + seg_tokens])
+            for j in range(0, len(t), seg_tokens)
+        ]
+        segs.append(ss)
+    first: dict = {}
+    for i, ss in enumerate(segs):
+        for sid, s in enumerate(ss):
+            key = i * SEG_SHIFT + sid
+            if s not in first or key < first[s]:
+                first[s] = key
+    want = {}
+    for i, ss in enumerate(segs):
+        kept = [
+            s for sid, s in enumerate(ss) if first[s] == i * SEG_SHIFT + sid
+        ]
+        want[i] = (len(ss), len(kept), " ".join(kept))
+    assert got == want
