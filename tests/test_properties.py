@@ -3738,3 +3738,148 @@ def test_remove_dup_segments_matches_replay(spark, data):
         ]
         want[i] = (len(ss), len(kept), " ".join(kept))
     assert got == want
+
+
+# --- split / shuffle / mixture / temperature vs sequential replays -------------------
+
+
+def _lcg_key(i: int, a: int, b: int, p: int) -> float:
+    return float((i * a + b) % p) / float(p)
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_split_shuffle_mixture_match_replay(spark, data):
+    """corpus_split (LCG threshold labels), global_shuffle (total
+    permutation via bucketed distributed rank), and dataset_mixture
+    (rate-monotonic interleave positions) equal sequential replays on
+    random id sets."""
+    from cdc_stream_processor_spark.operators import corpus as C
+
+    ids = data.draw(
+        st.lists(st.integers(0, 10_000), min_size=1, max_size=15, unique=True)
+    )
+    srcs = data.draw(
+        st.lists(
+            st.sampled_from(["src0", "src1", "zz"]),
+            min_size=len(ids),
+            max_size=len(ids),
+        )
+    )
+    df = spark.createDataFrame(
+        list(zip(ids, srcs)), "doc_id long, source string"
+    )
+
+    got_split = {
+        r.doc_id: (r.split_key, r.split) for r in C.corpus_split(df).collect()
+    }
+    for i in ids:
+        u = _lcg_key(i, C.SPLIT_A, C.SPLIT_B, C.SPLIT_P)
+        lab = "test" if u < 0.1 else ("val" if u < 0.1 + 0.2 else "train")
+        assert got_split[i] == (u, lab), i
+
+    got_shuf = {
+        r.doc_id: (r.shuffle_key, r.shuffle_pos)
+        for r in C.global_shuffle(df).collect()
+    }
+    keyed = sorted(
+        ((i * C.SHUFFLE_A + C.SHUFFLE_B) % C.SPLIT_P, i) for i in ids
+    )
+    for pos, (h, i) in enumerate(keyed):
+        assert got_shuf[i] == (h, pos), i
+
+    weights = {"src0": 4.0, "src1": 0.5}
+    got_mix = {
+        r.doc_id: (r.src_rank, r.mix_pos)
+        for r in C.dataset_mixture(df, weights=weights).collect()
+    }
+    by_src: dict = {}
+    for i, s in zip(ids, srcs):
+        by_src.setdefault(s, []).append(
+            (_lcg_key(i, C.SPLIT_A, C.SPLIT_B, C.SPLIT_P), i)
+        )
+    for s, lst in by_src.items():
+        wv = weights.get(s, 1.0)
+        for rank, (_, i) in enumerate(sorted(lst), 1):
+            assert got_mix[i] == (rank, float(rank) / wv), i
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_temperature_sample_matches_replay(spark, data):
+    """temperature_sample's sqrt-weighted per-stratum rates and LCG keep
+    decisions equal a sequential replay at alpha=0.5."""
+    import math
+
+    from cdc_stream_processor_spark.operators import corpus as C
+
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 10_000), st.sampled_from(["en", "de", "fr"])
+            ),
+            min_size=1,
+            max_size=15,
+            unique_by=lambda r: r[0],
+        )
+    )
+    target = data.draw(st.sampled_from([0.25, 0.5, 0.75]))
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {
+        r.doc_id: (r.sample_rate, r.sample_key, r.keep)
+        for r in C.temperature_sample(df, target_frac=target).collect()
+    }
+
+    stats: dict = {}
+    for _, lg in rows:
+        stats[lg] = stats.get(lg, 0) + 1
+    ordered = sorted(stats.items())
+    n_total = float(sum(n for _, n in ordered))
+    ws = [math.sqrt(float(n)) for _, n in ordered]
+    sw = 0.0
+    for w in ws:
+        sw = sw + w
+    rates = {
+        s: min(1.0, target * (w / sw) * n_total / float(n))
+        for (s, n), w in zip(ordered, ws)
+    }
+    for i, lg in rows:
+        u = _lcg_key(i, C.SAMPLE_A, C.SAMPLE_B, C.SPLIT_P)
+        assert got[i] == (rates[lg], u, u < rates[lg]), (i, lg)
+
+
+@given(st.data())
+@settings(max_examples=8, deadline=None)
+def test_doc_rarity_matches_replay(spark, data):
+    """doc_rarity (mean corpus df-rank of a doc's token occurrences, rank
+    key (df desc, term asc)) equals a sequential replay."""
+    from cdc_stream_processor_spark.operators.text import doc_rarity
+
+    docs = data.draw(
+        st.lists(
+            st.lists(st.sampled_from("mnop"), max_size=8),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.mean_rarity_rank)
+        for r in doc_rarity(df).collect()
+    }
+    dfreq: dict = {}
+    for t in docs:
+        for term in set(t):
+            dfreq[term] = dfreq.get(term, 0) + 1
+    ranked = sorted(dfreq.items(), key=lambda kv: (-kv[1], kv[0]))
+    rank = {term: i + 1 for i, (term, _) in enumerate(ranked)}
+    want = {}
+    for i, t in enumerate(docs):
+        if not t:
+            continue
+        rs = sum(rank[w] for w in t)
+        want[i] = (len(t), float(rs) / float(len(t)))
+    assert got == want
