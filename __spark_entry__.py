@@ -98,12 +98,18 @@ _FORCE_RECHECK: dict[str, int] = {
     # DuckDB-parity-checked (float/0 is NULL in DuckDB):
     "bigram_lift_topk": 10,      # sequence-reversal on sub-2-token docs
     "high_value_enriched": 10,   # name without '#' → getItem(1) OOB
-    "embedding_outliers": 10,    # fold cosine ÷0 on zero vectors → NULL
-    "centroid_pair_sim": 10,     # (same fold-cosine change)
+    "centroid_pair_sim": 10,     # fold cosine ÷0 on zero vectors → NULL
     "weighted_sample": 10,       # u/0 on zero-weight rows → excluded,
     #                              oracle carries the same WHERE
     "order_value_gini": 10,      # gini ÷0 on a zero-total group → NULL
-    "ivf_recall_eval": 10,       # recall ÷0 on an empty query set → NULL
+    # r11 (ADVICE fixes): embedding_outliers orders by the now-nullable
+    # centroid_sim with asc_nulls_last (Spark asc() is NULLS FIRST, the
+    # DuckDB oracle's ASC default is NULLS LAST — a zero-norm vector
+    # would have diverged top-k membership between engines);
+    # ivf_recall_eval's recall denominator guard rewritten to
+    # when(nq * TOPK > 0) dropping the dead-path 'or 1' fallback.
+    "embedding_outliers": 11,
+    "ivf_recall_eval": 11,
     # embedding_health_audit: its embedding_dim helper (sources/batch.py)
     # now scans for the first NON-empty vector instead of bailing on an
     # empty first row — the audit operator itself was the main casualty.

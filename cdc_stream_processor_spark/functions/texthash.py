@@ -96,7 +96,16 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 def SHINGLES_SQL(toks_col: str, k: int = 3) -> str:
     """DuckDB twin of shingles(); `toks_col` must be a column/CTE field that
-    already holds the token list (1-indexed in DuckDB)."""
+    already holds the token list (1-indexed in DuckDB).
+
+    NULL-text parity (probed in DuckDB, r11): a NULL token list (TOKENS_SQL
+    of NULL text is NULL) yields the EMPTY array here, same as shingles() —
+    DuckDB's greatest() IGNORES NULL arguments, so
+    greatest(len(NULL) - k + 1, 0) = 0, generate_series(1, 0) = [], and
+    list_transform/list_distinct of [] stay []. The twin does NOT propagate
+    NULL; the column values (not just the explode-equivalence) are
+    identical across engines for NULL, sub-k-token, and normal text,
+    pinned by test_shingles_sql_null_parity."""
     joined = " || ' ' || ".join(f"{toks_col}[i+{j}]" for j in range(k))
     return (
         f"list_distinct(list_transform("

@@ -1390,6 +1390,12 @@ def rp_project(
         # past the array — one empty embedding (failed upstream inference)
         # crashed the query under ANSI mode. The DuckDB twin's
         # generate_series is empty-safe and folds to 0.0; match it.
+        # NULL-vector parity (probed in DuckDB, r11): the twin ALSO folds
+        # a NULL embedding to 0.0, because list_prepend(0.0, NULL) yields
+        # [0.0] — NOT NULL — so list_reduce returns the 0.0 seed. The
+        # otherwise(0.0) below (which catches NULL v too, since
+        # size(NULL) > 0 is NULL) is therefore exact engine parity for
+        # BOTH degenerate shapes, pinned by test_rp_project_degenerate.
         return F.when(F.size("v") > 0, fold).otherwise(F.lit(0.0))
     return v.select(
         "vec_id",

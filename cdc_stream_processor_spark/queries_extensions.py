@@ -1024,7 +1024,13 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k_per_group(
         scored,
         ["label"],
-        [F.col("centroid_sim").asc(), F.col("vec_id").asc()],
+        # asc_nulls_last, not asc: the r10 fold-cosine guard NULLs the sim
+        # of a zero-norm vector, Spark's asc() is NULLS FIRST while the
+        # DuckDB oracle's default ASC ordering is NULLS LAST — a zero
+        # vector would have ranked FIRST here and last in the oracle,
+        # silently diverging top-k membership (probed: DuckDB ranks the
+        # NULL row 3rd of 3 under ASC).
+        [F.col("centroid_sim").asc_nulls_last(), F.col("vec_id").asc()],
         EMB_OUTLIER_K,
         rank_col="rank",
     ).select("label", "vec_id", "centroid_sim", "rank")

@@ -785,13 +785,14 @@ def q_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(nq).cast("long").alias("n_queries"),
         F.lit(TOPK).cast("long").alias("k"),
         "n_hits",
-        # NULL recall on an empty query set (corpus smaller than the query
-        # stride) — DuckDB's division by the same zero already yields NULL;
-        # the unguarded literal division raised DIVIDE_BY_ZERO under ANSI
+        # NULL recall on an empty denominator (empty query set — corpus
+        # smaller than the query stride — or a zero k): DuckDB's division
+        # by the same zero already yields NULL; the unguarded literal
+        # division raised DIVIDE_BY_ZERO under ANSI.
         (
             F.when(
-                F.lit(nq) > 0,
-                F.col("n_hits").cast("double") / F.lit(float(nq * TOPK or 1)),
+                F.lit(nq * TOPK) > 0,
+                F.col("n_hits").cast("double") / F.lit(float(nq * TOPK)),
             )
         ).alias("recall"),
     )

@@ -3883,3 +3883,233 @@ def test_doc_rarity_matches_replay(spark, data):
         rs = sum(rank[w] for w in t)
         want[i] = (len(t), float(rs) / float(len(t)))
     assert got == want
+
+
+# --- r11: streaming/batch boundary differentials ------------------------------
+#
+# The five CDC pipelines each have a batch twin (operators.pipelines) that
+# the DuckDB oracle certifies. The remaining seam without randomized
+# coverage was the MICRO-BATCH BOUNDARY: the streaming form must produce
+# the same final answer no matter where the stream is cut into batches.
+# These differentials draw a random CDC event stream, cut it at random
+# boundaries (each slice becomes exactly one availableNow run against a
+# shared checkpoint, so batch composition is controlled — not left to file
+# listing), replay the stream through the real streaming pipeline
+# (0-second watermark, update/append sinks via foreachBatch), and assert
+# the FINAL outputs equal the batch twin on the concatenated stream.
+# Slices follow event-time order (the property under test is boundary
+# PLACEMENT, not out-of-order arrival — late-data drop semantics have
+# their own tests in test_streaming.py).
+
+
+def _txn_stream_strategy(data, with_balances=False):
+    """Draw (envelopes sorted by event time, random slice boundaries)."""
+    from tests import fixtures as fx
+
+    us = 1_000_000
+    base = 1_700_000_000  # epoch seconds, minute-aligned windows nearby
+    n = data.draw(st.integers(1, 10), label="n_events")
+    events = []
+    for i in range(n):
+        kwargs = dict(
+            txn_id=float(i + 1),
+            account_id=float(data.draw(st.sampled_from([101, 102]))),
+            txn_type=data.draw(st.sampled_from(["DEBIT", "CREDIT"])),
+            status=data.draw(st.sampled_from(["COMPLETED", "PENDING"])),
+            amount=float(data.draw(st.integers(0, 5000))),
+            initiated_at_us=(base + data.draw(st.integers(0, 180))) * us,
+        )
+        if with_balances:
+            kwargs["balance_before"] = float(data.draw(st.integers(0, 500)))
+            kwargs["balance_after"] = float(
+                data.draw(st.integers(-1, 500))  # -1: ineligible row
+            )
+        events.append(fx.envelope(fx.txn_image(**kwargs)))
+    events.sort(
+        key=lambda e: (e["after"]["INITIATED_AT"], e["after"]["TRANSACTION_ID"])
+    )
+    n_cuts = data.draw(st.integers(0, min(3, n - 1)), label="n_cuts")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts)
+        )
+        if n > 1
+        else set()
+    )
+    slices, prev = [], 0
+    for c in cuts + [n]:
+        slices.append(events[prev:c])
+        prev = c
+    return events, slices
+
+
+def _replay_sliced(spark, slices, build_pipeline, output_mode):
+    """One availableNow run per slice against a shared checkpoint: slice i
+    is exactly micro-batch i. foreachBatch accumulates across restarts
+    (update-mode file sinks don't exist; this sidesteps memory-sink
+    truncation on query restart). Returns all emitted rows in order."""
+    import shutil
+    import tempfile
+
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from tests import fixtures as fx
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-stream-")
+    out = []
+
+    def sink(df, _epoch):
+        out.extend(df.collect())
+
+    try:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        for sl in slices:
+            fx.make_txn_df(spark, sl).repartition(1).write.mode(
+                "append"
+            ).parquet(src)
+            pipe = build_pipeline(
+                SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+            )
+            q = (
+                pipe.writeStream.outputMode(output_mode)
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_velocity_final_counts_match_batch_any_boundaries(spark, data):
+    """Update-mode velocity: per (account, window) the LAST emitted
+    transactionCount (= max; counts are monotone) must equal the batch
+    twin's closed-window count, for every random boundary placement."""
+    import json
+
+    from cdc_stream_processor_spark import cdc
+    from cdc_stream_processor_spark.operators import pipelines as P
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from tests import fixtures as fx
+
+    from pyspark.sql import functions as F
+
+    events, slices = _txn_stream_strategy(data)
+    rows = _replay_sliced(
+        spark,
+        slices,
+        lambda t: SP.fraud_velocity_notifications(
+            t, window="60 seconds", max_txns=2
+        ),
+        "update",
+    )
+    got = {}
+    for r in rows:
+        v = json.loads(r.value)
+        key = (r.key, v["metadata"]["windowStartMs"])
+        cnt = int(v["metadata"]["transactionCount"])
+        got[key] = max(got.get(key, 0), cnt)
+
+    batch = P.transaction_velocity(
+        cdc.parse_transactions(fx.make_txn_df(spark, events)),
+        window="60 seconds",
+        max_txns=2,
+    ).select(
+        F.col("account_id").cast("string").alias("k"),
+        F.unix_millis("window_start").cast("string").alias("ws"),
+        "txn_count",
+    )
+    want = {(r.k, r.ws): r.txn_count for r in batch.collect()}
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_daily_spend_final_totals_match_batch_any_boundaries(
+    spark, data
+):
+    """Update-mode daily spend: per (account, Lagos date) the max emitted
+    totalDebit (monotone, DECIMAL-exact) must equal the batch twin's daily
+    total for every qualifying account-day, at any boundary placement."""
+    import json
+
+    from cdc_stream_processor_spark import cdc
+    from cdc_stream_processor_spark.functions.scalar import lagos_date
+    from cdc_stream_processor_spark.operators import pipelines as P
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from tests import fixtures as fx
+
+    from pyspark.sql import functions as F
+
+    events, slices = _txn_stream_strategy(data)
+    rows = _replay_sliced(
+        spark,
+        slices,
+        lambda t: SP.daily_spend_notifications(t, threshold=1000.0),
+        "update",
+    )
+    got = {}
+    for r in rows:
+        v = json.loads(r.value)
+        key = (r.key, v["metadata"]["date"])
+        tot = float(v["metadata"]["totalDebit"])
+        got[key] = max(got.get(key, 0.0), tot)
+
+    batch = P.daily_spend(
+        cdc.parse_transactions(fx.make_txn_df(spark, events)),
+        threshold=1000.0,
+    ).select(
+        F.col("account_id").cast("string").alias("k"),
+        lagos_date(F.col("window_start")).cast("string").alias("d"),
+        "total_debit",
+    )
+    want = {(r.k, r.d): r.total_debit for r in batch.collect()}
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_balance_recon_matches_batch_any_boundaries(spark, data):
+    """Append-mode stateful balance reconciliation: the per-transaction
+    (discrepancy, severity) stream — state folded across micro-batches —
+    must equal the batch twin's lag()-window replay exactly, for every
+    random boundary placement over a time-sorted stream."""
+    from cdc_stream_processor_spark import cdc
+    from cdc_stream_processor_spark.operators import pipelines as P
+    from cdc_stream_processor_spark.streaming.state import (
+        balance_reconciliation_stream,
+    )
+    from tests import fixtures as fx
+
+    events, slices = _txn_stream_strategy(data, with_balances=True)
+    rows = _replay_sliced(
+        spark, slices, balance_reconciliation_stream, "append"
+    )
+    got = sorted(
+        (
+            r.account_id,
+            r.transaction_id,
+            r.balance_before,
+            r.balance_after,
+            r.discrepancy,
+            r.severity,
+        )
+        for r in rows
+    )
+    want = sorted(
+        (
+            r.account_id,
+            r.transaction_id,
+            r.balance_before,
+            r.balance_after,
+            r.discrepancy,
+            r.severity,
+        )
+        for r in P.balance_reconciliation_batch(
+            cdc.parse_transactions(fx.make_txn_df(spark, events))
+        ).collect()
+    )
+    assert got == want

@@ -900,3 +900,152 @@ def test_degenerate_row_guards(spark, tmp_path):
     from cdc_stream_processor_spark.sources.batch import embedding_dim
 
     assert embedding_dim(str(tmp_path)) == 3
+
+
+# --- r11 ADVICE parity batteries ----------------------------------------------
+
+
+def _write_embeddings(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vec_ids, embs, labels = zip(*rows)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(vec_ids),
+                "embedding": list(embs),
+                "label": list(labels),
+            },
+            schema=pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("embedding", pa.list_(pa.float32())),
+                    ("label", pa.int32()),
+                ]
+            ),
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+
+
+def test_embedding_outliers_zero_vector_parity(spark, tmp_path):
+    """A zero-norm vector's centroid_sim is NULL (r10 fold-cosine guard).
+    Spark's plain asc() is NULLS FIRST; the DuckDB oracle's ASC default is
+    NULLS LAST — pre-r11 the zero vector ranked FIRST in Spark and LAST in
+    the oracle, silently diverging top-k membership. With asc_nulls_last
+    both engines must exclude it from the top-5 of a 6-member label and
+    agree on every (label, vec_id, rank)."""
+    import math
+
+    import duckdb
+
+    import __spark_entry__ as E
+
+    # label 0: five distinct non-zero vectors + ONE zero vector
+    rows = [(i, [float(i + 1), float(2 * i + 1)], 0) for i in range(5)]
+    rows.append((5, [0.0, 0.0], 0))
+    _write_embeddings(tmp_path, rows)
+
+    got = {
+        (r.label, r.vec_id, r.rank): r.centroid_sim
+        for r in E.queries()["embedding_outliers"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = {
+        (lab, vid, rank): sim
+        for lab, vid, sim, rank in con.sql(
+            E.oracle_sql()["embedding_outliers"]
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for key, sim in want.items():
+        if sim is None:
+            assert got[key] is None
+        else:
+            assert got[key] is not None
+            assert math.isclose(got[key], sim, abs_tol=1e-9)
+    # the zero vector is OUT of the top-5 in both engines
+    assert not any(vid == 5 for (_, vid, _) in got)
+
+
+def test_rp_project_degenerate(spark):
+    """NULL and empty embeddings both project to the all-zero vector in
+    BOTH engines: Spark's otherwise(0.0) catches NULL v (size(NULL) > 0 is
+    NULL), and the DuckDB twin's list_prepend(0.0, NULL) yields [0.0] so
+    list_reduce returns the 0.0 seed (probed r11 — the twin does NOT
+    propagate NULL). A normal row must agree elementwise across engines."""
+    import duckdb
+
+    from cdc_stream_processor_spark.operators import similarity as S
+    from cdc_stream_processor_spark.queries_extensions import (
+        _rp_project_sql,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [0.5, -1.25, 2.0]), (2, []), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: r.proj
+        for r in S.rp_project(vecs, id_col="vec_id").collect()
+    }
+    assert got[2] == [0.0] * S.RP_DIMS
+    assert got[3] == [0.0] * S.RP_DIMS
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM (VALUES "
+        "(1, [0.5::FLOAT, -1.25::FLOAT, 2.0::FLOAT]), "
+        "(2, []::FLOAT[]), (3, NULL::FLOAT[])) t(vec_id, embedding)"
+    )
+    for vid, *ps in con.sql(
+        _rp_project_sql() + " ORDER BY vec_id"
+    ).fetchall():
+        assert len(ps) == S.RP_DIMS
+        for j, p in enumerate(ps):
+            assert p is not None, (vid, j)
+            assert abs(got[vid][j] - p) < 1e-9, (vid, j)
+
+
+def test_shingles_sql_null_parity(spark):
+    """shingles() and SHINGLES_SQL agree on the COLUMN VALUES — not just
+    explode-equivalence — for NULL, sub-k-token, and normal text: both
+    yield the EMPTY array for NULL/short docs (DuckDB's greatest() ignores
+    NULL arguments, so the twin never propagates the NULL token list)."""
+    import duckdb
+
+    from cdc_stream_processor_spark.functions import texthash as TH
+
+    texts = [(1, None), (2, "alpha beta"), (3, "alpha beta gamma delta")]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: sorted(r.s)
+        for r in docs.select(
+            "doc_id", TH.shingles(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW docs AS SELECT * FROM (VALUES "
+        "(1, NULL::VARCHAR), (2, 'alpha beta'), "
+        "(3, 'alpha beta gamma delta')) t(doc_id, text)"
+    )
+    toks = TH.TOKENS_SQL.format(text="text")
+    want = {
+        did: sorted(s)
+        for did, s in con.sql(
+            f"SELECT doc_id, {TH.SHINGLES_SQL('t', 3)} AS s "
+            f"FROM (SELECT doc_id, {toks} AS t FROM docs)"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["alpha beta gamma", "beta gamma delta"]
