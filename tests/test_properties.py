@@ -4113,3 +4113,145 @@ def test_stream_balance_recon_matches_batch_any_boundaries(spark, data):
         ).collect()
     )
     assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_dormancy_sessions_match_batch_any_boundaries(spark, data):
+    """Append-mode dormancy: session windows must MERGE identically across
+    micro-batch boundaries — a session split across two batches is one
+    session, closed exactly once when the watermark passes its end. A
+    far-future flush event (dedicated account, excluded from comparison)
+    closes every real session; the emitted (account, sessionStart,
+    sessionEnd) set must equal the batch twin's session layout."""
+    import json
+
+    from cdc_stream_processor_spark import cdc
+    from cdc_stream_processor_spark.operators import pipelines as P
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from pyspark.sql import functions as F
+    from tests import fixtures as fx
+
+    us = 1_000_000
+    base = 1_700_000_000
+    gap_s = 3600  # "1 hour" — the smallest gap _gap_days understands
+    n = data.draw(st.integers(1, 8), label="n_events")
+    events = []
+    for i in range(n):
+        events.append(
+            fx.envelope(
+                fx.txn_image(
+                    txn_id=float(i + 1),
+                    account_id=float(data.draw(st.sampled_from([101, 102]))),
+                    txn_type=data.draw(st.sampled_from(["DEBIT", "CREDIT"])),
+                    status=data.draw(
+                        st.sampled_from(["COMPLETED", "PENDING"])
+                    ),
+                    # spread over 4 gap-lengths so sessions genuinely split
+                    initiated_at_us=(base + data.draw(st.integers(0, 4 * gap_s)))
+                    * us,
+                )
+            )
+        )
+    events.sort(
+        key=lambda e: (e["after"]["INITIATED_AT"], e["after"]["TRANSACTION_ID"])
+    )
+    n_cuts = data.draw(st.integers(0, min(3, n - 1)), label="n_cuts")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts)
+        )
+        if n > 1
+        else set()
+    )
+    slices, prev = [], 0
+    for c in cuts + [n]:
+        slices.append(events[prev:c])
+        prev = c
+    # flush: its event time exceeds every possible session end, so the
+    # watermark it sets closes every real session; account 999 is excluded
+    # from the comparison (its own session never closes)
+    flush = fx.envelope(
+        fx.txn_image(
+            txn_id=999.0,
+            account_id=999.0,
+            initiated_at_us=(base + 8 * gap_s) * us,
+        )
+    )
+    slices.append([flush])
+
+    rows = _replay_sliced(
+        spark,
+        slices,
+        lambda t: SP.dormancy_notifications(t, gap="1 hour"),
+        "append",
+    )
+    got = sorted(
+        (r.key, v["metadata"]["sessionStart"], v["metadata"]["sessionEnd"])
+        for r in rows
+        for v in [json.loads(r.value)]
+        if r.key != "999"
+    )
+    want = sorted(
+        (r.k, r.ss, r.se)
+        for r in P.dormancy_candidates(
+            cdc.parse_transactions(fx.make_txn_df(spark, events + [flush])),
+            gap="1 hour",
+        )
+        .select(
+            F.col("account_id").cast("string").alias("k"),
+            F.unix_millis("session_start").cast("string").alias("ss"),
+            F.unix_millis("session_end").cast("string").alias("se"),
+        )
+        .collect()
+        if r.k != "999"
+    )
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_high_value_matches_batch_any_boundaries(spark, data):
+    """Append-mode high-value (stream-static broadcast join incl. the
+    unmatched-account 'N/A' path): each qualifying transaction is emitted
+    exactly once — no duplicates across query restarts (file-source
+    checkpoint), no drops — and the (account, ref, severity) multiset
+    equals the batch twin's, at any boundary placement."""
+    import json
+    from collections import Counter
+
+    from cdc_stream_processor_spark import cdc
+    from cdc_stream_processor_spark.operators import pipelines as P
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from tests import fixtures as fx
+
+    events, slices = _txn_stream_strategy(data)
+    accounts = cdc.parse_accounts(
+        fx.make_account_df(spark, [fx.account_image(101.0, "ACC-101")])
+    )
+    rows = _replay_sliced(
+        spark,
+        slices,
+        lambda t: SP.high_value_notifications(t, accounts, threshold=2500.0),
+        "append",
+    )
+    got = Counter(
+        (
+            r.key,
+            v["metadata"]["transactionRef"],
+            v["severity"],
+            "ACC-101" in v["body"],
+        )
+        for r in rows
+        for v in [json.loads(r.value)]
+    )
+    want = Counter(
+        (str(r.account_id), r.transaction_ref, r.severity,
+         r.account_number == "ACC-101")
+        for r in P.high_value_alerts(
+            cdc.parse_transactions(fx.make_txn_df(spark, events)),
+            accounts,
+            threshold=2500.0,
+        ).collect()
+    )
+    assert got == want
