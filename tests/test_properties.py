@@ -3943,11 +3943,13 @@ def _txn_stream_strategy(data, with_balances=False):
     return events, slices
 
 
-def _replay_sliced(spark, slices, build_pipeline, output_mode):
+def _replay_sliced(spark, slices, build_pipeline, output_mode, raw=False):
     """One availableNow run per slice against a shared checkpoint: slice i
     is exactly micro-batch i. foreachBatch accumulates across restarts
     (update-mode file sinks don't exist; this sidesteps memory-sink
-    truncation on query restart). Returns all emitted rows in order."""
+    truncation on query restart). Returns all emitted rows in order.
+    ``raw=True`` hands build_pipeline the raw envelope stream (for
+    pipelines that own their watermark, e.g. effectively-once dedup)."""
     import shutil
     import tempfile
 
@@ -3966,8 +3968,9 @@ def _replay_sliced(spark, slices, build_pipeline, output_mode):
             fx.make_txn_df(spark, sl).repartition(1).write.mode(
                 "append"
             ).parquet(src)
+            envs = SP.read_file_envelopes(spark, src)
             pipe = build_pipeline(
-                SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+                envs if raw else SP.parsed_transaction_stream(envs)
             )
             q = (
                 pipe.writeStream.outputMode(output_mode)
@@ -4253,5 +4256,195 @@ def test_stream_high_value_matches_batch_any_boundaries(spark, data):
             accounts,
             threshold=2500.0,
         ).collect()
+    )
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_changelog_enrich_matches_batch_any_boundaries(spark, data):
+    """Stream-stream changelog enrich (J1's event-time twin): with a
+    watermark delay exceeding the total event-time disorder, ANY partition
+    of BOTH streams' rows into micro-batches in ANY arrival order must
+    produce the batch answer — the interval join + max_by(version) is
+    event-time deterministic by construction (the documented delta vs the
+    reference's processing-time KTable join). Far-future flush rows on
+    both streams close every pending group; the flush txn itself never
+    finalizes and is excluded."""
+    import shutil
+    import tempfile
+
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from pyspark.sql import functions as F
+
+    base = 1_700_000_000
+    txn_schema = "txn_id long, account_id long, epoch long"
+    acct_schema = "account_id long, v_epoch long, balance double"
+
+    n_txn = data.draw(st.integers(1, 5), label="n_txn")
+    txn_rows = [
+        (
+            i + 1,
+            data.draw(st.sampled_from([7, 8])),
+            base + data.draw(st.integers(0, 1200)),
+        )
+        for i in range(n_txn)
+    ]
+    n_acct = data.draw(st.integers(1, 5), label="n_acct")
+    acct_rows = [
+        (
+            data.draw(st.sampled_from([7, 8])),
+            base + data.draw(st.integers(-600, 1200)),
+            float(data.draw(st.integers(1, 999))),
+        )
+        for i in range(n_acct)
+    ]
+
+    def sliced(rows, n_runs):
+        rows = data.draw(st.permutations(rows)) if len(rows) > 1 else rows
+        bounds = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(rows)),
+                    min_size=n_runs - 1,
+                    max_size=n_runs - 1,
+                )
+            )
+        )
+        out, prev = [], 0
+        for b in bounds + [len(rows)]:
+            out.append(rows[prev:b])
+            prev = b
+        return out
+
+    n_runs = data.draw(st.integers(1, 3), label="n_runs")
+    txn_slices = sliced(txn_rows, n_runs)
+    acct_slices = sliced(acct_rows, n_runs)
+    # flush run: far-future rows on both streams advance both watermarks
+    txn_slices.append([(999, 99, base + 100_000)])
+    acct_slices.append([(99, base + 100_000, 1.0)])
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-cl-")
+    out = []
+
+    def sink(df, _epoch):
+        out.extend(df.collect())
+
+    def with_ts(df_txn, df_acct):
+        return (
+            df_txn.withColumn("event_time", F.timestamp_seconds("epoch"))
+            .drop("epoch"),
+            df_acct.withColumn("updated_at", F.timestamp_seconds("v_epoch"))
+            .drop("v_epoch"),
+        )
+
+    try:
+        txn_src, acct_src, ckpt = f"{d}/txn", f"{d}/acct", f"{d}/ckpt"
+        for ts, as_ in zip(txn_slices, acct_slices):
+            spark.createDataFrame(ts, txn_schema).repartition(1).write.mode(
+                "append"
+            ).parquet(txn_src)
+            spark.createDataFrame(as_, acct_schema).repartition(1).write.mode(
+                "append"
+            ).parquet(acct_src)
+            t, a = with_ts(
+                spark.readStream.schema(txn_schema).parquet(txn_src),
+                spark.readStream.schema(acct_schema).parquet(acct_src),
+            )
+            enriched = SP.stream_changelog_enrich(t, a, watermark="2 hours")
+            q = (
+                enriched.writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    got = sorted(
+        (r.txn_id, r.account_id, r.updated_at, r.balance)
+        for r in out
+        if r.txn_id != 999
+    )
+    bt, ba = with_ts(
+        spark.createDataFrame(txn_rows, txn_schema),
+        spark.createDataFrame(acct_rows, acct_schema),
+    )
+    want = sorted(
+        (r.txn_id, r.account_id, r.updated_at, r.balance)
+        for r in SP.stream_changelog_enrich(bt, ba, watermark="2 hours")
+        .collect()
+    )
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_effectively_once_dedup_any_boundaries(spark, data):
+    """At-least-once → effectively-once upgrade: redeliveries of the same
+    transaction_id injected at ARBITRARY positions (same batch, later
+    batch, even before the 'original' — arrival order is a random
+    permutation; the 10-minute dedup watermark exceeds the event spread so
+    no state is evicted) must always collapse to exactly one emitted row
+    per unique transaction, equal to the batch distinct."""
+    from cdc_stream_processor_spark import cdc
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from tests import fixtures as fx
+
+    us = 1_000_000
+    base = 1_700_000_000
+    n = data.draw(st.integers(1, 6), label="n_unique")
+    originals = [
+        fx.envelope(
+            fx.txn_image(
+                txn_id=float(i + 1),
+                account_id=float(data.draw(st.sampled_from([101, 102]))),
+                amount=float(data.draw(st.integers(0, 5000))),
+                initiated_at_us=(base + data.draw(st.integers(0, 180))) * us,
+            )
+        )
+        for i in range(n)
+    ]
+    # redeliver a random multiset of the originals (byte-identical copies)
+    dup_idx = data.draw(
+        st.lists(st.integers(0, n - 1), max_size=6), label="dups"
+    )
+    import copy
+
+    stream = originals + [copy.deepcopy(originals[i]) for i in dup_idx]
+    stream = data.draw(st.permutations(stream)) if len(stream) > 1 else stream
+    n_cuts = data.draw(st.integers(0, min(3, len(stream) - 1)))
+    cuts = sorted(
+        data.draw(
+            st.sets(
+                st.integers(1, len(stream) - 1),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+        if len(stream) > 1
+        else set()
+    )
+    slices, prev = [], 0
+    for c in cuts + [len(stream)]:
+        slices.append(list(stream[prev:c]))
+        prev = c
+
+    rows = _replay_sliced(
+        spark,
+        slices,
+        lambda envs: SP.effectively_once_transactions(
+            cdc.parse_transactions(envs)
+        ),
+        "append",
+        raw=True,
+    )
+    got = sorted((r.transaction_id, r.account_id, r.amount) for r in rows)
+    want = sorted(
+        (r.transaction_id, r.account_id, r.amount)
+        for r in cdc.parse_transactions(fx.make_txn_df(spark, originals))
+        .collect()
     )
     assert got == want
