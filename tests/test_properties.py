@@ -4448,3 +4448,104 @@ def test_stream_effectively_once_dedup_any_boundaries(spark, data):
         .collect()
     )
     assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_corpus_gate_matches_batch_any_boundaries(spark, data):
+    """Streaming corpus-ingest gate: over an id-ordered document stream
+    cut at random micro-batch boundaries (dedup state checkpointed across
+    query restarts), the surviving (doc_id, reason, keep) set must equal
+    the batch semantics — min-doc_id representative per normalized text,
+    then the Gopher reason precedence. Duplicates are engineered as
+    whitespace/case variants of a small text pool so dedup genuinely
+    fires across batch boundaries."""
+    import shutil
+    import tempfile
+
+    from cdc_stream_processor_spark.operators.dedup import normalized_text
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    vocab = ["cat", "dog", "market", "fresh", "bread", "walked", "loud",
+             "many", "people", "buying", "fruit", "warm", "the", "and"]
+    n_pool = data.draw(st.integers(1, 3), label="n_pool")
+    pool = [
+        " ".join(
+            vocab[data.draw(st.integers(0, len(vocab) - 1))]
+            for _ in range(data.draw(st.integers(2, 40)))
+        )
+        for _ in range(n_pool)
+    ]
+    n = data.draw(st.integers(1, 8), label="n_docs")
+    docs = []
+    for i in range(n):
+        t = pool[data.draw(st.integers(0, n_pool - 1))]
+        variant = data.draw(st.sampled_from(["id", "ws", "case"]))
+        if variant == "ws":
+            t = "  " + t.replace(" ", "   ") + " "
+        elif variant == "case":
+            t = t.upper()
+        docs.append((i + 1, t))
+    n_cuts = data.draw(st.integers(0, min(3, n - 1)))
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts)
+        )
+        if n > 1
+        else set()
+    )
+    slices, prev = [], 0
+    for c in cuts + [n]:
+        slices.append(docs[prev:c])
+        prev = c
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-gate-")
+    out = []
+
+    def sink(df, _epoch):
+        out.extend(df.collect())
+
+    try:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        for sl in slices:
+            spark.createDataFrame(
+                sl, "doc_id long, text string"
+            ).repartition(1).write.mode("append").parquet(src)
+            gated = SP.stream_corpus_gate(
+                spark.readStream.schema("doc_id long, text string").parquet(
+                    src
+                )
+            )
+            q = (
+                gated.select("doc_id", "reason", "keep")
+                .writeStream.outputMode("append")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    got = sorted((r.doc_id, r.reason, r.keep) for r in out)
+
+    bdocs = spark.createDataFrame(docs, "doc_id long, text string")
+    w = Window.partitionBy("_nt").orderBy("doc_id")
+    kept = (
+        bdocs.withColumn("_nt", normalized_text(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    # batch gate on the deduped representatives: the same stream operator
+    # applied to a batch frame (dropDuplicates is a no-op post-dedup)
+    want = sorted(
+        (r.doc_id, r.reason, r.keep)
+        for r in SP.stream_corpus_gate(kept)
+        .select("doc_id", "reason", "keep")
+        .collect()
+    )
+    assert got == want
