@@ -4549,3 +4549,96 @@ def test_stream_corpus_gate_matches_batch_any_boundaries(spark, data):
         .collect()
     )
     assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_velocity_late_drop_bounded_by_watermark_models(spark, data):
+    """Late-data semantics as a sandwich bound: with the pipelines'
+    0-second watermark and an UNSORTED stream (arbitrary arrival
+    permutation across random micro-batch boundaries), the engine's final
+    velocity counts must sit between two replay models.
+
+    LOWER bound — the most aggressive legitimate dropper: the watermark
+    in force for run k is the max event time of all prior runs, so a row
+    below it is droppable. Spark's real in-force watermark can only LAG
+    this value (the documented one-batch-older late-filter, stretched
+    further across availableNow restarts — an exact-equality model was
+    falsified live by a row accepted two runs after the advancing event),
+    so every row this model keeps, the engine MUST keep. UPPER bound —
+    no drops at all. Together: no phantom counts, no over-dropping, and
+    every definitely-on-time window that reaches the threshold is
+    reported."""
+    import json
+
+    from cdc_stream_processor_spark.streaming import pipelines as SP
+    from tests import fixtures as fx
+
+    us = 1_000_000
+    base = 1_700_000_000
+    n = data.draw(st.integers(1, 10), label="n_events")
+    events = [
+        fx.envelope(
+            fx.txn_image(
+                txn_id=float(i + 1),
+                account_id=float(data.draw(st.sampled_from([101, 102]))),
+                initiated_at_us=(base + data.draw(st.integers(0, 180))) * us,
+            )
+        )
+        for i in range(n)
+    ]
+    events = data.draw(st.permutations(events)) if n > 1 else events
+    n_cuts = data.draw(st.integers(0, min(3, n - 1)), label="n_cuts")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts)
+        )
+        if n > 1
+        else set()
+    )
+    slices, prev = [], 0
+    for c in cuts + [n]:
+        slices.append(list(events[prev:c]))
+        prev = c
+
+    rows = _replay_sliced(
+        spark,
+        slices,
+        lambda t: SP.fraud_velocity_notifications(
+            t, window="60 seconds", max_txns=2
+        ),
+        "update",
+    )
+    got = {}
+    for r in rows:
+        v = json.loads(r.value)
+        key = (r.key, int(v["metadata"]["windowStartMs"]) // 1000)
+        got[key] = max(got.get(key, 0), int(v["metadata"]["transactionCount"]))
+
+    def replay(drop_late):
+        wm = None
+        counts: dict[tuple, int] = {}
+        for sl in slices:
+            times = [e["after"]["INITIATED_AT"] // us for e in sl]
+            for e, t in zip(sl, times):
+                if drop_late and wm is not None and t < wm:
+                    continue
+                acct = str(int(e["after"]["ACCOUNT_ID"]))
+                counts[(acct, t - (t % 60))] = (
+                    counts.get((acct, t - (t % 60)), 0) + 1
+                )
+            if times:
+                wm = max(times) if wm is None else max(wm, max(times))
+        return counts
+
+    lower = replay(drop_late=True)
+    upper = replay(drop_late=False)
+    # no phantom windows/counts; threshold respected
+    for key, c in got.items():
+        assert c >= 2
+        assert c <= upper.get(key, 0), (key, c, upper.get(key))
+        assert c >= min(lower.get(key, 0), upper[key]), (key, c)
+    # definitely-on-time windows that reach the threshold must be reported
+    for key, c in lower.items():
+        if c >= 2:
+            assert key in got and got[key] >= c, (key, c, got.get(key))
