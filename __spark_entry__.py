@@ -110,6 +110,14 @@ _FORCE_RECHECK: dict[str, int] = {
     # when(nq * TOPK > 0) dropping the dead-path 'or 1' fallback.
     "embedding_outliers": 11,
     "ivf_recall_eval": 11,
+    # r11 (unicode/pathological-token stress, the new --unicode mode of
+    # tools/degenerate_stress.py): typo_pairs caps FastSS candidacy at
+    # TYPO_MAX_TOKEN_LEN=24 chars on BOTH engine sides — the ≤2-deletion
+    # neighborhood is O(len²) per token, and ONE 2000-char base64 blob
+    # token (ubiquitous in web corpora) exploded into ~2M variants and
+    # OOM'd the variant-join build side. Byte-identical on all driver
+    # testdata (max token length there is 8).
+    "typo_pairs": 11,
     # embedding_health_audit: its embedding_dim helper (sources/batch.py)
     # now scans for the first NON-empty vector instead of bailing on an
     # empty first row — the audit operator itself was the main casualty.

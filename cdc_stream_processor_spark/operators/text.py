@@ -444,6 +444,16 @@ def bigram_lift_topk(
 
 
 TYPO_MAX_DIST = 2
+# FastSS candidacy cap: the ≤2-deletion neighborhood is O(len²) per
+# distinct token, so ONE pathological mega-token (a base64 blob, a URL,
+# minified JS — ubiquitous in web corpora) explodes into millions of
+# variants and OOMs the build side of the variant join (found live by
+# tools/degenerate_stress.py --unicode: a 2000-char blob token ≈ 2M
+# variants ≈ 4 GB). Tokens longer than this aren't typo-correction
+# candidates anyway (longest common English words are ~20 chars); the
+# oracle SQL carries the same WHERE, and every driver-testdata token is
+# ≤ 8 chars, so results are byte-identical where the old code survived.
+TYPO_MAX_TOKEN_LEN = 24
 
 # single-deletion neighborhood of a string expression (1-based positions)
 _DEL1 = (
@@ -464,12 +474,15 @@ def typo_pairs(
     (guaranteed superset for Levenshtein ≤ 2), joined on the variant as a
     hash EQUI-join over the (vocabulary-sized, not corpus-sized) token
     table, then exact-verified with levenshtein(). Never an all-pairs
-    product; neighborhood size is O(len²) per distinct token. Returns
+    product; neighborhood size is O(len²) per distinct token, BOUNDED by
+    the TYPO_MAX_TOKEN_LEN candidacy cap (see its comment — one blob
+    token otherwise OOMs the variant join at web scale). Returns
     (tok_a, tok_b, dist, n_a, n_b) with corpus frequencies."""
     if max_dist != 2:
         raise ValueError("blocking is built for max_dist=2")
     uni = (
         docs.select(F.explode(TH.tokens(F.col(text_col))).alias("tok"))
+        .filter(F.length("tok") <= TYPO_MAX_TOKEN_LEN)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
     )

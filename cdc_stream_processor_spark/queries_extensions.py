@@ -1045,13 +1045,16 @@ def q_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The deletion neighborhood is a guaranteed candidate superset for
 # Levenshtein ≤ 2, so the oracle states the definition directly: all
-# vocabulary pairs within edit distance 2, with corpus frequencies.
+# vocabulary pairs within edit distance 2, with corpus frequencies —
+# among TYPO-CANDIDATE tokens only (length ≤ TYPO_MAX_TOKEN_LEN, the
+# same cap the engine applies; see operators/text.py — one blob token
+# otherwise explodes the O(len²) deletion neighborhood).
 SQL_TYPO_PAIRS = f"""
 WITH uni AS (
   SELECT tok, COUNT(*) AS n
   FROM (
     SELECT unnest({TH.TOKENS_SQL.format(text="text")}) AS tok FROM documents
-  ) GROUP BY tok
+  ) WHERE length(tok) <= {X.TYPO_MAX_TOKEN_LEN} GROUP BY tok
 )
 SELECT a.tok AS tok_a, b.tok AS tok_b,
        levenshtein(a.tok, b.tok) AS dist,

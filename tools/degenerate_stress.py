@@ -25,6 +25,15 @@ Usage::
     python tools/degenerate_stress.py            # ragged fixture (contract mode)
     python tools/degenerate_stress.py --fixed    # fixed-dim fixture: NOTHING may
                                                  # crash except ppr's seed guard
+    python tools/degenerate_stress.py --unicode  # adversarial TEXT fixture
+                                                 # (astral emoji+ZWJ, RTL+bidi,
+                                                 # zalgo stacks, zero-width chars
+                                                 # inside words, control chars,
+                                                 # NFC/NFD pairs, CJK without
+                                                 # spaces, a base64 mega-token)
+                                                 # over well-formed shapes:
+                                                 # NOTHING may crash except
+                                                 # ppr's seed guard
 
 Exit status 1 if any non-contract query crashes.
 """
@@ -160,20 +169,119 @@ def build_fixture(out: str, ragged_embeddings: bool) -> None:
        ("label", pa.int32())])
 
 
+# Adversarial text rows: every string column a 100 TB web corpus can
+# throw at a tokenizer/hasher/regex — astral-plane emoji joined with
+# ZWJ, RTL scripts with explicit bidi controls, combining-mark stacks
+# (zalgo), zero-width space/joiner INSIDE words, NBSP, C0 control chars
+# (including NUL), composed-vs-decomposed normalization pairs, CJK with
+# no space boundaries, Turkish dotted/dotless i case pairs, and a
+# base64-blob mega-token (one 2000-char "word"). Embeddings stay
+# fixed-dim valid so only the text paths are stressed.
+ZWJ_FAMILY = "\U0001F469\u200D\U0001F469\u200D\U0001F467\u200D\U0001F466"
+UNICODE_TEXTS = [
+    ZWJ_FAMILY + " holds the family together " + ZWJ_FAMILY,
+    "\u202B\u0627\u0644\u0633\u0644\u0627\u0645 \u0639\u0644\u064A\u0643\u0645\u202C mixed with english words",
+    "z\u0301\u0302\u0303\u0304\u0305a\u0316\u0317\u0318lgo stack survives tokenizing",
+    "zero\u200Bwidth\u200Cspace\u200Dinside words and nbsp\u00A0here",
+    "control\x00chars\x01and\x1Ftabs\there but the doc goes on",
+    "caf\u00E9 versus cafe\u0301 normalization pair",
+    "\u65E5\u672C\u8A9E\u306E\u6587\u7AE0\u306B\u306F\u30B9\u30DA\u30FC\u30B9\u304C\u306A\u3044",
+    "I\u0131stanbul TITLE case pa\u0130rs",
+    "b64blob " + "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVo0NTY3ODkrLw==" * 40 + " tail",
+    "\U0001F600\U0001F601\U0001F602" * 50,
+]
+
+
+def build_unicode_fixture(out: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_fixture(out, ragged_embeddings=False)  # well-formed base shapes
+
+    n = len(UNICODE_TEXTS)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(1, n + 1)),
+                "text": UNICODE_TEXTS,
+                "lang": ["en", "ar", "en", "en", "en", "fr", "ja", "tr",
+                         "en", "und"][:n],
+                "source": ["s1", "s2"] * (n // 2),
+                "n_chars": [len(t) for t in UNICODE_TEXTS],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("lang", pa.string()), ("source", pa.string()),
+                 ("n_chars", pa.int64())]
+            ),
+        ),
+        f"{out}/documents.parquet",
+    )
+    # adversarial strings in the relational/event string columns too
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": [1, 2, 3],
+                "c_name": ["Customer#" + ZWJ_FAMILY, "\u202Ename\u202C",
+                           "Customer#1"],
+                "c_nationkey": [0, 0, 1],
+                "c_acctbal": [0.0, 1.0, 9999.99],
+                "c_mktsegment": ["BUILDING", "B\u200BUILDING", "BUILDING"],
+            },
+            schema=pa.schema(
+                [("c_custkey", pa.int64()), ("c_name", pa.string()),
+                 ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+                 ("c_mktsegment", pa.string())]
+            ),
+        ),
+        f"{out}/customer.parquet",
+    )
+    import datetime as _dt
+
+    ts = lambda s: _dt.datetime(2025, 1, 1) + _dt.timedelta(seconds=s)  # noqa: E731
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": [ts(0), ts(1), ts(7200), ts(86400 * 35)],
+                "user_id": [1, 1, 2, 2],
+                "event_type": ["view", ZWJ_FAMILY, "purch\u0301ase",
+                               "vi\u200Dew"],
+                "value": [0.0, 1.0, 100.0, 2.0],
+                "props": ["{}", '{"k":"' + ZWJ_FAMILY + '"}',
+                          '{"k":"\u202B\u0639\u202C"}', "{"],
+            },
+            schema=pa.schema(
+                [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                 ("user_id", pa.int64()), ("event_type", pa.string()),
+                 ("value", pa.float64()), ("props", pa.string())]
+            ),
+        ),
+        f"{out}/events.parquet",
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fixed", action="store_true",
                     help="fixed-dim embeddings (zero vectors, no ragged rows)")
+    ap.add_argument("--unicode", action="store_true",
+                    help="adversarial unicode/pathological-token text fixture")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
     from cdc_stream_processor_spark.session import get_spark
 
     spark = get_spark("degenerate-stress", shuffle_partitions=4)
-    contract = ALWAYS_CONTRACT if args.fixed else RAGGED_CONTRACT
+    contract = (
+        ALWAYS_CONTRACT if (args.fixed or args.unicode) else RAGGED_CONTRACT
+    )
 
     with tempfile.TemporaryDirectory(prefix="degensf_") as tmp:
-        build_fixture(tmp, ragged_embeddings=not args.fixed)
+        if args.unicode:
+            build_unicode_fixture(tmp)
+        else:
+            build_fixture(tmp, ragged_embeddings=not args.fixed)
         bad = []
         contract_hits = []
         qs = entrymod.queries()
