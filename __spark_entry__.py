@@ -125,7 +125,58 @@ _FORCE_RECHECK: dict[str, int] = {
     # embedding_near_dup*) return the identical dim on any fixed-dim
     # table (construction-time helper, pinned by its own planted unit
     # test) and keep their greens.
-    "embedding_health_audit": 10,
+    # (bumped 10 → 11: the r11 divergence audit also changed its ORACLE —
+    # TRY_CAST, see below)
+    "embedding_health_audit": 11,
+    # r11 (cross-engine divergence audit, tools/divergence_stress.py —
+    # Spark-vs-DuckDB parity over the pathological fixtures, the silent
+    # sibling of the crash audit). Four real divergences fixed:
+    # event_type_correlation guarded its zero-variance Pearson
+    # denominator (ANSI DIVIDE_BY_ZERO on Spark vs NULL on DuckDB — a
+    # single-day calendar crashed the engine side); cdc_parse's oracle
+    # normalizes IEEE -0.0 money (Java-BigDecimal/Spark round() has no
+    # signed zero — the engine side is the behavior of record);
+    # embedding_health_audit's oracle TRY_CASTs the grid value (the twin
+    # died on the exact non-finite class the audit exists to flag);
+    # ivf_recall_eval's oracle emits its one report row even for an
+    # empty query set (GROUP BY over zero rows emitted zero rows vs the
+    # engine's ungrouped agg). All byte-identical on driver testdata.
+    "event_type_correlation": 11,
+    "cdc_parse": 11,
+    # r11 (same audit, fixed-mode fixture — NULL/empty-document parity):
+    # text_profile's oracle returned fingerprint 0 for a NULL document
+    # (fold seed survives list_prepend over NULL) vs the engine's NULL;
+    # boilerplate_removal's oracle NULLed the clean_text of an EMPTY
+    # document (DuckDB array_to_string([]) is NULL, Spark array_join([])
+    # is ''); multimodal_frame_sample's oracle propagated NULL for a
+    # NULL-payload media row where the engine's decode stub emits one
+    # empty frame. All byte-identical on driver testdata (no NULL/empty
+    # documents there).
+    "text_profile": 11,
+    "boilerplate_removal": 11,
+    "multimodal_frame_sample": 11,
+    # r11 (same audit, empty-regime + dim/JSON oracle parity):
+    # conversion_lag_quantiles' oracle GROUP BY emitted zero rows when
+    # nobody converts (engine emits its one report row);
+    # json_props_rollup's oracle raised on malformed JSON the engine maps
+    # to the all-NULL struct (json_valid guard); embedding_gram's oracle
+    # hardcoded the 64-dim corpus constant instead of deriving the grid
+    # from the data (2080 NULL-padded cells over a 4-dim table).
+    "conversion_lag_quantiles": 11,
+    "json_props_rollup": 11,
+    "embedding_gram": 11,
+    # r11 (temporal fixture — REAL engine bug + bucket parity):
+    # ewma_event_rate computed day_idx via floor(us / DAY_US) in DOUBLE —
+    # off by one day on pre-epoch rows (floor vs truncating int div) and
+    # on any row within ~0.15 ms of midnight (the double quotient rounds
+    # up across the boundary: latent even on clean data); now the same
+    # exact int64 `div` every other day-bucket operator uses. The three
+    # seasonal oracles bucketed pre-epoch days with DuckDB's sign-keeping
+    # % (dow -6..-1) vs the engine's pmod 0..6 — now the ((d%p)+p)%p form.
+    "ewma_event_rate": 11,
+    "seasonal_decompose": 11,
+    "seasonal_anomalies": 11,
+    "seasonal_by_type": 11,
 }
 
 

@@ -328,3 +328,81 @@ def watermark_slack_audit(
         F.max("lateness_us").alias("max_lateness_us"),
         F.sum("lateness_us").alias("sum_lateness_us"),
     )
+
+
+# Sane-calendar bounds for event-time columns (epoch microseconds).
+# [1900-01-01, 2100-01-01): anything outside is, with near-certainty, a
+# unit-confused or corrupt feed value (s-as-ms-as-us mixups land centuries
+# away), and it breaks downstream machinery in ways worse than wrong
+# answers: calendar-spine operators go quadratic on the span
+# (kendall_tau_types' documented O(days^2) day-pair join), and any value
+# outside python datetime's year 1..9999 kills PySpark's own client-side
+# row deserializer (types.py fromInternal -> datetime.fromtimestamp).
+TS_SANE_LO_US = -2_208_988_800_000_000  # 1900-01-01T00:00:00Z
+TS_SANE_HI_US = 4_102_444_800_000_000  # 2100-01-01T00:00:00Z
+# pandas datetime64[ns] representable range, truncated to whole us —
+# rows outside it crash every Arrow/pandas exchange (applyInPandas,
+# toPandas), pandas ns being narrower than Spark's us-since-epoch long.
+TS_PANDAS_NS_LO_US = -9_223_372_036_854_775  # ~1677-09-21
+TS_PANDAS_NS_HI_US = 9_223_372_036_854_775  # ~2262-04-11
+
+
+def timestamp_health_audit(
+    tables: list[tuple[str, DataFrame, str]],
+) -> DataFrame:
+    """Event-time data-quality audit — the temporal member of the
+    profiling family (profile_table audits scalars, embedding_health_audit
+    audits vectors; this audits every timestamp column BEFORE any
+    calendar-spine / session-window / Arrow-exchange operator runs).
+
+    ``tables`` is [(source_label, df, ts_col), ...]; output is one row per
+    audited column: (src, n_rows, n_null, n_pre_sane, n_post_sane,
+    n_outside_pandas_ns, min_epoch_us, max_epoch_us). Bounds are the
+    module constants above.
+
+    Everything is computed and EMITTED on the epoch-us BIGINT grid — the
+    audit never outputs a timestamp-typed column, so it is collectable
+    whatever corruption the data carries (the temporal analog of
+    embedding_health_audit's try_cast rationale: an audit that crashes on
+    the rows it exists to flag is useless).
+
+    Shape: one map-only projection + one partial-agged single-row
+    aggregate per table, unioned at one row per table — scan-bound at
+    100 TB, no joins, no Python.
+    """
+    parts = []
+    for src, df, ts_col in tables:
+        us = F.unix_micros(F.col(ts_col))
+        zero = F.lit(0).cast("long")
+        # coalesce: SUM over zero rows is NULL on both engines, but an
+        # audit over an empty table should report counts of 0, not NULL
+        parts.append(
+            df.select(us.alias("us")).agg(
+                F.lit(src).alias("src"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum(F.col("us").isNull().cast("long")), zero
+                ).alias("n_null"),
+                F.coalesce(
+                    F.sum((F.col("us") < TS_SANE_LO_US).cast("long")), zero
+                ).alias("n_pre_sane"),
+                F.coalesce(
+                    F.sum((F.col("us") >= TS_SANE_HI_US).cast("long")), zero
+                ).alias("n_post_sane"),
+                F.coalesce(
+                    F.sum(
+                        (
+                            (F.col("us") < TS_PANDAS_NS_LO_US)
+                            | (F.col("us") > TS_PANDAS_NS_HI_US)
+                        ).cast("long")
+                    ),
+                    zero,
+                ).alias("n_outside_pandas_ns"),
+                F.min("us").alias("min_epoch_us"),
+                F.max("us").alias("max_epoch_us"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

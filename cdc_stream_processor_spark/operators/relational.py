@@ -1123,11 +1123,16 @@ def event_type_correlation(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # zero-variance guard (r11 numeric-divergence audit): a constant
+    # series (e.g. a single-day calendar) makes a sqrt factor 0, which is
+    # an ANSI DIVIDE_BY_ZERO crash on Spark but NULL on the DuckDB twin
+    # (float x/0 is NULL there) — corr is undefined, emit NULL on both
+    denom = F.sqrt(vx) * F.sqrt(vy)
     return agg.select(
         "type_a",
         "type_b",
         F.col("n").cast("long").alias("n_days"),
-        (num / (F.sqrt(vx) * F.sqrt(vy))).alias("corr"),
+        F.when(denom != 0.0, num / denom).alias("corr"),
     ).orderBy("type_a", "type_b")
 
 

@@ -87,7 +87,16 @@ def q_cdc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_PARSE = (
     TXNS_CTE
     + """
-SELECT transaction_id, account_id, transaction_ref, transaction_type, amount,
+SELECT transaction_id, account_id, transaction_ref, transaction_type,
+       -- +0.0 normalizes IEEE signed zero: a source amount of -0.0 rounds
+       -- to -0.0 in DuckDB but to 0.0 on the engine side (Spark round()
+       -- goes through Java BigDecimal, which has no signed zero — and the
+       -- reference's CdcParser.java money path is that same BigDecimal,
+       -- so 0.0 is the behavior of record). Identity for every other
+       -- value incl. NULL/NaN/Inf. Found by the r11 numeric divergence
+       -- audit; only the raw-parse output surfaces it (downstream
+       -- consumers filter or aggregate the sign away).
+       amount + 0.0 AS amount,
        currency, channel, transaction_status, initiated_at, op
 FROM txns
 """

@@ -195,9 +195,15 @@ SELECT t.doc_id,
        len(t.toks)
          - len(list_filter(t.toks, x -> NOT list_contains(s.stoplist, x)))
          AS n_tokens_removed,
-       array_to_string(
-         list_filter(t.toks, x -> NOT list_contains(s.stoplist, x)), ' ')
-         AS clean_text
+       -- empty-vs-NULL guard (r11 divergence audit): DuckDB's
+       -- array_to_string returns NULL for the EMPTY list too, but the
+       -- engine's array_join([]) is '' — an empty document must clean to
+       -- the empty string, while a NULL document stays NULL
+       CASE WHEN t.toks IS NOT NULL THEN
+         COALESCE(array_to_string(
+           list_filter(t.toks, x -> NOT list_contains(s.stoplist, x)), ' '),
+           '')
+       END AS clean_text
 FROM toks t, stop s
 """
 

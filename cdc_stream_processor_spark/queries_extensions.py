@@ -576,7 +576,13 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _frame_sample_sql() -> str:
     return f"""
 WITH vids AS (
-  SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+  -- COALESCE (r11 divergence audit): the engine's sample_frames stub
+  -- treats a NULL payload as b'' (one empty frame), but substr/length of
+  -- NULL propagated NULL here — a NULL-text media row emitted
+  -- (frame_idx 0, NULL) instead of (0, '')
+  SELECT doc_id AS media_id, COALESCE(text, '') AS text,
+         length(COALESCE(text, '')) AS n
+  FROM documents
   WHERE doc_id % 4 = 0
 )
 , idx AS (
@@ -630,10 +636,17 @@ def _text_profile_sql() -> str:
     stop_term = f"least({n_stop}::DOUBLE / 4.0, 1.0)"
     noise = f"least(({punct_ratio} + {digit_ratio}) * 2.0, 1.0)"
     quality = f"ROUND(0.5 * {length_term} + 0.5 * {stop_term} - 0.3 * {noise}, 6)"
+    # NULL-text guard (r11 divergence audit): the fold's list_prepend
+    # seed turns a NULL token list into [0] and returned fingerprint 0
+    # for a NULL document, while the engine side (doc_fingerprint over a
+    # NULL text) yields NULL — the fingerprint of absent data is absent,
+    # and 0 is a reachable hash value a real document could own
     fp_fold = (
+        f"CASE WHEN text IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(0::BIGINT, "
         f"list_transform({toks}, t -> {_polyhash_sql('t')})), "
         f"(acc, h) -> (acc * {TH.FP_FACTOR} + (h % {TH.FP_MOD})) % {TH.FP_MOD})"
+        f" END"
     )
     bpe = f"len(regexp_extract_all(text, '{X.BPE_TOKEN_RE}'))"
     return f"""
@@ -1250,15 +1263,24 @@ def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_gram(emb)
 
 
-def _embedding_gram_sql(dim: int = EMB_DIM) -> str:
+def _embedding_gram_sql() -> str:
+    # dim derived from the data (r11 divergence audit): the former
+    # hardcoded EMB_DIM constant emitted a 64x64 upper triangle (2080
+    # NULL-padded cells) over a 4-dim corpus, while the engine derives
+    # the grid from the vectors — a silent gate breaker if the corpus
+    # dim ever changes
     return f"""
-WITH q AS (
+WITH d AS (
+  SELECT MAX(len(embedding)) - 1 AS hi FROM embeddings
+), q AS (
   SELECT list_transform(embedding,
            x -> CAST(ROUND(x::DOUBLE * {S.GRAM_SCALE}, 0) AS BIGINT)) AS qv
   FROM embeddings
 ), cells AS (
   SELECT i.i AS i, j.j AS j, qv[i.i + 1] * qv[j.j + 1] AS p
-  FROM q, generate_series(0, {dim - 1}) i(i), generate_series(0, {dim - 1}) j(j)
+  FROM q,
+       (SELECT unnest(generate_series(0, (SELECT hi FROM d))) AS i) i,
+       (SELECT unnest(generate_series(0, (SELECT hi FROM d))) AS j) j
   WHERE i.i <= j.j
 )
 SELECT i::INTEGER AS i, j::INTEGER AS j, SUM(p)::BIGINT AS gram_q

@@ -725,10 +725,16 @@ def _embedding_health_sql(sf_dir_hint_dim: int | None = None) -> str:
     # the oracle derives the expected dim the same way the Spark wrapper
     # does: the modal (here: constant) array length of the corpus — stated
     # as a scalar subquery so the SQL needs no per-sf constant
+    # TRY_CAST (r11 numeric divergence audit): a NaN/Inf/overflowing
+    # component crashed the plain ::BIGINT cast — the oracle twin died on
+    # the exact input class the audit exists to flag, while the Spark
+    # side's try_cast NULLs the grid value (the vector reports through
+    # n_nonfinite and the NULL n2 drops out of min/max on both engines)
     n2 = (
         "list_reduce(list_prepend(0::BIGINT, "
         "list_transform(list_transform(embedding, "
-        "x -> trunc(x::DOUBLE * 1000000)::BIGINT), v -> v * v)), "
+        "x -> TRY_CAST(trunc(x::DOUBLE * 1000000) AS BIGINT)), "
+        "v -> v * v)), "
         "(a, b) -> a + b)"
     )
     nonfin = (
@@ -755,6 +761,70 @@ SELECT label, COUNT(*) AS n_vecs,
        MAX(n2)::BIGINT AS max_norm2_scaled
 FROM pv GROUP BY label
 """
+
+
+# --- timestamp health audit --------------------------------------------------------
+
+
+def q_timestamp_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time audit over every timestamp column in the corpus — the
+    temporal member of the health-audit family (embedding_health_audit
+    audits vectors; this audits event time BEFORE calendar-spine /
+    session-window / Arrow-exchange operators run). Flags the corrupt
+    classes the r11 temporal stress fixture proved are job-killers:
+    out-of-sane-calendar values (spine operators go quadratic on the
+    span), pandas-ns-unrepresentable values (every Arrow/pandas exchange
+    dies), and values PySpark's client row deserializer cannot even
+    collect(). Emits epoch-us BIGINTs only — never a timestamp column —
+    so the audit itself survives whatever it flags."""
+    return PF.timestamp_health_audit(
+        [
+            ("events.ts", B.load_table(spark, sf_dir, "events"), "ts"),
+            (
+                "orders.o_orderdate",
+                B.load_table(spark, sf_dir, "orders"),
+                "o_orderdate",
+            ),
+            (
+                "lineitem.l_shipdate",
+                B.load_table(spark, sf_dir, "lineitem"),
+                "l_shipdate",
+            ),
+        ]
+    )
+
+
+def _ts_health_sql() -> str:
+    from cdc_stream_processor_spark.operators.profiling import (
+        TS_PANDAS_NS_HI_US,
+        TS_PANDAS_NS_LO_US,
+        TS_SANE_HI_US,
+        TS_SANE_LO_US,
+    )
+
+    def one(src: str, table: str, col: str) -> str:
+        return f"""
+  SELECT '{src}' AS src,
+         COUNT(*)::BIGINT AS n_rows,
+         COALESCE(SUM((us IS NULL)::BIGINT), 0)::BIGINT AS n_null,
+         COALESCE(SUM((us < {TS_SANE_LO_US})::BIGINT), 0)::BIGINT
+           AS n_pre_sane,
+         COALESCE(SUM((us >= {TS_SANE_HI_US})::BIGINT), 0)::BIGINT
+           AS n_post_sane,
+         COALESCE(SUM((us < {TS_PANDAS_NS_LO_US}
+                       OR us > {TS_PANDAS_NS_HI_US})::BIGINT), 0)::BIGINT
+           AS n_outside_pandas_ns,
+         MIN(us)::BIGINT AS min_epoch_us,
+         MAX(us)::BIGINT AS max_epoch_us
+  FROM (SELECT epoch_us({col}) AS us FROM {table})"""
+
+    return (
+        one("events.ts", "events", "ts")
+        + "UNION ALL"
+        + one("orders.o_orderdate", "orders", "o_orderdate")
+        + "UNION ALL"
+        + one("lineitem.l_shipdate", "lineitem", "l_shipdate")
+    )
 
 
 # --- IVF recall evaluation -----------------------------------------------------------
@@ -832,14 +902,20 @@ ivf AS (
 ), nqq AS (
   SELECT COUNT(DISTINCT query_id) AS n_queries FROM bf
 )
-SELECT nqq.n_queries, {TOPK}::BIGINT AS k,
+-- ungrouped aggregate + scalar subqueries (r11 numeric/temporal
+-- divergence audit): the former GROUP BY nqq.n_queries emitted ZERO
+-- rows when the query set is empty (corpus smaller than the stride),
+-- while the Spark side's ungrouped agg always emits its one report row
+-- (n_queries=0, n_hits=0, recall NULL)
+SELECT (SELECT n_queries FROM nqq)::BIGINT AS n_queries,
+       {TOPK}::BIGINT AS k,
        COUNT(i.query_id)::BIGINT AS n_hits,
-       COUNT(i.query_id)::DOUBLE / (nqq.n_queries * {TOPK})::DOUBLE
-         AS recall
+       CASE WHEN (SELECT n_queries FROM nqq) * {TOPK} > 0
+            THEN COUNT(i.query_id)::DOUBLE
+                 / ((SELECT n_queries FROM nqq) * {TOPK})::DOUBLE
+       END AS recall
 FROM bf LEFT JOIN ivf i
   ON bf.query_id = i.query_id AND bf.neighbor_id = i.neighbor_id
-CROSS JOIN nqq
-GROUP BY nqq.n_queries
 """
 
 
@@ -1231,6 +1307,7 @@ QUERIES = {
     "ivf_recall_eval": q_ivf_recall_eval,
     "watermark_slack_audit": q_watermark_slack_audit,
     "embedding_health_audit": q_embedding_health_audit,
+    "timestamp_health_audit": q_timestamp_health_audit,
     "silhouette_by_label": q_silhouette_by_label,
     "knn_label_agreement": q_knn_label_agreement,
     "dbscan_labels": q_dbscan_labels,
@@ -1259,6 +1336,7 @@ ORACLES = {
     "ivf_recall_eval": _ivf_recall_eval_sql(),
     "watermark_slack_audit": SQL_WATERMARK_SLACK_AUDIT,
     "embedding_health_audit": _embedding_health_sql(),
+    "timestamp_health_audit": _ts_health_sql(),
     "ppr_related_vectors": _ppr_sql(),
     "knn_assortativity": _knn_assortativity_sql(),
     "community_conductance": _community_conductance_sql(),

@@ -2047,7 +2047,13 @@ WITH daily AS (
 ), detr AS (
   SELECT day, cnt, sum_w,
          {R.SEASON_PERIOD} * cnt - sum_w AS detr_num,
-         day % {R.SEASON_PERIOD} AS dow
+         -- pmod form (r11 temporal divergence audit): DuckDB %
+         -- keeps the dividend's sign, so pre-epoch (negative) day
+         -- indices landed in dow buckets -6..-1 while the engine's
+         -- pmod keeps 0..6 — up to 13 distinct buckets on a
+         -- mixed-sign calendar and different seasonal means
+         ((day % {R.SEASON_PERIOD}) + {R.SEASON_PERIOD})
+           % {R.SEASON_PERIOD} AS dow
   FROM win WHERE cw = {R.SEASON_PERIOD}
 ), per_dow AS (
   SELECT dow, SUM(detr_num)::BIGINT AS s_num, COUNT(*) AS n_dow
@@ -2105,13 +2111,17 @@ WITH firsts AS (
   WHERE e.event_type = '{R.LAG_TO_TYPE}' AND epoch_us(e.ts) >= f.f_us
   GROUP BY e.user_id
 ), nf AS (SELECT COUNT(*) AS n_from FROM firsts)
-SELECT n_from, COUNT(*) AS n_converted,
+-- ungrouped aggregate + scalar subquery (r11 divergence audit): the
+-- former GROUP BY n_from emitted ZERO rows when nobody converts, while
+-- the engine always emits its one report row (n_converted=0, NULL
+-- quantiles)
+SELECT (SELECT n_from FROM nf)::BIGINT AS n_from,
+       COUNT(*) AS n_converted,
        ROUND(quantile_cont(lag_s, 0.25), 6) AS p25_s,
        ROUND(quantile_cont(lag_s, 0.5), 6) AS p50_s,
        ROUND(quantile_cont(lag_s, 0.75), 6) AS p75_s,
        ROUND(quantile_cont(lag_s, 0.9), 6) AS p90_s
-FROM per_user, nf
-GROUP BY n_from
+FROM per_user
 """
 
 
@@ -2216,7 +2226,13 @@ WITH daily AS (
 ), detr AS (
   SELECT grp, day, cnt, sum_w,
          {R.SEASON_PERIOD} * cnt - sum_w AS detr_num,
-         day % {R.SEASON_PERIOD} AS dow
+         -- pmod form (r11 temporal divergence audit): DuckDB %
+         -- keeps the dividend's sign, so pre-epoch (negative) day
+         -- indices landed in dow buckets -6..-1 while the engine's
+         -- pmod keeps 0..6 — up to 13 distinct buckets on a
+         -- mixed-sign calendar and different seasonal means
+         ((day % {R.SEASON_PERIOD}) + {R.SEASON_PERIOD})
+           % {R.SEASON_PERIOD} AS dow
   FROM win WHERE cw = {R.SEASON_PERIOD}
 ), per_dow AS (
   SELECT grp, dow, SUM(detr_num)::BIGINT AS s_num, COUNT(*) AS n_dow
@@ -2899,7 +2915,12 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_PROPS_ROLLUP = """
 SELECT event_type,
-       json_extract(props, '$.k')::BIGINT // 10 AS k_decile,
+       -- json_valid guard (r11 divergence audit): DuckDB's json_extract
+       -- RAISES on malformed props ('' or a truncated '{'), while the
+       -- engine's from_json maps corrupt JSON to the all-NULL struct
+       -- (the r9 corrupt-tolerant contract) — NULL the key on both
+       json_extract(CASE WHEN json_valid(props) THEN props END, '$.k')
+         ::BIGINT // 10 AS k_decile,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events
@@ -2945,7 +2966,14 @@ def q_ewma_event_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         ev.select(
             "event_type",
-            F.floor(F.unix_micros("ts") / F.lit(R.DAY_US)).alias("day_idx"),
+            # exact int64 `div` (r11 temporal divergence audit): the old
+            # floor(us / DAY_US) went through DOUBLE division — off by one
+            # day for pre-epoch rows (floor vs the oracle's truncating //)
+            # AND for any row within ~0.15 ms of midnight, where the
+            # quotient rounds up across the integer boundary (latent even
+            # on clean data). Every other day-bucket operator already used
+            # the int64 div pattern; this was the lone float path.
+            F.expr(f"unix_micros(ts) div {R.DAY_US}").alias("day_idx"),
         )
         .groupBy("event_type", "day_idx")
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -421,7 +421,22 @@ def test_force_recheck_self_clears_on_fresh_green(monkeypatch):
         raising=True,
     )
     order = entry._rotation_order(names)
-    assert order[0] == fresh
+    # the demoted name leads the rotation, behind only never-green
+    # queries (a brand-new query has no verdict at all and outranks a
+    # stale-green one)
+    ever_green = set()
+    for p in paths:
+        for n, rec in json.load(open(p)).items():
+            if (
+                isinstance(rec, dict)
+                and not rec.get("err")
+                and rec.get("rows_match")
+                and rec.get("schema_match")
+                and rec.get("hash_match") in (True, None)
+            ):
+                ever_green.add(n)
+    head = order[: order.index(fresh)]
+    assert all(h not in ever_green for h in head)
 
 
 def test_registry_rotation_prioritizes_unverified_queries():

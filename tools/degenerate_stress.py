@@ -81,6 +81,15 @@ RAGGED_CONTRACT = {
 # when the corpus is smaller than the query stride).
 ALWAYS_CONTRACT = {"ppr_related_vectors"}
 
+# Numeric-pathology mode: queries ALLOWED to fail loudly on NaN/Inf
+# money/metric columns (triaged — each must fail the SAME way on the
+# DuckDB twin; divergence_stress --mode numeric enforces that parity).
+NUMERIC_CONTRACT: set[str] = set()
+
+# Temporal-pathology mode: queries ALLOWED to fail on out-of-pandas-range
+# timestamps (triaged).
+TEMPORAL_CONTRACT: set[str] = set()
+
 
 def build_fixture(out: str, ragged_embeddings: bool) -> None:
     import pyarrow as pa
@@ -261,12 +270,226 @@ def build_unicode_fixture(out: str) -> None:
     )
 
 
+def build_numeric_fixture(out: str) -> None:
+    """Well-formed shapes; every numeric column carries IEEE pathology.
+
+    NaN / +-Inf / -0.0 / denormals / near-max magnitudes are what a
+    100 TB corpus's failed embeds, corrupt amounts, and unit-confused
+    feeds actually deliver. Shapes and texts stay valid so only the
+    NUMERIC paths are stressed. Embeddings are float32 on disk, so the
+    magnitudes are float32-pathological (3e38 squares past f32 max;
+    1e-45 is the f32 denormal floor).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_fixture(out, ragged_embeddings=False)  # well-formed base shapes
+
+    def w(name, data, schema):
+        pq.write_table(
+            pa.table(data, schema=pa.schema(schema)), f"{out}/{name}.parquet"
+        )
+
+    nan, inf = float("nan"), float("inf")
+    w("embeddings",
+      {"vec_id": [1, 2, 3, 4, 5, 6, 7, 8],
+       "embedding": [[nan, 1.0, 2.0, 3.0], [inf, 1.0, 2.0, 3.0],
+                     [-inf, 1.0, 2.0, 3.0], [3e38, 3e38, 3e38, 3e38],
+                     [1e-45, 0.0, 0.0, 0.0], [-0.0, 0.0, -0.0, 0.0],
+                     [1.0, 2.0, 3.0, 4.0], [1.0, 2.0, 3.0, 4.0]],
+       "label": [0, 0, 1, 1, 0, 1, 0, 1]},
+      [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+       ("label", pa.int32())])
+    ts = lambda s: dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    w("events",
+      {"event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+       "ts": [ts(i * 3600) for i in range(8)],
+       "user_id": [1, 1, 1, 2, 2, 2, 1, 2],
+       "event_type": ["view", "view", "purchase", "view", "view",
+                      "purchase", "view", "view"],
+       "value": [nan, inf, -inf, 1e308, -1e308, -0.0, 5e-324, 1.0],
+       "props": ["{}"] * 8},
+      [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+       ("user_id", pa.int64()), ("event_type", pa.string()),
+       ("value", pa.float64()), ("props", pa.string())])
+    w("customer",
+      {"c_custkey": [1, 2, 3], "c_name": ["Customer#1", "Customer#2",
+                                          "Customer#3"],
+       "c_nationkey": [0, 0, 1], "c_acctbal": [nan, inf, 9999.99],
+       "c_mktsegment": ["BUILDING", "BUILDING", "AUTOMOBILE"]},
+      [("c_custkey", pa.int64()), ("c_name", pa.string()),
+       ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+       ("c_mktsegment", pa.string())])
+    w("supplier", {"s_suppkey": [1, 2], "s_name": ["S1", "S2"],
+                   "s_nationkey": [0, 1], "s_acctbal": [inf, 1.0]},
+      [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+       ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    w("part", {"p_partkey": [1, 2], "p_name": ["part one", "part two"],
+               "p_brand": ["B1", "B2"], "p_type": ["t1", "t2"],
+               "p_size": [1, 2], "p_retailprice": [nan, 1.0]},
+      [("p_partkey", pa.int64()), ("p_name", pa.string()),
+       ("p_brand", pa.string()), ("p_type", pa.string()),
+       ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    w("orders", {"o_orderkey": [1, 2, 3], "o_custkey": [1, 2, 3],
+                 "o_orderstatus": ["F", "O", "F"],
+                 "o_totalprice": [nan, inf, 2.5],
+                 "o_orderdate": [ts(0), ts(86400), ts(86400 * 40)],
+                 "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"]},
+      [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+       ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+       ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
+    w("lineitem", {"l_orderkey": [1, 1, 2, 3], "l_partkey": [1, 2, 1, 2],
+                   "l_suppkey": [1, 2, 1, 2], "l_linenumber": [1, 2, 1, 1],
+                   "l_quantity": [inf, 1.0, 2.0, 3.0],
+                   "l_extendedprice": [1e308, 1e308, 20.0, 30.0],
+                   "l_discount": [nan, 1.5, -0.0, 0.1],
+                   "l_tax": [0.0, 0.0, 0.1, nan],
+                   "l_returnflag": ["A", "N", "R", "N"],
+                   "l_linestatus": ["F", "O", "F", "O"],
+                   "l_shipdate": [ts(0), ts(3600), ts(86400 * 10),
+                                  ts(86400 * 20)]},
+      [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+       ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+       ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+       ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+       ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+       ("l_shipdate", pa.timestamp("us"))])
+    w("documents",
+      {"doc_id": [1, 2, 3, 4],
+       "text": ["the quick brown fox jumps over the lazy dog",
+                "pack my box with five dozen liquor jugs",
+                "the quick brown fox jumps over the lazy dog",
+                "sphinx of black quartz judge my vow"],
+       "lang": ["en", "en", "en", "en"],
+       "source": ["s1", "s2", "s1", "s2"],
+       "n_chars": [44, 39, 44, 35]},
+      [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+       ("source", pa.string()), ("n_chars", pa.int64())])
+
+
+def build_temporal_fixture(out: str) -> None:
+    """Well-formed shapes; every timestamp column carries pathology.
+
+    Epoch 0, pre-1970 (negative epoch), the pandas datetime64[ns]
+    ceiling (2262-04-11) and a row PAST it, and year 9999 — the
+    unit-confused (s-as-ms-as-us) corrupt timestamps any real CDC feed
+    eventually delivers. The past-2262 rows are the live hazard for
+    every Arrow/pandas exchange (pandas ns range is narrower than
+    Spark's us range).
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_fixture(out, ragged_embeddings=False)  # well-formed base shapes
+
+    def w(name, data, schema):
+        pq.write_table(
+            pa.table(data, schema=pa.schema(schema)), f"{out}/{name}.parquet"
+        )
+
+    T = [
+        dt.datetime(1970, 1, 1, 0, 0, 0),            # epoch 0
+        dt.datetime(1865, 7, 4, 12, 0, 0),           # pre-epoch (negative us)
+        dt.datetime(2262, 4, 11, 23, 47, 16, 854775),  # pandas ns max edge
+        dt.datetime(2300, 1, 1, 0, 0, 0),            # PAST pandas ns range
+        dt.datetime(9999, 12, 31, 23, 59, 59, 999999),  # Spark/SQL max
+        dt.datetime(1, 1, 1, 0, 0, 0),               # proleptic minimum
+    ]
+    w("events",
+      {"event_id": [1, 2, 3, 4, 5, 6],
+       "ts": T,
+       "user_id": [1, 1, 2, 2, 1, 2],
+       "event_type": ["view", "purchase", "view", "view", "purchase",
+                      "view"],
+       "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+       "props": ["{}"] * 6},
+      [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+       ("user_id", pa.int64()), ("event_type", pa.string()),
+       ("value", pa.float64()), ("props", pa.string())])
+    w("orders", {"o_orderkey": [1, 2, 3, 4, 5, 6],
+                 "o_custkey": [1, 2, 3, 1, 2, 3],
+                 "o_orderstatus": ["F", "O", "F", "O", "F", "O"],
+                 "o_totalprice": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+                 "o_orderdate": T,
+                 "o_orderpriority": ["1-URGENT", "2-HIGH", "1-URGENT",
+                                     "2-HIGH", "1-URGENT", "2-HIGH"]},
+      [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+       ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+       ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
+    w("lineitem", {"l_orderkey": [1, 1, 2, 3, 4, 5],
+                   "l_partkey": [1, 2, 1, 2, 1, 2],
+                   "l_suppkey": [1, 2, 1, 2, 1, 2],
+                   "l_linenumber": [1, 2, 1, 1, 1, 1],
+                   "l_quantity": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+                   "l_extendedprice": [10.0, 20.0, 30.0, 40.0, 50.0, 60.0],
+                   "l_discount": [0.0, 0.1, 0.0, 0.1, 0.0, 0.1],
+                   "l_tax": [0.0, 0.0, 0.1, 0.0, 0.1, 0.0],
+                   "l_returnflag": ["A", "N", "R", "N", "A", "R"],
+                   "l_linestatus": ["F", "O", "F", "O", "F", "O"],
+                   "l_shipdate": T},
+      [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+       ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+       ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+       ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+       ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+       ("l_shipdate", pa.timestamp("us"))])
+
+
+class QueryTimeout(Exception):
+    """A query exceeded the per-query budget — a HANG is a finding too.
+
+    The temporal fixture proved crashes aren't the only job-killer: one
+    corrupt year-9999 timestamp turns kendall_tau_types' documented
+    O(days^2) day-pair join (sane calendar: ~7M pairs) into 1.3e13
+    pairs — the job never crashes, it just never finishes.
+    """
+
+
+def _run_with_timeout(spark, fn, tmp, name, seconds):
+    """collect() under a watchdog: the query runs in an InheritableThread
+    with its own job group; on timeout the group is cancelled (kills the
+    running stages) and QueryTimeout is raised."""
+    from pyspark import InheritableThread
+
+    box: dict[str, object] = {}
+
+    def work():
+        spark.sparkContext.setJobGroup(f"stress-{name}", name,
+                                       interruptOnCancel=True)
+        try:
+            box["rows"] = fn(spark, tmp).collect()
+        except Exception as ex:  # noqa: BLE001 — reported by the caller
+            box["err"] = ex
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+
+    t = InheritableThread(target=work, daemon=True)
+    t.start()
+    t.join(seconds)
+    if t.is_alive():
+        spark.sparkContext.cancelJobGroup(f"stress-{name}")
+        t.join(30)
+        raise QueryTimeout(f"no result within {seconds}s (job group cancelled)")
+    if "err" in box:
+        raise box["err"]  # type: ignore[misc]
+    return box["rows"]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--timeout", type=float, default=120.0,
+                    help="per-query wall budget in seconds; exceeding it is "
+                         "a finding (hangs kill 100 TB jobs as surely as "
+                         "crashes)")
     ap.add_argument("--fixed", action="store_true",
                     help="fixed-dim embeddings (zero vectors, no ragged rows)")
     ap.add_argument("--unicode", action="store_true",
                     help="adversarial unicode/pathological-token text fixture")
+    ap.add_argument("--numeric", action="store_true",
+                    help="NaN/Inf/-0.0/denormal/huge in every numeric column")
+    ap.add_argument("--temporal", action="store_true",
+                    help="pathological timestamps (epoch 0, pre-1970, "
+                         "past-pandas-ns, year 9999)")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -274,12 +497,22 @@ def main() -> int:
 
     spark = get_spark("degenerate-stress", shuffle_partitions=4)
     contract = (
-        ALWAYS_CONTRACT if (args.fixed or args.unicode) else RAGGED_CONTRACT
+        RAGGED_CONTRACT
+        if not (args.fixed or args.unicode or args.numeric or args.temporal)
+        else ALWAYS_CONTRACT
     )
+    if args.numeric:
+        contract = ALWAYS_CONTRACT | NUMERIC_CONTRACT
+    if args.temporal:
+        contract = ALWAYS_CONTRACT | TEMPORAL_CONTRACT
 
     with tempfile.TemporaryDirectory(prefix="degensf_") as tmp:
         if args.unicode:
             build_unicode_fixture(tmp)
+        elif args.numeric:
+            build_numeric_fixture(tmp)
+        elif args.temporal:
+            build_temporal_fixture(tmp)
         else:
             build_fixture(tmp, ragged_embeddings=not args.fixed)
         bad = []
@@ -287,7 +520,7 @@ def main() -> int:
         qs = entrymod.queries()
         for name, fn in qs.items():
             try:
-                fn(spark, tmp).collect()
+                _run_with_timeout(spark, fn, tmp, name, args.timeout)
             except Exception as ex:  # noqa: BLE001 — audit, report everything
                 line = str(ex).split("\n")[0][:100]
                 if name in contract:

@@ -1,0 +1,181 @@
+"""Cross-engine divergence audit over pathological fixtures.
+
+``degenerate_stress.py`` catches CRASHES on degenerate rows; this tool
+catches the quieter failure the last two advice rounds each found by
+hand (NULLS FIRST/LAST rank drift, NULL-vs-[] asymmetries): a query that
+runs fine on both engines but silently returns DIFFERENT values once the
+input carries rows the generated testdata never does. Every registered
+query with an oracle is run on Spark AND DuckDB over the same
+pathological fixture and compared with the driver-gate semantics
+(sorted columns, exact-repr value multiset, NaN==NaN).
+
+Per-query verdict:
+
+- ``PASS``  — both engines succeed and agree.
+- ``LOUD``  — BOTH engines raise. Symmetric loud failure is parity too
+  (e.g. ANSI overflow on an Inf money column): the pipeline dies the
+  same way on either engine instead of shipping silent garbage.
+- ``DIVERGE`` — values/rowcount/columns differ, or exactly ONE engine
+  raises. A finding unless allowlisted below with a triaged reason.
+
+Modes (fixtures come from degenerate_stress):
+
+    --mode fixed     degenerate row shapes, fixed-dim embeddings
+    --mode unicode   adversarial text (ZWJ/bidi/zalgo/mega-token)
+    --mode numeric   NaN/Inf/-0.0/denormal/huge in every numeric column
+    --mode temporal  pathological timestamps (epoch 0, pre-1970,
+                     pandas-ns overflow range, year 9999)
+
+Exit 1 on any non-allowlisted DIVERGE.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+from collections import Counter
+
+BASE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, BASE)
+sys.path.insert(0, os.path.join(BASE, "tools"))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# name -> triaged reason; keyed per mode. A divergence listed here is a
+# DOCUMENTED contract, not a bug — each entry must say why the
+# difference is acceptable (and a pinning test should exist where the
+# behavior is load-bearing).
+ALLOWED: dict[str, dict[str, str]] = {
+    "fixed": {},
+    "unicode": {},
+    "numeric": {},
+    "temporal": {},
+}
+
+
+def _duck_with_timeout(con, sql: str, seconds: float):
+    """fetch_arrow_table under a watchdog; con.interrupt() on timeout."""
+    import threading
+
+    timer = threading.Timer(seconds, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetch_arrow_table()
+    finally:
+        timer.cancel()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("fixed", "unicode", "numeric", "temporal"),
+                    default="fixed")
+    ap.add_argument("--timeout", type=float, default=120.0,
+                    help="per-engine per-query wall budget (seconds); a "
+                         "timeout is an 'error' for parity purposes, so "
+                         "both-engines-quadratic reads LOUD, one-engine "
+                         "reads DIVERGE")
+    ap.add_argument("queries", nargs="*", help="optional subset")
+    args = ap.parse_args()
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    import degenerate_stress as degen
+    from oracle_check import norm, row_key
+    from cdc_stream_processor_spark.session import get_spark
+
+    spark = get_spark("divergence-stress", shuffle_partitions=4)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = set(args.queries)
+    allowed = ALLOWED[args.mode]
+
+    diverged, loud, passed, allowed_hits = [], [], 0, []
+    with tempfile.TemporaryDirectory(prefix="divsf_") as tmp:
+        if args.mode == "unicode":
+            degen.build_unicode_fixture(tmp)
+        elif args.mode == "numeric":
+            degen.build_numeric_fixture(tmp)
+        elif args.mode == "temporal":
+            degen.build_temporal_fixture(tmp)
+        else:
+            degen.build_fixture(tmp, ragged_embeddings=False)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet'")
+
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            if name not in oracles:
+                continue  # rows-only queries have no cross-engine twin
+            t0 = time.time()
+            s_err = d_err = None
+            try:
+                sdf = fn(spark, tmp)
+                scols = sorted(sdf.columns)
+                srows = degen._run_with_timeout(
+                    spark, lambda sp, d: sdf, tmp, name, args.timeout
+                )
+                spark.catalog.clearCache()
+            except Exception as ex:  # noqa: BLE001 — audit, report everything
+                s_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:90]}"
+            try:
+                ddf = _duck_with_timeout(con, oracles[name], args.timeout)
+            except Exception as ex:  # noqa: BLE001
+                d_err = f"{type(ex).__name__}: {str(ex).splitlines()[0][:90]}"
+
+            if s_err and d_err:
+                loud.append(name)
+                print(f"LOUD {name}: spark[{s_err}] duck[{d_err}]")
+                continue
+            detail = None
+            if s_err or d_err:
+                detail = f"one-sided error spark[{s_err}] duck[{d_err}]"
+            else:
+                dcols = sorted(ddf.column_names)
+                if [c.lower() for c in scols] != [c.lower() for c in dcols]:
+                    detail = f"columns spark={scols} duck={dcols}"
+                elif len(srows) != len(ddf):
+                    detail = f"rowcount spark={len(srows)} duck={len(ddf)}"
+                else:
+                    s_order = [sdf.columns.index(c) for c in scols]
+                    s_ms = Counter(row_key(r, s_order) for r in srows)
+                    d_ms = Counter(
+                        tuple(norm(r[c]) for c in dcols)
+                        for r in ddf.to_pylist()
+                    )
+                    if s_ms != d_ms:
+                        so = list((s_ms - d_ms).items())[:2]
+                        do = list((d_ms - s_ms).items())[:2]
+                        detail = f"values spark-only={so} duck-only={do}"
+            if detail is None:
+                passed += 1
+                print(f"PASS {name} ({time.time()-t0:.1f}s)")
+            elif name in allowed:
+                allowed_hits.append(name)
+                print(f"allow {name}: {detail[:160]}\n      reason: {allowed[name]}")
+            else:
+                diverged.append(name)
+                print(f"DIVERGE {name}: {detail[:300]}")
+
+    print(
+        f"mode={args.mode}: pass={passed} loud={len(loud)} "
+        f"allowed={len(allowed_hits)} DIVERGE={len(diverged)}"
+    )
+    if diverged:
+        print("diverged:", sorted(diverged))
+    # An allowlist entry that no longer fires is stale — flag it so the
+    # contract list can't rot.
+    stale = sorted(set(allowed) - set(allowed_hits)) if not only else []
+    if stale:
+        print("STALE allowlist entries (no longer diverge):", stale)
+    return 1 if (diverged or stale) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
