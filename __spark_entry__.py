@@ -177,6 +177,11 @@ _FORCE_RECHECK: dict[str, int] = {
     "seasonal_decompose": 11,
     "seasonal_anomalies": 11,
     "seasonal_by_type": 11,
+    # acf_daily's oracle now LEFT JOINs the lagged partner so a lag with
+    # no pairs still reports its row (n_pairs 0, NULL acf) — the engine
+    # always emits all ACF_MAX_LAG rows; the old inner join emitted none
+    # on a single-day series.
+    "acf_daily": 11,
 }
 
 

@@ -2322,11 +2322,16 @@ WITH daily AS (
 ), den AS (
   SELECT SUM(a * a) AS den FROM a
 )
-SELECT lag, COUNT(*) AS n_pairs,
+-- LEFT JOIN the lagged partner (r11 divergence audit): the former inner
+-- join emitted ZERO rows for any lag with no pairs (a single-day series
+-- has none), while the engine always reports all {R.ACF_MAX_LAG} lag
+-- rows (n_pairs 0, NULL acf)
+SELECT lag, COUNT(y.day) AS n_pairs,
        SUM(x.a * y.a)::DOUBLE / MAX(den.den)::DOUBLE AS acf
 FROM a x
 CROSS JOIN (SELECT unnest(generate_series(1, {R.ACF_MAX_LAG})) AS lag)
-JOIN a y ON x.day + lag = y.day, den
+LEFT JOIN a y ON x.day + lag = y.day
+CROSS JOIN den
 GROUP BY lag
 ORDER BY lag
 """
@@ -2915,12 +2920,14 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_PROPS_ROLLUP = """
 SELECT event_type,
-       -- json_valid guard (r11 divergence audit): DuckDB's json_extract
-       -- RAISES on malformed props ('' or a truncated '{'), while the
-       -- engine's from_json maps corrupt JSON to the all-NULL struct
-       -- (the r9 corrupt-tolerant contract) — NULL the key on both
-       json_extract(CASE WHEN json_valid(props) THEN props END, '$.k')
-         ::BIGINT // 10 AS k_decile,
+       -- json_valid + TRY_CAST guards (r11 divergence audit): DuckDB's
+       -- json_extract RAISES on malformed props ('' or a truncated '{'),
+       -- and the ::BIGINT cast RAISES on a non-numeric k value, while
+       -- the engine's from_json maps corrupt JSON and uncoercible fields
+       -- to NULL (the r9 corrupt-tolerant contract) — NULL on both
+       TRY_CAST(json_extract(
+         CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)
+         // 10 AS k_decile,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events

@@ -144,3 +144,158 @@ def test_typo_pairs_mega_token_bounded(spark, tmp_path):
     )
     want = sorted(con.sql(E.oracle_sql()["typo_pairs"]).fetchall())
     assert got == [tuple(w) for w in want]
+
+
+def test_numeric_stress_fixture_builds_and_loads(spark, tmp_path):
+    """The --numeric stress fixture must carry every driver table with
+    well-formed shapes/texts and IEEE pathology in the NUMERIC columns:
+    NaN / +-Inf / -0.0 / denormal / huge magnitudes in events.value and
+    non-finite components in fixed-dim embeddings."""
+    import math
+
+    import tools.degenerate_stress as DS
+    from cdc_stream_processor_spark.sources.batch import TABLES, load_table
+
+    DS.build_numeric_fixture(str(tmp_path))
+    for t in TABLES:
+        assert load_table(spark, str(tmp_path), t).count() >= 2, t
+    vals = [
+        r.value
+        for r in load_table(spark, str(tmp_path), "events").collect()
+    ]
+    assert any(math.isnan(v) for v in vals)
+    assert float("inf") in vals and float("-inf") in vals
+    assert any(v != 0 and abs(v) < 1e-300 for v in vals)  # denormal
+    assert any(v == 0 and math.copysign(1.0, v) < 0 for v in vals)  # -0.0
+    embs = [
+        list(r.embedding)
+        for r in load_table(spark, str(tmp_path), "embeddings").collect()
+    ]
+    assert {len(e) for e in embs} == {4}  # fixed-dim: numeric paths only
+    flat = [x for e in embs for x in e]
+    assert any(math.isnan(x) for x in flat) and float("inf") in flat
+    import __spark_entry__ as entrymod
+
+    assert DS.NUMERIC_CONTRACT <= set(entrymod.queries())
+
+
+def test_temporal_stress_fixture_builds_and_loads(spark, tmp_path):
+    """The --temporal stress fixture must carry pathological timestamps
+    in every timestamp column: epoch 0, pre-1970, the pandas ns ceiling,
+    a row PAST it, year 9999, and the proleptic minimum — asserted on
+    the epoch-us grid (the fixture's own rows cannot round-trip through
+    collect(), which is the very hazard the fixture exists to probe)."""
+    import tools.degenerate_stress as DS
+    from pyspark.sql import functions as F
+    from cdc_stream_processor_spark.operators.profiling import (
+        TS_PANDAS_NS_HI_US,
+    )
+    from cdc_stream_processor_spark.sources.batch import TABLES, load_table
+
+    DS.build_temporal_fixture(str(tmp_path))
+    for t in TABLES:
+        assert load_table(spark, str(tmp_path), t).count() >= 2, t
+    for tbl, col in (
+        ("events", "ts"), ("orders", "o_orderdate"),
+        ("lineitem", "l_shipdate"),
+    ):
+        us = [
+            r.us
+            for r in load_table(spark, str(tmp_path), tbl)
+            .select(F.unix_micros(F.col(col)).alias("us"))
+            .collect()
+        ]
+        assert 0 in us, (tbl, "epoch 0")
+        assert any(u < 0 for u in us), (tbl, "pre-epoch")
+        assert any(u > TS_PANDAS_NS_HI_US for u in us), (tbl, "past ns")
+    import __spark_entry__ as entrymod
+
+    assert DS.TEMPORAL_CONTRACT <= set(entrymod.queries())
+
+
+def test_timestamp_health_audit_flags_each_class(spark, tmp_path):
+    """The new audit must FLAG exactly the pathology classes the temporal
+    fixture plants — and, load-bearingly, must itself collect() fine over
+    rows PySpark's row deserializer cannot materialize (epoch-us BIGINT
+    output only)."""
+    import tools.degenerate_stress as DS
+    import __spark_entry__ as E
+
+    DS.build_temporal_fixture(str(tmp_path))
+    rows = {
+        r.src: r
+        for r in E.queries()["timestamp_health_audit"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    ev = rows["events.ts"]
+    assert ev.n_rows == 6 and ev.n_null == 0
+    assert ev.n_pre_sane == 2  # 1865 + year 1
+    assert ev.n_post_sane == 3  # 2262, 2300, 9999
+    assert ev.n_outside_pandas_ns == 3  # 2300, 9999, year 1
+    assert ev.min_epoch_us < 0 < ev.max_epoch_us
+
+
+def test_ewma_day_bucket_boundary_parity(spark, tmp_path):
+    """Regression for the --temporal divergence find: ewma_event_rate's
+    day bucket must use exact int64 division. The old
+    floor(us / 86400e6) DOUBLE path put (a) pre-epoch rows one day early
+    (floor vs truncating int division on negatives) and (b) rows within
+    ~0.15 ms of midnight one day late (the quotient rounds up across the
+    integer boundary). Plants both hazards inside python-datetime range
+    so BOTH engines can materialize, and asserts bucket parity."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+
+    day2 = dt.datetime(2025, 1, 3)
+    rows = {
+        "event_id": [1, 2, 3, 4],
+        "ts": [
+            day2 - dt.timedelta(microseconds=1),   # 1 us before midnight
+            day2,                                  # midnight exactly
+            dt.datetime(1965, 6, 1, 12, 0, 0),     # pre-epoch, negative us
+            dt.datetime(2025, 1, 5, 8, 0, 0),
+        ],
+        "user_id": [1, 1, 2, 2],
+        "event_type": ["view"] * 4,
+        "value": [1.0, 2.0, 3.0, 4.0],
+        "props": ["{}"] * 4,
+    }
+    pq.write_table(
+        pa.table(rows, schema=pa.schema(
+            [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+             ("user_id", pa.int64()), ("event_type", pa.string()),
+             ("value", pa.float64()), ("props", pa.string())]
+        )),
+        str(tmp_path / "events.parquet"),
+    )
+    got = sorted(
+        (r.event_type, r.day_idx, r.n_events)
+        for r in E.queries()["ewma_event_rate"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    days = sorted({d for _, d, _ in got})
+    # 1 us before midnight stays in the PREVIOUS day; the pre-epoch row
+    # truncates toward zero exactly like the oracle's //
+    assert 20091 in days and 20090 in days  # 2025-01-02 and -03
+    # 1965-06-01 12:00 is -144676800000000 us: truncating int division
+    # gives -1674 (the old DOUBLE floor path gave -1675)
+    assert -1674 in days
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = sorted(
+        (t, d, n)
+        for t, d, n, _ in con.sql(
+            E.oracle_sql()["ewma_event_rate"]
+        ).fetchall()
+    )
+    assert got == want

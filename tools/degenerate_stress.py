@@ -82,13 +82,42 @@ RAGGED_CONTRACT = {
 ALWAYS_CONTRACT = {"ppr_related_vectors"}
 
 # Numeric-pathology mode: queries ALLOWED to fail loudly on NaN/Inf
-# money/metric columns (triaged — each must fail the SAME way on the
-# DuckDB twin; divergence_stress --mode numeric enforces that parity).
-NUMERIC_CONTRACT: set[str] = set()
+# money/metric columns — the DELIBERATE exact-money / integer-grid
+# contract (corrupt money must never pass silently). Triaged r11: every
+# name below fails loudly on the DuckDB twin too (the LOUD class in
+# divergence_stress --mode numeric, which enforces that parity).
+# Two sub-classes:
+# - DECIMAL money sums: Inf/1e308 amounts overflow DECIMAL(18,4)/(38,x)
+#   under ANSI on Spark and DuckDB alike.
+# - integer-grid kernels: NaN/Inf -> BIGINT grid casts raise on both
+#   (embedding/value quantization); embedding_health_audit n_nonfinite
+#   is the audit that flags these rows FIRST, and is itself NaN-proof.
+NUMERIC_CONTRACT: set[str] = {
+    "balance_recon", "basket_size_distribution", "benford_digits",
+    "centroid_assign", "centroid_pair_sim", "daily_ohlc",
+    "daily_timeseries", "diversity_sample", "embedding_centroids",
+    "embedding_outliers", "event_analytics", "grouping_sets_revenue",
+    "hopping_event_counts", "important_parts", "json_props_rollup",
+    "kmeans_labels", "profile_events", "promo_revenue",
+    "quantize_embeddings", "retraction_aggregate", "rolling_anomalies",
+    "rollup_revenue", "semdedup", "silhouette_by_label",
+    "sketch_quantiles", "user_sessions", "value_histogram",
+}
 
-# Temporal-pathology mode: queries ALLOWED to fail on out-of-pandas-range
-# timestamps (triaged).
-TEMPORAL_CONTRACT: set[str] = set()
+# Temporal-pathology mode: queries ALLOWED to fail on timestamps outside
+# python datetime's year 1..9999 range (PySpark's client row
+# deserializer — types.py fromInternal — cannot materialize them; the
+# PLANS execute, verified by count()), plus the two calendar-span-bound
+# operators whose cost is quadratic/heavy-linear in the day span (a
+# year-1..9999 spine is 3.65M days; kendall_tau_types' documented
+# O(days^2) pair join never finishes, seasonal_by_type's triple window
+# over span x types may exceed the budget). timestamp_health_audit is
+# the ingest-side detector for exactly these rows.
+TEMPORAL_CONTRACT: set[str] = {
+    "cdc_parse", "dormancy", "scd2_user_history",
+    "point_in_time_user_state", "skyline_orders", "dynamic_sessions",
+    "kendall_tau_types", "seasonal_by_type",
+}
 
 
 def build_fixture(out: str, ragged_embeddings: bool) -> None:
