@@ -9,6 +9,9 @@ The as-of join is checked against a brute-force reference on random data.
 
 from __future__ import annotations
 
+import os
+import sys
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -4642,3 +4645,147 @@ def test_stream_velocity_late_drop_bounded_by_watermark_models(spark, data):
     for key, c in lower.items():
         if c >= 2:
             assert key in got and got[key] >= c, (key, c, got.get(key))
+
+
+# ---------------------------------------------------------------------------
+# Randomized cross-engine parity (the generalization of the r11 fixed
+# pathological fixtures): random DEGENERATE event/document tables —
+# ±1 µs-of-midnight timestamps (the exact class that exposed
+# ewma_event_rate's float day bucket), pre-epoch rows, -0.0 values,
+# corrupt JSON, NULL/empty texts — driven through a robust-query subset
+# on BOTH engines and compared with the driver gate's semantics.
+# ---------------------------------------------------------------------------
+
+_PAR_EVENT_QUERIES = (
+    "cdc_parse", "latest_event_per_user", "json_props_rollup",
+    "retraction_aggregate", "ewma_event_rate",
+)
+_PAR_DOC_QUERIES = ("text_profile", "boilerplate_removal")
+
+_midnight_us = st.integers(-2, 2).flatmap(
+    lambda off: st.integers(19000, 20500).map(
+        lambda day: day * 86_400_000_000 + off
+    )
+)
+_any_us = st.integers(
+    -300_000_000_000_000, 2_000_000_000_000_000  # ~1960 .. ~2033
+)
+_event_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["view", "purchase", "click", ""]),
+        st.one_of(_midnight_us, _any_us),
+        st.integers(1, 3),
+        st.sampled_from(
+            [0.0, -0.0, 1.5, -5.25, 123.4567, 1e-12, 98765.4321]
+        ),
+        st.sampled_from(['{}', '', '{"k":5}', '{bad', '{"k":"x"}',
+                         '{"k":41}']),
+    ),
+    min_size=1,
+    max_size=10,
+)
+_doc_rows = st.lists(
+    st.sampled_from(
+        [None, "", "a", "a b", "the quick brown fox jumps",
+         "x\n\nx\nx", "pack my box with five dozen jugs",
+         "the quick brown fox jumps"]
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _parity_check(spark, tmp, names):
+    import duckdb
+    from collections import Counter
+
+    import __spark_entry__ as E
+    sys_tools = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    if sys_tools not in sys.path:
+        sys.path.insert(0, sys_tools)
+    from oracle_check import norm, row_key
+
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        p = os.path.join(tmp, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    qs, oracles = E.queries(), E.oracle_sql()
+    for name in names:
+        sdf = qs[name](spark, tmp)
+        scols = sorted(sdf.columns)
+        s_order = [sdf.columns.index(c) for c in scols]
+        s_ms = Counter(row_key(r, s_order) for r in sdf.collect())
+        ddf = con.execute(oracles[name]).fetch_arrow_table()
+        dcols = sorted(ddf.column_names)
+        assert [c.lower() for c in scols] == [c.lower() for c in dcols], name
+        d_ms = Counter(
+            tuple(norm(r[c]) for c in dcols) for r in ddf.to_pylist()
+        )
+        assert s_ms == d_ms, (
+            f"{name}: spark-only={list((s_ms - d_ms).items())[:3]} "
+            f"duck-only={list((d_ms - s_ms).items())[:3]}"
+        )
+
+
+@given(_event_rows)
+@settings(max_examples=6, deadline=None)
+def test_event_queries_cross_engine_parity_random_degenerate(spark, rows):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-parity-ev-")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(1, len(rows) + 1)),
+                "ts": [r[1] for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[0] for r in rows],
+                "value": [r[3] for r in rows],
+                "props": [r[4] for r in rows],
+            },
+            schema=pa.schema(
+                [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                 ("user_id", pa.int64()), ("event_type", pa.string()),
+                 ("value", pa.float64()), ("props", pa.string())]
+            ),
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    _parity_check(spark, d, _PAR_EVENT_QUERIES)
+
+
+@given(_doc_rows)
+@settings(max_examples=6, deadline=None)
+def test_doc_queries_cross_engine_parity_random_degenerate(spark, texts):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-parity-doc-")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(1, len(texts) + 1)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": (["s1", "s2"] * (len(texts) // 2 + 1))[
+                    : len(texts)
+                ],
+                "n_chars": [len(t) if t else 0 for t in texts],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("text", pa.string()),
+                 ("lang", pa.string()), ("source", pa.string()),
+                 ("n_chars", pa.int64())]
+            ),
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    _parity_check(spark, d, _PAR_DOC_QUERIES)
