@@ -1482,3 +1482,122 @@ def test_stream_dynamic_gap_session_window(spark, tmpdirs):
     # user 2: two 1-event sessions (view's 30min gap doesn't)
     assert sorted(got[1]) == [2]
     assert sorted(got[2]) == [1, 1]
+
+
+def test_corrupt_far_future_event_poisons_watermark_and_audit_detects(
+    spark, tmpdirs
+):
+    """Watermark poisoning — the production streaming failure the r11
+    timestamp_health_audit exists to prevent: ONE corrupt far-future
+    event (a unit-confused feed value) advances the velocity pipeline's
+    event-time watermark to year 9999, and every legitimate event that
+    arrives afterwards is silently late-dropped — the stream keeps
+    running and reports NOTHING. This test documents the hazard
+    end-to-end (a burst that MUST alert produces no alert once poisoned)
+    and proves the audit flags the poison row on the batch twin, which
+    is exactly why the audit runs at ingest, before the watermark ever
+    sees the row.
+    """
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.operators import profiling as PF
+
+    src, ckpt, out_dir = f"{tmpdirs}/src", f"{tmpdirs}/ckpt", f"{tmpdirs}/out"
+    base = 1_700_000_000
+    aligned = base - (base % 60)
+    year_9999_us = 253_402_300_799_000_000
+
+    def run():
+        t = SP.parsed_transaction_stream(SP.read_file_envelopes(spark, src))
+        q = SP.start_pipeline(
+            SP.fraud_velocity_notifications(
+                t, window="60 seconds", max_txns=5
+            ),
+            "poison_sink",
+            ckpt,
+            output_mode="append",
+            sink_format="parquet",
+            sink_options={"path": out_dir},
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    # run 1: normal burst in window W0 — nothing emits yet (append mode:
+    # the window is still open)
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(
+                fx.txn_image(
+                    txn_id=float(i), initiated_at_us=(aligned + i) * US
+                )
+            )
+            for i in range(5)
+        ],
+    )
+    assert run() == []
+
+    # run 2: THE POISON — one corrupt year-9999 event slams the
+    # watermark past every sane event time; W0 closes and its CRITICAL
+    # alert emits (sanity: the pipeline works)
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(
+                fx.txn_image(txn_id=100.0, initiated_at_us=year_9999_us)
+            )
+        ],
+    )
+    out = run()
+    assert len(out) == 1 and '"transactionCount":"5"' in out[0].value
+
+    # run 3 + flush run 4: a fresh 5-txn burst one hour later — would
+    # alert on a healthy stream, but every row is watermark-late now and
+    # is dropped at input; the stream keeps running and reports NOTHING
+    _write_envelopes(
+        spark,
+        src,
+        [
+            fx.envelope(
+                fx.txn_image(
+                    txn_id=float(200 + i),
+                    initiated_at_us=(aligned + 3600 + i) * US,
+                )
+            )
+            for i in range(5)
+        ],
+    )
+    run()
+    _write_envelopes(
+        spark,
+        src,
+        [fx.envelope(fx.txn_image(txn_id=300.0,
+                                  initiated_at_us=(aligned + 7200) * US))],
+    )
+    out = run()
+    assert len(out) == 1  # still ONLY the W0 alert: the burst is lost
+
+    # the detection story: the audit's batch twin flags the poison row
+    # BEFORE any watermark sees it (epoch-us grid, collectable always)
+    all_txns = cdc.parse_transactions(
+        fx.make_txn_df(
+            spark,
+            [
+                fx.envelope(
+                    fx.txn_image(txn_id=100.0, initiated_at_us=year_9999_us)
+                ),
+                fx.envelope(
+                    fx.txn_image(txn_id=1.0, initiated_at_us=aligned * US)
+                ),
+            ],
+        )
+    )
+    audit = PF.timestamp_health_audit(
+        [("txns.initiated_at", all_txns, "initiated_at")]
+    ).collect()[0]
+    assert audit.n_post_sane == 1
+    assert audit.n_outside_pandas_ns == 1
+    assert audit.max_epoch_us == year_9999_us
