@@ -4658,9 +4658,16 @@ def test_stream_velocity_late_drop_bounded_by_watermark_models(spark, data):
 
 _PAR_EVENT_QUERIES = (
     "cdc_parse", "latest_event_per_user", "json_props_rollup",
-    "retraction_aggregate", "ewma_event_rate",
+    "retraction_aggregate", "ewma_event_rate", "daily_ohlc",
+    "user_sessions", "value_histogram", "daily_spend", "dormancy",
+    "txn_velocity", "rolling_median_daily", "cusum_changepoint",
+    "user_burstiness",
 )
-_PAR_DOC_QUERIES = ("text_profile", "boilerplate_removal")
+_PAR_DOC_QUERIES = (
+    "text_profile", "boilerplate_removal", "doc_sentiment",
+    "doc_repetition", "chunk_documents", "segment_dedup",
+    "heavy_hitter_tokens", "misra_gries_summary", "gopher_quality",
+)
 
 _midnight_us = st.integers(-2, 2).flatmap(
     lambda off: st.integers(19000, 20500).map(
