@@ -1595,23 +1595,29 @@ def test_kendall_tau_matches_brute_force(spark, raw):
     types = sorted({ty for _, ty in raw})
     series = {ty: [counts.get((d, ty), 0) for d in days] for ty in types}
     want = {}
-    for ta, tb in combinations(types, 2):
-        xa, xb = series[ta], series[tb]
-        c = d_ = tx = ty_ = 0
-        for i, j in combinations(range(len(days)), 2):
-            sx = (xa[j] > xa[i]) - (xa[j] < xa[i])
-            sy = (xb[j] > xb[i]) - (xb[j] < xb[i])
-            if sx * sy > 0:
-                c += 1
-            elif sx * sy < 0:
-                d_ += 1
-            elif sx == 0 and sy != 0:
-                tx += 1
-            elif sx != 0 and sy == 0:
-                ty_ += 1
-        denom = sqrt(float(c + d_ + tx)) * sqrt(float(c + d_ + ty_))
-        tau = float(c - d_) / denom if denom != 0.0 else None
-        want[(ta, tb)] = (c, d_, tau)
+    # single-day calendar: there are ZERO day pairs, so no pair row is
+    # computable for ANY type pair — the engine and its DuckDB oracle
+    # agree on emitting the empty relation (the day-pair join is empty);
+    # the reference model must not invent (0, 0, NULL) rows (found by a
+    # hypothesis draw in r11 — both engines were already in agreement)
+    if len(days) >= 2:
+        for ta, tb in combinations(types, 2):
+            xa, xb = series[ta], series[tb]
+            c = d_ = tx = ty_ = 0
+            for i, j in combinations(range(len(days)), 2):
+                sx = (xa[j] > xa[i]) - (xa[j] < xa[i])
+                sy = (xb[j] > xb[i]) - (xb[j] < xb[i])
+                if sx * sy > 0:
+                    c += 1
+                elif sx * sy < 0:
+                    d_ += 1
+                elif sx == 0 and sy != 0:
+                    tx += 1
+                elif sx != 0 and sy == 0:
+                    ty_ += 1
+            denom = sqrt(float(c + d_ + tx)) * sqrt(float(c + d_ + ty_))
+            tau = float(c - d_) / denom if denom != 0.0 else None
+            want[(ta, tb)] = (c, d_, tau)
     assert got == want
 
 
