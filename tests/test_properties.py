@@ -4802,3 +4802,138 @@ def test_doc_queries_cross_engine_parity_random_degenerate(spark, texts):
         os.path.join(d, "documents.parquet"),
     )
     _parity_check(spark, d, _PAR_DOC_QUERIES)
+
+
+# --- r11: streaming sketch twins under random micro-batch boundaries ----------
+#
+# The five CDC pipelines got their randomized boundary differentials
+# above; the streaming SKETCHES (streaming/sketch.py) had only
+# fixed-layout multi-batch tests. CMS merge is exact (counters sum), so
+# the final streamed cells must equal the batch sketch of the
+# concatenated stream for ANY boundary placement; Misra-Gries trims are
+# boundary-SENSITIVE, so only its (one-sided, err_bound) guarantee and
+# the exact n_shard are asserted — at every random boundary placement.
+
+
+def _replay_keys_sliced(spark, slices, build, output_mode="update"):
+    """One availableNow run per slice of a `key string` stream against a
+    shared checkpoint; foreachBatch accumulates every emission."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-sketch-")
+    out = []
+
+    def sink(df, _epoch):
+        out.extend(df.collect())
+
+    try:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        for sl in slices:
+            spark.createDataFrame(
+                [(k,) for k in sl], "key string"
+            ).coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema("key string").parquet(src)
+            q = (
+                build(stream)
+                .writeStream.outputMode(output_mode)
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        return out
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sliced_keys(data):
+    keys = data.draw(
+        st.lists(
+            st.sampled_from(["hot", "warm", "a", "b", "c", "d", "e"]),
+            min_size=1,
+            max_size=40,
+        ),
+        label="keys",
+    )
+    n = len(keys)
+    n_cuts = data.draw(st.integers(0, min(3, n - 1)), label="n_cuts")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts)
+        )
+        if n > 1
+        else set()
+    )
+    slices, prev = [], 0
+    for c in cuts + [n]:
+        slices.append(keys[prev:c])
+        prev = c
+    return keys, slices
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_cms_counters_match_batch_any_boundaries(spark, data):
+    """CMS is an exact merge: after draining, the latest value of every
+    emitted cell (counters are monotone — max across emissions) must
+    equal the batch sketch of ALL keys, wherever the stream was cut."""
+    from cdc_stream_processor_spark.operators import frequency as FR
+    from cdc_stream_processor_spark.streaming import sketch as SK
+
+    keys, slices = _sliced_keys(data)
+    emitted = _replay_keys_sliced(
+        spark, slices, lambda s: SK.cms_stream(s, key_col="key")
+    )
+    got: dict = {}
+    for r in emitted:
+        cell = (r.row, r.col)
+        got[cell] = max(got.get(cell, 0), r.c)
+    want = {
+        (r.row, r.col): r.c
+        for r in FR.cms_build(
+            spark.createDataFrame([(k,) for k in keys], "key string")
+        ).collect()
+    }
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_mg_bound_holds_any_boundaries(spark, data):
+    """Misra-Gries trims depend on batch composition, so the VALUES may
+    differ per boundary placement — but the MG guarantee may not: at the
+    final snapshot, 0 <= true - est <= err_bound for EVERY key, and
+    n_shard is the exact row count of the shard (checkpointed state,
+    never recounted)."""
+    from collections import Counter
+
+    from cdc_stream_processor_spark.streaming import sketch as SK
+    from tests.test_sketch import _shard
+
+    keys, slices = _sliced_keys(data)
+    emitted = _replay_keys_sliced(
+        spark,
+        slices,
+        lambda s: SK.misra_gries_stream(s, key_col="key", k=3),
+        output_mode="append",
+    )
+    latest_seq: dict = {}
+    for r in emitted:
+        latest_seq[r.shard] = max(latest_seq.get(r.shard, 0), r.emit_seq)
+    latest = [r for r in emitted if r.emit_seq == latest_seq[r.shard]]
+    snap = {(r.shard, r.key): r for r in latest if r.key is not None}
+    meta = {r.shard: r for r in latest if r.key is None}
+
+    truth = Counter(keys)
+    true_by_shard: dict = {}
+    for key, c in truth.items():
+        true_by_shard[_shard(key)] = true_by_shard.get(_shard(key), 0) + c
+    for key, c in truth.items():
+        s = _shard(key)
+        est = snap[(s, key)].est_count if (s, key) in snap else 0
+        bound = meta[s].err_bound if s in meta else 0
+        assert 0 <= c - est <= bound, (key, c, est, bound)
+    for s, n_true in true_by_shard.items():
+        assert s in meta and meta[s].n_shard == n_true
