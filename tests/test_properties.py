@@ -4937,3 +4937,105 @@ def test_stream_mg_bound_holds_any_boundaries(spark, data):
         assert 0 <= c - est <= bound, (key, c, est, bound)
     for s, n_true in true_by_shard.items():
         assert s in meta and meta[s].n_shard == n_true
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_ams_signed_sums_match_batch_any_boundaries(spark, data):
+    """AMS signed counters merge exactly (each occurrence adds ±1), so
+    the drained latest value per estimator must equal the batch twin's
+    signed sums over the concatenated stream at any boundary placement."""
+    from cdc_stream_processor_spark.operators import frequency as FR
+    from cdc_stream_processor_spark.streaming import sketch as SK
+
+    keys, slices = _sliced_keys(data)
+    emitted = _replay_keys_sliced(
+        spark, slices, lambda s: SK.ams_stream(s, key_col="key",
+                                               estimators=4)
+    )
+    got: dict = {}
+    for r in emitted:  # update mode re-emits changed cells; last wins
+        got[r.estimator] = r.signed_sum
+    want = {
+        r.estimator: r.signed_sum
+        for r in FR.ams_f2(
+            spark.createDataFrame([(k,) for k in keys], "key string"),
+            estimators=4,
+        ).select("estimator", "signed_sum").collect()
+    }
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=4, deadline=None)
+def test_stream_histogram_bins_match_batch_groupby_any_boundaries(
+    spark, data
+):
+    """The streaming fixed-grid histogram is a plain running count per
+    bin: drained latest values must equal the same grid applied to the
+    concatenated stream as one batch, at any boundary placement —
+    including clamped out-of-range values in the edge bins."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.streaming import sketch as SK
+
+    vals = data.draw(
+        st.lists(st.integers(-50, 800), min_size=1, max_size=40),
+        label="cents",
+    )
+    n = len(vals)
+    n_cuts = data.draw(st.integers(0, min(3, n - 1)), label="n_cuts")
+    cuts = sorted(
+        data.draw(
+            st.sets(st.integers(1, n - 1), min_size=n_cuts, max_size=n_cuts)
+        )
+        if n > 1
+        else set()
+    )
+    slices, prev = [], 0
+    for c in cuts + [n]:
+        slices.append(vals[prev:c])
+        prev = c
+
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-hist-")
+    out = []
+
+    def sink(df, _epoch):
+        out.extend(df.collect())
+
+    try:
+        src, ckpt = f"{d}/src", f"{d}/ckpt"
+        for sl in slices:
+            spark.createDataFrame(
+                [(v,) for v in sl], "cents long"
+            ).coalesce(1).write.mode("append").parquet(src)
+            stream = spark.readStream.schema("cents long").parquet(src)
+            q = (
+                SK.histogram_stream(stream, value_col="cents", lo=0,
+                                    width=100, bins=6)
+                .writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    got: dict = {}
+    for r in out:
+        got[r.bin] = max(got.get(r.bin, 0), r.cnt)
+    batch = spark.createDataFrame([(v,) for v in vals], "cents long")
+    bin_ = F.least(
+        F.greatest(F.expr("(cast(cents as bigint) - 0) div 100"), F.lit(0)),
+        F.lit(5),
+    ).alias("bin")
+    want = {
+        r.bin: r.cnt
+        for r in batch.select(bin_).groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
