@@ -4721,7 +4721,9 @@ def _parity_check(spark, tmp, names):
     from oracle_check import norm, row_key
 
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
         p = os.path.join(tmp, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
@@ -5039,3 +5041,131 @@ def test_stream_histogram_bins_match_batch_groupby_any_boundaries(
         .agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     assert got == want
+
+
+# --- randomized parity: the relational / TPC-H-analog family ------------------
+
+_PAR_ORDERS_QUERIES = (
+    "order_value_deciles", "order_value_gini", "revenue_mom_growth",
+    "cube_orders", "skyline_orders", "rfm_scores", "ltv_cohort_curve",
+    "order_price_quantiles_approx",
+)
+_PAR_LINEITEM_QUERIES = (
+    "pricing_summary", "important_parts", "rollup_revenue",
+    "grouping_sets_revenue", "part_affinity",
+)
+
+_cents = st.integers(0, 500_000).map(lambda c: c / 100.0)  # exact cents
+_odate_us = st.integers(1_704_067_200, 1_790_000_000)  # 2024..2026, seconds
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),              # o_custkey
+            st.sampled_from(["F", "O", "P"]),
+            _cents,                          # o_totalprice (incl 0.00)
+            _odate_us,
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_orders_queries_cross_engine_parity_random(spark, rows):
+    """Random small orders tables — duplicate custkeys, zero totals,
+    repeated order dates (rank/quantile tie pressure) — must hold full
+    value-multiset parity for the orders-only analytics family."""
+    import datetime as dt
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-parity-ord-")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": list(range(1, len(rows) + 1)),
+                "o_custkey": [r[0] for r in rows],
+                "o_orderstatus": [r[1] for r in rows],
+                "o_totalprice": [r[2] for r in rows],
+                "o_orderdate": [
+                    dt.datetime.utcfromtimestamp(r[3]) for r in rows
+                ],
+                "o_orderpriority": [r[4] for r in rows],
+            },
+            schema=pa.schema(
+                [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                 ("o_orderstatus", pa.string()),
+                 ("o_totalprice", pa.float64()),
+                 ("o_orderdate", pa.timestamp("us")),
+                 ("o_orderpriority", pa.string())]
+            ),
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    _parity_check(spark, d, _PAR_ORDERS_QUERIES)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 4),   # l_orderkey (duplicates = multi-line orders)
+            st.integers(1, 3),   # l_partkey
+            st.integers(0, 50),  # l_quantity
+            _cents,              # l_extendedprice
+            st.sampled_from([0.0, 0.05, 0.1]),   # l_discount
+            st.sampled_from([0.0, 0.04, 0.08]),  # l_tax
+            st.sampled_from(["A", "N", "R"]),
+            st.sampled_from(["F", "O"]),
+            _odate_us,
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_lineitem_queries_cross_engine_parity_random(spark, rows):
+    """Random small lineitem tables (multi-line orders, zero quantities
+    and prices, shared parts across orders for the affinity pairs) must
+    hold full value-multiset parity for the lineitem-only family."""
+    import datetime as dt
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-parity-li-")
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": [r[0] for r in rows],
+                "l_partkey": [r[1] for r in rows],
+                "l_suppkey": [1] * len(rows),
+                "l_linenumber": list(range(1, len(rows) + 1)),
+                "l_quantity": [float(r[2]) for r in rows],
+                "l_extendedprice": [r[3] for r in rows],
+                "l_discount": [r[4] for r in rows],
+                "l_tax": [r[5] for r in rows],
+                "l_returnflag": [r[6] for r in rows],
+                "l_linestatus": [r[7] for r in rows],
+                "l_shipdate": [
+                    dt.datetime.utcfromtimestamp(r[8]) for r in rows
+                ],
+            },
+            schema=pa.schema(
+                [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                 ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                 ("l_quantity", pa.float64()),
+                 ("l_extendedprice", pa.float64()),
+                 ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                 ("l_returnflag", pa.string()),
+                 ("l_linestatus", pa.string()),
+                 ("l_shipdate", pa.timestamp("us"))]
+            ),
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    _parity_check(spark, d, _PAR_LINEITEM_QUERIES)
