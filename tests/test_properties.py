@@ -5169,3 +5169,52 @@ def test_lineitem_queries_cross_engine_parity_random(spark, rows):
         os.path.join(d, "lineitem.parquet"),
     )
     _parity_check(spark, d, _PAR_LINEITEM_QUERIES)
+
+
+_PAR_EMB_QUERIES = (
+    "cosine_topk", "centroid_pair_sim", "embedding_outliers",
+    "rp_project", "quantize_embeddings", "embedding_health_audit",
+    "centroid_assign", "embedding_centroids",
+)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+            st.integers(0, 2),  # label
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_embedding_queries_cross_engine_parity_random(spark, rows):
+    """Random fixed-dim integer-grid embeddings — including ZERO vectors
+    (the fold-cosine queries define NULL similarity for them, per the
+    r10/r11 guards) and exact duplicates — must hold full value-multiset
+    parity for the fold-based vector family. The Arrow-kernel kNN family
+    is deliberately excluded: its behavior on zero vectors is the
+    documented finite-vector contract, not a parity surface."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-parity-emb-")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(1, len(rows) + 1)),
+                "embedding": [[float(x) for x in r[0]] for r in rows],
+                "label": [r[1] for r in rows],
+            },
+            schema=pa.schema(
+                [("vec_id", pa.int64()),
+                 ("embedding", pa.list_(pa.float32())),
+                 ("label", pa.int32())]
+            ),
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    _parity_check(spark, d, _PAR_EMB_QUERIES)
