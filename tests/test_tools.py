@@ -299,3 +299,51 @@ def test_ewma_day_bucket_boundary_parity(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_divergence_classify_verdicts():
+    """Pin the standing divergence gate's verdict semantics: symmetric
+    loud failure is parity (LOUD), a one-sided error is a finding, and
+    column/rowcount/multiset mismatches report in that order."""
+    from collections import Counter
+
+    import tools.divergence_stress as DV
+
+    # both raise -> LOUD (parity)
+    assert DV.classify("Boom: x", "Err: y") == ("LOUD", None)
+    # one-sided error -> DIVERGE
+    v, d = DV.classify("Boom: x", None)
+    assert v == "DIVERGE" and "one-sided" in d
+    v, d = DV.classify(None, "Err: y")
+    assert v == "DIVERGE" and "one-sided" in d
+    # column mismatch (case-insensitive compare)
+    v, d = DV.classify(None, None, ["A", "b"], Counter(), 0,
+                       ["a", "c"], Counter(), 0)
+    assert v == "DIVERGE" and "columns" in d
+    assert DV.classify(None, None, ["A", "b"], Counter(), 0,
+                       ["a", "B"], Counter(), 0) == ("PASS", None)
+    # rowcount mismatch
+    v, d = DV.classify(None, None, ["a"], Counter({("1",): 1}), 1,
+                       ["a"], Counter(), 0)
+    assert v == "DIVERGE" and "rowcount" in d
+    # value-multiset mismatch (exact-repr keys; NaN==NaN handled by norm)
+    v, d = DV.classify(None, None, ["a"], Counter({("0.0",): 1}), 1,
+                       ["a"], Counter({("-0.0",): 1}), 1)
+    assert v == "DIVERGE" and "values" in d
+    assert DV.classify(None, None, ["a"], Counter({("NaN",): 2}), 2,
+                       ["a"], Counter({("NaN",): 2}), 2) == ("PASS", None)
+
+
+def test_divergence_allowlists_name_registered_queries_only():
+    """Every allowlist entry must name a REGISTERED query with an oracle
+    — a typo'd name would silently never fire and the staleness check
+    would flag it only at full-run time; pin it at unit speed."""
+    import tools.divergence_stress as DV
+    import __spark_entry__ as E
+
+    with_oracle = set(E.oracle_sql())
+    for mode, entries in DV.ALLOWED.items():
+        unknown = set(entries) - with_oracle
+        assert not unknown, (mode, unknown)
+        # every entry carries a non-empty triage reason
+        assert all(isinstance(r, str) and r for r in entries.values()), mode

@@ -199,6 +199,28 @@ ALLOWED: dict[str, dict[str, str]] = {
 }
 
 
+def classify(s_err, d_err, scols=None, s_ms=None, n_s=None,
+             dcols=None, d_ms=None, n_d=None):
+    """Pure verdict for one query (unit-tested): LOUD when BOTH engines
+    raise (symmetric loud failure is parity), PASS when both succeed and
+    the sorted-column names, rowcounts, and exact-repr value multisets
+    agree, DIVERGE (with detail) otherwise — including a ONE-sided
+    error."""
+    if s_err and d_err:
+        return "LOUD", None
+    if s_err or d_err:
+        return "DIVERGE", f"one-sided error spark[{s_err}] duck[{d_err}]"
+    if [c.lower() for c in scols] != [c.lower() for c in dcols]:
+        return "DIVERGE", f"columns spark={scols} duck={dcols}"
+    if n_s != n_d:
+        return "DIVERGE", f"rowcount spark={n_s} duck={n_d}"
+    if s_ms != d_ms:
+        so = list((s_ms - d_ms).items())[:2]
+        do = list((d_ms - s_ms).items())[:2]
+        return "DIVERGE", f"values spark-only={so} duck-only={do}"
+    return "PASS", None
+
+
 def _duck_with_timeout(con, sql: str, seconds: float):
     """fetch_arrow_table under a watchdog; con.interrupt() on timeout."""
     import threading
@@ -274,26 +296,20 @@ def main() -> int:
                 loud.append(name)
                 print(f"LOUD {name}: spark[{s_err}] duck[{d_err}]")
                 continue
-            detail = None
             if s_err or d_err:
-                detail = f"one-sided error spark[{s_err}] duck[{d_err}]"
+                _, detail = classify(s_err, d_err)
             else:
                 dcols = sorted(ddf.column_names)
-                if [c.lower() for c in scols] != [c.lower() for c in dcols]:
-                    detail = f"columns spark={scols} duck={dcols}"
-                elif len(srows) != len(ddf):
-                    detail = f"rowcount spark={len(srows)} duck={len(ddf)}"
-                else:
-                    s_order = [sdf.columns.index(c) for c in scols]
-                    s_ms = Counter(row_key(r, s_order) for r in srows)
-                    d_ms = Counter(
-                        tuple(norm(r[c]) for c in dcols)
-                        for r in ddf.to_pylist()
-                    )
-                    if s_ms != d_ms:
-                        so = list((s_ms - d_ms).items())[:2]
-                        do = list((d_ms - s_ms).items())[:2]
-                        detail = f"values spark-only={so} duck-only={do}"
+                s_order = [sdf.columns.index(c) for c in scols]
+                s_ms = Counter(row_key(r, s_order) for r in srows)
+                d_ms = Counter(
+                    tuple(norm(r[c]) for c in dcols)
+                    for r in ddf.to_pylist()
+                )
+                _, detail = classify(
+                    None, None, scols, s_ms, len(srows), dcols, d_ms,
+                    len(ddf),
+                )
             if detail is None:
                 passed += 1
                 print(f"PASS {name} ({time.time()-t0:.1f}s)")
