@@ -97,7 +97,8 @@ _FORCE_RECHECK: dict[str, int] = {
     # byte-identical on data the old code didn't crash on, each
     # DuckDB-parity-checked (float/0 is NULL in DuckDB):
     "bigram_lift_topk": 10,      # sequence-reversal on sub-2-token docs
-    "high_value_enriched": 10,   # name without '#' → getItem(1) OOB
+    # (high_value_enriched's r10 entry — the '#'-less-name guard — is
+    # superseded by its r11 bump below)
     "centroid_pair_sim": 10,     # fold cosine ÷0 on zero vectors → NULL
     "weighted_sample": 10,       # u/0 on zero-weight rows → excluded,
     #                              oracle carries the same WHERE
@@ -182,6 +183,19 @@ _FORCE_RECHECK: dict[str, int] = {
     # always emits all ACF_MAX_LAG rows; the old inner join emitted none
     # on a single-day series.
     "acf_daily": 11,
+    # r11 (randomized cross-engine parity differentials — the hypothesis
+    # generalization of the fixed pathological fixtures — found two more
+    # silent divergences on their FIRST runs): the three hopping-window
+    # oracles bucketed pre-epoch events with DuckDB's truncating //
+    # (hop start 0) where Spark's window() floors (start -2h) — now the
+    # ((us % hop) + hop) % hop floor form, byte-identical for us >= 0;
+    # high_value_enriched's oracle rendered an UNMATCHED customer's name
+    # as a bare ' ' (DuckDB split_part(NULL,..) returns '' so the
+    # COALESCE never fired) where the engine renders 'N/A'.
+    "hopping_event_counts": 11,
+    "hopping_active_users": 11,
+    "trending_event_types": 11,
+    "high_value_enriched": 11,
 }
 
 

@@ -539,8 +539,14 @@ SELECT t.transaction_id, t.account_id, t.amount,
        CASE WHEN t.transaction_type IN {_DEBITS_SQL} THEN 'HIGH'
             ELSE 'MEDIUM' END AS severity,
        COALESCE(c.c_name, 'N/A') AS account_number,
-       COALESCE(split_part(c.c_name, '#', 1) || ' ' ||
-                split_part(c.c_name, '#', 2), 'N/A') AS customer_name
+       -- explicit NULL-name branch (r11 randomized-parity find): DuckDB's
+       -- split_part(NULL, ...) returns '' (not NULL), so the COALESCE
+       -- never fired for an UNMATCHED customer and the name rendered as
+       -- a bare ' ' where the engine renders 'N/A'
+       CASE WHEN c.c_name IS NULL THEN 'N/A'
+            ELSE split_part(c.c_name, '#', 1) || ' ' ||
+                 split_part(c.c_name, '#', 2)
+       END AS customer_name
 FROM txns t LEFT JOIN customer c ON t.account_id = c.c_custkey
 WHERE t.amount IS NOT NULL AND t.amount >= {HV_THRESHOLD}
 """

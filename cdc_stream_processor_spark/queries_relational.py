@@ -1390,9 +1390,15 @@ def q_hopping_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HOPPING_ACTIVE_USERS = f"""
 WITH hits AS (
+  -- FLOOR to the hop grid (r11 randomized-parity find): DuckDB //
+  -- truncates toward zero, so a PRE-EPOCH event bucketed into the wrong
+  -- hop (start 0) while Spark's window() floors (start -2h); the
+  -- ((us % hop) + hop) % hop form floors for all signs and is
+  -- byte-identical to the old truncation for us >= 0
   SELECT unnest([
-           (epoch_us(ts) // {HOP_US}) * {HOP_US} - {HOP_US},
-           (epoch_us(ts) // {HOP_US}) * {HOP_US}
+           epoch_us(ts) - ((epoch_us(ts) % {HOP_US}) + {HOP_US}) % {HOP_US}
+             - {HOP_US},
+           epoch_us(ts) - ((epoch_us(ts) % {HOP_US}) + {HOP_US}) % {HOP_US}
          ]) AS window_start_us,
          user_id
   FROM events
@@ -1436,9 +1442,15 @@ def q_trending_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TRENDING_EVENT_TYPES = f"""
 WITH hits AS (
+  -- FLOOR to the hop grid (r11 randomized-parity find): DuckDB //
+  -- truncates toward zero, so a PRE-EPOCH event bucketed into the wrong
+  -- hop (start 0) while Spark's window() floors (start -2h); the
+  -- ((us % hop) + hop) % hop form floors for all signs and is
+  -- byte-identical to the old truncation for us >= 0
   SELECT unnest([
-           (epoch_us(ts) // {HOP_US}) * {HOP_US} - {HOP_US},
-           (epoch_us(ts) // {HOP_US}) * {HOP_US}
+           epoch_us(ts) - ((epoch_us(ts) % {HOP_US}) + {HOP_US}) % {HOP_US}
+             - {HOP_US},
+           epoch_us(ts) - ((epoch_us(ts) % {HOP_US}) + {HOP_US}) % {HOP_US}
          ]) AS window_start_us,
          event_type
   FROM events
@@ -1859,9 +1871,15 @@ def q_hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HOPPING_EVENT_COUNTS = f"""
 WITH hits AS (
+  -- FLOOR to the hop grid (r11 randomized-parity find): DuckDB //
+  -- truncates toward zero, so a PRE-EPOCH event bucketed into the wrong
+  -- hop (start 0) while Spark's window() floors (start -2h); the
+  -- ((us % hop) + hop) % hop form floors for all signs and is
+  -- byte-identical to the old truncation for us >= 0
   SELECT unnest([
-           (epoch_us(ts) // {HOP_US}) * {HOP_US} - {HOP_US},
-           (epoch_us(ts) // {HOP_US}) * {HOP_US}
+           epoch_us(ts) - ((epoch_us(ts) % {HOP_US}) + {HOP_US}) % {HOP_US}
+             - {HOP_US},
+           epoch_us(ts) - ((epoch_us(ts) % {HOP_US}) + {HOP_US}) % {HOP_US}
          ]) AS window_start_us,
          event_type, value
   FROM events

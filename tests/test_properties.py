@@ -4667,7 +4667,11 @@ _PAR_EVENT_QUERIES = (
     "retraction_aggregate", "ewma_event_rate", "daily_ohlc",
     "user_sessions", "value_histogram", "daily_spend", "dormancy",
     "txn_velocity", "rolling_median_daily", "cusum_changepoint",
-    "user_burstiness",
+    "user_burstiness", "balance_recon", "user_state_diff",
+    "scd2_user_history", "point_in_time_user_state",
+    "dynamic_sessions", "event_analytics", "hopping_event_counts",
+    "daily_spend_render", "hopping_active_users",
+    "trending_event_types",
 )
 _PAR_DOC_QUERIES = (
     "text_profile", "boilerplate_removal", "doc_sentiment",
@@ -5218,3 +5222,73 @@ def test_embedding_queries_cross_engine_parity_random(spark, rows):
         os.path.join(d, "embeddings.parquet"),
     )
     _parity_check(spark, d, _PAR_EMB_QUERIES)
+
+
+@given(
+    st.data(),
+)
+@settings(max_examples=5, deadline=None)
+def test_cdc_enrich_queries_cross_engine_parity_random(spark, data):
+    """Random events + customer tables — '#'-less customer names (the
+    r10 getItem guard), unmatched accounts (the 'N/A' join path),
+    duplicate custkeys per nation — must hold full value-multiset parity
+    for the enrichment/render CDC family."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = data.draw(_event_rows, label="events")
+    n_cust = data.draw(st.integers(1, 3), label="n_cust")
+    names = data.draw(
+        st.lists(
+            st.sampled_from(
+                ["Customer#1", "Customer#2", "plainname", "", "x y z"]
+            ),
+            min_size=n_cust,
+            max_size=n_cust,
+        ),
+        label="names",
+    )
+    d = tempfile.mkdtemp(prefix="sgs-prop-parity-cdc-")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": list(range(1, len(ev) + 1)),
+                "ts": [r[1] for r in ev],
+                "user_id": [r[2] for r in ev],
+                "event_type": [r[0] for r in ev],
+                "value": [r[3] for r in ev],
+                "props": [r[4] for r in ev],
+            },
+            schema=pa.schema(
+                [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+                 ("user_id", pa.int64()), ("event_type", pa.string()),
+                 ("value", pa.float64()), ("props", pa.string())]
+            ),
+        ),
+        os.path.join(d, "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": list(range(1, n_cust + 1)),
+                "c_name": names,
+                "c_nationkey": [i % 2 for i in range(n_cust)],
+                "c_acctbal": [float(i) for i in range(n_cust)],
+                "c_mktsegment": ["BUILDING"] * n_cust,
+            },
+            schema=pa.schema(
+                [("c_custkey", pa.int64()), ("c_name", pa.string()),
+                 ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+                 ("c_mktsegment", pa.string())]
+            ),
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    _parity_check(
+        spark,
+        d,
+        ("high_value_enriched", "notifications_render",
+         "cdc_apply_changes"),
+    )
