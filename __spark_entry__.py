@@ -196,6 +196,26 @@ _FORCE_RECHECK: dict[str, int] = {
     "hopping_active_users": 11,
     "trending_event_types": 11,
     "high_value_enriched": 11,
+    # r12 (unguarded-denominator sweep, the r11 verdict's task 1-2):
+    # every Spark-side `/` whose denominator is a data-derived
+    # aggregate/hash now uses F.try_divide so a zero denominator ships
+    # NULL exactly as DuckDB's /0 does instead of dying with ANSI
+    # DIVIDE_BY_ZERO. Sites: revenue_mom_growth (zero-revenue lag month —
+    # the judge's falsifying draw, pinned as @example), approx_distinct_
+    # users (KMV bottom-k max hash 0 — judge-named sibling),
+    # nation_revenue_share (zero-revenue region, found by the new
+    # all-zero-group numeric fixture), forecast_backtest (APE vs a
+    # zero-revenue actual), promo_revenue / market_share (zero ship-month
+    # / order-year), acf_daily (zero-variance series: den=0, num=0).
+    # Clean-data results are bit-identical; rechecked because the code
+    # changed.
+    "revenue_mom_growth": 12,
+    "approx_distinct_users": 12,
+    "nation_revenue_share": 12,
+    "forecast_backtest": 12,
+    "promo_revenue": 12,
+    "market_share": 12,
+    "acf_daily": 12,
 }
 
 

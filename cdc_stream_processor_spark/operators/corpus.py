@@ -966,6 +966,11 @@ def dataset_mixture(
     for one. Emits (doc, source, src_rank, mix_pos).
     """
     w = weights if weights is not None else MIX_WEIGHTS
+    bad = {k: v for k, v in w.items() if not v > 0}
+    if bad:
+        # fail at plan time with the offending entries, not mid-job with
+        # DIVIDE_BY_ZERO (rank/weight) under ANSI
+        raise ValueError(f"mixture weights must be > 0, got {bad}")
     wcol = F.lit(1.0)
     for name, weight in w.items():
         wcol = F.when(F.col(group_col) == name, F.lit(float(weight))).otherwise(

@@ -370,6 +370,8 @@ def timestamp_health_audit(
     aggregate per table, unioned at one row per table — scan-bound at
     100 TB, no joins, no Python.
     """
+    if not tables:
+        raise ValueError("tables must be non-empty")
     parts = []
     for src, df, ts_col in tables:
         us = F.unix_micros(F.col(ts_col))

@@ -946,8 +946,13 @@ def acf_daily(
         .select(
             "lag",
             "n_pairs",
-            (F.col("num").cast("double") / F.col("_den").cast("double"))
-            .alias("acf"),
+            # try_divide: a zero-variance series (every day the same
+            # count, e.g. exactly one event per day) has den = Σa² = 0
+            # with non-NULL num = 0 — DuckDB ships NULL for 0/0 where
+            # ANSI `/` kills the job (r12 unguarded-denominator sweep)
+            F.try_divide(
+                F.col("num").cast("double"), F.col("_den").cast("double")
+            ).alias("acf"),
         )
         .orderBy("lag")
     )
@@ -2408,7 +2413,11 @@ def forecast_backtest(
         F.col("mi").alias("month_idx"),
         (ys_d / F.lit(10000.0)).alias("actual"),
         F.round(pred_s / F.lit(10000.0), 4).alias("predicted"),
-        F.round(F.abs(ys_d - pred_s) / ys_d, 6).alias("ape"),
+        # try_divide: APE against a zero-revenue actual is undefined —
+        # DuckDB ships NULL for /0, ANSI `/` would kill the backtest
+        # (r12 unguarded-denominator sweep; same class as
+        # revenue_mom_growth's zero lag)
+        F.round(F.try_divide(F.abs(ys_d - pred_s), ys_d), 6).alias("ape"),
     ).orderBy("month_idx")
 
 

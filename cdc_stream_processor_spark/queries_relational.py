@@ -331,9 +331,14 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raw (K-1)·P / h_k quotient, NOT rounded: one IEEE double division is
     # bit-identical in Spark and DuckDB, whereas Spark's round-on-double
     # (HALF_UP on shortest repr) and DuckDB's ROUND (binary) can diverge at
-    # a half boundary.
+    # a half boundary.  try_divide: negative user_ids make hv negative
+    # (both engines' % keeps the dividend sign), so the bottom-K max can
+    # land on exactly 0 — DuckDB ships NULL for /0 where ANSI `/` would
+    # kill the job.
     est = F.when(F.col("nh") < KMV_K, F.col("nh").cast("double")).otherwise(
-        (F.lit(float(KMV_K - 1)) * F.lit(float(KMV_P))) / F.col("hk")
+        F.try_divide(
+            F.lit(float(KMV_K - 1)) * F.lit(float(KMV_P)), F.col("hk")
+        )
     )
     return agg.select("event_type", est.alias("approx_users"))
 
@@ -1149,7 +1154,10 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio-to-report window over a pre-aggregated frame: the window input
     is the 25-row nation aggregate, never the fact table, so the
     unpartitioned-window hazard never materializes. Share is one
-    correctly-rounded division of decimal-exact sums."""
+    correctly-rounded division of decimal-exact sums; try_divide ships
+    NULL for a region whose revenue sums to exactly 0 (DuckDB's /0
+    result) instead of killing the job under ANSI — found by the r12
+    all-zero-group numeric fixture."""
     orders = B.load_table(spark, sf_dir, "orders")
     cust = B.load_table(spark, sf_dir, "customer")
     nation = B.load_table(spark, sf_dir, "nation")
@@ -1171,9 +1179,9 @@ def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         "n_name",
         F.col("rev_dec").cast("double").alias("nation_revenue"),
-        (
-            F.col("rev_dec").cast("double")
-            / F.sum("rev_dec").over(w).cast("double")
+        F.try_divide(
+            F.col("rev_dec").cast("double"),
+            F.sum("rev_dec").over(w).cast("double"),
         ).alias("share_of_region"),
     )
 
@@ -1656,7 +1664,10 @@ def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly revenue with MoM and YoY growth — the standard reporting
     rollup: decimal-exact monthly sums, lag(1)/lag(12) on the month-scale
     table, growth = (cur − prev)/prev as single-rounded divisions (NULL
-    where the lag has no row).  Lags are ROW-based (both engines): exact
+    where the lag has no row, and NULL where the previous month's revenue
+    is exactly 0.0 — try_divide matches DuckDB's NULL-on-zero-divisor,
+    where plain `/` under ANSI would kill the job on a zero-revenue
+    month).  Lags are ROW-based (both engines): exact
     month alignment assumes the dense orders calendar this data has —
     spine-fill first if months can be absent."""
     orders = B.load_table(spark, sf_dir, "orders")
@@ -1678,8 +1689,10 @@ def q_revenue_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "month_idx",
         "revenue",
-        F.round((F.col("revenue") - prev1) / prev1, 6).alias("mom_growth"),
-        F.round((F.col("revenue") - prev12) / prev12, 6).alias("yoy_growth"),
+        F.round(F.try_divide(F.col("revenue") - prev1, prev1), 6)
+        .alias("mom_growth"),
+        F.round(F.try_divide(F.col("revenue") - prev12, prev12), 6)
+        .alias("yoy_growth"),
     ).orderBy("month_idx")
 
 

@@ -247,9 +247,12 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "ship_month",
-        (
-            F.col("promo_dec").cast("double") * 100.0
-            / F.col("total_dec").cast("double")
+        # try_divide: a month whose revenue sums to exactly 0 makes the
+        # share 0/0 — DuckDB ships NULL, ANSI `/` kills the job (r12
+        # unguarded-denominator sweep)
+        F.try_divide(
+            F.col("promo_dec").cast("double") * 100.0,
+            F.col("total_dec").cast("double"),
         ).alias("promo_share_pct"),
     )
 
@@ -648,9 +651,11 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "o_year",
-        (
-            F.col("nat_dec").cast("double")
-            / F.col("total_dec").cast("double")
+        # try_divide: an all-zero-revenue year is 0/0 — NULL on DuckDB,
+        # fatal under ANSI `/` (r12 unguarded-denominator sweep)
+        F.try_divide(
+            F.col("nat_dec").cast("double"),
+            F.col("total_dec").cast("double"),
         ).alias("mkt_share"),
     )
 

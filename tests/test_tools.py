@@ -236,6 +236,17 @@ def test_timestamp_health_audit_flags_each_class(spark, tmp_path):
     assert ev.min_epoch_us < 0 < ev.max_epoch_us
 
 
+def test_timestamp_health_audit_rejects_empty_tables():
+    """Public API: an empty audit spec is a caller error and must say so
+    (ValueError), not die with a bare IndexError on parts[0]."""
+    import pytest
+
+    from cdc_stream_processor_spark.operators import profiling as PF
+
+    with pytest.raises(ValueError, match="non-empty"):
+        PF.timestamp_health_audit([])
+
+
 def test_ewma_day_bucket_boundary_parity(spark, tmp_path):
     """Regression for the --temporal divergence find: ewma_event_rate's
     day bucket must use exact int64 division. The old

@@ -319,6 +319,13 @@ def build_numeric_fixture(out: str) -> None:
             pa.table(data, schema=pa.schema(schema)), f"{out}/{name}.parquet"
         )
 
+    # Beyond per-row NaN/Inf/-0.0: whole GROUPS that aggregate to exactly
+    # 0.0 (an all-zero-price month, an all-zero-value day, an all-zero
+    # lineitem flag group). Per-row pathology can never produce a zero
+    # GROUP sum — which is why this fixture missed the r11
+    # revenue_mom_growth lag(revenue)=0 DIVIDE_BY_ZERO — so any
+    # ratio/growth/share whose denominator is a group aggregate is now
+    # exercised at zero.
     nan, inf = float("nan"), float("inf")
     w("embeddings",
       {"vec_id": [1, 2, 3, 4, 5, 6, 7, 8],
@@ -331,13 +338,18 @@ def build_numeric_fixture(out: str) -> None:
        ("label", pa.int32())])
     ts = lambda s: dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
     w("events",
-      {"event_id": [1, 2, 3, 4, 5, 6, 7, 8],
-       "ts": [ts(i * 3600) for i in range(8)],
-       "user_id": [1, 1, 1, 2, 2, 2, 1, 2],
+      {"event_id": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
+       "ts": [ts(i * 3600) for i in range(8)]
+       + [ts(86400 * 5 + i * 3600) for i in range(3)],
+       "user_id": [1, 1, 1, 2, 2, 2, 1, 2, 3, 3, 3],
        "event_type": ["view", "view", "purchase", "view", "view",
-                      "purchase", "view", "view"],
-       "value": [nan, inf, -inf, 1e308, -1e308, -0.0, 5e-324, 1.0],
-       "props": ["{}"] * 8},
+                      "purchase", "view", "view",
+                      # user 3 / day 6: every value exactly 0.0 — zero
+                      # group sum, zero variance, zero per-user total
+                      "view", "view", "view"],
+       "value": [nan, inf, -inf, 1e308, -1e308, -0.0, 5e-324, 1.0,
+                 0.0, 0.0, 0.0],
+       "props": ["{}"] * 11},
       [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
        ("user_id", pa.int64()), ("event_type", pa.string()),
        ("value", pa.float64()), ("props", pa.string())])
@@ -359,24 +371,35 @@ def build_numeric_fixture(out: str) -> None:
       [("p_partkey", pa.int64()), ("p_name", pa.string()),
        ("p_brand", pa.string()), ("p_type", pa.string()),
        ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
-    w("orders", {"o_orderkey": [1, 2, 3], "o_custkey": [1, 2, 3],
-                 "o_orderstatus": ["F", "O", "F"],
-                 "o_totalprice": [nan, inf, 2.5],
-                 "o_orderdate": [ts(0), ts(86400), ts(86400 * 40)],
-                 "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH"]},
+    w("orders", {"o_orderkey": [1, 2, 3, 4, 5, 6],
+                 "o_custkey": [1, 2, 3, 1, 2, 3],
+                 "o_orderstatus": ["F", "O", "F", "F", "F", "O"],
+                 # March 2025 sums to exactly 0.0; April then divides by
+                 # the zero lag (the r11 revenue_mom_growth class)
+                 "o_totalprice": [nan, inf, 2.5, 0.0, 0.0, 7.5],
+                 "o_orderdate": [ts(0), ts(86400), ts(86400 * 40),
+                                 ts(86400 * 60), ts(86400 * 61),
+                                 ts(86400 * 92)],
+                 "o_orderpriority": ["1-URGENT", "1-URGENT", "2-HIGH",
+                                     "3-MEDIUM", "3-MEDIUM", "2-HIGH"]},
       [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
        ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
        ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
-    w("lineitem", {"l_orderkey": [1, 1, 2, 3], "l_partkey": [1, 2, 1, 2],
-                   "l_suppkey": [1, 2, 1, 2], "l_linenumber": [1, 2, 1, 1],
-                   "l_quantity": [inf, 1.0, 2.0, 3.0],
-                   "l_extendedprice": [1e308, 1e308, 20.0, 30.0],
-                   "l_discount": [nan, 1.5, -0.0, 0.1],
-                   "l_tax": [0.0, 0.0, 0.1, nan],
-                   "l_returnflag": ["A", "N", "R", "N"],
-                   "l_linestatus": ["F", "O", "F", "O"],
+    w("lineitem", {"l_orderkey": [1, 1, 2, 3, 4, 4],
+                   "l_partkey": [1, 2, 1, 2, 1, 2],
+                   "l_suppkey": [1, 2, 1, 2, 1, 1],
+                   "l_linenumber": [1, 2, 1, 1, 1, 2],
+                   # the (R, O) flag group is all-zero: zero quantity,
+                   # price, discount, tax — zero group sums everywhere
+                   "l_quantity": [inf, 1.0, 2.0, 3.0, 0.0, 0.0],
+                   "l_extendedprice": [1e308, 1e308, 20.0, 30.0, 0.0, 0.0],
+                   "l_discount": [nan, 1.5, -0.0, 0.1, 0.0, 0.0],
+                   "l_tax": [0.0, 0.0, 0.1, nan, 0.0, 0.0],
+                   "l_returnflag": ["A", "N", "R", "N", "R", "R"],
+                   "l_linestatus": ["F", "O", "F", "O", "O", "O"],
                    "l_shipdate": [ts(0), ts(3600), ts(86400 * 10),
-                                  ts(86400 * 20)]},
+                                  ts(86400 * 20), ts(86400 * 30),
+                                  ts(86400 * 31)]},
       [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
        ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
        ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
@@ -510,15 +533,22 @@ def main() -> int:
                     help="per-query wall budget in seconds; exceeding it is "
                          "a finding (hangs kill 100 TB jobs as surely as "
                          "crashes)")
-    ap.add_argument("--fixed", action="store_true",
-                    help="fixed-dim embeddings (zero vectors, no ragged rows)")
-    ap.add_argument("--unicode", action="store_true",
-                    help="adversarial unicode/pathological-token text fixture")
-    ap.add_argument("--numeric", action="store_true",
-                    help="NaN/Inf/-0.0/denormal/huge in every numeric column")
-    ap.add_argument("--temporal", action="store_true",
-                    help="pathological timestamps (epoch 0, pre-1970, "
-                         "past-pandas-ns, year 9999)")
+    # One fixture per run: the contract table is keyed by mode, so two
+    # mode flags together would pair one mode's fixture with the other's
+    # contract and misreport failures against the wrong allowlist.
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument("--fixed", action="store_true",
+                      help="fixed-dim embeddings (zero vectors, no ragged "
+                           "rows)")
+    mode.add_argument("--unicode", action="store_true",
+                      help="adversarial unicode/pathological-token text "
+                           "fixture")
+    mode.add_argument("--numeric", action="store_true",
+                      help="NaN/Inf/-0.0/denormal/huge in every numeric "
+                           "column")
+    mode.add_argument("--temporal", action="store_true",
+                      help="pathological timestamps (epoch 0, pre-1970, "
+                           "past-pandas-ns, year 9999)")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod

@@ -327,8 +327,15 @@ def main() -> int:
     if diverged:
         print("diverged:", sorted(diverged))
     # An allowlist entry that no longer fires is stale — flag it so the
-    # contract list can't rot.
-    stale = sorted(set(allowed) - set(allowed_hits)) if not only else []
+    # contract list can't rot. A LOUD landing is NOT stale: both engines
+    # raising (e.g. a _DUCK_BUDGET entry whose DuckDB twin times out while
+    # the engine ALSO blows its budget on a slower host) still shows the
+    # asymmetry class exists — nothing regressed, so it must not exit 1.
+    stale = (
+        sorted(set(allowed) - set(allowed_hits) - set(loud))
+        if not only
+        else []
+    )
     if stale:
         print("STALE allowlist entries (no longer diverge):", stale)
     return 1 if (diverged or stale) else 0
