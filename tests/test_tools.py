@@ -174,6 +174,36 @@ def test_numeric_stress_fixture_builds_and_loads(spark, tmp_path):
     assert {len(e) for e in embs} == {4}  # fixed-dim: numeric paths only
     flat = [x for e in embs for x in e]
     assert any(math.isnan(x) for x in flat) and float("inf") in flat
+    # r12: the fixture must also produce ZERO GROUP AGGREGATES (per-row
+    # NaN/Inf can never make a group SUM exactly 0, which is why the
+    # revenue_mom_growth class escaped it): an all-zero-price month with
+    # a later nonzero month (the zero-lag divisor shape), an all-zero
+    # lineitem flag group, and an all-zero events value group.
+    from collections import defaultdict
+
+    by_month = defaultdict(list)
+    for r in load_table(spark, str(tmp_path), "orders").collect():
+        by_month[(r.o_orderdate.year, r.o_orderdate.month)].append(
+            r.o_totalprice
+        )
+    zero_months = [
+        m for m, ps in by_month.items()
+        if ps and all(p == 0.0 for p in ps)
+    ]
+    assert zero_months and max(by_month) > min(zero_months)
+    li = load_table(spark, str(tmp_path), "lineitem").collect()
+    zero_flag = [
+        r for r in li if (r.l_returnflag, r.l_linestatus) == ("R", "O")
+    ]
+    assert zero_flag and all(
+        r.l_quantity == 0.0 and r.l_extendedprice == 0.0 for r in zero_flag
+    )
+    by_user = defaultdict(list)
+    for r in load_table(spark, str(tmp_path), "events").collect():
+        by_user[r.user_id].append(r.value)
+    assert any(
+        vs and all(v == 0.0 for v in vs) for vs in by_user.values()
+    )
     import __spark_entry__ as entrymod
 
     assert DS.NUMERIC_CONTRACT <= set(entrymod.queries())
@@ -358,3 +388,35 @@ def test_divergence_allowlists_name_registered_queries_only():
         assert not unknown, (mode, unknown)
         # every entry carries a non-empty triage reason
         assert all(isinstance(r, str) and r for r in entries.values()), mode
+
+
+def test_divergence_stale_allowlist_semantics():
+    """Pin the staleness verdict (r11 ADVICE low): an allowlisted query
+    that lands LOUD (both engines raise — e.g. a DuckDB-budget entry
+    whose engine side ALSO times out on a slow host) is NOT stale;
+    a PASSing allowlisted query IS; subset runs never judge staleness."""
+    import tools.divergence_stress as DV
+
+    allowed = {"a": "reason", "b": "reason", "c": "reason"}
+    assert DV.stale_allowlist(allowed, ["a"], ["b"], set()) == ["c"]
+    assert DV.stale_allowlist(allowed, [], ["a", "b", "c"], set()) == []
+    assert DV.stale_allowlist(allowed, [], [], {"a"}) == []
+
+
+def test_degenerate_stress_modes_mutually_exclusive():
+    """Pin the mode-flag contract (r11 ADVICE low): two fixture flags
+    together used to build one mode's fixture but apply the OTHER's
+    crash contract — argparse must reject the combination outright."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/degenerate_stress.py", "--numeric",
+         "--temporal"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        timeout=60,
+    )
+    assert r.returncode == 2
+    assert "not allowed with" in r.stderr

@@ -221,6 +221,19 @@ def classify(s_err, d_err, scols=None, s_ms=None, n_s=None,
     return "PASS", None
 
 
+def stale_allowlist(allowed, allowed_hits, loud, only):
+    """Pure staleness verdict (unit-tested): an allowlist entry that no
+    longer fires is stale — flag it so the contract list can't rot. A
+    LOUD landing is NOT stale: both engines raising (e.g. a _DUCK_BUDGET
+    entry whose DuckDB twin times out while the engine ALSO blows its
+    budget on a slower host) still shows the asymmetry class exists —
+    nothing regressed, so it must not exit 1. A subset run can't judge
+    staleness at all."""
+    if only:
+        return []
+    return sorted(set(allowed) - set(allowed_hits) - set(loud))
+
+
 def _duck_with_timeout(con, sql: str, seconds: float):
     """fetch_arrow_table under a watchdog; con.interrupt() on timeout."""
     import threading
@@ -326,16 +339,7 @@ def main() -> int:
     )
     if diverged:
         print("diverged:", sorted(diverged))
-    # An allowlist entry that no longer fires is stale — flag it so the
-    # contract list can't rot. A LOUD landing is NOT stale: both engines
-    # raising (e.g. a _DUCK_BUDGET entry whose DuckDB twin times out while
-    # the engine ALSO blows its budget on a slower host) still shows the
-    # asymmetry class exists — nothing regressed, so it must not exit 1.
-    stale = (
-        sorted(set(allowed) - set(allowed_hits) - set(loud))
-        if not only
-        else []
-    )
+    stale = stale_allowlist(allowed, allowed_hits, loud, only)
     if stale:
         print("STALE allowlist entries (no longer diverge):", stale)
     return 1 if (diverged or stale) else 0
