@@ -216,6 +216,10 @@ _FORCE_RECHECK: dict[str, int] = {
     "promo_revenue": 12,
     "market_share": 12,
     "acf_daily": 12,
+    # ewma_smooth's num/den also try_divides now (a NULL value row's
+    # entire lag frame is NULL -> den exactly 0.0); unreachable from
+    # ewma_event_rate's count inputs but the operator code changed.
+    "ewma_event_rate": 12,
 }
 
 

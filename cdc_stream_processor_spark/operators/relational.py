@@ -657,7 +657,13 @@ def ewma_smooth(
         present = F.when(lagged.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
         num = term if num is None else num + term
         den = present if den is None else den + present
-    return df.withColumn("ewma", F.round(num / den, 6))
+    # try_divide: a row whose ENTIRE lag frame is NULL (a NULL value in
+    # the current row makes even the j=0 lag NULL) has den = 0.0 with
+    # num = 0.0 — the average over zero present terms is undefined, so
+    # ship NULL instead of dying under ANSI (r12 unguarded-denominator
+    # sweep; unreachable from ewma_event_rate's count inputs, but the
+    # operator is public API over any value column)
+    return df.withColumn("ewma", F.round(F.try_divide(num, den), 6))
 
 
 HIST_BINS = 20

@@ -421,6 +421,22 @@ def test_ewma_constant_series_and_head(spark):
     assert out[("b", 0)] == 4.0
 
 
+def test_ewma_null_value_row_yields_null(spark):
+    """A NULL value makes the row's ENTIRE lag frame NULL (even the j=0
+    lag), so the weight denominator is exactly 0.0: the average over
+    zero present terms must be NULL, not an ANSI DIVIDE_BY_ZERO crash
+    (r12 unguarded-denominator sweep). Later rows still smooth over the
+    terms that exist."""
+    from cdc_stream_processor_spark.operators.relational import ewma_smooth
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 4.0)], "k long, t long, v double"
+    )
+    out = {r.t: r.ewma for r in ewma_smooth(df, ["k"], "t", "v").collect()}
+    assert out[1] is None
+    assert out[2] == 4.0
+
+
 def test_weighted_sample_bias_and_determinism(spark, sf_dir):
     docs = B.load_table(spark, sf_dir, "documents")
     s1 = [(r["doc_id"], r["draw_rank"]) for r in
