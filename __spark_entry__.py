@@ -220,6 +220,30 @@ _FORCE_RECHECK: dict[str, int] = {
     # entire lag frame is NULL -> den exactly 0.0); unreachable from
     # ewma_event_rate's count inputs but the operator code changed.
     "ewma_event_rate": 12,
+    # temperature_sample's driver-side stratum sort is now None-safe
+    # NULLS-LAST (the r12 --nulls fixture found plain sorted() dying on
+    # a NULL lang with TypeError None < str); byte-identical on NULL-free
+    # strata but the operator code changed.
+    "temperature_sample": 12,
+    # r12 --nulls divergence triage (13 real fixes — NULL join keys,
+    # NULL event times, NULL money, NULL vectors): every query below had
+    # engine and/or oracle changed to agree on the NULL semantics; all
+    # byte-identical on NULL-free data but rechecked because code/oracle
+    # changed. embedding_health_audit additionally GAINS the n_null
+    # column (the audit now counts whole-missing vectors — its output
+    # schema changed on both engines).
+    "embedding_health_audit": 12,
+    "quantize_embeddings": 12,
+    "hopping_event_counts": 12,
+    "hopping_active_users": 12,
+    "trending_event_types": 12,
+    "retraction_aggregate": 12,
+    "user_event_paths": 12,
+    "events_asof_orders": 12,
+    "survival_curve": 12,
+    "bootstrap_ci_revenue": 12,
+    "rfm_scores": 12,
+    "sketch_quantiles": 12,
 }
 
 

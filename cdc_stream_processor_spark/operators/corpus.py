@@ -417,9 +417,19 @@ def temperature_sample(
     from functools import reduce
 
     spark = docs.sparkSession
+    # None-safe NULLS-LAST sort (plain sorted() dies comparing None<str):
+    # a NULL stratum still contributes its weight to sw and its docs to
+    # n_total, folded in exactly the oracle's `list(w ORDER BY lang)`
+    # position (DuckDB ASC default is NULLS LAST); its DOCS then drop at
+    # the equi-join on both engines (NULL never equals NULL).
     stats = sorted(
-        (r[stratum_col], r["n"])
-        for r in docs.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        (
+            (r[stratum_col], r["n"])
+            for r in docs.groupBy(stratum_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ),
+        key=lambda t: (t[0] is None, t[0] if t[0] is not None else ""),
     )
     n_total = float(sum(n for _, n in stats))
     weights = [

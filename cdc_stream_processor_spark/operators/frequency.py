@@ -334,7 +334,14 @@ def histogram_quantiles(
         if value_cents is not None
         else F.col("o_totalprice") * F.lit(100)
     ).cast("long")
-    vals = df.select(cents.alias("cents"))
+    # NULL values carry no quantile information and are excluded from
+    # the sketch AND from n (r12 --nulls audit: unfiltered, the NULL row
+    # inflated the rank target while its NULL bin sorted differently in
+    # each engine's cumulative window — the p90 target then landed on a
+    # NULL bin in the oracle but a real bin here)
+    vals = df.select(cents.alias("cents")).filter(
+        F.col("cents").isNotNull()
+    )
     stats = vals.agg(
         F.min("cents").alias("mn"),
         F.max("cents").alias("mx"),

@@ -80,6 +80,17 @@ def asof_join(
     the "at-or-before" bound is inclusive.
     """
     lcols = left.columns
+    # SQL as-of semantics for NULLs (r12 --nulls audit): a right row with
+    # a NULL key can never equal any left key (NULL != NULL), and a right
+    # row with a NULL time can never satisfy t_r <= t_l — but unfiltered,
+    # the union+window trick would group NULL keys into one partition and
+    # sort NULL times FIRST (carried as a bogus "earliest" match). Left
+    # rows need no filter: a NULL left time sorts before every right row
+    # (nothing carried) and a NULL left key shares its partition only
+    # with other left rows once the right side is clean.
+    right = right.filter(
+        F.col(right_on).isNotNull() & F.col(right_time).isNotNull()
+    )
     tagged_r = right.select(
         F.col(right_on).alias("_k"),
         F.col(right_time).alias("_t"),
@@ -1326,6 +1337,12 @@ def survival_curve(
             f" div {DAY_US}"
         ).alias("t_days"),
     )
+    # a subject with NO valid event time has an undefined lifetime — it
+    # can be in no at-risk set (r12 --nulls audit: unfiltered, the NULL
+    # t_days row sorts NULLS-FIRST into the suffix window here but
+    # NULLS-LAST in the oracle, and its NULL censored flag poisons the
+    # death counts asymmetrically)
+    per_user = per_user.filter(F.col("t_days").isNotNull())
     horizon = events.agg(
         F.expr(f"max(unix_micros({ts_col})) div {DAY_US}").alias("max_day")
     )
@@ -1841,12 +1858,23 @@ def rfm_scores(
     are deterministic and the DuckDB oracle reproduces them with a plain
     ROW_NUMBER — identical integer arithmetic from there.
     """
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.expr(f"max(unix_micros({ts_col})) div {DAY_US}").alias("last_day"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("monetary"),
+    # NULL-key orders are dropped before grouping (r12 --nulls audit):
+    # a NULL custkey is not a customer — the reference drops null-key
+    # records at groupBy the same way — and unfiltered, its NULL
+    # recency/monetary would rank NULLS-FIRST here vs NULLS-LAST in the
+    # oracle, shifting every real customer's quintile by one
+    per_cust = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                f"max(unix_micros({ts_col})) div {DAY_US}"
+            ).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("monetary"),
+        )
     )
     horizon = orders.agg(
         F.expr(f"max(unix_micros({ts_col})) div {DAY_US}").alias("max_day")
@@ -2610,8 +2638,14 @@ def bootstrap_ci_daily_revenue(
     (one shuffle with map-side partials). The B-row rank window is a
     global window at aggregate scale (gwin-legitimate).
     """
-    daily = orders.groupBy("o_orderdate").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev")
+    # a revenue row with no date belongs to no day of the series (r12
+    # --nulls audit: unfiltered, the NULL-date group indexes NULLS-FIRST
+    # here but NULLS-LAST in the oracle, silently remapping every LCG
+    # draw and shifting the CI)
+    daily = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy("o_orderdate")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
     )
     w_idx = Window.orderBy("o_orderdate")
     indexed = daily.select(

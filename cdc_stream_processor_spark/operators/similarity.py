@@ -1966,9 +1966,14 @@ def embedding_health_audit(
     components, and the norm² range on the exact 1e-6 integer grid
     (BIGINT sums — order-free, so min/max are engine-exact).
 
-    Output: (label, n_vecs, n_wrong_dim, n_zero, n_nonfinite,
+    Output: (label, n_vecs, n_null, n_wrong_dim, n_zero, n_nonfinite,
     min_norm2_scaled, max_norm2_scaled) where norm2_scaled =
-    Σ trunc(x·1e6)² — an integer on the 1e-12 grid.
+    Σ trunc(x·1e6)² — an integer on the 1e-12 grid. A NULL vector (a
+    whole missing embedding — what a failed embed job actually writes)
+    counts ONLY under n_null: it is not wrong-dim, not zero, not
+    non-finite, and its NULL norm² drops out of min/max — the r12
+    --nulls fixture found the audit itself reporting NULL counters on
+    the exact row class it exists to flag.
 
     Shape: map-only per-vector expressions + one partial-agged groupBy
     on the label; nothing corpus-global, no Python.
@@ -1990,15 +1995,24 @@ def embedding_health_audit(
         | (v.cast("double") == float("inf"))
         | (v.cast("double") == float("-inf")),
     )
+    is_null = F.col(vec_col).isNull()
     per_vec = vecs.select(
         F.col(label_col).alias("label"),
-        (F.size(vec_col) != expected_dim).cast("long").alias("wrong_dim"),
-        (norm2 == 0).cast("long").alias("zero_vec"),
-        nonfinite.cast("long").alias("nonfin"),
+        is_null.cast("long").alias("null_vec"),
+        F.when(
+            ~is_null, (F.size(vec_col) != expected_dim).cast("long")
+        ).otherwise(F.lit(0)).alias("wrong_dim"),
+        F.when(~is_null, (norm2 == 0).cast("long"))
+        .otherwise(F.lit(0))
+        .alias("zero_vec"),
+        F.when(~is_null, nonfinite.cast("long"))
+        .otherwise(F.lit(0))
+        .alias("nonfin"),
         norm2.alias("n2"),
     )
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("null_vec").alias("n_null"),
         F.sum("wrong_dim").alias("n_wrong_dim"),
         F.sum("zero_vec").alias("n_zero"),
         F.sum("nonfin").alias("n_nonfinite"),

@@ -343,9 +343,14 @@ def q_retraction_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The delta fold telescopes to the snapshot aggregate, so the oracle
 # states the snapshot form directly (latest row per user, grouped).
+# NULL-key changelog rows are DROPPED (r12 --nulls audit): a changelog
+# row with a NULL primary key is not a valid upsert — the reference
+# behaves the same (Kafka Streams drops null-key records at
+# groupBy/repartition; KGroupedStream aggregation never sees them).
 SQL_RETRACTION_AGGREGATE = """
 WITH latest AS (
   SELECT event_type, value FROM events
+  WHERE user_id IS NOT NULL
   QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                              ORDER BY ts DESC, event_id DESC) = 1
 )

@@ -117,8 +117,17 @@ WITH e AS (
   FROM embeddings
 ), m AS (
   SELECT vec_id, v,
-         list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> abs(x))),
-                     (acc, x) -> greatest(acc, x)) / {float(C.QUANT_LEVELS)} AS scale
+         -- NULL-vector rows keep a NULL scale (Spark's aggregate(NULL)
+         -- is NULL; DuckDB's list_prepend(0.0, NULL) would fold to the
+         -- 0.0 seed and silently quantize a missing vector to zeros —
+         -- the r12 --nulls audit find)
+         CASE WHEN v IS NULL THEN NULL
+              ELSE list_reduce(
+                     list_prepend(0.0::DOUBLE,
+                                  list_transform(v, x -> abs(x))),
+                     (acc, x) -> greatest(acc, x))
+                   / {float(C.QUANT_LEVELS)}
+         END AS scale
   FROM e
 ), q AS (
   SELECT vec_id, v, scale,
@@ -129,14 +138,18 @@ WITH e AS (
   FROM m
 )
 SELECT vec_id, len(v) AS n_dims, scale,
-       list_reduce(list_prepend(0::BIGINT, qv),
+       CASE WHEN qv IS NULL THEN NULL
+            ELSE list_reduce(list_prepend(0::BIGINT, qv),
                    (acc, x) -> (acc * {TH.P_FACTOR} + (x + {C.QUANT_LEVELS}))
-                     % {TH.P_MOD}) AS q_digest,
-       list_reduce(
-         list_prepend(0.0::DOUBLE,
-           list_transform(generate_series(1, len(v)),
-                          i -> abs(v[i] - qv[i]::DOUBLE * scale))),
-         (acc, x) -> greatest(acc, x)) AS max_abs_err
+                     % {TH.P_MOD})
+       END AS q_digest,
+       CASE WHEN v IS NULL THEN NULL
+            ELSE list_reduce(
+              list_prepend(0.0::DOUBLE,
+                list_transform(generate_series(1, len(v)),
+                               i -> abs(v[i] - qv[i]::DOUBLE * scale))),
+              (acc, x) -> greatest(acc, x))
+       END AS max_abs_err
 FROM q
 """
 
@@ -584,7 +597,9 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_SKETCH_QUANTILES = f"""
-WITH c AS (SELECT trunc(o_totalprice * 100)::BIGINT AS cents FROM orders),
+WITH c AS (SELECT trunc(o_totalprice * 100)::BIGINT AS cents FROM orders
+           -- NULL prices carry no quantile information (r12 --nulls)
+           WHERE o_totalprice IS NOT NULL),
 st AS (SELECT min(cents) AS mn, max(cents) AS mx, count(*)::BIGINT AS n FROM c),
 w AS (SELECT mn, mx, n, ((mx - mn) // {FR.HIST_BINS} + 1)::BIGINT AS width FROM st),
 h AS (

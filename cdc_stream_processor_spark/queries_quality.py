@@ -742,18 +742,33 @@ def _embedding_health_sql(sf_dir_hint_dim: int | None = None) -> str:
         "or x::DOUBLE = 'infinity'::DOUBLE "
         "or x::DOUBLE = '-infinity'::DOUBLE)) > 0"
     )
+    # NULL-vector rows (r12 --nulls audit): count ONLY under n_null —
+    # every other per-vector metric is an explicit 0 (not NULL) for
+    # them, exactly as the engine's when(~isNull, ...) otherwise(0);
+    # the dim probe also skips NULL rows so a leading NULL can't NULL
+    # the expected dim.
     return f"""
 WITH dim AS (
-  SELECT len(embedding) AS d FROM embeddings LIMIT 1
+  SELECT len(embedding) AS d FROM embeddings
+  WHERE embedding IS NOT NULL LIMIT 1
 ), pv AS (
   SELECT label,
-         (len(embedding) != (SELECT d FROM dim))::BIGINT AS wrong_dim,
-         ({n2} = 0)::BIGINT AS zero_vec,
-         ({nonfin})::BIGINT AS nonfin,
-         {n2} AS n2
+         (embedding IS NULL)::BIGINT AS null_vec,
+         CASE WHEN embedding IS NULL THEN 0
+              ELSE (len(embedding) != (SELECT d FROM dim))::BIGINT
+         END AS wrong_dim,
+         CASE WHEN embedding IS NULL THEN 0
+              ELSE ({n2} = 0)::BIGINT END AS zero_vec,
+         CASE WHEN embedding IS NULL THEN 0
+              ELSE ({nonfin})::BIGINT END AS nonfin,
+         -- list_prepend(0, NULL) folds to 0 in DuckDB, so the NULL row's
+         -- norm2 must be NULLed explicitly (Spark's aggregate(NULL) is
+         -- already NULL) or it would pollute MIN(n2)
+         CASE WHEN embedding IS NULL THEN NULL ELSE {n2} END AS n2
   FROM embeddings
 )
 SELECT label, COUNT(*) AS n_vecs,
+       SUM(null_vec)::BIGINT AS n_null,
        SUM(wrong_dim)::BIGINT AS n_wrong_dim,
        SUM(zero_vec)::BIGINT AS n_zero,
        SUM(nonfin)::BIGINT AS n_nonfinite,

@@ -1410,6 +1410,9 @@ WITH hits AS (
          ]) AS window_start_us,
          user_id
   FROM events
+  -- Spark's window() injects `ts IS NOT NULL`: NULL event-times never
+  -- produce a window (r12 --nulls audit) — mirror the drop here
+  WHERE ts IS NOT NULL
 )
 SELECT window_start_us, COUNT(DISTINCT user_id) AS n_active_users
 FROM hits GROUP BY 1
@@ -1462,6 +1465,8 @@ WITH hits AS (
          ]) AS window_start_us,
          event_type
   FROM events
+  -- Spark's window() injects `ts IS NOT NULL` (r12 --nulls audit)
+  WHERE ts IS NOT NULL
 ), c AS (
   SELECT window_start_us, event_type, COUNT(*) AS n_events
   FROM hits GROUP BY 1, 2
@@ -1896,6 +1901,8 @@ WITH hits AS (
          ]) AS window_start_us,
          event_type, value
   FROM events
+  -- Spark's window() injects `ts IS NOT NULL` (r12 --nulls audit)
+  WHERE ts IS NOT NULL
 )
 SELECT window_start_us, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
@@ -2046,7 +2053,11 @@ WITH ordered AS (
   FROM events GROUP BY user_id
 )
 SELECT user_id, n_steps,
-       array_to_string(seq[1:{PATH_MAX_STEPS}], '>') AS path
+       -- both engines SKIP NULL steps (and their delimiters) mid-path;
+       -- the all-NULL path is '' in Spark's array_join but NULL in
+       -- DuckDB's array_to_string — coalesce the one divergent case
+       -- (r12 --nulls audit)
+       COALESCE(array_to_string(seq[1:{PATH_MAX_STEPS}], '>'), '') AS path
 FROM ordered
 """
 
@@ -2540,9 +2551,12 @@ WITH pu AS (
 ), horizon AS (
   SELECT epoch_us(MAX(ts)) // {R.DAY_US} AS max_day FROM events
 ), marked AS (
+  -- subjects with no valid event time have no lifetime (r12 --nulls
+  -- audit): excluded on both engines
   SELECT t_days,
          last_day >= max_day - {R.SURVIVAL_CENSOR_DAYS} AS censored
   FROM pu, horizon
+  WHERE t_days IS NOT NULL
 ), lt AS (
   SELECT t_days,
          SUM(CASE WHEN censored THEN 0 ELSE 1 END)::BIGINT AS n_events,
@@ -2735,11 +2749,13 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RFM_SCORES = f"""
 WITH per_cust AS (
+  -- NULL-key orders are not a customer (r12 --nulls audit; the
+  -- reference drops null-key records at groupBy)
   SELECT o_custkey,
          epoch_us(MAX(o_orderdate)) // {R.DAY_US} AS last_day,
          COUNT(*) AS frequency,
          SUM(o_totalprice::DECIMAL(18,4))::DOUBLE AS monetary
-  FROM orders GROUP BY o_custkey
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ), horizon AS (
   SELECT epoch_us(MAX(o_orderdate)) // {R.DAY_US} AS max_day FROM orders
 ), base AS (
@@ -3151,8 +3167,9 @@ def q_bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BOOTSTRAP_CI_REVENUE = f"""
 WITH daily AS (
+  -- NULL-date rows belong to no day of the series (r12 --nulls audit)
   SELECT o_orderdate, SUM(o_totalprice::DECIMAL(18,4)) AS rev
-  FROM orders GROUP BY o_orderdate
+  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY o_orderdate
 ), indexed AS (
   SELECT ROW_NUMBER() OVER (ORDER BY o_orderdate) - 1 AS day_idx, rev
   FROM daily

@@ -5473,3 +5473,167 @@ def test_kmv_zero_hash_parity(spark, tmp_path):
                 ("user_id", pa.int64()), ("event_type", pa.string()),
                 ("value", pa.float64()), ("props", pa.string())])
     _parity_check(spark, d, ("approx_distinct_users",))
+
+
+# --- randomized parity: the dimensional-join (TPC-H star) family ---------------
+#
+# r12 addition: the six existing families randomize single-table inputs
+# (orders-only, lineitem-only, events, documents, embeddings, cdc-enrich).
+# This one randomizes the whole star — dimensions with drawn FKs, facts
+# with DANGLING keys (orders for absent customers, lineitems for absent
+# orders) — so the multi-table join analytics (semi/anti shapes, share
+# ratios over joined revenue, literal-filtered dimensions) hold parity
+# under arbitrary tiny schemas, not just the generated testdata's.
+
+_PAR_STAR_QUERIES = (
+    "custdist", "nation_revenue_share", "order_priority_check",
+    "promo_revenue", "market_share", "nation_trade_volume",
+    "priority_linecount", "product_profit", "waiting_suppliers",
+    "large_orders",
+)
+
+
+@given(st.data())
+@settings(max_examples=_PARITY_EXAMPLES or 5, deadline=None)
+def test_star_join_queries_cross_engine_parity_random(spark, data):
+    """Random star schema — drawn FKs, dangling fact keys, zero prices,
+    duplicate dates — must hold full value-multiset parity for the
+    multi-table join analytics family."""
+    import datetime as dt
+    import tempfile
+
+    import pyarrow as pa
+
+    d = tempfile.mkdtemp(prefix="sgs-prop-parity-star-")
+    _w_parquet(d, "region",
+               {"r_regionkey": [0, 1], "r_name": ["ASIA", "AMERICA"]},
+               [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    n_nk = data.draw(st.lists(st.integers(0, 1), min_size=3, max_size=3),
+                     label="nation_regions")
+    _w_parquet(d, "nation",
+               {"n_nationkey": [0, 1, 2],
+                "n_name": ["NATION_1", "NATION_2", "NATION_3"],
+                "n_regionkey": n_nk},
+               [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+                ("n_regionkey", pa.int32())])
+    n_cust = data.draw(st.integers(1, 4), label="n_cust")
+    cust = data.draw(
+        st.lists(
+            st.tuples(st.integers(0, 2), _cents,
+                      st.sampled_from(["BUILDING", "AUTOMOBILE"])),
+            min_size=n_cust, max_size=n_cust),
+        label="customers")
+    _w_parquet(d, "customer",
+               {"c_custkey": list(range(1, n_cust + 1)),
+                "c_name": [f"Customer#{i}" for i in range(1, n_cust + 1)],
+                "c_nationkey": [c[0] for c in cust],
+                "c_acctbal": [c[1] for c in cust],
+                "c_mktsegment": [c[2] for c in cust]},
+               [("c_custkey", pa.int64()), ("c_name", pa.string()),
+                ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+                ("c_mktsegment", pa.string())])
+    s_nk = data.draw(st.lists(st.integers(0, 2), min_size=2, max_size=2),
+                     label="supplier_nations")
+    _w_parquet(d, "supplier",
+               {"s_suppkey": [1, 2], "s_name": ["S1", "S2"],
+                "s_nationkey": s_nk, "s_acctbal": [10.0, 5.0]},
+               [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+                ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    p_prices = data.draw(st.lists(_cents, min_size=2, max_size=2),
+                         label="part_prices")
+    _w_parquet(d, "part",
+               {"p_partkey": [1, 2],
+                "p_name": ["widget alpha", "plain gizmo"],
+                "p_brand": ["B1", "B2"],
+                "p_type": ["PROMO", "STANDARD"],
+                "p_size": [1, 2], "p_retailprice": p_prices},
+               [("p_partkey", pa.int64()), ("p_name", pa.string()),
+                ("p_brand", pa.string()), ("p_type", pa.string()),
+                ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    orders = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(1, n_cust + 1),  # +1 = dangling custkey
+                st.sampled_from(["F", "O", "P"]),
+                _cents,
+                _odate_us,
+                st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"])),
+            min_size=1, max_size=10),
+        label="orders")
+    _w_parquet(d, "orders",
+               {"o_orderkey": list(range(1, len(orders) + 1)),
+                "o_custkey": [o[0] for o in orders],
+                "o_orderstatus": [o[1] for o in orders],
+                "o_totalprice": [o[2] for o in orders],
+                "o_orderdate": [dt.datetime.utcfromtimestamp(o[3])
+                                for o in orders],
+                "o_orderpriority": [o[4] for o in orders]},
+               [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string())])
+    lis = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(1, len(orders) + 1),  # +1 = dangling orderkey
+                st.integers(1, 2),                # partkey
+                st.integers(1, 2),                # suppkey
+                st.integers(0, 50),               # quantity
+                _cents,                           # extendedprice
+                st.sampled_from([0.0, 0.05, 0.1]),
+                st.sampled_from([0.0, 0.08]),
+                st.sampled_from(["A", "N", "R"]),
+                st.sampled_from(["F", "O"]),
+                _odate_us),
+            min_size=1, max_size=12),
+        label="lineitems")
+    _w_parquet(d, "lineitem",
+               {"l_orderkey": [x[0] for x in lis],
+                "l_partkey": [x[1] for x in lis],
+                "l_suppkey": [x[2] for x in lis],
+                "l_linenumber": list(range(1, len(lis) + 1)),
+                "l_quantity": [float(x[3]) for x in lis],
+                "l_extendedprice": [x[4] for x in lis],
+                "l_discount": [x[5] for x in lis],
+                "l_tax": [x[6] for x in lis],
+                "l_returnflag": [x[7] for x in lis],
+                "l_linestatus": [x[8] for x in lis],
+                "l_shipdate": [dt.datetime.utcfromtimestamp(x[9])
+                               for x in lis]},
+               [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+                ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+                ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+                ("l_shipdate", pa.timestamp("us"))])
+    _parity_check(spark, d, _PAR_STAR_QUERIES)
+
+
+def test_temperature_sample_null_stratum_parity(spark, tmp_path):
+    """A NULL stratum (lang) used to kill temperature_sample's
+    driver-side sorted() (None < str TypeError — found by the r12
+    --nulls fixture's first run). Contract, mirrored from the oracle:
+    the NULL stratum's weight still folds into sw (NULLS LAST, DuckDB's
+    list(w ORDER BY lang) position) and its docs still count in
+    n_total, but its DOCS drop at the equi-join (NULL never equals
+    NULL) on both engines."""
+    import pyarrow as pa
+
+    d = str(tmp_path)
+    _w_parquet(d, "documents",
+               {"doc_id": [1, 2, 3, 4, 5],
+                "text": ["a", "b", "c", "d", "e"],
+                "lang": ["en", "en", "de", None, None],
+                "source": ["s1"] * 5,
+                "n_chars": [1] * 5},
+               [("doc_id", pa.int64()), ("text", pa.string()),
+                ("lang", pa.string()), ("source", pa.string()),
+                ("n_chars", pa.int64())])
+    _parity_check(spark, d, ("temperature_sample",))
+    import __spark_entry__ as E
+
+    out = E.queries()["temperature_sample"](spark, d).collect()
+    # NULL-lang docs dropped by the join; en/de rows all present
+    assert sorted(r.doc_id for r in out) == [1, 2, 3]

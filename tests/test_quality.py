@@ -635,6 +635,7 @@ def test_embedding_health_audit_planted_defects(spark):
         (3, [1.0, 2.0, 3.0], 0),   # wrong dim
         (4, [float("nan"), 1.0], 1),
         (5, [0.5, 0.5], 1),
+        (6, None, 1),              # NULL vector (failed embed job)
     ]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>, label int"
@@ -647,9 +648,15 @@ def test_embedding_health_audit_planted_defects(spark):
     assert out[0]["n_zero"] == 1
     assert out[0]["n_wrong_dim"] == 1
     assert out[0]["n_nonfinite"] == 0
+    assert out[0]["n_null"] == 0
     assert out[1]["n_nonfinite"] == 1
+    # the NULL vector counts ONLY under n_null — it is not wrong-dim,
+    # not zero, not non-finite, and its NULL norm2 stays out of min/max
+    assert out[1]["n_vecs"] == 3 and out[1]["n_null"] == 1
+    assert out[1]["n_wrong_dim"] == 0 and out[1]["n_zero"] == 0
     # norm2 on the 1e-6 grid: [0.5, 0.5] -> 2 * 500000^2
     assert out[1]["min_norm2_scaled"] <= 2 * 500_000**2
+    assert out[1]["min_norm2_scaled"] is not None
 
 
 def test_watermark_audit_prediction_controls_streaming_drops(spark, tmp_path):

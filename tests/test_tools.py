@@ -420,3 +420,39 @@ def test_degenerate_stress_modes_mutually_exclusive():
     )
     assert r.returncode == 2
     assert "not allowed with" in r.stderr
+
+
+def test_nulls_stress_fixture_builds_and_loads(spark, tmp_path):
+    """The --nulls stress fixture must carry every driver table with a
+    NULL planted in every nullable column class: join keys (o_custkey,
+    l_orderkey), group keys (user_id, lang, source), timestamps,
+    money/metric doubles, text, and a whole NULL embedding row."""
+    import tools.degenerate_stress as DS
+    from cdc_stream_processor_spark.sources.batch import TABLES, load_table
+
+    DS.build_nulls_fixture(str(tmp_path))
+    for t in TABLES:
+        assert load_table(spark, str(tmp_path), t).count() >= 2, t
+
+    def has_null(tbl, col):
+        return any(
+            r[col] is None
+            for r in load_table(spark, str(tmp_path), tbl).collect()
+        )
+
+    assert has_null("orders", "o_custkey")      # NULL join key
+    assert has_null("orders", "o_orderdate")    # NULL timestamp
+    assert has_null("orders", "o_totalprice")   # NULL money
+    assert has_null("lineitem", "l_orderkey")
+    assert has_null("lineitem", "l_shipdate")
+    assert has_null("events", "ts")
+    assert has_null("events", "user_id")        # NULL group key
+    assert has_null("events", "value")
+    assert has_null("events", "props")
+    assert has_null("documents", "text")
+    assert has_null("documents", "lang")
+    assert has_null("documents", "source")
+    assert has_null("embeddings", "embedding")  # NULL vector
+    import __spark_entry__ as entrymod
+
+    assert DS.NULLS_CONTRACT <= set(entrymod.queries())

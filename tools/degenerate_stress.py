@@ -119,6 +119,18 @@ TEMPORAL_CONTRACT: set[str] = {
     "kendall_tau_types", "seasonal_by_type",
 }
 
+# NULLs rarely crash (they silently diverge — that's the divergence
+# audit's job); a loud failure on the nulls fixture is a finding unless
+# listed here with a triaged reason. A NULL embedding is the SAME
+# contract violation as a ragged one for the Arrow kernels (numpy can't
+# stack None among fixed-dim rows; embedding_health_audit counts
+# n_null as the pre-flight), so the ragged contract carries over. The
+# fixture's first run also caught ONE real crash outside it:
+# temperature_sample's driver-side sorted() died comparing None < str
+# on a NULL stratum — fixed with a NULLS-LAST key mirroring the
+# oracle's list(w ORDER BY lang).
+NULLS_CONTRACT: set[str] = set(RAGGED_CONTRACT)
+
 
 def build_fixture(out: str, ragged_embeddings: bool) -> None:
     import pyarrow as pa
@@ -487,6 +499,119 @@ def build_temporal_fixture(out: str) -> None:
        ("l_shipdate", pa.timestamp("us"))])
 
 
+def build_nulls_fixture(out: str) -> None:
+    """Well-formed shapes; every NULLABLE column carries NULL somewhere.
+
+    NULL is the pathology a 100 TB lakehouse ships MOST of: missed CDC
+    columns, late-arriving dimensions, schema-evolved history. NULLs
+    rarely crash — they silently diverge, and always in the same two
+    ways: (1) ORDER BY a nullable computed column (Spark ASC default is
+    NULLS FIRST, DuckDB's is NULLS LAST — the embedding_outliers class
+    the r11 ADVICE found by hand), (2) NULL-propagation asymmetries in
+    string/list builtins (split_part, list() over zero rows). This
+    fixture plants NULL join keys, NULL group keys, NULL timestamps,
+    NULL money, NULL text, and a NULL embedding over otherwise valid
+    rows so every ranked/joined/bucketed query meets a NULL it must
+    order, drop, or group identically on both engines.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    build_fixture(out, ragged_embeddings=False)  # well-formed base shapes
+
+    def w(name, data, schema):
+        pq.write_table(
+            pa.table(data, schema=pa.schema(schema)), f"{out}/{name}.parquet"
+        )
+
+    ts = lambda s: dt.datetime(2025, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    w("region", {"r_regionkey": [0, 1, 2], "r_name": ["", "AMERICA", None]},
+      [("r_regionkey", pa.int32()), ("r_name", pa.string())])
+    w("nation", {"n_nationkey": [0, 1, 2], "n_name": ["A", "", None],
+                 "n_regionkey": [0, 1, None]},
+      [("n_nationkey", pa.int32()), ("n_name", pa.string()),
+       ("n_regionkey", pa.int32())])
+    w("customer",
+      {"c_custkey": [1, 2, 3, 4],
+       "c_name": ["", "x", "Customer#1", None],
+       "c_nationkey": [0, 0, 1, None],
+       "c_acctbal": [0.0, -1.0, 9999.99, None],
+       "c_mktsegment": ["", "BUILDING", "BUILDING", None]},
+      [("c_custkey", pa.int64()), ("c_name", pa.string()),
+       ("c_nationkey", pa.int32()), ("c_acctbal", pa.float64()),
+       ("c_mktsegment", pa.string())])
+    w("supplier",
+      {"s_suppkey": [1, 2, 3], "s_name": ["", "S", None],
+       "s_nationkey": [0, 1, None], "s_acctbal": [0.0, 1.0, None]},
+      [("s_suppkey", pa.int64()), ("s_name", pa.string()),
+       ("s_nationkey", pa.int32()), ("s_acctbal", pa.float64())])
+    w("part",
+      {"p_partkey": [1, 2, 3], "p_name": ["", "p", None],
+       "p_brand": ["B", "", None], "p_type": ["", "t", None],
+       "p_size": [0, 1, None], "p_retailprice": [0.0, 1.0, None]},
+      [("p_partkey", pa.int64()), ("p_name", pa.string()),
+       ("p_brand", pa.string()), ("p_type", pa.string()),
+       ("p_size", pa.int32()), ("p_retailprice", pa.float64())])
+    w("orders",
+      {"o_orderkey": [1, 2, 3, 4],
+       "o_custkey": [1, 2, 3, None],          # NULL join key
+       "o_orderstatus": ["F", "O", "F", None],
+       "o_totalprice": [0.0, 1.5, 2.5, None],  # NULL money
+       "o_orderdate": [ts(0), ts(86400), ts(86400 * 40), None],  # NULL ts
+       "o_orderpriority": ["", "1-URGENT", "2-HIGH", None]},
+      [("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+       ("o_orderstatus", pa.string()), ("o_totalprice", pa.float64()),
+       ("o_orderdate", pa.timestamp("us")), ("o_orderpriority", pa.string())])
+    w("lineitem",
+      {"l_orderkey": [1, 1, 2, 3, None],      # NULL join key
+       "l_partkey": [1, 2, 1, None, 1],
+       "l_suppkey": [1, 2, 1, None, 1],
+       "l_linenumber": [1, 2, 1, 1, 1],
+       "l_quantity": [0.0, 1.0, 2.0, None, 1.0],
+       "l_extendedprice": [0.0, 10.0, 20.0, None, 5.0],
+       "l_discount": [0.0, 0.1, 1.0, None, 0.0],
+       "l_tax": [0.0, 0.0, 0.1, None, 0.0],
+       "l_returnflag": ["A", "N", "R", None, "N"],
+       "l_linestatus": ["F", "O", "F", None, "O"],
+       "l_shipdate": [ts(0), ts(3600), ts(86400 * 10), None,
+                      ts(86400 * 20)]},
+      [("l_orderkey", pa.int64()), ("l_partkey", pa.int64()),
+       ("l_suppkey", pa.int64()), ("l_linenumber", pa.int32()),
+       ("l_quantity", pa.float64()), ("l_extendedprice", pa.float64()),
+       ("l_discount", pa.float64()), ("l_tax", pa.float64()),
+       ("l_returnflag", pa.string()), ("l_linestatus", pa.string()),
+       ("l_shipdate", pa.timestamp("us"))])
+    w("events",
+      {"event_id": [1, 2, 3, 4, 5, 6],
+       "ts": [ts(0), ts(1), ts(7200), ts(86400 * 35), None, ts(9000)],
+       "user_id": [1, 1, 2, 2, None, 3],      # NULL group key
+       "event_type": ["view", "", "purchase", "view", None, "view"],
+       "value": [0.0, -1.0, 100.0, 1e-9, None, None],  # NULL metric
+       "props": ["{}", "", '{"k":1}', "", None, None]},
+      [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+       ("user_id", pa.int64()), ("event_type", pa.string()),
+       ("value", pa.float64()), ("props", pa.string())])
+    w("documents",
+      {"doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+       "text": ["", "a", "a b", None,
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",
+                "x\n\nx\nx", None],
+       "lang": ["en", "", "en", "de", "en", "en", "", None],
+       "source": ["s1", "s1", "", "s2", "s2", "s1", "s2", None],
+       "n_chars": [0, 1, 3, 0, 44, 44, 7, None]},
+      [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+       ("source", pa.string()), ("n_chars", pa.int64())])
+    w("embeddings",
+      {"vec_id": [1, 2, 3, 4, 5, 6],
+       "embedding": [[0.0] * 4, [0.0] * 4, [1.0, 2.0, 3.0, 4.0],
+                     [1.0, 2.0, 3.0, 4.0], [-1.0, -2.0, -3.0, -4.0],
+                     None],                     # NULL vector
+       "label": [0, 0, 1, 1, 0, None]},
+      [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float32())),
+       ("label", pa.int32())])
+
+
 class QueryTimeout(Exception):
     """A query exceeded the per-query budget — a HANG is a finding too.
 
@@ -549,6 +674,9 @@ def main() -> int:
     mode.add_argument("--temporal", action="store_true",
                       help="pathological timestamps (epoch 0, pre-1970, "
                            "past-pandas-ns, year 9999)")
+    mode.add_argument("--nulls", action="store_true",
+                      help="NULL in every nullable column (join keys, "
+                           "group keys, timestamps, money, text, vector)")
     args = ap.parse_args()
 
     import __spark_entry__ as entrymod
@@ -557,13 +685,16 @@ def main() -> int:
     spark = get_spark("degenerate-stress", shuffle_partitions=4)
     contract = (
         RAGGED_CONTRACT
-        if not (args.fixed or args.unicode or args.numeric or args.temporal)
+        if not (args.fixed or args.unicode or args.numeric or args.temporal
+                or args.nulls)
         else ALWAYS_CONTRACT
     )
     if args.numeric:
         contract = ALWAYS_CONTRACT | NUMERIC_CONTRACT
     if args.temporal:
         contract = ALWAYS_CONTRACT | TEMPORAL_CONTRACT
+    if args.nulls:
+        contract = ALWAYS_CONTRACT | NULLS_CONTRACT
 
     with tempfile.TemporaryDirectory(prefix="degensf_") as tmp:
         if args.unicode:
@@ -572,6 +703,8 @@ def main() -> int:
             build_numeric_fixture(tmp)
         elif args.temporal:
             build_temporal_fixture(tmp)
+        elif args.nulls:
+            build_nulls_fixture(tmp)
         else:
             build_fixture(tmp, ragged_embeddings=not args.fixed)
         bad = []

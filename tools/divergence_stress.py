@@ -22,9 +22,12 @@ Modes (fixtures come from degenerate_stress):
 
     --mode fixed     degenerate row shapes, fixed-dim embeddings
     --mode unicode   adversarial text (ZWJ/bidi/zalgo/mega-token)
-    --mode numeric   NaN/Inf/-0.0/denormal/huge in every numeric column
+    --mode numeric   NaN/Inf/-0.0/denormal/huge in every numeric column,
+                     plus all-zero GROUPS (zero month/year/region)
     --mode temporal  pathological timestamps (epoch 0, pre-1970,
                      pandas-ns overflow range, year 9999)
+    --mode nulls     NULL in every nullable column (join keys, group
+                     keys, timestamps, money, text, vector)
 
 Exit 1 on any non-allowlisted DIVERGE.
 """
@@ -196,6 +199,36 @@ ALLOWED: dict[str, dict[str, str]] = {
         **{n: _KNN_KERNEL for n in _KNN_FAMILY},
         "ppr_related_vectors": _PPR,
     },
+    # NULL in every nullable column: a NULL embedding row is outside the
+    # finite-vector contract exactly like a zero-norm/ragged one — the
+    # Arrow kernels fail loudly where the SQL twins tolerate the NULL
+    # (numpy cannot stack None among fixed-dim rows); n_null in
+    # embedding_health_audit (added by this round's triage) is the
+    # pre-flight. The r12 triage of this mode's first run FIXED 13 real
+    # divergences (the audit's own NULL counters, quantize's
+    # list_prepend 0-seed, NULL event-times in the hopping windows,
+    # null-key drops in retraction/rfm mirroring the reference's
+    # Kafka-Streams groupBy semantics, as-of NULL matches, survival/
+    # bootstrap NULL lifetimes/days, the all-NULL path string, NULL
+    # prices in the quantile sketch, and temperature_sample's driver
+    # sort crash) and classified the rest below.
+    "nulls": {
+        **{n: _KNN_KERNEL for n in _KNN_FAMILY},
+        **{
+            n: _KNN_KERNEL
+            for n in (
+                "centroid_assign", "dbscan_labels", "diversity_sample",
+                "embedding_gram", "embedding_near_dup",
+                "embedding_near_dup_pairs", "ivf_ann_topk",
+                "ivf_recall_eval", "kmeans_labels", "semdedup",
+                "silhouette_by_label",
+            )
+        },
+        "ppr_related_vectors": _PPR,
+        "user_value_mad": (
+            "1-ulp quantile-interpolation difference on sub-grid inputs"
+        ),
+    },
 }
 
 
@@ -248,7 +281,9 @@ def _duck_with_timeout(con, sql: str, seconds: float):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("fixed", "unicode", "numeric", "temporal"),
+    ap.add_argument("--mode",
+                    choices=("fixed", "unicode", "numeric", "temporal",
+                             "nulls"),
                     default="fixed")
     ap.add_argument("--timeout", type=float, default=120.0,
                     help="per-engine per-query wall budget (seconds); a "
@@ -278,6 +313,8 @@ def main() -> int:
             degen.build_numeric_fixture(tmp)
         elif args.mode == "temporal":
             degen.build_temporal_fixture(tmp)
+        elif args.mode == "nulls":
+            degen.build_nulls_fixture(tmp)
         else:
             degen.build_fixture(tmp, ragged_embeddings=False)
         con = duckdb.connect()
