@@ -220,8 +220,8 @@ ALLOWED: dict[str, dict[str, str]] = {
                 "centroid_assign", "dbscan_labels", "diversity_sample",
                 "embedding_gram", "embedding_near_dup",
                 "embedding_near_dup_pairs", "ivf_ann_topk",
-                "ivf_recall_eval", "kmeans_labels", "semdedup",
-                "silhouette_by_label",
+                "ivf_recall_eval", "kmeans_labels", "lsh_ann_topk",
+                "semdedup", "silhouette_by_label",
             )
         },
         "ppr_related_vectors": _PPR,
