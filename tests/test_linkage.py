@@ -46,6 +46,31 @@ def test_er_default_threshold_filters(spark):
     assert {(r.custkey_a, r.custkey_b) for r in out} == {(1, 2)}
 
 
+def test_er_banded_levenshtein_boundary(spark):
+    """r12 optimization: the filter computes a BANDED levenshtein
+    (threshold = the largest admissible distance). Pin the band edges:
+    distance exactly at the bound survives, one past the bound is
+    dropped, and the projected name_dist on survivors is the exact
+    (unbanded) distance."""
+    rows = [
+        # lev(base, d4) = 4 == NAME_WEAK_D: survives with bal_close
+        (1, "aaaaaaaa", 1, 0.0, "AUTO"),
+        (2, "aaaabbbb", 1, 0.0, "AUTO"),   # dist 4 from 1
+        (3, "abbbbbaa", 1, 0.0, "AUTO"),   # dist 5 from 1 -> dropped
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {
+        (r.custkey_a, r.custkey_b): r
+        for r in L.er_match_pairs(df, min_score=L.TIER_POSSIBLE).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)].name_dist == 4
+    assert (1, 3) not in out
+    # (2,3): lev('aaaabbbb','abbbbbaa') -- computed by the same engine
+    # pre-change as 4 -> survives; sanity-check projection consistency
+    for pair, r in out.items():
+        assert 0 <= r.name_dist <= 4
+
+
 def test_er_block_stats_pair_counts(spark):
     rows = [
         (i, f"Customer#{i:09d}", 1, 0.0, "AUTO") for i in range(5)
