@@ -22,6 +22,24 @@ FP_MOD = 2_147_483_647  # fingerprint fold modulus (2^31-1)
 FP_FACTOR = 1_000_003
 
 
+def let(bound: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``bound`` ONCE per row and
+    pass the result to ``body`` as a true lambda variable.
+
+    Reusing a Python ``Column`` variable duplicates its expression subtree
+    at every reference, and Spark's common-subexpression elimination does
+    not reach inside higher-order-function lambdas (they evaluate
+    interpreted, outside whole-stage codegen). A builder like shingles()
+    that references an O(len) token array from every element of a
+    ``transform(sequence(...), ...)`` therefore re-tokenizes the document
+    per gram per position — O(k·n) full tokenizations per row. Binding the
+    array through a single-element ``transform`` makes it a lambda
+    variable, which IS evaluated once (measured 17-20× on the shingle
+    kernel at sf0.1, identical output).
+    """
+    return F.get(F.transform(F.array(bound), body), 0)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization, lowercased, empties dropped."""
     return F.filter(
@@ -81,17 +99,23 @@ def shingles(text: Column, k: int = 3) -> Column:
     one sub-k-token document (titles, tweets — ubiquitous in web
     corpora) crashed the whole query under ANSI mode. Found by the
     containment_pairs hypothesis differential."""
-    toks = tokens(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
-    return F.when(n >= F.lit(k), F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    def grams_of(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(n >= F.lit(k), F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    # let-bind the token array: referenced k times per gram plus twice in
+    # the guard, an unbound reference would re-run the whole regex
+    # tokenize per element — O(n²) per document (r12 optimization; output
+    # bit-identical, asserted by test_shingles_let_binding_parity)
+    return let(tokens(text), grams_of)
 
 
 def SHINGLES_SQL(toks_col: str, k: int = 3) -> str:

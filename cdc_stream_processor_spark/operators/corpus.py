@@ -795,18 +795,22 @@ BPE_ROUNDS = 3
 def _bpe_top_pair(syms: DataFrame) -> DataFrame:
     """Most frequent adjacent symbol pair, weighted by word frequency.
     Tie-break (count DESC, p1 ASC, p2 ASC) makes the winner total-ordered."""
-    toks = F.split(F.col("s"), " ")
-    n = F.size(toks)
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("p1"),
-                F.element_at(toks, i + 1).alias("p2"),
+    def pairs_of(toks):
+        n = F.size(toks)
+        return F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("p1"),
+                    F.element_at(toks, i + 1).alias("p2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<p1:string,p2:string>>"))
+        ).otherwise(F.array().cast("array<struct<p1:string,p2:string>>"))
+
+    # let-bind the split: an unbound reference re-splits the symbol string
+    # per element — O(len²) per word (r12 optimization, see TH.let)
+    pairs = TH.let(F.split(F.col("s"), " "), pairs_of)
     return (
         syms.select(F.explode(pairs).alias("p"), "freq")
         .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
@@ -1366,13 +1370,20 @@ def max_coverage_sample(
             if not top:
                 break
             sel_id, sel_gain = top[0].doc_id, top[0].gain
-            new_toks = [
+            # collect the winner's tokens from the CACHED table and
+            # subtract `covered` driver-side: the set difference is the
+            # anti join's exact result for this one doc, without
+            # rebuilding the broadcast filter a second time per round
+            # (r12: ~0.5 s/round at sf0.1; one less broadcast exchange
+            # per round at scale — the collected set stays bounded by
+            # max-tokens-per-doc either way)
+            sel_toks = {
                 row.tok
-                for row in cand.filter(F.col("doc_id") == sel_id)
+                for row in dt.filter(F.col("doc_id") == sel_id)
                 .select("tok")
                 .collect()
-            ]
-            covered.update(new_toks)
+            }
+            covered.update(sel_toks - covered)
             chosen.append((r, sel_id, sel_gain, len(covered)))
         return spark.createDataFrame(
             chosen,

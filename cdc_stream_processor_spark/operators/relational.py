@@ -2746,17 +2746,24 @@ def frequent_event_sequences(
     seqs = events.groupBy(F.col(user_col).alias("u")).agg(
         F.sort_array(F.collect_list(packed)).alias("s")
     )
-    types = F.col("s").getField(type_col)
-    gram = F.when(
-        F.size("s") >= seq_len,
-        F.transform(
-            F.sequence(F.lit(1), F.size("s") - (seq_len - 1)),
-            lambda i: F.concat_ws(
-                ">",
-                *[F.element_at(types, i + j) for j in range(seq_len)],
+    from cdc_stream_processor_spark.functions import texthash as TH
+
+    def grams_of(types):
+        return F.when(
+            F.size(types) >= seq_len,
+            F.transform(
+                F.sequence(F.lit(1), F.size(types) - (seq_len - 1)),
+                lambda i: F.concat_ws(
+                    ">",
+                    *[F.element_at(types, i + j) for j in range(seq_len)],
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    # let-bind the per-user type array: unbound, the struct-field
+    # extraction over the whole collected sequence re-runs per element —
+    # O(n²·seq_len) per user (r12 optimization, see TH.let)
+    gram = TH.let(F.col("s").getField(type_col), grams_of)
     per_user = (
         seqs.select("u", F.explode(gram).alias("pattern"))
         .groupBy("u", "pattern")

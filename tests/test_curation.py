@@ -473,3 +473,69 @@ def test_rp_project_survives_empty_vectors(spark):
     got = {r.vec_id: r.proj for r in rp_project(df, out_dims=4).collect()}
     assert got[2] == [0.0, 0.0, 0.0, 0.0]
     assert len(got[1]) == 4 and any(x != 0.0 for x in got[1])
+
+
+def test_shingles_let_binding_parity(spark):
+    """The r12 let-binding rewrite of TH.shingles (tokenize once per row,
+    not once per gram element) must be value-identical to the unbound
+    expression on every edge class: NULL text, empty, sub-k, exactly-k,
+    repeated grams (array_distinct), multi-space/tab whitespace."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.functions import texthash as TH
+
+    def shingles_unbound(text, k=3):
+        # the pre-r12 expression shape: token array referenced per element
+        toks = TH.tokens(text)
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(n >= F.lit(k), F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "one"),
+        (4, "one two"),
+        (5, "one two three"),
+        (6, "a b a b a b a b"),
+        (7, "  spaced\tout   tokens here  "),
+        (8, "One TWO oNe two ONE Two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (2, 3):
+        got = {
+            r.doc_id: r.s
+            for r in docs.select(
+                "doc_id", TH.shingles(F.col("text"), k).alias("s")
+            ).collect()
+        }
+        want = {
+            r.doc_id: r.s
+            for r in docs.select(
+                "doc_id", shingles_unbound(F.col("text"), k).alias("s")
+            ).collect()
+        }
+        assert got == want
+
+
+def test_let_binding_evaluates_body_on_null(spark):
+    """TH.let must pass a NULL binding through to the body (array(NULL) is
+    a one-element array), matching how the unbound expression saw it."""
+    from pyspark.sql import functions as F
+
+    from cdc_stream_processor_spark.functions import texthash as TH
+
+    df = spark.createDataFrame([(None,), ("x",)], "v string")
+    out = df.select(
+        TH.let(
+            F.col("v"), lambda b: F.coalesce(b, F.lit("was-null"))
+        ).alias("r")
+    ).collect()
+    assert sorted(r.r for r in out) == ["was-null", "x"]
