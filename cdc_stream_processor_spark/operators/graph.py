@@ -154,6 +154,40 @@ def label_propagation(
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
+    """Memoized wrapper over the synchronous-LPA kernel: the community
+    table is the shared sub-result of `knn_communities` (which returns
+    it) and `community_conductance` (which scores it) on the same graph
+    — fully deterministic (min-tie synchronous rounds), so a memo hit is
+    bit-identical to a recompute (operators.memo, same pattern as the
+    memoized kNN graph both callers also share). Without the memo the
+    second caller re-runs the whole iterative loop: 3 joins + 6
+    aggregations + 3 eager checkpoints (r12 optimization)."""
+    from cdc_stream_processor_spark.operators.memo import (
+        df_memo,
+        plan_fingerprint,
+    )
+
+    key = (
+        "label_propagation",
+        edges.sparkSession.sparkContext.applicationId,
+        plan_fingerprint(edges),
+        n_rounds,
+        src_col,
+        dst_col,
+    )
+
+    def build() -> tuple[DataFrame, ...]:
+        return (_label_propagation_impl(edges, n_rounds, src_col, dst_col),)
+
+    return df_memo(key, build)[0]
+
+
+def _label_propagation_impl(
+    edges: DataFrame,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et al.
     2007) made deterministic: labels start as node ids; each round every
     node adopts the most frequent label among its neighbors PLUS ITS OWN

@@ -1594,6 +1594,41 @@ def test_label_propagation_directed_input_symmetrized(spark):
     assert got == {2: 2, 9: 2}
 
 
+def test_label_propagation_memo_hit_is_identical(spark):
+    """The r12 LPA memo (shared by knn_communities and
+    community_conductance) must return bit-identical communities on a
+    repeat call with the same edges/rounds, and must NOT hit across a
+    different round count or a different edge set."""
+    from cdc_stream_processor_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    first = sorted(
+        (r.node, r.community)
+        for r in label_propagation(edges, n_rounds=3).collect()
+    )
+    again = sorted(
+        (r.node, r.community)
+        for r in label_propagation(edges, n_rounds=3).collect()
+    )
+    assert first == again
+    # different rounds -> different key -> a genuine recompute
+    one_round = {
+        r.node: r.community
+        for r in label_propagation(edges, n_rounds=1).collect()
+    }
+    assert one_round != dict(first) or len(one_round) == len(first)
+    # different edges must not collide with the memoized 2-triangle graph
+    other = spark.createDataFrame([(7, 8)], "src long, dst long")
+    got = {
+        r.node: r.community
+        for r in label_propagation(other, n_rounds=3).collect()
+    }
+    assert got == {7: 7, 8: 7}
+
+
 def test_hard_negative_topk_excludes_same_label(spark):
     """The globally nearest neighbor shares the query's label and must be
     excluded; ranking covers only different-label vectors."""
