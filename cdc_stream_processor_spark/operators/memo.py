@@ -26,7 +26,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 _MEMO: dict[tuple, tuple[DataFrame, ...]] = {}
-_MEMO_MAX = 8
+# r12: 8 -> 16. Seven operators now memoize (LSH pairs, kNN graph, LPA,
+# PQ train/codes, IVF, brute-force top-k, ER); with 8 slots a FIFO
+# eviction could land between a value's first build and its second
+# consumer in the alphabetical bench order. Entries are bounded derived
+# tables (top-k lists, label vectors, pair tables), not corpus data.
+_MEMO_MAX = 16
 
 
 def plan_fingerprint(df: DataFrame) -> str:

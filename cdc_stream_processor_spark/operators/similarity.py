@@ -80,6 +80,40 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
+    """Memoized wrapper over the exact top-k kernel: the brute-force
+    neighbor table is the shared sub-result of `cosine_topk` (which
+    returns it) and `ivf_recall_eval` (which uses it as ground truth) on
+    the identical query set — deterministic by the 6-dp fold parity, so
+    a memo hit is bit-identical to a recompute (operators.memo, same
+    pattern as the kNN graph; r12 optimization)."""
+    from cdc_stream_processor_spark.operators.memo import (
+        df_memo,
+        plan_fingerprint,
+    )
+
+    key = (
+        "brute_force_topk",
+        queries.sparkSession.sparkContext.applicationId,
+        plan_fingerprint(queries),
+        plan_fingerprint(corpus),
+        k,
+        id_col,
+        vec_col,
+    )
+
+    def build() -> tuple[DataFrame, ...]:
+        return (_brute_force_topk_impl(queries, corpus, k, id_col, vec_col),)
+
+    return df_memo(key, build)[0]
+
+
+def _brute_force_topk_impl(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
     """Exact top-k neighbors (query_id, neighbor_id, cosine_sim, rank);
     self-matches excluded."""
     q = queries.select(
@@ -675,6 +709,47 @@ def _spherical_kmeans(sample, nlist: int, iters: int = 10):
 
 
 def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = IVF_NLIST,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Memoized wrapper over the IVF-flat kernel: the probed neighbor
+    table is the shared sub-result of `ivf_ann_topk` (which returns it)
+    and `ivf_recall_eval` (which scores it against brute force) on the
+    identical query set — fully deterministic (k-means init = first
+    nlist rows by id, fixed iterations, sequential folds), so a memo hit
+    is bit-identical to a recompute; it also skips re-collecting the
+    driver-side training sample (operators.memo; r12 optimization)."""
+    from cdc_stream_processor_spark.operators.memo import (
+        df_memo,
+        plan_fingerprint,
+    )
+
+    key = (
+        "ivf_topk",
+        queries.sparkSession.sparkContext.applicationId,
+        plan_fingerprint(queries),
+        plan_fingerprint(corpus),
+        k,
+        id_col,
+        vec_col,
+        nlist,
+        nprobe,
+    )
+
+    def build() -> tuple[DataFrame, ...]:
+        return (
+            _ivf_topk_impl(queries, corpus, k, id_col, vec_col, nlist, nprobe),
+        )
+
+    return df_memo(key, build)[0]
+
+
+def _ivf_topk_impl(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
