@@ -419,6 +419,7 @@ def main() -> None:
     # plans, so neither round is warm.)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    run1s: dict[str, float] = {}
     total = 0.0
     # NAME order, not registry order: the registry rotates per round (the
     # correctness-window ordering), and a changing run order changes each
@@ -427,12 +428,23 @@ def main() -> None:
     # comparable.
     for name, fn in sorted(entrymod.queries().items()):
         best = float("inf")
-        for _ in range(runs):
+        first = 0.0
+        for i in range(runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt_i = time.perf_counter() - t0
+            if i == 0:
+                first = dt_i
+            best = min(best, dt_i)
         dt = round(best, 3)
         timings[name] = dt
+        # run-1 (cold) recorded alongside best-of-N (r12 verdict): for
+        # queries whose first run builds a session-memoized kernel (kNN
+        # graph, IVF, LSH, LPA), best-of-N reports the memo-warm cost —
+        # run1 keeps the cold build visible in the committed record.
+        # `value`/`queries` stay best-of-N so round-over-round totals
+        # remain comparable.
+        run1s[name] = round(first, 3)
         total += dt
         # operators persist() intermediates (LSH blocks, shingle indexes);
         # drop them between queries so accumulated caches don't build
@@ -484,6 +496,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        # per-query run-1 (cold) timings: makes memo cold-builds visible
+        # (best-of-N alone hides the first consumer's kernel build cost)
+        "queries_run1": run1s,
         # isolated retimings of the >2x-flagged queries (see loop above):
         # the self-adjudicated number the regression table's verdict uses
         "flag_remeasure": remeasure,

@@ -161,7 +161,12 @@ def label_propagation(
     bit-identical to a recompute (operators.memo, same pattern as the
     memoized kNN graph both callers also share). Without the memo the
     second caller re-runs the whole iterative loop: 3 joins + 6
-    aggregations + 3 eager checkpoints (r12 optimization)."""
+    aggregations + 3 eager checkpoints (r12 optimization).
+
+    Staleness hazard (memo.df_memo): the key fingerprints the logical
+    plan, not the bytes on disk — overwriting a fingerprinted input path
+    in the SAME process returns the old materialization; use a fresh
+    session after in-process rewrites."""
     from cdc_stream_processor_spark.operators.memo import (
         df_memo,
         plan_fingerprint,

@@ -46,6 +46,12 @@ W_BAL_MISS = -1
 BAL_TOL = 500.0
 TIER_MATCH = 10     # score >= -> 'match'
 TIER_POSSIBLE = 3   # score >= -> 'possible'
+# Widest diagonal band worth passing to levenshtein(l, r, threshold): the
+# banded kernel fills ~(2*band+1) cells per row vs the full |b|+1, so for
+# c_name-length strings (~18-25 chars) a band much past ~half the string
+# no longer beats the full DP and mostly pays the threshold bookkeeping;
+# 64 is a generous cutoff beyond which we fall back to the exact kernel.
+MAX_LEV_BAND = 64
 
 
 def agreement_score(name_dist: Column, bal_close: Column) -> Column:
@@ -133,7 +139,7 @@ def er_match_pairs(
     band = max(
         _max_nd(min_score - W_BAL), _max_nd(min_score - W_BAL_MISS)
     )
-    if 0 <= band <= 64:
+    if 0 <= band <= MAX_LEV_BAND:
         banded = F.levenshtein(
             F.col("a_c_name"), F.col("b_c_name"), band
         )

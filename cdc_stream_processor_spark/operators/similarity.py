@@ -85,7 +85,12 @@ def brute_force_topk(
     returns it) and `ivf_recall_eval` (which uses it as ground truth) on
     the identical query set — deterministic by the 6-dp fold parity, so
     a memo hit is bit-identical to a recompute (operators.memo, same
-    pattern as the kNN graph; r12 optimization)."""
+    pattern as the kNN graph; r12 optimization).
+
+    Staleness hazard (memo.df_memo): the key fingerprints the logical
+    plan, not the bytes on disk — overwriting a fingerprinted input path
+    in the SAME process returns the old materialization; use a fresh
+    session after in-process rewrites."""
     from cdc_stream_processor_spark.operators.memo import (
         df_memo,
         plan_fingerprint,
@@ -723,7 +728,12 @@ def ivf_topk(
     identical query set — fully deterministic (k-means init = first
     nlist rows by id, fixed iterations, sequential folds), so a memo hit
     is bit-identical to a recompute; it also skips re-collecting the
-    driver-side training sample (operators.memo; r12 optimization)."""
+    driver-side training sample (operators.memo; r12 optimization).
+
+    Staleness hazard (memo.df_memo): the key fingerprints the logical
+    plan, not the bytes on disk — overwriting a fingerprinted input path
+    in the SAME process returns the old materialization; use a fresh
+    session after in-process rewrites."""
     from cdc_stream_processor_spark.operators.memo import (
         df_memo,
         plan_fingerprint,

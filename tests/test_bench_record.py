@@ -159,7 +159,16 @@ def test_quiesce_check_records_load_class_and_tree_only():
     that doesn't belong in a committed artifact (r9). The own-tree /
     foreign marker (r10, from the ppid chain) distinguishes the
     harness's own wrapper stack from a genuinely competing job so the
-    "quiet box" claim stays verifiable without recording cmdlines."""
+    "quiet box" claim stays verifiable without recording cmdlines.
+
+    Foreign processes MAY legitimately exist while pytest runs — the
+    driver's box hosts unrelated Spark work (r12 verdict: 34 foreign
+    JVMs failed the old ``all own-tree`` assertion). The unit test
+    therefore asserts only what is machine-independent: the entry
+    format, and that any matched process in THIS test's own ancestor
+    chain classifies own-tree. The quiet-box claim itself lives in the
+    bench record's ``ambient_processes_at_start``, adjudicated per
+    round — not here."""
     import re
 
     out = bench._quiesce_check()
@@ -167,9 +176,25 @@ def test_quiesce_check_records_load_class_and_tree_only():
         assert re.fullmatch(
             r"pid \d+: \((jvm|spark-python), (own-tree|foreign)\)", entry
         ), entry
-    # this test's own ancestor wrapper stack (the processes that launched
-    # pytest) must classify as own-tree — they share our ppid chain
-    assert all("own-tree" in e for e in out), out
+    # walk this test's own ppid chain (same walk _quiesce_check uses)
+    my_ancestry, cur, hops = {os.getpid()}, os.getpid(), 0
+    while cur > 1 and hops < 64:
+        try:
+            with open(f"/proc/{cur}/stat") as f:
+                cur = int(f.read().rsplit(")", 1)[1].split()[1])
+        except (OSError, ValueError, IndexError):
+            break
+        hops += 1
+        if cur > 1:
+            my_ancestry.add(cur)
+    # any matched jvm/spark process that IS one of our own ancestors
+    # (a pytest wrapper, a supervising harness) must classify own-tree;
+    # processes outside the chain are allowed either class — asserting
+    # a globally quiet box made the test fail on any busy machine (r12)
+    for entry in out:
+        pid = int(re.match(r"pid (\d+):", entry).group(1))
+        if pid in my_ancestry:
+            assert "own-tree" in entry, entry
 
 
 def test_compact_summary_is_driver_tail_sized():

@@ -1619,7 +1619,14 @@ def test_label_propagation_memo_hit_is_identical(spark):
         r.node: r.community
         for r in label_propagation(edges, n_rounds=1).collect()
     }
-    assert one_round != dict(first) or len(one_round) == len(first)
+    # exact 1-round result (hand-unrolled min-tie synchronous LPA with
+    # self-vote): 1,2,3 each see an all-distinct vote set → min label 1;
+    # 4 sees {3,4,5,6} → 3; 5 and 6 see {4,5,6} → 4. This differs from
+    # the 3-round fixpoint at node 4 (3 vs 4), so a memo-key collision
+    # across n_rounds would return the wrong table here (r12 ADVICE: the
+    # old disjunction was vacuously true whenever node counts matched).
+    assert one_round == {1: 1, 2: 1, 3: 1, 4: 3, 5: 4, 6: 4}
+    assert one_round != dict(first)
     # different edges must not collide with the memoized 2-triangle graph
     other = spark.createDataFrame([(7, 8)], "src long, dst long")
     got = {

@@ -1,14 +1,17 @@
 """Per-query profiling helper for the optimization rounds.
 
 For each named query: builds the DataFrame, writes its
-``.explain("formatted")`` plan to ``plans/r12/<name>_<tag>.txt`` when
---plans-tag is given, and times the noop-sink execution best-of-N with
-cache cleared between queries — the same methodology as bench.py, but
-isolated to the named queries so a change can be measured without a full
-244-query sweep.
+``.explain("formatted")`` plan to ``<plans-dir>/<name>_<tag>.txt`` when
+--plans-tag is given (--plans-dir defaults to plans/r<current round>,
+inferred from the committed BENCH_r*.json files the way bench.py infers
+it — r12 ADVICE: the hardcoded plans/r12 would silently mix rounds), and
+times the noop-sink execution best-of-N with cache cleared between
+queries — the same methodology as bench.py, but isolated to the named
+queries so a change can be measured without a full 244-query sweep.
 
 Usage: python tools/profile_query.py [--sf SF_DIR] [--runs N]
-                                     [--plans-tag before|after] query ...
+                                     [--plans-tag before|after]
+                                     [--plans-dir plans/rNN] query ...
 """
 
 from __future__ import annotations
@@ -31,8 +34,21 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans-tag", default=None)
+    ap.add_argument(
+        "--plans-dir",
+        default=None,
+        help="plan-dump directory; default plans/r<round> inferred from"
+        " committed BENCH_r*.json (same rule as bench._current_round)",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
+    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if args.plans_dir is None:
+        import bench
+
+        args.plans_dir = os.path.join(
+            base, "plans", f"r{bench._current_round(base)}"
+        )
 
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark("profile")
@@ -57,7 +73,6 @@ def main() -> int:
     ).mode("overwrite").save()
 
     qmap = entrymod.queries()
-    base = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for name in args.queries:
         fn = qmap[name]
         spark.catalog.clearCache()
@@ -67,7 +82,7 @@ def main() -> int:
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            out_dir = os.path.join(base, "plans", "r12")
+            out_dir = args.plans_dir
             os.makedirs(out_dir, exist_ok=True)
             with open(
                 os.path.join(out_dir, f"{name}_{args.plans_tag}.txt"), "w"
