@@ -1314,11 +1314,14 @@ def max_coverage_sample(
     embedding space; this optimizes vocabulary coverage in token space
     (the facility-location objective with unit token weights).
 
-    Per round: one corpus-scale pass — a broadcast LEFT ANTI join of the
+    Per round: ONE corpus-scale pass — a broadcast LEFT ANTI join of the
     (doc, token) table against the covered-token set (bounded by
     k · max-tokens-per-doc, the same bounded-driver-sketch class as the
     Bloom decontaminator's word list), a map-side-combined count per doc,
-    and a ONE-ROW argmax probe (gain desc, doc_id asc).  The (doc, token)
+    and a ONE-ROW argmax probe (gain desc, doc_id asc) — plus a parquet
+    POINT-LOOKUP of the winner's tokens on the source docs (doc_id
+    equality pushes down to the scan; r13 — replaces a second full pass
+    over the cached (doc, token) table per round).  The (doc, token)
     table is built once and persisted across the k rounds.  Documents
     whose remaining gain is zero drop out of candidacy (greedy halts
     early when the corpus is exhausted, matching the oracle's empty CTE
@@ -1370,17 +1373,18 @@ def max_coverage_sample(
             if not top:
                 break
             sel_id, sel_gain = top[0].doc_id, top[0].gain
-            # collect the winner's tokens from the CACHED table and
-            # subtract `covered` driver-side: the set difference is the
-            # anti join's exact result for this one doc, without
-            # rebuilding the broadcast filter a second time per round
-            # (r12: ~0.5 s/round at sf0.1; one less broadcast exchange
-            # per round at scale — the collected set stays bounded by
-            # max-tokens-per-doc either way)
+            # fetch the winner's tokens with a PARQUET POINT-LOOKUP on the
+            # source docs (r13, guide §6): the doc_id equality pushes down
+            # to the scan (PushedFilters → row-group stats pruning at
+            # scale) and `units` is evaluated for the ONE surviving row —
+            # replacing r12's full filter pass over the cached corpus-scale
+            # (doc, tok) table. Same deterministic expression, same token
+            # multiset, and the driver-side set-diff against `covered` is
+            # unchanged (bounded by max-tokens-per-doc).
             sel_toks = {
                 row.tok
-                for row in dt.filter(F.col("doc_id") == sel_id)
-                .select("tok")
+                for row in docs.filter(F.col(id_col) == F.lit(sel_id))
+                .select(F.explode(units).alias("tok"))
                 .collect()
             }
             covered.update(sel_toks - covered)
