@@ -208,12 +208,22 @@ def _winnow(cp: np.ndarray) -> np.ndarray:
 
 
 def winnowing_fingerprints(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_h: bool = False,
 ) -> DataFrame:
     """(doc_id, pos, h): winnowing fingerprint set per document — char
     WIN_K-gram polynomial hashes, WIN_W-window minima, rightmost ties.
     ``pos`` is the 1-based k-gram start offset. Documents shorter than
     WIN_K chars have no k-grams and emit nothing.
+
+    ``dedup_h=True`` returns (doc_id, h) with the per-document DISTINCT
+    hash set instead (np.unique inside the kernel). Because every
+    document's text sits in exactly one kernel row, per-doc dedup IS the
+    global distinct of (doc_id, h) — consumers that only need the
+    distinct hash set (winnowing_overlap_pairs) skip a corpus-scale
+    Exchange+HashAggregate pair entirely (r13, guide §2.4).
 
     Plan: ONE Arrow mapInPandas, zero shuffles; O(n) per document."""
 
@@ -223,10 +233,24 @@ def winnowing_fingerprints(
             encs: list[np.ndarray] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 sel = _winnow(_codepoints(text))
+                if dedup_h:
+                    sel = np.unique(sel // WIN_POS_M)
                 if len(sel):
                     ids.append(np.full(len(sel), doc_id, dtype=np.int64))
                     encs.append(sel)
-            if ids:
+            if dedup_h:
+                if ids:
+                    yield pd.DataFrame(
+                        {"doc_id": np.concatenate(ids), "h": np.concatenate(encs)}
+                    )
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": pd.Series(dtype="int64"),
+                            "h": pd.Series(dtype="int64"),
+                        }
+                    )
+            elif ids:
                 di = np.concatenate(ids)
                 e = np.concatenate(encs)
                 yield pd.DataFrame(
@@ -246,9 +270,8 @@ def winnowing_fingerprints(
                 )
 
     cols = docs.select(id_col, text_col)
-    return ensure_parallelism(cols).mapInPandas(
-        compute, schema="doc_id long, pos long, h long"
-    )
+    schema = "doc_id long, h long" if dedup_h else "doc_id long, pos long, h long"
+    return ensure_parallelism(cols).mapInPandas(compute, schema=schema)
 
 
 def winnowing_overlap_pairs(
@@ -269,14 +292,13 @@ def winnowing_overlap_pairs(
     all-pairs product; one shuffle for the index, one for the pair agg."""
     # persist: the distinct fingerprint table feeds THREE parallel
     # consumers (the df filter + both join sides) and contains the Arrow
-    # kernel + a shuffle — without it, exprId re-aliasing defeats
-    # ReuseExchange and the winnowing kernel runs 4× (audited: arrow=4→1)
-    fp = (
-        winnowing_fingerprints(docs, text_col, id_col)
-        .select("doc_id", "h")
-        .distinct()
-        .persist()
-    )
+    # kernel — without it, exprId re-aliasing defeats ReuseExchange and
+    # the winnowing kernel runs 4× (audited: arrow=4→1). The distinct is
+    # computed INSIDE the kernel (dedup_h: per-doc np.unique == global
+    # distinct because each doc occupies one kernel row), which removes
+    # the corpus-scale Exchange+HashAggregate the .distinct() used to
+    # plan here (r13, guide §2.4).
+    fp = winnowing_fingerprints(docs, text_col, id_col, dedup_h=True).persist()
     cold = (
         fp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
