@@ -71,29 +71,53 @@ def pagerank(
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranked_edges = e.join(outdeg, "src").persist()
     teleport = (PR_DAMP_DEN - PR_DAMP_NUM) * PR_SCALE // (PR_DAMP_DEN * n)
-    pr = nodes.withColumn("pr_q", F.lit(PR_SCALE // n).cast("long"))
+    # rank_{t}(node) = teleport + damp(gather_{t}(node)), with gather ≡ 0
+    # for nodes nothing points at — so the full per-node rank table never
+    # needs materializing inside the loop (r13, guide §1.2/§2.4): instead
+    # of {edges ⋈ pr on src} + {nodes ⟕ gathered} per iteration, LEFT-join
+    # the edges directly against the previous gather on src == dst and
+    # compute the rank expression inline (a src absent from the gather has
+    # rank teleport + damp(0) — exactly what the nodes ⟕ gathered row
+    # produced). One join per iteration instead of two, and iteration 1
+    # (uniform rank PR_SCALE // n) is a map-only pass over the edges.
+    # Integer arithmetic is identical op-for-op, so results are
+    # bit-identical (pinned by test_pagerank_matches_integer_reference —
+    # the hypothesis property replaying the recurrence sequentially).
+    gathered: DataFrame | None = None
     for _ in range(n_iter):
-        contrib = (
-            ranked_edges.join(pr, ranked_edges["src"] == pr["node"])
-            .select(
+        if gathered is None:
+            contrib = ranked_edges.select(
                 F.col("dst"),
-                F.expr("pr_q div outdeg").alias("c"),
+                F.expr(f"CAST({PR_SCALE // n} AS BIGINT) div outdeg").alias(
+                    "c"
+                ),
             )
-        )
+        else:
+            prev = gathered.select(F.col("dst").alias("gnode"), "g")
+            contrib = ranked_edges.join(
+                prev, ranked_edges["src"] == prev["gnode"], "left"
+            ).select(
+                F.col("dst"),
+                F.expr(
+                    f"CAST({teleport} AS BIGINT)"
+                    f" + (coalesce(g, CAST(0 AS BIGINT)) * {PR_DAMP_NUM})"
+                    f" div {PR_DAMP_DEN}"
+                ).alias("pr_q"),
+                F.col("outdeg"),
+            ).select(F.col("dst"), F.expr("pr_q div outdeg").alias("c"))
         gathered = contrib.groupBy("dst").agg(F.sum("c").alias("g"))
-        pr = (
-            nodes.join(gathered, nodes["node"] == gathered["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"(coalesce(g, CAST(0 AS BIGINT)) * {PR_DAMP_NUM})"
-                        f" div {PR_DAMP_DEN}"
-                    )
-                ).cast("long").alias("pr_q"),
+    pr = nodes.join(
+        gathered, nodes["node"] == gathered["dst"], "left"
+    ).select(
+        "node",
+        (
+            F.lit(teleport)
+            + F.expr(
+                f"(coalesce(g, CAST(0 AS BIGINT)) * {PR_DAMP_NUM})"
+                f" div {PR_DAMP_DEN}"
             )
-        )
+        ).cast("long").alias("pr_q"),
+    )
     return pr.select(
         "node",
         "pr_q",

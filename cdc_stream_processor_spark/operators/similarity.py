@@ -1745,22 +1745,34 @@ def pq_adc_topk(
     lut = qs.join(F.broadcast(cents), "sub").select(
         "query_id", "sub", "cluster", dist.alias("ld")
     )
+    # Subspace-ordered fold WITHOUT collect_list: each (query, neighbor)
+    # group holds exactly one ld per sub (codes carry all m subs, the LUT
+    # covers every (sub, cluster) per query), so pivoting into m SUM
+    # columns and adding them left-to-right 0.0 + ld_0 + … + ld_{m-1}
+    # replays the oracle's `list_reduce(list(ld ORDER BY sub))` op
+    # sequence bit-for-bit (every ld ≥ +0.0, so the coalesce-0.0 identity
+    # additions are IEEE no-ops). The partial-agg state shrinks from an
+    # m-struct list to m doubles, and the per-group sort_array plus two
+    # interpreted HOF lambdas disappear from the reduce side (r13, guide
+    # §2.3 / §4.1).
+    per_sub = [
+        F.coalesce(
+            F.sum(F.when(F.col("sub") == i, F.col("ld"))), F.lit(0.0)
+        ).alias(f"_ld{i}")
+        for i in range(m)
+    ]
+    fold = F.lit(0.0)
+    for i in range(m):
+        fold = fold + F.col(f"_ld{i}")
     scored = (
         codes.join(lut, ["sub", "cluster"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("sub", "ld"))),
-                        lambda t: t.getField("ld"),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("approx_sq_dist")
+        .agg(*per_sub)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(fold, 6).alias("approx_sq_dist"),
         )
     )
     out = top_k_per_group(

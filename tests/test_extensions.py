@@ -1314,6 +1314,62 @@ def test_pq_adc_planted_duplicate_is_rank_one(spark):
     assert out[0].approx_sq_dist == recon[3]
 
 
+def test_pq_adc_pivot_fold_matches_collect_list_fold(spark, sf_dir):
+    """r13: the scored aggregation pivots the per-subspace LUT distances
+    into m SUM columns added left-to-right (0.0 + ld_0 + … + ld_{m-1})
+    instead of collect_list + sort_array + an interpreted HOF fold. Both
+    are the same IEEE op sequence, so every approx_sq_dist must be
+    BIT-identical on the real corpus, not merely close."""
+    emb = B.load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    new = S.pq_adc_topk(queries, emb, k=5)
+    # reference: the pre-r13 fold, reconstructed from the same internals
+    assigned, cents = S._pq_train(
+        emb, S.PQ_M, S.PQ_KSUB, S.PQ_ITERS, "vec_id", "embedding"
+    )
+    codes = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), "sub", "cluster"
+    )
+    qs = S._pq_subvectors(queries, S.PQ_M, "vec_id", "embedding").select(
+        F.col("vec_id").alias("query_id"), "sub", F.col("v").alias("qv")
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = qs.join(F.broadcast(cents), "sub").select(
+        "query_id", "sub", "cluster", dist.alias("ld")
+    )
+    old_scored = (
+        codes.join(lut, ["sub", "cluster"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("sub", "ld"))),
+                        lambda t: t.getField("ld"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("approx_sq_dist")
+        )
+    )
+    old = S.top_k_per_group(
+        old_scored,
+        ["query_id"],
+        [F.col("approx_sq_dist").asc(), F.col("neighbor_id").asc()],
+        5,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "approx_sq_dist", "rank")
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+
+
 def test_pq_adc_recall_floor_and_shape(spark, sf_dir):
     """Uniform-sphere corpus = PQ's worst case; the floor pins the
     measured deterministic recall (0.24–0.30 at m=8/ksub=16), not a
