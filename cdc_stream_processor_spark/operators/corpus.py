@@ -808,11 +808,13 @@ def _bpe_top_pair(syms: DataFrame) -> DataFrame:
             ),
         ).otherwise(F.array().cast("array<struct<p1:string,p2:string>>"))
 
-    # let-bind the split: an unbound reference re-splits the symbol string
-    # per element — O(len²) per word (r12 optimization, see TH.let)
-    pairs = TH.let(F.split(F.col("s"), " "), pairs_of)
+    # `toks` is a real ARRAY COLUMN (r13): a bound attribute is read from
+    # the row, so every element_at reference is O(1) — the projection IS
+    # the let-binding, with no transform(array(…)) wrapper. (r11 re-split
+    # the string per element, O(len²)/word; r12 let-bound the split but
+    # paid the wrapper — measured 1.53 vs 1.88 s at sf0.1 on bpe_merges.)
     return (
-        syms.select(F.explode(pairs).alias("p"), "freq")
+        syms.select(F.explode(pairs_of(F.col("toks"))).alias("p"), "freq")
         .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
         .agg(F.sum("freq").alias("pair_count"))
         .orderBy(
@@ -824,35 +826,37 @@ def _bpe_top_pair(syms: DataFrame) -> DataFrame:
 
 def _bpe_apply(syms: DataFrame, top: DataFrame) -> DataFrame:
     """Merge every adjacent (p1, p2) occurrence in one canonical left-to-
-    right scan: fold the symbol list into a space-joined string, replacing a
-    trailing token == p1 with p1||p2 when the next token == p2.  A symbol
-    created by a merge never re-merges within the round (the concatenated
-    token contains no space, so the ' '||p1 boundary test cannot match it) —
-    exactly the i+=2 semantics of the reference BPE scan (Sennrich et al.
-    '16).  The same fold is expressible as DuckDB's list_reduce, whose
-    first-element initialization coincides with this fold's empty-string
-    init, so the oracle replays it verbatim."""
+    right scan: fold the symbol ARRAY, replacing a trailing element == p1
+    with p1||p2 when the next element == p2.  A symbol created by a merge
+    never re-merges within the round (the appended element is p1||p2,
+    which the `last == p1` test cannot match for non-empty p2) — exactly
+    the i+=2 semantics of the reference BPE scan (Sennrich et al. '16)
+    and of the space-joined STRING fold the DuckDB oracle replays
+    (tokens contain no spaces, so "acc ends with ' '||p1" ⟺ "last array
+    element is p1"; equality of the two folds is pinned by
+    test_bpe_array_fold_matches_string_fold).  Keeping the symbols as an
+    array end-to-end means no round ever re-splits a string (r13)."""
     p1, p2 = F.col("p1"), F.col("p2")
 
     def step(acc: Column, x: Column) -> Column:
-        acc_ends_p1 = (acc == p1) | acc.endswith(
-            F.concat(F.lit(" "), p1)
-        )
         return F.when(
-            (x == p2) & acc_ends_p1,
+            # try_element_at: NULL (≠ p1) on the empty first-step acc —
+            # plain element_at raises under ANSI for index -1 of []
+            (x == p2) & (F.try_element_at(acc, F.lit(-1)) == p1),
             F.concat(
-                acc.substr(F.lit(1), F.length(acc) - F.length(p1)), p1, p2
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(p1, p2)),
             ),
-        ).otherwise(
-            F.when(acc == "", x).otherwise(F.concat(acc, F.lit(" "), x))
-        )
+        ).otherwise(F.concat(acc, F.array(x)))
 
     return (
         syms.crossJoin(F.broadcast(top))
         .select(
             F.aggregate(
-                F.split(F.col("s"), " "), F.lit(""), step
-            ).alias("s"),
+                F.col("toks"),
+                F.array().cast("array<string>"),
+                step,
+            ).alias("toks"),
             "freq",
         )
     )
@@ -888,9 +892,11 @@ def bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    cur = words.select(
-        F.array_join(F.split("word", ""), " ").alias("s"), "freq"
-    )
+    # symbols ride as an ARRAY column through every round (r13): the
+    # initial char split is the only string→array conversion anywhere;
+    # split(word, '') ≡ the old array_join-then-split round trip
+    # (verified: no trailing empties in Spark 4's empty-pattern split)
+    cur = words.select(F.split(F.col("word"), "").alias("toks"), "freq")
     outs: list[DataFrame] = []
     for r in range(1, rounds + 1):
         top = _bpe_top_pair(cur)

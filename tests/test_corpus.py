@@ -658,6 +658,41 @@ def test_bpe_apply_is_canonical_left_scan(spark):
     assert (rows[1].p1, rows[1].p2, rows[1].pair_count) == ("aa", "aa", 2)
 
 
+def test_bpe_array_fold_matches_string_fold(spark):
+    """r13: _bpe_apply folds the symbol ARRAY (trailing-element test)
+    instead of the space-joined string (endswith ' '||p1 test). The two
+    scans must produce identical symbolizations on adversarial words:
+    overlapping runs, merges at word start/end, the merged token
+    reappearing as raw adjacent symbols, and pairs absent from a word."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        "aaaa", "aaa", "aa", "a", "ab", "ba", "abab", "aab",
+        "baa", "abba", "bab", "xyz", "aaxaa",
+    ]
+    syms = spark.createDataFrame(
+        [(w, 1) for w in cases], "word string, freq long"
+    ).select(F.split(F.col("word"), "").alias("toks"), "freq")
+    top = spark.createDataFrame([("a", "a", 0)], "p1 string, p2 string, pair_count long")
+    got = [
+        r.s
+        for r in C._bpe_apply(syms, top)
+        .select(F.array_join("toks", " ").alias("s"))
+        .collect()
+    ]
+
+    def string_fold(word: str, p1: str, p2: str) -> str:
+        acc = ""
+        for x in word:
+            if x == p2 and (acc == p1 or acc.endswith(" " + p1)):
+                acc = acc[: len(acc) - len(p1)] + p1 + p2
+            else:
+                acc = x if acc == "" else acc + " " + x
+        return acc
+
+    assert got == [string_fold(w, "a", "a") for w in cases]
+
+
 def test_bpe_rounds_stay_lazy_no_driver_collect(spark, sf_dir):
     # building the 3-round DAG must not trigger any Spark job
     docs = B.load_table(spark, sf_dir, "documents")
