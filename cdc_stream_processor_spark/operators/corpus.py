@@ -1347,10 +1347,19 @@ def max_coverage_sample(
         if gram > 1
         else F.array_distinct(TH.tokens(F.col(text_col)))
     )
+    # HASH-partition by doc_id at build time (r13, guide §2.4): the
+    # greedy argmax groups by doc_id every round, and a persisted
+    # HashPartitioning(doc_id) survives the per-round anti-join filter,
+    # so all k gain-count aggregations become exchange-free single-stage
+    # jobs — one corpus-scale shuffle up front replaces k of them.
+    # (ensure_parallelism's keyless round-robin gave the same local
+    # parallelism but left every round paying the groupBy shuffle.)
+    spark_parallelism = docs.sparkSession.sparkContext.defaultParallelism
     dt = (
-        ensure_parallelism(docs)
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+        .repartition(spark_parallelism, F.col("doc_id"))
         .select(
-            F.col(id_col).alias("doc_id"),
+            F.col("doc_id"),
             F.explode(units).alias("tok"),
         )
         .persist()
