@@ -298,7 +298,17 @@ def winnowing_overlap_pairs(
     # distinct because each doc occupies one kernel row), which removes
     # the corpus-scale Exchange+HashAggregate the .distinct() used to
     # plan here (r13, guide §2.4).
-    fp = winnowing_fingerprints(docs, text_col, id_col, dedup_h=True).persist()
+    # HASH-partition the kernel output by h before caching (r13, guide
+    # §2.4): the df cutoff groups by h and the inverted-index join keys
+    # both sides on h, so a persisted HashPartitioning(h) makes all three
+    # downstream exchanges vanish for the price of one up-front shuffle
+    # (plan: per-query Exchange count 3 → 1 on this subtree).
+    spark_parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    fp = (
+        winnowing_fingerprints(docs, text_col, id_col, dedup_h=True)
+        .repartition(spark_parallelism, F.col("h"))
+        .persist()
+    )
     cold = (
         fp.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
