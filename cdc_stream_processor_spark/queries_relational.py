@@ -1278,10 +1278,19 @@ def q_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows the query must produce anyway."""
     ev = B.load_table(spark, sf_dir, "events")
     # persist: the distinct (user, hour) index feeds four consumers (sizes,
-    # density, both join sides) — one dedup shuffle instead of four
+    # density, both join sides) — one dedup shuffle instead of four.
+    # The extra repartition by hr (r13, guide §2.4): the density agg and
+    # BOTH pair-join sides require clustering on hr (HashPartitioning(hr)
+    # is a subset of the join's (hr, chk) keys, which Spark accepts), so
+    # caching the index already hr-partitioned removes three downstream
+    # exchanges of the corpus-scale index for one at build; only the
+    # per-user size agg still reshuffles (user_id key).
     hrs = (
         ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("hr"))
         .distinct()
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("hr")
+        )
         .persist()
     )
     sizes = hrs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
