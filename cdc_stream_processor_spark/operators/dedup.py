@@ -486,7 +486,18 @@ def ngram_jaccard_pairs(
             .persist()
         )
     sizes = base.select("doc_id", F.size("hs").alias("n"))
-    inv = base.select("doc_id", F.explode("hs").alias("h"))
+    # HASH-partition the exploded inverted index by h and cache it (r13,
+    # guide §2.4): the self-join re-shuffles BOTH aliases of `inv` by h
+    # at runtime (exprId re-aliasing defeats ReuseExchange), so caching
+    # it already h-partitioned removes two corpus-scale exchanges for one
+    # at build — the winnowing_overlap_pairs pattern.
+    inv = (
+        base.select("doc_id", F.explode("hs").alias("h"))
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col("h")
+        )
+        .persist()
+    )
     if max_shingle_df is not None:
         hot = (
             inv.groupBy("h")
@@ -825,7 +836,15 @@ def containment_pairs(
         .persist()
     )
     sizes = base.select("doc_id", F.size("hs").alias("n"))
-    inv = base.select("doc_id", F.explode("hs").alias("h"))
+    # h-partitioned cache: both self-join aliases read the cached layout
+    # instead of re-exchanging by h (r13 — same as ngram_jaccard_pairs)
+    inv = (
+        base.select("doc_id", F.explode("hs").alias("h"))
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col("h")
+        )
+        .persist()
+    )
     shared = (
         inv.alias("a")
         .join(inv.alias("b"), "h")
