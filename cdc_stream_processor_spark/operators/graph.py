@@ -106,6 +106,15 @@ def pagerank(
                 F.col("outdeg"),
             ).select(F.col("dst"), F.expr("pr_q div outdeg").alias("c"))
         gathered = contrib.groupBy("dst").agg(F.sum("c").alias("g"))
+    if gathered is None:  # n_iter == 0: the uniform start vector, as before
+        pr = nodes.withColumn("pr_q", F.lit(PR_SCALE // n).cast("long"))
+        return pr.select(
+            "node",
+            "pr_q",
+            F.round(
+                F.col("pr_q").cast("double") / F.lit(float(PR_SCALE)), 6
+            ).alias("pagerank"),
+        )
     pr = nodes.join(
         gathered, nodes["node"] == gathered["dst"], "left"
     ).select(
